@@ -1,0 +1,516 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.{QueryDef, Tables}
+
+/** The declared t2 query corpus (SURVEY.md §2.3) — the SQL surface a user of
+  * the reference reaches through the `--query` pass-through
+  * (`/root/reference/amazonredshift_blueprints/blueprints/execute_sql.py:64,77`,
+  * `store_query_results.py:103,132`), re-expressed Spark-first with the
+  * DataFrame API so Catalyst plans it (pushdown, pruning, broadcast joins).
+  *
+  * Canonicalization contract shared with the DuckDB oracles (QueryDef doc):
+  *  - per-row double arithmetic uses identical expression trees in both
+  *    engines (IEEE ops are deterministic given the same operand order);
+  *  - order-sensitive aggregates (SUM/AVG of doubles) accumulate exactly via
+  *    DECIMAL(18,6) and only then cast to DOUBLE, so the result is
+  *    independent of partitioning / addition order at any scale;
+  *  - every query ends in a total-order ORDER BY (unique tie-break key);
+  *  - no raw TIMESTAMP columns in outputs — DATE or epoch micros instead;
+  *  - computed integer outputs cast to BIGINT on both sides.
+  */
+object T2 {
+  private val M = DecimalType(18, 6)
+  private def dec(c: Column): Column = c.cast(M)
+  /** Order-independent exact sum of a double column, returned as double. */
+  private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+  /** Deterministic mean: exact decimal sum, double division by count. */
+  private def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    Tables.load(s, d, name)
+
+  val defs: Seq[QueryDef] = Seq(
+    // 1. Scan + filter + project (lineitem pricing). Filters push to parquet.
+    QueryDef(
+      "q01_scan_filter",
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        l.filter(
+            col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+              col("l_discount").between(0.02, 0.08) &&
+              col("l_quantity") < 30.0)
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             |       l_extendedprice * (1.0 - l_discount) AS net_price
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+             |  AND l_discount BETWEEN 0.02 AND 0.08
+             |  AND l_quantity < 30.0
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // 2. Inner equi-join chain (TPC-H Q5 shape): region⋈nation⋈customer⋈orders⋈lineitem.
+    //    Dims (region, nation) are broadcast — at 100 TB the only shuffles are
+    //    lineitem⋈orders and ⋈customer on their join keys, then the 25-group agg.
+    QueryDef(
+      "q02_join_chain",
+      (s, d) => {
+        val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+        val n = t(s, d, "nation")
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders").filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val l = t(s, d, "lineitem")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             |       COUNT(*) AS n_items
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+             |GROUP BY n_name
+             |ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // 3. Anti join: customers with no urgent order. Spark plans left_anti as
+    //    a broadcast/shuffled hash anti join — no row explosion, streams at
+    //    any scale. (Filtered to urgent so the fixture result is non-empty:
+    //    every customer has *some* order at sf≥0.01.)
+    QueryDef(
+      "q03_anti_join",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal
+             |FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey
+             |                    AND o.o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // 4. Semi join via EXISTS: customers with at least one finished big order.
+    QueryDef(
+      "q04_semi_join",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders")
+          .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100000.0)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment
+             |FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey
+             |                AND o.o_orderstatus = 'F' AND o.o_totalprice > 100000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // 5. Non-equi theta join. Both sides are dim tables (supplier × part), so
+    //    BroadcastNestedLoopJoin is the correct physical plan; at 100 TB this
+    //    stays safe because neither side is a fact table.
+    QueryDef(
+      "q05_theta_join",
+      (s, d) => {
+        val sup = t(s, d, "supplier")
+        val p = t(s, d, "part")
+        sup.join(
+            p,
+            col("p_retailprice") >= col("s_acctbal") &&
+              col("p_retailprice") < col("s_acctbal") + 100.0)
+          .groupBy(col("s_suppkey"), col("s_name"))
+          .agg(count(lit(1)).as("n_parts"), dsum(col("p_retailprice")).as("sum_price"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, s_name, COUNT(*) AS n_parts,
+             |       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+             |FROM supplier JOIN part
+             |  ON p_retailprice >= s_acctbal AND p_retailprice < s_acctbal + 100.0
+             |GROUP BY s_suppkey, s_name
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // 6. Group-by aggregate battery + HAVING (TPC-H Q1 shape). Partial
+    //    (map-side) aggregation is automatic for all of these.
+    QueryDef(
+      "q06_group_agg",
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        l.filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_extendedprice")).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .filter(col("count_order") > 100)
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+             |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+             |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+             |       COUNT(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+             |GROUP BY l_returnflag, l_linestatus
+             |HAVING COUNT(*) > 100
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // 7. COUNT(DISTINCT) + multi-distinct in one aggregate (Catalyst expands
+    //    to the two-phase distinct plan automatically). The pair-distinct is
+    //    expressed as a concat key so the oracle is portable.
+    QueryDef(
+      "q07_count_distinct",
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        l.groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("nd_part"),
+            countDistinct(col("l_suppkey")).as("nd_supp"),
+            countDistinct(concat_ws(":", col("l_partkey"), col("l_suppkey"))).as("nd_pair"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |       COUNT(DISTINCT l_partkey) AS nd_part,
+             |       COUNT(DISTINCT l_suppkey) AS nd_supp,
+             |       COUNT(DISTINCT l_partkey || ':' || l_suppkey) AS nd_pair,
+             |       COUNT(*) AS n_rows
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // 8. CUBE multi-grouping with grouping_id.
+    QueryDef(
+      "q08_cube",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        o.cube(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("sum_total"),
+            grouping_id().as("gid"))
+          .select(
+            col("gid").cast("long").as("gid"), col("o_orderpriority"),
+            col("o_orderstatus"), col("n_orders"), col("sum_total"))
+          .orderBy(
+            col("gid"), col("o_orderpriority").asc_nulls_first,
+            col("o_orderstatus").asc_nulls_first)
+      },
+      Some("""SELECT CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+             |       o_orderpriority, o_orderstatus,
+             |       COUNT(*) AS n_orders,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+             |FROM orders
+             |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+             |ORDER BY gid, o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin)),
+
+    // 9. Window ranking: top-3 orders per customer. Single shuffle on
+    //    o_custkey; per-key state is bounded (uniform keys — noted for skew).
+    QueryDef(
+      "q09_window_rank",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        o.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("rn").cast("long").as("rn"),
+            col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+             |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             |             ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |      FROM orders)
+             |WHERE rn <= 3
+             |ORDER BY o_custkey, rn""".stripMargin)),
+
+    // 10. Window analytics: LAG/LEAD/FIRST_VALUE + running sum (exact decimal
+    //     accumulation so the running total is order-stable).
+    QueryDef(
+      "q10_window_analytic",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.select(
+            col("o_custkey"), col("o_orderkey"),
+            to_date(col("o_orderdate")).as("o_date"), col("o_totalprice"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+            lead(col("o_totalprice"), 1).over(w).as("next_price"),
+            first(col("o_totalprice")).over(run).as("first_price"),
+            sum(dec(col("o_totalprice"))).over(run).cast(DoubleType).as("run_total"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_totalprice,
+             |       LAG(o_totalprice, 1)  OVER w AS prev_price,
+             |       LEAD(o_totalprice, 1) OVER w AS next_price,
+             |       FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey
+             |           ORDER BY o_orderdate, o_orderkey
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (PARTITION BY o_custkey
+             |           ORDER BY o_orderdate, o_orderkey
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // 11. RATIO_TO_REPORT(x) OVER (PARTITION BY …) rewrite: x / sum(x) over
+    //     the partition (Redshift-only function; SURVEY §2.2 🔧).
+    QueryDef(
+      "q11_ratio_to_report",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val w = Window.partitionBy(col("o_orderpriority"))
+        o.select(
+            col("o_orderkey"), col("o_orderpriority"),
+            (col("o_totalprice") / sum(dec(col("o_totalprice"))).over(w).cast(DoubleType)).as("ratio"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |       o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+             |           OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS ratio
+             |FROM orders
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // 12. Sort / LIMIT / OFFSET (Redshift `TOP n` rewrites to LIMIT — dialect
+    //     layer). Spark pushes this as TakeOrderedAndProject, no full sort.
+    QueryDef(
+      "q12_limit_offset",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        o.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .offset(10)
+          .limit(50)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey
+             |LIMIT 50 OFFSET 10""".stripMargin)),
+
+    // 13. Set ops: INTERSECT / EXCEPT / UNION ALL between order subsets.
+    QueryDef(
+      "q13_set_ops",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val fCust = o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct()
+        val uCust = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")).distinct()
+        fCust.intersect(uCust).withColumn("tag", lit("both"))
+          .unionByName(fCust.except(uCust).withColumn("tag", lit("f_only")))
+          .unionByName(uCust.except(fCust).withColumn("tag", lit("u_only")))
+          .select(col("tag"), col("o_custkey"))
+          .orderBy(col("tag"), col("o_custkey"))
+      },
+      Some("""WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+             |     u AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+             |SELECT tag, o_custkey FROM (
+             |  SELECT 'both'   AS tag, o_custkey FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM u)
+             |  UNION ALL
+             |  SELECT 'f_only' AS tag, o_custkey FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM u)
+             |  UNION ALL
+             |  SELECT 'u_only' AS tag, o_custkey FROM (SELECT o_custkey FROM u EXCEPT SELECT o_custkey FROM f)
+             |)
+             |ORDER BY tag, o_custkey""".stripMargin)),
+
+    // 14. Scalar-function battery: string / date / math / conditional.
+    //     All per-row, all codegen'd; only IEEE-deterministic math (no pow,
+    //     no round-on-double — half-up vs half-even differs across engines).
+    QueryDef(
+      "q14_scalar_battery",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        o.select(
+            col("o_orderkey"),
+            upper(substring(col("o_orderpriority"), 1, 3)).as("pri3"),
+            lpad(col("o_orderstatus"), 3, "_").as("status_pad"),
+            element_at(split(col("o_orderpriority"), "-"), 2).as("pri_name"),
+            regexp_replace(col("o_orderpriority"), "[0-9]+-", "").as("pri_clean"),
+            to_date(date_trunc("month", col("o_orderdate"))).as("order_month"),
+            datediff(to_date(lit("2002-01-01")), to_date(col("o_orderdate"))).cast("long").as("days_to_2002"),
+            year(col("o_orderdate")).cast("long").as("o_year"),
+            month(col("o_orderdate")).cast("long").as("o_month"),
+            abs(col("o_totalprice") - 100000.0).as("abs_dev"),
+            floor(col("o_totalprice")).cast("long").as("price_floor"),
+            ceil(col("o_totalprice")).cast("long").as("price_ceil"),
+            sqrt(col("o_totalprice")).as("price_sqrt"),
+            (col("o_orderkey") % 7).as("key_mod7"),
+            when(col("o_orderstatus") === "F", "closed")
+              .when(col("o_orderstatus") === "O", "open")
+              .otherwise("pending").as("status_word"),
+            coalesce(nullif(col("o_orderstatus"), lit("P")), lit("?")).as("status_np"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |       UPPER(SUBSTRING(o_orderpriority, 1, 3)) AS pri3,
+             |       LPAD(o_orderstatus, 3, '_') AS status_pad,
+             |       SPLIT_PART(o_orderpriority, '-', 2) AS pri_name,
+             |       REGEXP_REPLACE(o_orderpriority, '[0-9]+-', '') AS pri_clean,
+             |       CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month,
+             |       CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+             |       CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+             |       CAST(MONTH(o_orderdate) AS BIGINT) AS o_month,
+             |       ABS(o_totalprice - 100000.0) AS abs_dev,
+             |       CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+             |       CAST(CEIL(o_totalprice) AS BIGINT) AS price_ceil,
+             |       SQRT(o_totalprice) AS price_sqrt,
+             |       o_orderkey % 7 AS key_mod7,
+             |       CASE o_orderstatus WHEN 'F' THEN 'closed' WHEN 'O' THEN 'open'
+             |            ELSE 'pending' END AS status_word,
+             |       COALESCE(NULLIF(o_orderstatus, 'P'), '?') AS status_np
+             |FROM orders
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // 15. CTE + scalar subquery + correlated EXISTS: customers whose order
+    //     total exceeds 1.5× the average customer total and who have an
+    //     urgent order. The scalar is a broadcast cross join (1 row).
+    QueryDef(
+      "q15_cte_subquery",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val totals = o.groupBy(col("o_custkey"))
+          .agg(dsum(col("o_totalprice")).as("cust_total"))
+        val avgTotal = totals.agg(davg(col("cust_total")).as("avg_total"))
+        val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("u_custkey"))
+        totals.join(broadcast(avgTotal))
+          .filter(col("cust_total") > col("avg_total") * 1.5)
+          .join(urgent, col("o_custkey") === col("u_custkey"), "left_semi")
+          .select(col("o_custkey"), col("cust_total"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""WITH cust_tot AS (
+             |  SELECT o_custkey,
+             |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS cust_total
+             |  FROM orders GROUP BY o_custkey)
+             |SELECT c.o_custkey, c.cust_total
+             |FROM cust_tot c
+             |WHERE c.cust_total > (SELECT CAST(SUM(CAST(cust_total AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             |                      FROM cust_tot) * 1.5
+             |  AND EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.o_custkey AND o.o_orderpriority = '1-URGENT')
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // 16. LISTAGG-equivalent ordered string agg per group (Redshift
+    //     LISTAGG(x, sep) WITHIN GROUP (ORDER BY x)): collect_list +
+    //     array_sort is order-stable regardless of partitioning.
+    QueryDef(
+      "q16_listagg",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val n = t(s, d, "nation")
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            count(lit(1)).as("n_cust"),
+            concat_ws("|", array_sort(collect_list(col("c_name")))).as("cust_list"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name, COUNT(*) AS n_cust,
+             |       STRING_AGG(c_name, '|' ORDER BY c_name) AS cust_list
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name
+             |ORDER BY n_name""".stripMargin)),
+
+    // 17. Batch sessionization over events: 30-min gap splits, via LAG +
+    //     cumulative flag. One shuffle on user_id; all window state is
+    //     per-user and streamed — never a driver-side collect.
+    QueryDef(
+      "q17_sessionize",
+      (s, d) => {
+        val e = t(s, d, "events")
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_sess",
+            when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_sess")).over(run))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(unix_micros(col("ts"))).as("start_us"),
+            max(unix_micros(col("ts"))).as("end_us"),
+            dsum(col("value")).as("total_value"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id, value,
+             |         epoch_us(ts) - LAG(epoch_us(ts), 1)
+             |             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |  FROM events),
+             |f AS (
+             |  SELECT user_id, ts, value,
+             |         CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+             |             OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM g)
+             |SELECT user_id, session_id, COUNT(*) AS n_events,
+             |       MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+             |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |FROM f
+             |GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // 18. MEDIAN / PERCENTILE_CONT: exact percentiles per group.
+    QueryDef(
+      "q18_percentiles",
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        l.groupBy(col("l_returnflag"))
+          .agg(
+            expr("median(l_quantity)").as("med_qty"),
+            expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+            expr("percentile(l_extendedprice, 0.75)").as("p75_price"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |       MEDIAN(l_quantity) AS med_qty,
+             |       QUANTILE_CONT(l_extendedprice, 0.25) AS p25_price,
+             |       QUANTILE_CONT(l_extendedprice, 0.75) AS p75_price,
+             |       COUNT(*) AS n_rows
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
+  )
+}
