@@ -1,10 +1,186 @@
 package graft.ops
 
-import graft.QueryDef
+import org.apache.spark.sql.functions.col
+
+import graft.{QueryDef, Tables}
 
 /** LLM-data-pipeline operators exposed through the driver's correctness
-  * gate. Populated as each op lands (dedup, similarity, text analysis).
+  * gate. Each entry pairs a Spark-first op (TextOps / DedupOps / VectorOps
+  * / MultimodalOps) with a DuckDB oracle that mirrors the SAME arithmetic
+  * — portable md5-based hashing, sequential array folds for float sums —
+  * so results hash-match exactly (comparator does exact float equality).
+  *
+  * Ops without an SQL-expressible oracle (the approximate IVF scale path)
+  * are included without one → the driver records a rows-only check; their
+  * quality bound vs the exact baseline is asserted in OpsSpec instead.
   */
 object OpQueries {
-  val defs: Seq[QueryDef] = Seq.empty
+
+  // ---- shared DuckDB fragments (mirror TextOps/VectorOps expressions) ----
+  private val dkWords = """regexp_split_to_array(lower(trim(text)), '\s+')"""
+  private def dkH60(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+  private def dkShingles(w: String) =
+    s"""list_distinct(list_filter(list_transform(range(1, len($w) + 1), i ->
+       |  CASE WHEN i + 2 <= len($w) THEN $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2] END),
+       |  x -> x IS NOT NULL))""".stripMargin
+  /** Ground-truth all-pairs 3-gram Jaccard ≥ thr (shared by the exact op
+    * and as the recall oracle of the MinHash+LSH op). */
+  private def dkJaccard(thr: Double) =
+    s"""WITH d AS (SELECT doc_id, $dkWords AS w FROM documents),
+       |sh AS (SELECT doc_id, unnest(${dkShingles("w")}) AS s FROM d),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+       |FROM i JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $thr
+       |ORDER BY doc_a, doc_b""".stripMargin
+  /** vec_id → double vector + squared norm, folded sequentially (same
+    * order as Spark's aggregate-over-array). */
+  private val dkNormed =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |          list_transform(range(1, len(v) + 1), i -> v[i] * v[i])), (a, b) -> a + b) AS norm
+      |      FROM e)""".stripMargin
+  private def dkDot(a: String, b: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(range(1, len($a.v) + 1), i -> $a.v[i] * $b.v[i])), (x, y) -> x + y)
+       |  / (sqrt($a.norm) * sqrt($b.norm))""".stripMargin
+  private val dkTopkOracle =
+    s"""WITH $dkNormed,
+       |p AS (SELECT q.vec_id AS qid, c.vec_id AS nid, ${dkDot("q", "c")} AS cosine
+       |      FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+       |r AS (SELECT qid, nid, cosine,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+       |      FROM p)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, cosine FROM r
+       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  private val dkSimhash =
+    s"""SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 60)), (acc, j) ->
+       |    acc + CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+       |                      (a, h) -> a + ((h >> j) & 1) * 2 - 1) > 0
+       |               THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS simhash
+       |FROM (SELECT doc_id, list_transform($dkWords, x -> ${dkH60("x")}) AS hs FROM documents)""".stripMargin
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "documents")
+  private def emb(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("op_text_stats",
+      (s, d) => TextOps.textStats(docs(s, d)).orderBy("doc_id"),
+      Some(s"""WITH w0 AS (SELECT doc_id, text, $dkWords AS w FROM documents),
+              |s AS (SELECT doc_id,
+              |  CAST(len(w) AS BIGINT) AS n_words,
+              |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+              |  CAST(length(text) AS BIGINT) AS n_chars,
+              |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe,
+              |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, x -> length(x))), (a, b) -> a + b) AS DOUBLE) / len(w) AS avg_word_len,
+              |  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(w) AS stopword_ratio,
+              |  CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio
+              |FROM w0)
+              |SELECT doc_id, n_words, n_distinct_words, n_chars, n_tokens_bpe,
+              |       avg_word_len, stopword_ratio, punct_ratio,
+              |       (1.0 - stopword_ratio) * (1.0 - punct_ratio) * least(CAST(n_words AS DOUBLE) / 100.0, 1.0) AS quality_score
+              |FROM s ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("op_lang_id",
+      (s, d) => TextOps.langId(docs(s, d)).orderBy("doc_id"),
+      Some(s"""WITH w0 AS (SELECT doc_id, $dkWords AS w FROM documents),
+              |s AS (SELECT doc_id,
+              |  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','is'))) AS BIGINT) AS score_en,
+              |  CAST(len(list_filter(w, x -> x IN ('le','la','les','et','une','est'))) AS BIGINT) AS score_fr,
+              |  CAST(len(list_filter(w, x -> x IN ('el','los','las','y','que','es'))) AS BIGINT) AS score_es,
+              |  CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein'))) AS BIGINT) AS score_de,
+              |  CAST(len(list_filter(w, x -> x IN ('的','是','了','在','我','有'))) AS BIGINT) AS score_zh
+              |FROM w0)
+              |SELECT doc_id, score_en, score_fr, score_es, score_de, score_zh,
+              |  CASE
+              |    WHEN score_en >= score_fr AND score_en >= score_es AND score_en >= score_de AND score_en >= score_zh THEN 'en'
+              |    WHEN score_fr >= score_es AND score_fr >= score_de AND score_fr >= score_zh THEN 'fr'
+              |    WHEN score_es >= score_de AND score_es >= score_zh THEN 'es'
+              |    WHEN score_de >= score_zh THEN 'de'
+              |    ELSE 'zh'
+              |  END AS lang_pred
+              |FROM s ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("op_fingerprint",
+      (s, d) => TextOps.fingerprint(docs(s, d)).orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |    list_transform($dkWords, x -> ${dkH60("x")} % 2147483647)),
+              |    (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("op_simhash",
+      (s, d) => TextOps.simhash(docs(s, d)).orderBy("doc_id"),
+      Some(s"$dkSimhash ORDER BY doc_id")),
+
+    QueryDef("op_dedup_exact",
+      (s, d) => DedupOps.exact(docs(s, d)).orderBy("doc_id"),
+      Some("""WITH k AS (SELECT doc_id,
+             |  min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep_id
+             |FROM documents)
+             |SELECT doc_id, keep_id, CAST(doc_id <> keep_id AS INT) AS is_dup
+             |FROM k ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("op_dedup_jaccard",
+      (s, d) => DedupOps.jaccardPairs(docs(s, d), 0.5),
+      Some(dkJaccard(0.5))),
+
+    // Oracle = ground-truth exact pairs: this gates the LSH candidate
+    // generation's RECALL (banding math in DedupOps puts the per-pair miss
+    // probability at ~3e-4 at s=0.8; fixture pairs sit at s≥0.9 → ~2e-6).
+    QueryDef("op_dedup_minhash",
+      (s, d) => DedupOps.minhashPairs(docs(s, d), 0.8),
+      Some(dkJaccard(0.8))),
+
+    QueryDef("op_simhash_pairs",
+      (s, d) => DedupOps.simhashPairs(docs(s, d), 12),
+      Some(s"""WITH sh AS ($dkSimhash),
+              |b AS (SELECT doc_id, simhash, (simhash >> 40) AS bucket FROM sh)
+              |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+              |       CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
+              |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+              |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 12
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    QueryDef("op_dedup_embedding",
+      (s, d) => VectorOps.cosineNearDup(emb(s, d), 0.45),
+      Some(s"""WITH $dkNormed
+              |SELECT a.vec_id AS ida, b.vec_id AS idb, ${dkDot("a", "b")} AS cosine
+              |FROM n a JOIN n b ON a.vec_id < b.vec_id
+              |WHERE ${dkDot("a", "b")} >= 0.45
+              |ORDER BY ida, idb""".stripMargin)),
+
+    QueryDef("op_sim_topk",
+      (s, d) => VectorOps.cosineTopK(emb(s, d), 5, 20)
+        .withColumnRenamed("rank", "rnk"),
+      Some(dkTopkOracle)),
+
+    // Same oracle as op_sim_topk: the bounded-state Aggregator must return
+    // the identical exact result while shuffling only k rows per query.
+    QueryDef("op_sim_topk_agg",
+      (s, d) => VectorOps.cosineTopKAgg(emb(s, d), 5, 20)
+        .withColumnRenamed("rank", "rnk"),
+      Some(dkTopkOracle)),
+
+    // Approximate scale path: no SQL oracle (rows-only check from the
+    // driver); recall vs the exact baseline is asserted in OpsSpec.
+    QueryDef("op_sim_topk_ivf",
+      (s, d) => VectorOps.cosineTopKIvf(emb(s, d), 5, 20)
+        .withColumnRenamed("rank", "rnk"),
+      None),
+
+    QueryDef("op_multimodal_meta",
+      (s, d) => MultimodalOps.decodeMeta(docs(s, d)).orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  CAST(strlen(text) AS BIGINT) AS byte_len,
+              |  64 + ${dkH60("text")} % 1024 AS width,
+              |  64 + (${dkH60("text")} >> 10) % 1024 AS height,
+              |  1 + ${dkH60("text")} % 30 AS n_frames,
+              |  CASE ${dkH60("text")} % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS codec
+              |FROM documents ORDER BY doc_id""".stripMargin))
+  )
 }

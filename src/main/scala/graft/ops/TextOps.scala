@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Text-analysis operators over the `documents` table — the per-document
+  * stage of a training-data pipeline (quality scoring, language ID, token
+  * counting, fingerprinting).
+  *
+  * All of them are pure per-row projections (no shuffle, no UDF): every
+  * expression is a Catalyst built-in / higher-order function, so the whole
+  * stage stays inside WholeStageCodegen and scales linearly with input —
+  * at 100 TB this is a single map stage over the parquet scan with full
+  * column pruning (only `doc_id`/`text` are read).
+  *
+  * Determinism contract (shared with the DuckDB oracles in [[OpQueries]]):
+  * no engine-specific hash functions — the portable 60-bit hash is
+  * `conv(substring(md5(x),1,15),16,10)`, identical in any engine with md5;
+  * no transcendentals except sqrt (IEEE-correctly-rounded); double outputs
+  * are built from integer counts via single divisions.
+  */
+object TextOps {
+
+  /** Portable 60-bit non-negative hash of a string expression. */
+  def h60(e: String): String =
+    s"cast(conv(substring(md5($e), 1, 15), 16, 10) as bigint)"
+
+  /** Lower-cased whitespace tokenization. */
+  def wordsExpr(e: String): String = s"split(lower(trim($e)), '\\\\s+')"
+
+  /** Distinct word-k-gram shingles of a tokenized column `w`. */
+  def shinglesExpr(w: String): String =
+    s"""array_distinct(filter(
+       |  transform(sequence(1, size($w)), i ->
+       |    case when i + 2 <= size($w)
+       |         then concat_ws(' ', element_at($w, i), element_at($w, i+1), element_at($w, i+2))
+       |    end),
+       |  x -> x is not null))""".stripMargin
+
+  /** Quality / statistics battery: token counts (whitespace + BPE-ish
+    * regex), char counts, stopword + punctuation ratios and a composite
+    * quality score in [0,1]. One row in, one row out.
+    */
+  def textStats(docs: DataFrame): DataFrame =
+    docs
+      .selectExpr("doc_id", "text", s"${wordsExpr("text")} as w")
+      .selectExpr(
+        "doc_id",
+        "cast(size(w) as bigint) as n_words",
+        "cast(size(array_distinct(w)) as bigint) as n_distinct_words",
+        "cast(length(text) as bigint) as n_chars",
+        // BPE-ish pre-tokenization: letter runs, digit runs, single symbols.
+        "cast(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) as bigint) as n_tokens_bpe",
+        "cast(aggregate(w, 0L, (a, x) -> a + length(x)) as double) / size(w) as avg_word_len",
+        "cast(size(filter(w, x -> x in ('the','a','of','and','to','in','is','it'))) as double) / size(w) as stopword_ratio",
+        "cast(length(regexp_replace(lower(text), '[a-z0-9\\\\s]', '')) as double) / length(text) as punct_ratio")
+      .selectExpr(
+        "doc_id", "n_words", "n_distinct_words", "n_chars", "n_tokens_bpe",
+        "avg_word_len", "stopword_ratio", "punct_ratio",
+        // Composite quality: penalize stopword-heavy, punctuation-heavy and
+        // very short docs. All factors in [0,1]; product stays in [0,1].
+        """(1.0 - stopword_ratio) * (1.0 - punct_ratio) *
+          |least(cast(n_words as double) / 100.0, 1.0) as quality_score""".stripMargin)
+
+  /** N-gram-heuristic language ID: score per language = number of tokens in
+    * that language's closed stopword class; argmax with a fixed precedence
+    * (en > fr > es > de > zh) for ties.
+    */
+  def langId(docs: DataFrame): DataFrame =
+    docs
+      .selectExpr("doc_id", s"${wordsExpr("text")} as w")
+      .selectExpr(
+        "doc_id",
+        "cast(size(filter(w, x -> x in ('the','a','of','and','to','is'))) as bigint) as score_en",
+        "cast(size(filter(w, x -> x in ('le','la','les','et','une','est'))) as bigint) as score_fr",
+        "cast(size(filter(w, x -> x in ('el','los','las','y','que','es'))) as bigint) as score_es",
+        "cast(size(filter(w, x -> x in ('der','die','das','und','ist','ein'))) as bigint) as score_de",
+        "cast(size(filter(w, x -> x in ('的','是','了','在','我','有'))) as bigint) as score_zh")
+      .selectExpr(
+        "doc_id", "score_en", "score_fr", "score_es", "score_de", "score_zh",
+        """case
+          |  when score_en >= score_fr and score_en >= score_es and score_en >= score_de and score_en >= score_zh then 'en'
+          |  when score_fr >= score_es and score_fr >= score_de and score_fr >= score_zh then 'fr'
+          |  when score_es >= score_de and score_es >= score_zh then 'es'
+          |  when score_de >= score_zh then 'de'
+          |  else 'zh'
+          |end as lang_pred""".stripMargin)
+
+  /** Rolling-hash document fingerprint: fold h = (31·h + hash(word)) mod
+    * (2³¹−1) over the token stream. Order-sensitive by design (same bag of
+    * words in a different order fingerprints differently).
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs
+      .selectExpr("doc_id", s"${wordsExpr("text")} as w")
+      .selectExpr(
+        "doc_id",
+        s"""aggregate(transform(w, x -> ${h60("x")} % 2147483647L), 0L,
+           |          (a, h) -> (a * 31 + h) % 2147483647L) as fingerprint""".stripMargin)
+
+  /** 60-bit SimHash over the token stream (term-frequency weighted): bit j
+    * is set iff Σ_tokens (±1 by bit j of the token hash) > 0. Near-dup docs
+    * land at small Hamming distance. Pure per-row expression — the
+    * Hamming-bucket join stage is [[DedupOps.simhashPairs]].
+    */
+  def simhash(docs: DataFrame): DataFrame =
+    docs
+      .selectExpr("doc_id", s"transform(${wordsExpr("text")}, x -> ${h60("x")}) as hs")
+      .selectExpr(
+        "doc_id",
+        """aggregate(sequence(0, 59), 0L, (acc, j) ->
+          |  acc + case when aggregate(hs, 0L, (a, h) -> a + (shiftright(h, j) % 2) * 2 - 1) > 0
+          |             then shiftleft(1L, j) else 0L end) as simhash""".stripMargin)
+}

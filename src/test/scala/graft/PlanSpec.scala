@@ -1,0 +1,67 @@
+package graft
+
+/** Plan-hygiene gates: encode the 100×-scale review as tests. A query that
+  * regresses into a cartesian product, loses its dim-table broadcast, or
+  * stops pushing filters into the parquet scan fails here long before a
+  * bench run would catch it.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q02 join chain broadcasts the dim tables and never goes cartesian") {
+    val p = plan("q02_join_chain")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the chain:\n$p")
+  }
+
+  test("q01 pushes its filters into the parquet scan") {
+    val p = plan("q01_scan_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull") || p.contains("GreaterThan"),
+      s"expected pushed predicates in scan:\n$p")
+  }
+
+  test("q01 prunes columns: scan reads only what the projection needs") {
+    val p = plan("q01_scan_filter")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag"), s"unneeded column read:\n$readSchema")
+    assert(!readSchema.contains("l_tax"), s"unneeded column read:\n$readSchema")
+  }
+
+  test("q05 theta join is a broadcast nested loop over dims only") {
+    val p = plan("q05_theta_join")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"dim×dim theta join should be BNLJ (both sides small):\n$p")
+  }
+
+  test("q09 window rank plans exactly one shuffle for the window") {
+    val df = SparkEntry.queries("q09_window_rank")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    val shuffles = "Exchange".r.findAllIn(p).length
+    // one hashpartitioning for the window + the final rangepartitioning sort
+    assert(shuffles <= 2, s"window rank should not cascade shuffles ($shuffles):\n$p")
+  }
+
+  test("whole t2 corpus plans contain no CartesianProduct and no collect") {
+    graft.queries.T2.defs.foreach { q =>
+      val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"${q.name} went cartesian:\n$p")
+    }
+  }
+
+  test("op_sim_topk broadcasts the query side (corpus streams)") {
+    val p = SparkEntry.queries("op_sim_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("minhash pair generation joins on band keys, not all pairs") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val p = graft.ops.DedupOps.minhashPairs(docs).queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"band join must be an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
