@@ -1,0 +1,50 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.GraftSession
+import graft.config.{ArgParser, ConnectionConfig}
+import graft.sql.RedshiftSql
+
+/** Blueprint CLI #3: SQL pass-through executor (SURVEY.md §2.1 A10;
+  * reference `execute_sql.py:62-79`).
+  *
+  * The statement runs through the Redshift→Spark dialect rewriter and
+  * `spark.sql` over the session catalog; with `--db-connection-url` (or
+  * host/db/user) it instead executes verbatim on the remote database over
+  * a raw JDBC statement — exactly the reference's semantics (arbitrary
+  * statement, results discarded).
+  */
+object ExecuteSql {
+  val flags: Set[String] = Set(
+    "query", "host", "port", "database", "username", "password",
+    "db-connection-url", "url-parameters", "schema")
+
+  def main(args: Array[String]): Unit = {
+    val parsed = ArgParser.parse(args, flags).fold(e => sys.error(e), identity)
+    val query = parsed.getOrElse("query", sys.error("--query is required"))
+    val conn = connectionOf(parsed)
+    run(GraftSession.get("graft-execute-sql"), query, conn)
+    println("Your query has been successfully executed.")
+  }
+
+  /** Tri-source connection resolution shared by all three CLIs — returns
+    * None when no source is given (local session-catalog mode). */
+  private[cli] def connectionOf(p: Map[String, String]): Option[ConnectionConfig] =
+    ConnectionConfig.resolve(
+      p.get("db-connection-url"), p.get("host"), p.get("port").map(_.toInt),
+      p.get("database"), p.get("username"), p.get("password")).toOption
+
+  def run(spark: SparkSession, query: String, conn: Option[ConnectionConfig]): Unit =
+    conn match {
+      case Some(c) =>
+        val jc = java.sql.DriverManager.getConnection(
+          c.jdbcUrl, c.username.orNull, c.password.orNull)
+        try { val st = jc.createStatement(); try st.execute(query) finally st.close() }
+        finally jc.close()
+      case None =>
+        // DDL/DML execute eagerly from spark.sql; SELECTs need an action to
+        // actually run (the reference also discards SELECT results here).
+        spark.sql(RedshiftSql.rewrite(query)).foreach(_ => ())
+    }
+}

@@ -1,0 +1,55 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{
+  Expression, ExpressionInfo, Length, Literal, RegExpExtract, StringLocate}
+
+import graft.sql.expressions.{Checksum, FnvHash}
+
+/** Session extensions registering the Redshift function-name surface that
+  * Spark's parser accepts but its registry lacks (SURVEY.md §2.2 🔧/🔴):
+  *
+  *   fnv_hash(x)          native Catalyst expression (codegen'd)
+  *   checksum(x)          native Catalyst expression (codegen'd)
+  *   charindex(sub, s)    → StringLocate (Redshift arg order == position())
+  *   len(s)               → Length
+  *   regexp_substr(s, p)  → RegExpExtract(s, p, 0)
+  *
+  * Activate with `.config("spark.sql.extensions", "graft.sql.GraftExtensions")`
+  * — a plain config key, so spark-submit / notebook users get the dialect
+  * surface without code changes. Syntax-level constructs (TOP, SIMILAR TO,
+  * APPROXIMATE, RATIO_TO_REPORT) live in [[RedshiftSql]] instead: they
+  * never reach function resolution.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("fnv_hash"),
+      info("fnv_hash", "fnv_hash(expr) - 64-bit FNV-1a hash of expr."),
+      (args: Seq[Expression]) => FnvHash(args.head)),
+    (FunctionIdentifier("checksum"),
+      info("checksum", "checksum(expr) - 32-bit checksum of expr."),
+      (args: Seq[Expression]) => Checksum(args.head)),
+    (FunctionIdentifier("charindex"),
+      info("charindex", "charindex(substr, str) - 1-based position of substr in str, 0 if absent."),
+      (args: Seq[Expression]) => new StringLocate(args(0), args(1))),
+    (FunctionIdentifier("len"),
+      info("len", "len(str) - length of str."),
+      (args: Seq[Expression]) => Length(args.head)),
+    (FunctionIdentifier("regexp_substr"),
+      info("regexp_substr", "regexp_substr(str, regexp) - first match of regexp in str."),
+      (args: Seq[Expression]) =>
+        if (args.length >= 3) RegExpExtract(args(0), args(1), args(2))
+        else RegExpExtract(args(0), args(1), Literal(0)))
+  )
+}

@@ -1,0 +1,293 @@
+package graft.sql
+
+import SqlTokens._
+
+/** Redshift → Spark SQL dialect rewriter (SURVEY.md §2.2 🔧 rows).
+  *
+  * The reference forwards arbitrary Redshift SQL verbatim
+  * (`/root/reference/amazonredshift_blueprints/blueprints/execute_sql.py:64,77`,
+  * `store_query_results.py:103,132`); Spark's parser rejects a handful of
+  * Redshift-specific constructs. This rewriter translates exactly those,
+  * token-aware (string literals / quoted identifiers are never touched),
+  * and is the identity on already-valid Spark SQL — property-tested in
+  * DialectSpec.
+  *
+  * Syntax handled here:
+  *   SELECT TOP n …                → SELECT … LIMIT n  (end of query block)
+  *   APPROXIMATE COUNT(DISTINCT x) → approx_count_distinct(x)
+  *   RATIO_TO_REPORT(x) OVER (w)   → ((x) / sum(x) OVER (w))
+  *   x [NOT] SIMILAR TO 'pat'      → x [NOT] RLIKE '^(pat)$' (%→.*, _→.)
+  *   GETDATE() / SYSDATE           → current_timestamp()
+  *   RANDOM()                      → rand()
+  *   CONVERT(type, x)              → CAST(x AS type)
+  *   DATEADD(u, n, ts)  (3-arg)    → timestampadd(u, n, ts)
+  *   DATEDIFF(u, a, b)  (3-arg)    → timestampdiff(u, a, b)
+  *   TO_CHAR(ts, 'datefmt')        → date_format(ts, '<java fmt>')
+  *   NVL / NVL2 / DECODE / MINUS / `::` casts — already native in Spark.
+  *
+  * Function-name gaps with identical call syntax (CHARINDEX, LEN,
+  * REGEXP_SUBSTR, FNV_HASH, CHECKSUM) are registered as real functions in
+  * [[GraftFunctions]] instead of rewritten — resolution beats string
+  * surgery wherever the parser already accepts the call.
+  */
+object RedshiftSql {
+
+  def rewrite(sql: String): String = {
+    var toks = tokenize(sql)
+    toks = rewriteTop(toks)
+    toks = rewriteApproximate(toks)
+    toks = rewriteRatioToReport(toks)
+    toks = rewriteSimilarTo(toks)
+    toks = rewriteSimpleCalls(toks)
+    toks = rewriteConvert(toks)
+    toks = rewriteDateAddDiff(toks)
+    toks = rewriteToChar(toks)
+    render(toks)
+  }
+
+  // SELECT TOP n … → SELECT … LIMIT n. The LIMIT lands at the end of the
+  // SELECT's own block: before the ')' that closes it, or before a
+  // top-level set-op keyword, or at end of statement.
+  private val blockEnders = Set("union", "intersect", "except", "minus")
+  private def rewriteTop(toks: Vector[Tok]): Vector[Tok] = {
+    val sel = toks.indices.find { i =>
+      toks(i).isWord("select") && {
+        val t = nextCode(toks, i + 1)
+        t < toks.length && toks(t).isWord("top") && {
+          val v = nextCode(toks, t + 1)
+          v < toks.length && toks(v).kind == Num
+        }
+      }
+    }
+    sel match {
+      case None => toks
+      case Some(i) =>
+        val t = nextCode(toks, i + 1)
+        val v = nextCode(toks, t + 1)
+        val limit = toks(v).text
+        // drop TOP + n (and the whitespace on both sides of them)
+        val dropTo = if (v + 1 < toks.length && toks(v + 1).kind == Ws) v + 1 else v
+        val without = toks.patch(t, Nil, dropTo - t + 1)
+        // find insertion point scanning from the SELECT
+        var depth = 0
+        var j = i
+        var end = without.length
+        var found = false
+        while (j < without.length && !found) {
+          val tk = without(j)
+          if (tk.kind == Sym && tk.text == "(") depth += 1
+          else if (tk.kind == Sym && tk.text == ")") {
+            if (depth == 0) { end = j; found = true } else depth -= 1
+          } else if (tk.kind == Sym && tk.text == ";" && depth == 0) {
+            end = j; found = true
+          } else if (tk.kind == Word && depth == 0 &&
+            blockEnders.contains(tk.text.toLowerCase) && j > i) {
+            end = j; found = true
+          }
+          j += 1
+        }
+        // trim trailing whitespace before the insertion point
+        var e = end
+        while (e > 0 && without(e - 1).kind == Ws) e -= 1
+        val inserted = without.patch(e,
+          Vector(Tok(Ws, " "), Tok(Word, "LIMIT"), Tok(Ws, " "), Tok(Num, limit)), 0)
+        rewriteTop(inserted) // handle further TOPs (nested/unioned)
+    }
+  }
+
+  // APPROXIMATE COUNT(DISTINCT x) → approx_count_distinct(x)
+  private def rewriteApproximate(toks: Vector[Tok]): Vector[Tok] = {
+    val hit = toks.indices.find { i =>
+      toks(i).isWord("approximate") && {
+        val c = nextCode(toks, i + 1)
+        c < toks.length && toks(c).isWord("count") && {
+          val p = nextCode(toks, c + 1)
+          p < toks.length && toks(p).text == "(" && {
+            val d = nextCode(toks, p + 1)
+            d < toks.length && toks(d).isWord("distinct")
+          }
+        }
+      }
+    }
+    hit match {
+      case None => toks
+      case Some(i) =>
+        val c = nextCode(toks, i + 1)
+        val p = nextCode(toks, c + 1)
+        val d = nextCode(toks, p + 1)
+        val afterDistinct = nextCode(toks, d + 1)
+        val replaced = toks.patch(i, Vector(Tok(Word, "approx_count_distinct"), Tok(Sym, "(")),
+          afterDistinct - i)
+        rewriteApproximate(replaced)
+    }
+  }
+
+  // RATIO_TO_REPORT(x) OVER (w) → ((x) / sum(x) OVER (w))
+  private def rewriteRatioToReport(toks: Vector[Tok]): Vector[Tok] = {
+    val hit = toks.indices.find(i => toks(i).isWord("ratio_to_report"))
+    hit match {
+      case None => toks
+      case Some(i) =>
+        val p = nextCode(toks, i + 1)
+        if (p >= toks.length || toks(p).text != "(") return toks
+        val pe = matchParen(toks, p)
+        val ov = nextCode(toks, pe + 1)
+        if (ov >= toks.length || !toks(ov).isWord("over")) return toks
+        val w = nextCode(toks, ov + 1)
+        if (w >= toks.length || toks(w).text != "(") return toks
+        val we = matchParen(toks, w)
+        val x = render(toks.slice(p + 1, pe))
+        val win = render(toks.slice(w + 1, we))
+        val repl = Tok(Word, s"(($x) / sum($x) OVER ($win))")
+        rewriteRatioToReport(toks.patch(i, Vector(repl), we - i + 1))
+    }
+  }
+
+  // x [NOT] SIMILAR TO 'pat' → x [NOT] RLIKE '^(pat)$'
+  private def rewriteSimilarTo(toks: Vector[Tok]): Vector[Tok] = {
+    val hit = toks.indices.find { i =>
+      toks(i).isWord("similar") && {
+        val t = nextCode(toks, i + 1)
+        t < toks.length && toks(t).isWord("to")
+      }
+    }
+    hit match {
+      case None => toks
+      case Some(i) =>
+        val t = nextCode(toks, i + 1)
+        val s = nextCode(toks, t + 1)
+        if (s >= toks.length || toks(s).kind != Str) return toks
+        val raw = toks(s).text.stripPrefix("'").stripSuffix("'")
+        val rx = similarToRegex(raw)
+        rewriteSimilarTo(toks.patch(i,
+          Vector(Tok(Word, "RLIKE"), Tok(Ws, " "), Tok(Str, s"'$rx'")), s - i + 1))
+    }
+  }
+
+  /** SQL SIMILAR TO pattern → anchored Java regex: % → .*, _ → . ;
+    * SIMILAR TO's own metachars (| * + ? {} () []) pass through; regex
+    * chars that are literal in SIMILAR TO (. ^ $) are escaped. */
+  private[sql] def similarToRegex(pat: String): String = {
+    val sb = new StringBuilder("^(")
+    var i = 0
+    while (i < pat.length) {
+      pat.charAt(i) match {
+        case '\\' if i + 1 < pat.length =>
+          sb.append("\\\\").append(pat.charAt(i + 1)); i += 1
+        case '%' => sb.append(".*")
+        case '_' => sb.append('.')
+        case '.' => sb.append("\\\\.")
+        case '^' => sb.append("\\\\^")
+        case '$' => sb.append("\\\\$")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append(")$").toString
+  }
+
+  // GETDATE() → current_timestamp(); SYSDATE → current_timestamp(); RANDOM() → rand()
+  private def rewriteSimpleCalls(toks: Vector[Tok]): Vector[Tok] =
+    toks.zipWithIndex.map { case (tk, i) =>
+      if (tk.isWord("getdate")) Tok(Word, "current_timestamp")
+      else if (tk.isWord("random")) {
+        val p = nextCode(toks, i + 1)
+        if (p < toks.length && toks(p).text == "(") Tok(Word, "rand") else tk
+      } else if (tk.isWord("sysdate")) Tok(Word, "current_timestamp()")
+      else tk
+    }
+
+  // CONVERT(type, x) → CAST(x AS type)
+  private def rewriteConvert(toks: Vector[Tok]): Vector[Tok] = {
+    val hit = toks.indices.find { i =>
+      toks(i).isWord("convert") && {
+        val p = nextCode(toks, i + 1)
+        p < toks.length && toks(p).text == "("
+      }
+    }
+    hit match {
+      case None => toks
+      case Some(i) =>
+        val p = nextCode(toks, i + 1)
+        val pe = matchParen(toks, p)
+        val commas = topCommas(toks, p, pe)
+        if (commas.length != 1) return toks
+        val tpe = render(toks.slice(p + 1, commas.head)).trim
+        val x = render(toks.slice(commas.head + 1, pe)).trim
+        rewriteConvert(toks.patch(i, Vector(Tok(Word, s"CAST($x AS $tpe)")), pe - i + 1))
+    }
+  }
+
+  // 3-arg DATEADD/DATEDIFF → timestampadd/timestampdiff (Spark's 2-arg
+  // dateadd/datediff keep their day-based semantics untouched).
+  private def rewriteDateAddDiff(toks: Vector[Tok]): Vector[Tok] = {
+    val hit = toks.indices.find { i =>
+      (toks(i).isWord("dateadd") || toks(i).isWord("datediff")) && {
+        val p = nextCode(toks, i + 1)
+        p < toks.length && toks(p).text == "(" && {
+          val pe = matchParen(toks, p)
+          pe > 0 && topCommas(toks, p, pe).length == 2
+        }
+      }
+    }
+    hit match {
+      case None => toks
+      case Some(i) =>
+        val name =
+          if (toks(i).isWord("dateadd")) "timestampadd" else "timestampdiff"
+        rewriteDateAddDiff(toks.updated(i, Tok(Word, name)))
+    }
+  }
+
+  // TO_CHAR(ts, 'YYYY-MM-DD') → date_format(ts, 'yyyy-MM-dd') — only when
+  // the format literal contains date tokens (numeric TO_CHAR is native).
+  private val dateTokens: Seq[(String, String)] = Seq(
+    "YYYY" -> "yyyy", "YY" -> "yy", "MONTH" -> "MMMM", "MON" -> "MMM",
+    "MM" -> "MM", "DDD" -> "DDD", "DD" -> "dd", "DAY" -> "EEEE", "DY" -> "EEE",
+    "HH24" -> "HH", "HH12" -> "hh", "HH" -> "hh", "MI" -> "mm", "SS" -> "ss",
+    "MS" -> "SSS", "AM" -> "a", "PM" -> "a", "TZ" -> "zz", "Q" -> "Q")
+  private def rewriteToChar(toks: Vector[Tok]): Vector[Tok] = {
+    val hit = toks.indices.find { i =>
+      toks(i).isWord("to_char") && {
+        val p = nextCode(toks, i + 1)
+        p < toks.length && toks(p).text == "(" && {
+          val pe = matchParen(toks, p)
+          val commas = topCommas(toks, p, pe)
+          commas.length == 1 && {
+            val s = nextCode(toks, commas.head + 1)
+            toks(s).kind == Str && hasDateTokens(toks(s).text)
+          }
+        }
+      }
+    }
+    hit match {
+      case None => toks
+      case Some(i) =>
+        val p = nextCode(toks, i + 1)
+        val pe = matchParen(toks, p)
+        val comma = topCommas(toks, p, pe).head
+        val s = nextCode(toks, comma + 1)
+        val fmt = toks(s).text.stripPrefix("'").stripSuffix("'")
+        val out = toks
+          .updated(i, Tok(Word, "date_format"))
+          .updated(s, Tok(Str, s"'${translateFormat(fmt)}'"))
+        rewriteToChar(out)
+    }
+  }
+  private def hasDateTokens(lit: String): Boolean = {
+    val up = lit.toUpperCase
+    Seq("YYYY", "YY", "MM", "DD", "HH", "MI", "SS", "MON", "DAY").exists(up.contains)
+  }
+  private[sql] def translateFormat(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val rest = fmt.substring(i).toUpperCase
+      dateTokens.find { case (rs, _) => rest.startsWith(rs) } match {
+        case Some((rs, sp)) => sb.append(sp); i += rs.length
+        case None => sb.append(fmt.charAt(i)); i += 1
+      }
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.sql.RedshiftSql.rewrite
+import graft.sql.expressions.HashExpressions
+
+/** Dialect-layer specs: each Redshift construct rewrites to runnable Spark
+  * SQL (executed, not just string-compared), the registered functions
+  * resolve and compute known values, and the rewriter is the identity on
+  * already-valid Spark SQL (SURVEY §5.2 property).
+  */
+class DialectSpec extends SparkSpecBase {
+
+  private def sql1(q: String): Row = spark.sql(rewrite(q)).collect()(0)
+
+  // ---- TOP n ----
+  test("TOP n becomes LIMIT n at the end of the block") {
+    val r = rewrite("SELECT TOP 10 a, b FROM t ORDER BY a")
+    assert(r === "SELECT a, b FROM t ORDER BY a LIMIT 10")
+  }
+  test("TOP n inside a subquery lands before the closing paren") {
+    val r = rewrite("SELECT * FROM (SELECT TOP 3 a FROM t ORDER BY a) s JOIN u ON s.a = u.a")
+    assert(r === "SELECT * FROM (SELECT a FROM t ORDER BY a LIMIT 3) s JOIN u ON s.a = u.a")
+  }
+  test("TOP n stops at a set-op boundary") {
+    val r = rewrite("SELECT TOP 2 a FROM t UNION ALL SELECT a FROM u")
+    assert(r === "SELECT a FROM t LIMIT 2 UNION ALL SELECT a FROM u")
+  }
+  test("a column named top is not a TOP clause") {
+    val q = "SELECT top FROM t"
+    assert(rewrite(q) === q)
+  }
+  test("TOP executes") {
+    Tables.registerAll(spark, sfDir)
+    val rows = spark.sql(rewrite("SELECT TOP 3 o_orderkey FROM orders ORDER BY o_orderkey"))
+      .collect().map(_.getLong(0))
+    assert(rows.length === 3 && rows.sameElements(rows.sorted))
+  }
+
+  // ---- APPROXIMATE COUNT(DISTINCT) ----
+  test("APPROXIMATE COUNT(DISTINCT x) becomes approx_count_distinct") {
+    val r = rewrite("SELECT APPROXIMATE COUNT(DISTINCT l_partkey) FROM lineitem")
+    assert(r === "SELECT approx_count_distinct(l_partkey) FROM lineitem")
+    Tables.registerAll(spark, sfDir)
+    val approx = spark.sql(r).collect()(0).getLong(0)
+    val exact = spark.sql("SELECT COUNT(DISTINCT l_partkey) FROM lineitem").collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+  }
+
+  // ---- RATIO_TO_REPORT ----
+  test("RATIO_TO_REPORT rewrites to x / sum(x) OVER and executes") {
+    Tables.registerAll(spark, sfDir)
+    val q = """SELECT o_orderkey,
+              |  RATIO_TO_REPORT(o_totalprice) OVER (PARTITION BY o_orderpriority) AS ratio
+              |FROM orders""".stripMargin
+    val sums = spark.sql(rewrite(q))
+      .groupBy().sum("ratio").collect()(0).getDouble(0)
+    val nGroups = spark.sql("SELECT COUNT(DISTINCT o_orderpriority) FROM orders")
+      .collect()(0).getLong(0)
+    assert(math.abs(sums - nGroups) < 1e-6) // ratios sum to 1 per partition
+  }
+
+  // ---- SIMILAR TO ----
+  test("SIMILAR TO anchors and translates % and _") {
+    Tables.registerAll(spark, sfDir)
+    val hits = spark.sql(rewrite(
+      "SELECT COUNT(*) AS n FROM orders WHERE o_orderpriority SIMILAR TO '1-URG%'"))
+      .collect()(0).getLong(0)
+    val expected = spark.sql(
+      "SELECT COUNT(*) AS n FROM orders WHERE o_orderpriority LIKE '1-URG%'")
+      .collect()(0).getLong(0)
+    assert(hits === expected && hits > 0)
+    // anchored: mid-string match must NOT hit
+    val mid = spark.sql(rewrite(
+      "SELECT COUNT(*) AS n FROM orders WHERE o_orderpriority SIMILAR TO 'URG%'"))
+      .collect()(0).getLong(0)
+    assert(mid === 0)
+  }
+  test("NOT SIMILAR TO becomes NOT RLIKE") {
+    val r = rewrite("SELECT * FROM t WHERE a NOT SIMILAR TO 'x_y'")
+    assert(r === "SELECT * FROM t WHERE a NOT RLIKE '^(x.y)$'")
+  }
+
+  // ---- simple call rewrites ----
+  test("GETDATE / SYSDATE / RANDOM rewrite and execute") {
+    assert(rewrite("SELECT GETDATE()") === "SELECT current_timestamp()")
+    assert(rewrite("SELECT SYSDATE") === "SELECT current_timestamp()")
+    assert(rewrite("SELECT RANDOM()") === "SELECT rand()")
+    assert(!sql1("SELECT GETDATE()").isNullAt(0))
+    val rnd = sql1("SELECT RANDOM()").getDouble(0)
+    assert(rnd >= 0.0 && rnd < 1.0)
+  }
+
+  // ---- CONVERT ----
+  test("CONVERT(type, x) becomes CAST(x AS type)") {
+    assert(rewrite("SELECT CONVERT(INTEGER, '42')") === "SELECT CAST('42' AS INTEGER)")
+    assert(sql1("SELECT CONVERT(INTEGER, '42')").getInt(0) === 42)
+    assert(sql1("SELECT CONVERT(DECIMAL(10,2), 1.5)").getDecimal(0).doubleValue() === 1.5)
+  }
+
+  // ---- DATEADD / DATEDIFF ----
+  test("3-arg DATEADD/DATEDIFF become timestampadd/timestampdiff and execute") {
+    assert(sql1("SELECT DATEDIFF(day, DATE '2024-01-01', DATE '2024-02-01')").getLong(0) === 31L)
+    assert(sql1("SELECT DATEADD(month, 2, DATE '2024-01-15')")
+      .get(0).toString.startsWith("2024-03-15"))
+    // Spark's own 2-arg datediff is untouched
+    val q2 = "SELECT datediff(a, b) FROM t"
+    assert(rewrite(q2) === q2)
+  }
+
+  // ---- TO_CHAR ----
+  test("TO_CHAR with date tokens becomes date_format with java tokens") {
+    assert(rewrite("SELECT TO_CHAR(ts, 'YYYY-MM-DD HH24:MI:SS')") ===
+      "SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss')")
+    assert(sql1("SELECT TO_CHAR(TIMESTAMP '2024-03-05 07:08:09', 'YYYY-MM-DD HH24:MI:SS')")
+      .getString(0) === "2024-03-05 07:08:09")
+    // numeric to_char untouched (native in Spark)
+    val qn = "SELECT to_char(x, '999.99') FROM t"
+    assert(rewrite(qn) === qn)
+  }
+
+  // ---- registered functions ----
+  test("fnv_hash matches the published FNV-1a test vectors") {
+    // vectors from the public FNV reference: fnv1a64('') = cbf29ce484222325,
+    // fnv1a64('a') = af63dc4c8601ec8c, fnv1a64('foobar') = 85944171f73967e8
+    assert(HashExpressions.fnv1a("".getBytes("UTF-8")) === 0xcbf29ce484222325L)
+    assert(HashExpressions.fnv1a("a".getBytes("UTF-8")) === 0xaf63dc4c8601ec8cL)
+    assert(HashExpressions.fnv1a("foobar".getBytes("UTF-8")) === 0x85944171f73967e8L)
+    assert(sql1("SELECT fnv_hash('foobar')").getLong(0) === 0x85944171f73967e8L)
+  }
+  test("fnv_hash over a column is distributed + deterministic") {
+    Tables.registerAll(spark, sfDir)
+    val a = spark.sql("SELECT bit_xor(fnv_hash(o_orderpriority)) FROM orders").collect()(0).getLong(0)
+    val b = spark.sql("SELECT bit_xor(fnv_hash(o_orderpriority)) FROM orders").collect()(0).getLong(0)
+    assert(a === b)
+  }
+  test("checksum / charindex / len / regexp_substr resolve and compute") {
+    assert(sql1("SELECT checksum('foobar')").getInt(0) ===
+      HashExpressions.checksum(0x85944171f73967e8L))
+    assert(sql1("SELECT charindex('dog', 'catdogfish')").getInt(0) === 4)
+    assert(sql1("SELECT charindex('zzz', 'catdogfish')").getInt(0) === 0)
+    assert(sql1("SELECT len('hello')").getInt(0) === 5)
+    assert(sql1("SELECT regexp_substr('a1b22c333', '[0-9]+')").getString(0) === "1")
+    assert(sql1("SELECT fnv_hash(CAST(42 AS BIGINT))").getLong(0) ===
+      HashExpressions.fnv1aLong(42L))
+  }
+
+  // ---- identity property ----
+  test("rewriter is the identity on already-valid Spark SQL") {
+    val valid = Seq(
+      "SELECT a, b FROM t WHERE a > 1 ORDER BY b LIMIT 10",
+      "SELECT count(DISTINCT a) FROM t GROUP BY b HAVING count(*) > 2",
+      "WITH x AS (SELECT 1 AS a) SELECT * FROM x",
+      "SELECT 'TOP 5 SIMILAR TO GETDATE() CONVERT(a,b)' AS s FROM t", // literals untouched
+      "SELECT \"top\", \"convert\" FROM t",                           // quoted idents untouched
+      "SELECT sum(x) OVER (PARTITION BY k ORDER BY ts) FROM t",
+      "SELECT CASE WHEN a THEN 1 ELSE 2 END FROM t",
+      "SELECT date_format(ts, 'yyyy-MM-dd') FROM t",
+      "SELECT a /* TOP 3 */ FROM t -- SELECT TOP 9",
+      "SELECT array_sort(collect_list(x)) FROM t GROUP BY k")
+    valid.foreach(q => assert(rewrite(q) === q, s"rewriter changed valid SQL: $q"))
+  }
+  test("rewriter is idempotent on rewritten output") {
+    val dialect = Seq(
+      "SELECT TOP 10 a FROM t ORDER BY a",
+      "SELECT APPROXIMATE COUNT(DISTINCT a) FROM t",
+      "SELECT RATIO_TO_REPORT(x) OVER (PARTITION BY k) FROM t",
+      "SELECT * FROM t WHERE a SIMILAR TO 'ab%'",
+      "SELECT GETDATE(), SYSDATE, RANDOM()",
+      "SELECT CONVERT(INT, a), DATEADD(day, 1, ts), DATEDIFF(hour, a, b) FROM t",
+      "SELECT TO_CHAR(ts, 'YYYY-MM-DD') FROM t")
+    dialect.foreach { q =>
+      val once = rewrite(q)
+      assert(rewrite(once) === once, s"not idempotent on: $q -> $once")
+    }
+  }
+}
