@@ -1,0 +1,125 @@
+package graft.sql.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst kernels for the LLM-pipeline hot paths.
+  *
+  * The composed higher-order-function versions (`aggregate(zip_with(…))`,
+  * per-bit `aggregate` passes, per-permutation `transform` + `array_min`)
+  * are interpreted per element per row — at sf0.1 they dominated the whole
+  * bench (simhash 41 s, all-pairs cosine 65 s). These expressions compute
+  * the same values in tight JVM loops and stay inside whole-stage codegen
+  * (`doGenCode` emits one static call). Numeric semantics are preserved
+  * exactly: [[ArrayKernels.dot]] folds in array order, so IEEE addition
+  * order — and therefore the DuckDB-oracle hash match — is unchanged.
+  */
+object ArrayKernels {
+  /** Sequential-order dot product of two double arrays (length = min). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  /** 60-bit SimHash of pre-hashed tokens: bit j set iff the ±1 majority
+    * over token-hash bits j is positive (same per-bit rule as the
+    * composed TextOps expression and the DuckDB oracle). */
+  def simhash60(hs: ArrayData): Long = {
+    val n = hs.numElements()
+    val counters = new Array[Int](60)
+    var t = 0
+    while (t < n) {
+      val h = hs.getLong(t)
+      var j = 0
+      while (j < 60) {
+        counters(j) += (((h >>> j) & 1L).toInt << 1) - 1
+        j += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) {
+      if (counters(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  private val P = 2147483647L // Mersenne 2^31-1, the MinHash hash space
+
+  /** MinHash signature: sig_i = min over hashes of
+    * (1000003·(2i+1)·h + 7919·i + 12345) mod P — the same fixed affine
+    * family as DedupOps' composed version. Empty input → k nulls
+    * (matching `array_min(transform([], …)) = null`). */
+  def minhashSig(hs: ArrayData, k: Int): ArrayData = {
+    val n = hs.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](k))
+    val sig = Array.fill(k)(Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      val h = hs.getLong(t)
+      var i = 0
+      while (i < k) {
+        val v = (1000003L * (2 * i + 1) * h + 7919L * i + 12345L) % P
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(sig.map(x => x: Any))
+  }
+}
+
+/** `array_dot(a, b)` → DOUBLE: sequential dot product of two
+  * array<double> columns. */
+case class ArrayDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.sql.expressions.ArrayKernels.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `simhash60(hs)` → BIGINT over array<bigint> of token hashes. */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.simhash60(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.expressions.ArrayKernels.simhash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+/** `minhash_sig(hs, k)` → array<bigint> of k MinHash minima (k must be a
+  * literal). */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.minhashSig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.expressions.ArrayKernels.minhashSig($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
