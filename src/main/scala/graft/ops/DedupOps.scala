@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   *    the s-curve threshold at (1/8)^(1/2) ≈ 0.35, i.e. recall at the 0.8
   *    output threshold is 1 − (1 − 0.8²)^8 ≈ 0.9997 per pair, and pair
   *    misses are independent — tune b·r up for tighter SLAs.
-  *  - [[simhashPairs]] buckets by the upper bits of a 60-bit SimHash; docs
-  *    in one bucket are compared by Hamming distance (XOR + bit_count) —
-  *    a cheap complement that catches short-edit near-dups.
+  *  - [[simhashPairs]] joins on (maxHamming+1) pigeonhole blocks of a
+  *    60-bit SimHash and compares candidates by Hamming distance (XOR +
+  *    bit_count) — exhaustive for the radius by construction, a cheap
+  *    complement that catches short-edit near-dups.
   *
   * All hashes are the portable md5-based 60-bit hash ([[TextOps.h60]]) with
   * fixed affine MinHash coefficients, so results are reproducible across
@@ -75,15 +76,16 @@ object DedupOps {
 
   /** MinHash signatures: sig_i = min over shingles of (a_i·h + b_i) mod P,
     * with fixed coefficients a_i = 1000003·(2i+1), b_i = 7919·i + 12345.
+    * The K minima come from the native [[graft.sql.expressions.MinHashSig]]
+    * kernel (one codegen'd pass over the hashes) instead of K interpreted
+    * `array_min(transform(…))` passes — same affine family, same
+    * empty-set → nulls semantics, so oracle hashes are unchanged.
     */
   private def signatures(docs: DataFrame): DataFrame =
     shingled(docs)
       .selectExpr("doc_id", "sh", "n_sh",
         s"transform(sh, x -> ${TextOps.h60("x")} % ${P}L) as hs")
-      .selectExpr("doc_id", "sh", "n_sh",
-        s"""transform(sequence(0, ${K - 1}), i ->
-           |  array_min(transform(hs, h -> (1000003L * (2 * i + 1) * h + 7919L * i + 12345L) % ${P}L)))
-           |  as sig""".stripMargin)
+      .selectExpr("doc_id", "sh", "n_sh", s"minhash_sig(hs, $K) as sig")
 
   /** MinHash + LSH near-dup pairs at exact Jaccard ≥ `threshold`.
     * Candidates collide in ≥1 of B bands of the signature; every candidate
@@ -116,18 +118,43 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash near-dup pairs: bucket on the top 20 bits of the 60-bit
-    * SimHash, compare within buckets by Hamming distance ≤ `maxHamming`.
-    * (Production variant rotates the bucket window to make the guarantee
-    * exhaustive; one rotation is the demonstration tier.)
+  /** SimHash near-dup pairs — EXHAUSTIVE for the given radius: returns
+    * exactly the set of pairs at Hamming distance ≤ `maxHamming`, never a
+    * bucketing-dependent subset.
+    *
+    * Multi-block pigeonhole (the standard multi-index Hamming join): the 60
+    * bits are split into `maxHamming + 1` contiguous blocks; two keys
+    * within the radius must agree exactly on ≥ 1 block (pigeonhole:
+    * ≤ maxHamming differing bits cannot touch all maxHamming + 1 blocks),
+    * so the union of the per-block equi-joins contains every true pair and
+    * the `bit_count` filter removes the false candidates. Each pass is a
+    * plain equi-join on (block_id, block_key) — one hash shuffle, no
+    * cartesian anywhere. Cost is Σ_blocks Σ_buckets |bucket|²: with
+    * roughly-uniform simhashes, N²·(maxHamming+1)/2^(60/(maxHamming+1))
+    * — the radius/width trade is explicit, and at production radii
+    * (3–4 on 64-bit keys → 16-bit blocks) pruning is ~2^16×.
+    *
+    * The signature projection (doc_id, simhash — 16 bytes/doc) is persisted
+    * so the text hashing runs once, not once per self-join side.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
-    val s = TextOps.simhash(docs).selectExpr("doc_id", "simhash",
-      "shiftright(simhash, 40) as bucket")
-    s.as("a").join(s.as("b"), expr("a.bucket = b.bucket and a.doc_id < b.doc_id"))
+    val nBlocks = maxHamming + 1
+    val bounds = (0 to nBlocks).map(i => i * 60 / nBlocks)
+    val blockCols = (0 until nBlocks).map { i =>
+      val start = bounds(i)
+      val mask = (1L << (bounds(i + 1) - start)) - 1
+      s"named_struct('blk', $i, 'key', shiftright(simhash, $start) & ${mask}L)"
+    }
+    val s = TextOps.simhash(docs).persist()
+    val blocks = s
+      .selectExpr("doc_id", "simhash", s"explode(array(${blockCols.mkString(", ")})) as b")
+      .selectExpr("doc_id", "simhash", "b.blk as blk", "b.key as key")
+    blocks.as("a")
+      .join(blocks.as("b"), expr("a.blk = b.blk and a.key = b.key and a.doc_id < b.doc_id"))
       .selectExpr("a.doc_id as doc_a", "b.doc_id as doc_b",
         "bit_count(a.simhash ^ b.simhash) as hamming")
       .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair can agree on several blocks; hamming is pair-determined
       .selectExpr("doc_a", "doc_b", "cast(hamming as bigint) as hamming")
       .orderBy("doc_a", "doc_b")
   }

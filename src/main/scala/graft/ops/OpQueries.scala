@@ -136,14 +136,16 @@ object OpQueries {
       (s, d) => DedupOps.minhashPairs(docs(s, d), 0.8),
       Some(dkJaccard(0.8))),
 
+    // Oracle = the SEMANTIC ground truth (all-pairs Hamming ≤ 12), not an
+    // echo of the Spark bucketing: the multi-block pigeonhole join must
+    // reproduce the exact pair set or the hash fails.
     QueryDef("op_simhash_pairs",
       (s, d) => DedupOps.simhashPairs(docs(s, d), 12),
-      Some(s"""WITH sh AS ($dkSimhash),
-              |b AS (SELECT doc_id, simhash, (simhash >> 40) AS bucket FROM sh)
-              |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-              |       CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
-              |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
-              |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 12
+      Some(s"""WITH sh AS ($dkSimhash)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+              |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
     QueryDef("op_dedup_embedding",

@@ -100,14 +100,15 @@ object TextOps {
   /** 60-bit SimHash over the token stream (term-frequency weighted): bit j
     * is set iff Σ_tokens (±1 by bit j of the token hash) > 0. Near-dup docs
     * land at small Hamming distance. Pure per-row expression — the
-    * Hamming-bucket join stage is [[DedupOps.simhashPairs]].
+    * Hamming-block join stage is [[DedupOps.simhashPairs]].
+    *
+    * The per-bit majority runs in the native [[graft.sql.expressions.SimHash60]]
+    * kernel (one codegen'd call per row) instead of the 60-pass interpreted
+    * `aggregate(sequence(0,59), … aggregate(hs, …))` chain it replaces —
+    * identical bit rule, so oracle hashes are unchanged.
     */
   def simhash(docs: DataFrame): DataFrame =
     docs
       .selectExpr("doc_id", s"transform(${wordsExpr("text")}, x -> ${h60("x")}) as hs")
-      .selectExpr(
-        "doc_id",
-        """aggregate(sequence(0, 59), 0L, (acc, j) ->
-          |  acc + case when aggregate(hs, 0L, (a, h) -> a + (shiftright(h, j) % 2) * 2 - 1) > 0
-          |             then shiftleft(1L, j) else 0L end) as simhash""".stripMargin)
+      .selectExpr("doc_id", "simhash60(hs) as simhash")
 }

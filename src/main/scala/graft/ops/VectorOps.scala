@@ -10,20 +10,23 @@ import org.apache.spark.sql.functions._
   * IVF-bucketed variant as the approximate scale path.
   *
   * Determinism: cosine is computed as a sequential left-fold over the
-  * array (`aggregate(zip_with(..))`) in double precision — IEEE addition
-  * in a fixed order, so the result is bit-identical across engines that
-  * fold in array order (DuckDB's `list_reduce` does). `sqrt` is
+  * array in double precision — IEEE addition in a fixed order, so the
+  * result is bit-identical across engines that fold in array order
+  * (DuckDB's `list_reduce` does). The fold runs in the native
+  * [[graft.sql.expressions.ArrayDot]] kernel (one codegen'd JVM loop per
+  * row) rather than the interpreted `aggregate(zip_with(..))` chain it
+  * replaces — same fold order, so oracle hashes are unchanged. `sqrt` is
   * correctly-rounded per IEEE; no other transcendentals are used.
   */
 object VectorOps {
 
   /** cosine(a, b) as a SQL fragment over two array<double> columns. */
   private def cosExpr(a: String, b: String, na: String, nb: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v) / (sqrt($na) * sqrt($nb))"
+    s"array_dot($a, $b) / (sqrt($na) * sqrt($nb))"
 
   private def withNorm(e: DataFrame, id: String, v: String): DataFrame =
     e.selectExpr(s"vec_id as $id", s"transform(embedding, x -> cast(x as double)) as $v")
-      .selectExpr(id, v, s"aggregate(zip_with($v, $v, (x, y) -> x * y), 0D, (acc, w) -> acc + w) as norm_$v")
+      .selectExpr(id, v, s"array_dot($v, $v) as norm_$v")
 
   /** Brute-force cosine top-k: queries (vec_id < `nQueries`) against the
     * whole corpus. The query side is broadcast, so the corpus streams —

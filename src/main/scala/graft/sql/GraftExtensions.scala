@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
   Expression, ExpressionInfo, Length, Literal, RegExpExtract, StringLocate}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.sql.expressions.{Checksum, FnvHash}
+import graft.sql.expressions.{ArrayDot, Checksum, FnvHash, MinHashSig, SimHash60}
 
 /** Session extensions registering the Redshift function-name surface that
   * Spark's parser accepts but its registry lacks (SURVEY.md §2.2 🔧/🔴):
@@ -15,6 +16,14 @@ import graft.sql.expressions.{Checksum, FnvHash}
   *   charindex(sub, s)    → StringLocate (Redshift arg order == position())
   *   len(s)               → Length
   *   regexp_substr(s, p)  → RegExpExtract(s, p, 0)
+  *
+  * plus the LLM-pipeline array kernels (codegen'd tight loops replacing
+  * interpreted higher-order-function chains on the dedup/similarity hot
+  * paths — see [[graft.sql.expressions.ArrayKernels]]):
+  *
+  *   array_dot(a, b)      sequential-order dot product of array<double>
+  *   simhash60(hs)        60-bit SimHash of array<bigint> token hashes
+  *   minhash_sig(hs, k)   k MinHash minima of array<bigint> (k literal)
   *
   * Activate with `.config("spark.sql.extensions", "graft.sql.GraftExtensions")`
   * — a plain config key, so spark-submit / notebook users get the dialect
@@ -50,6 +59,19 @@ object GraftExtensions {
       info("regexp_substr", "regexp_substr(str, regexp) - first match of regexp in str."),
       (args: Seq[Expression]) =>
         if (args.length >= 3) RegExpExtract(args(0), args(1), args(2))
-        else RegExpExtract(args(0), args(1), Literal(0)))
+        else RegExpExtract(args(0), args(1), Literal(0))),
+    (FunctionIdentifier("array_dot"),
+      info("array_dot", "array_dot(a, b) - sequential-order dot product of two array<double>."),
+      (args: Seq[Expression]) => ArrayDot(args(0), args(1))),
+    (FunctionIdentifier("simhash60"),
+      info("simhash60", "simhash60(hs) - 60-bit SimHash over array<bigint> token hashes."),
+      (args: Seq[Expression]) => SimHash60(args.head)),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(hs, k) - array of k MinHash minima over array<bigint>; k must be an integer literal."),
+      (args: Seq[Expression]) => args(1) match {
+        case Literal(k: Int, IntegerType) => MinHashSig(args(0), k)
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig: k must be an integer literal, got $other")
+      })
   )
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** The Catalyst array kernels (array_dot / simhash60 / minhash_sig) must be
+  * drop-in replacements for the interpreted higher-order-function chains
+  * they replace on the dedup/similarity hot paths: same values bit-for-bit
+  * (the DuckDB oracle hash-compares exact doubles), same null/empty
+  * semantics. Each test evaluates kernel and composed form side by side.
+  */
+class KernelSpec extends SparkSpecBase {
+
+  test("array_dot equals the sequential aggregate(zip_with) fold on fixture embeddings") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+    val both = e.selectExpr(
+      "array_dot(v, v) as kernel",
+      "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, w) -> acc + w) as composed")
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("array_dot cross-vector matches and handles empty/null") {
+    val rows = spark.sql(
+      """SELECT array_dot(array(1D, 2D, 3D), array(4D, 5D, 6D)) AS d,
+        |       array_dot(array(), array()) AS e,
+        |       array_dot(cast(null as array<double>), array(1D)) AS n""".stripMargin)
+      .collect()(0)
+    assert(rows.getDouble(0) === 32.0)
+    assert(rows.getDouble(1) === 0.0)
+    assert(rows.isNullAt(2))
+  }
+
+  test("simhash60 equals the composed 60-pass majority expression on fixture documents") {
+    val hs = Tables.load(spark, sfDir, "documents")
+      .selectExpr("doc_id",
+        s"transform(${graft.ops.TextOps.wordsExpr("text")}, x -> ${graft.ops.TextOps.h60("x")}) as hs")
+    val both = hs.selectExpr(
+      "simhash60(hs) as kernel",
+      """aggregate(sequence(0, 59), 0L, (acc, j) ->
+        |  acc + case when aggregate(hs, 0L, (a, h) -> a + (shiftright(h, j) % 2) * 2 - 1) > 0
+        |             then shiftleft(1L, j) else 0L end) as composed""".stripMargin)
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("simhash60 of an empty token list is 0; null is null") {
+    val r = spark.sql(
+      "SELECT simhash60(array()) AS z, simhash60(cast(null as array<bigint>)) AS n")
+      .collect()(0)
+    assert(r.getLong(0) === 0L)
+    assert(r.isNullAt(1))
+  }
+
+  test("minhash_sig equals the composed per-permutation array_min passes on fixture shingles") {
+    val P = graft.ops.DedupOps.P
+    val K = graft.ops.DedupOps.K
+    val hs = Tables.load(spark, sfDir, "documents")
+      .selectExpr("doc_id", s"${graft.ops.TextOps.wordsExpr("text")} as w")
+      .selectExpr("doc_id", s"${graft.ops.TextOps.shinglesExpr("w")} as sh")
+      .selectExpr("doc_id", s"transform(sh, x -> ${graft.ops.TextOps.h60("x")} % ${P}L) as hs")
+    val both = hs.selectExpr(
+      s"minhash_sig(hs, $K) as kernel",
+      s"""transform(sequence(0, ${K - 1}), i ->
+         |  array_min(transform(hs, h -> (1000003L * (2 * i + 1) * h + 7919L * i + 12345L) % ${P}L)))
+         |  as composed""".stripMargin)
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
+  test("minhash_sig of an empty set is k nulls (array_min([]) semantics)") {
+    val r = spark.sql("SELECT minhash_sig(array(), 4) AS s").collect()(0)
+    assert(r.getSeq[Any](0) === Seq(null, null, null, null))
+  }
+}

@@ -52,6 +52,20 @@ class OpsSpec extends SparkSpecBase {
     assert(out.length === 1 && out(0).getLong(2) === 0L)
   }
 
+  test("simhash pairs are EXHAUSTIVE: equal to brute-force all-pairs at the radius") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sh = graft.ops.TextOps.simhash(docs)
+    val brute = sh.as("a").join(sh.as("b"), expr("a.doc_id < b.doc_id"))
+      .selectExpr("a.doc_id as doc_a", "b.doc_id as doc_b",
+        "bit_count(a.simhash ^ b.simhash) as hamming")
+      .filter(col("hamming") <= 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val blocked = DedupOps.simhashPairs(docs, 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt)).toSet
+    assert(brute.nonEmpty, "fixture should contain pairs within the radius")
+    assert(blocked === brute)
+  }
+
   test("text stats computes exact counts on a known doc") {
     val d = docsDF(1L -> "The quick brown fox, the lazy dog!")
     val r = TextOps.textStats(d).collect()(0)
