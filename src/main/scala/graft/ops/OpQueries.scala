@@ -156,6 +156,16 @@ object OpQueries {
               |WHERE ${dkDot("a", "b")} >= 0.45
               |ORDER BY ida, idb""".stripMargin)),
 
+    // Scale path for embedding near-dup: sign-LSH candidates + exact-cosine
+    // verify. Rows-only check from the driver — the fixture's ≥0.45 pairs
+    // are the tail of the uniform-random background (max cos 0.513, no
+    // planted dups; measured), where no LSH can combine recall ≈ 1 with
+    // pruning; recall/precision/pruning are asserted in OpsSpec on planted
+    // near-dups instead (see VectorOps.cosineNearDupLsh scaladoc).
+    QueryDef("op_dedup_embedding_lsh",
+      (s, d) => VectorOps.cosineNearDupLsh(emb(s, d), 0.45),
+      None),
+
     QueryDef("op_sim_topk",
       (s, d) => VectorOps.cosineTopK(emb(s, d), 5, 20)
         .withColumnRenamed("rank", "rnk"),

@@ -3,8 +3,8 @@ package graft.sql
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
-  Expression, ExpressionInfo, Length, Literal, RegExpExtract, StringLocate}
-import org.apache.spark.sql.types.IntegerType
+  Cast, Expression, ExpressionInfo, Length, Literal, RegExpExtract, StringLocate}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
 
 import graft.sql.expressions.{ArrayDot, Checksum, FnvHash, MinHashSig, SimHash60}
 
@@ -60,16 +60,20 @@ object GraftExtensions {
       (args: Seq[Expression]) =>
         if (args.length >= 3) RegExpExtract(args(0), args(1), args(2))
         else RegExpExtract(args(0), args(1), Literal(0))),
+    // The kernel expressions read raw ArrayData, so SQL-side inputs are
+    // coerced with explicit Casts here (ExpectsInputTypes is private[sql];
+    // a no-op Cast is removed by Catalyst's SimplifyCasts).
     (FunctionIdentifier("array_dot"),
       info("array_dot", "array_dot(a, b) - sequential-order dot product of two array<double>."),
-      (args: Seq[Expression]) => ArrayDot(args(0), args(1))),
+      (args: Seq[Expression]) => ArrayDot(
+        Cast(args(0), ArrayType(DoubleType)), Cast(args(1), ArrayType(DoubleType)))),
     (FunctionIdentifier("simhash60"),
       info("simhash60", "simhash60(hs) - 60-bit SimHash over array<bigint> token hashes."),
-      (args: Seq[Expression]) => SimHash60(args.head)),
+      (args: Seq[Expression]) => SimHash60(Cast(args.head, ArrayType(LongType)))),
     (FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(hs, k) - array of k MinHash minima over array<bigint>; k must be an integer literal."),
       (args: Seq[Expression]) => args(1) match {
-        case Literal(k: Int, IntegerType) => MinHashSig(args(0), k)
+        case Literal(k: Int, IntegerType) => MinHashSig(Cast(args(0), ArrayType(LongType)), k)
         case other => throw new IllegalArgumentException(
           s"minhash_sig: k must be an integer literal, got $other")
       })

@@ -115,6 +115,42 @@ class OpsSpec extends SparkSpecBase {
     assert(ivf.subsetOf(exact) || ivf.nonEmpty)
   }
 
+  test("embedding LSH near-dup: recall 1.0 with real pruning on planted near-dups") {
+    // Deterministic corpus: 120 base vectors from an LCG, plus 10 planted
+    // near-dups (base + small perturbation → cosine ≈ 0.99).
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
+    def vec(seed: Long, dim: Int): Array[Float] =
+      lcg(seed).take(dim).map(x => ((x >>> 11).toDouble / (1L << 53).toDouble - 0.5).toFloat).toArray
+    val dim = 64
+    val base = (0L until 120L).map(i => (i, vec(i * 7919 + 1, dim)))
+    val dups = (0L until 10L).map { i =>
+      val b = base(i.toInt)._2
+      val noise = vec(i * 104729 + 3, dim)
+      (1000L + i, b.zip(noise).map { case (x, n) => x + 0.05f * n })
+    }
+    val e = spark.createDataFrame((base ++ dups).map { case (id, v) => (id, v.toSeq) })
+      .toDF("vec_id", "embedding")
+    val exact = VectorOps.cosineNearDup(e, 0.9)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size === 10, "every planted dup (and nothing else) is above 0.9")
+    val lsh = VectorOps.cosineNearDupLsh(e, 0.9, bands = 16, rowsPerBand = 8, dim = dim)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact) // recall 1.0, precision 1.0 (exact verify)
+    val nCand = VectorOps.rhpCandidates(e, 16, 8, dim).count()
+    val allPairs = 130L * 129L / 2L
+    assert(nCand < allPairs / 2, s"no pruning: $nCand candidates of $allPairs pairs")
+  }
+
+  test("embedding LSH near-dup output is a subset of the exact pair set on the fixture") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val exact = VectorOps.cosineNearDup(e, 0.4)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.cosineNearDupLsh(e, 0.4)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // verification admits no false positives
+  }
+
   test("multimodal decode: metadata is deterministic and schema-stable") {
     val d = docsDF(1L -> "some payload", 2L -> "some payload", 3L -> "other")
     val out = MultimodalOps.decodeMeta(d, batchSize = 2).orderBy("doc_id").collect()
