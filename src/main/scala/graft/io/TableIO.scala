@@ -34,17 +34,44 @@ object TableIO {
             schema: Option[String] = None,
             conn: Option[ConnectionConfig] = None): Unit = conn match {
     case Some(c) =>
-      val pre = schema.map(s => s"""CREATE SCHEMA IF NOT EXISTS "$s"""")
-      val w = df.write.format("jdbc")
+      // Schema DDL goes over a raw JDBC statement BEFORE the Spark write:
+      // vanilla format("jdbc") has no pre-action hook and silently ignores
+      // unknown options, so an option-based CREATE SCHEMA would never reach
+      // the database.
+      schema.foreach(s => ensureSchema(c, s))
+      df.write.format("jdbc")
         .options(c.jdbcOptions)
         .option("dbtable", schema.map(s => s""""$s"."$table"""").getOrElse(s""""$table""""))
         .option("batchsize", BatchSize)
         .mode(method.saveMode)
-      pre.fold(w)(p => w.option("preActions", p)).save()
+        .save()
     case None =>
       val spark = df.sparkSession
       schema.foreach(s => spark.sql(s"CREATE NAMESPACE IF NOT EXISTS `$s`"))
       df.write.mode(method.saveMode).saveAsTable(qualified(schema, table))
+  }
+
+  /** `CREATE SCHEMA` if absent (A5, `upload_file.py:123-124`) — existence
+    * probed through JDBC metadata rather than `IF NOT EXISTS`, which some
+    * engines (e.g. Derby, used by the offline round-trip spec) don't parse.
+    * Quoted identifier, unlike the reference's f-string interpolation
+    * (SURVEY §7.4.7); the case-insensitive compare covers engines that
+    * fold unquoted catalog names.
+    */
+  private def ensureSchema(c: ConnectionConfig, schema: String): Unit = {
+    val jc = java.sql.DriverManager.getConnection(
+      c.jdbcUrl, c.username.orNull, c.password.orNull)
+    try {
+      val rs = jc.getMetaData.getSchemas
+      var exists = false
+      try while (rs.next() && !exists)
+        exists = rs.getString("TABLE_SCHEM").equalsIgnoreCase(schema)
+      finally rs.close()
+      if (!exists) {
+        val st = jc.createStatement()
+        try st.execute(s"""CREATE SCHEMA "$schema"""") finally st.close()
+      }
+    } finally jc.close()
   }
 
   /** Run `query` and return its result (A7/A10). JDBC pushes the whole
