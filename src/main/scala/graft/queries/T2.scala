@@ -511,6 +511,51 @@ object T2 {
              |       COUNT(*) AS n_rows
              |FROM lineitem
              |GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // 18b. approx_percentile scale twin of q18: the exact sort-based
+    //      percentile buffers every group value (memory-unsafe at 100×
+    //      scale); approx_percentile keeps a bounded Greenwald-Khanna-style
+    //      sketch per group. Approximation is engine-specific, so no SQL
+    //      oracle (rows-only check); the error bound vs the exact result is
+    //      asserted in OpsSpec.
+    QueryDef(
+      "q18_percentiles_approx",
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        l.groupBy(col("l_returnflag"))
+          .agg(
+            expr("approx_percentile(l_quantity, 0.5, 10000)").as("med_qty"),
+            expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("p25_price"),
+            expr("approx_percentile(l_extendedprice, 0.75, 10000)").as("p75_price"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      None),
+
+    // 19. Redshift JSON surface over events.props (SURVEY §2.2 JSON 🔧):
+    //     JSON_EXTRACT_PATH_TEXT / IS_VALID_JSON resolve through
+    //     GraftExtensions onto Spark's JSON-path machinery; the projection
+    //     stays one codegen'd map stage over the scan.
+    QueryDef(
+      "q19_json_fns",
+      (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("events")
+        s.sql(
+          """SELECT event_id,
+            |       json_extract_path_text(props, 'k') AS k_txt,
+            |       CAST(json_extract_path_text(props, 'k') AS BIGINT) AS k_num,
+            |       is_valid_json(props) AS valid
+            |FROM events
+            |WHERE CAST(json_extract_path_text(props, 'k') AS BIGINT) % 2 = 0
+            |ORDER BY event_id""".stripMargin)
+      },
+      Some("""SELECT event_id,
+             |       json_extract_string(props, '$.k') AS k_txt,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+             |       json_valid(props) AS valid
+             |FROM events
+             |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+             |ORDER BY event_id""".stripMargin))
   )
 }

@@ -3,8 +3,9 @@ package graft.sql
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
-  Cast, Expression, ExpressionInfo, Length, Literal, RegExpExtract, StringLocate}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
+  Cast, Concat, Expression, ExpressionInfo, GetJsonObject, IsNotNull, Length,
+  LengthOfJsonArray, Literal, RegExpExtract, StringLocate}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DoubleType, IntegerType, LongType, StringType}
 
 import graft.sql.expressions.{ArrayDot, Checksum, FnvHash, MinHashSig, SimHash60}
 
@@ -76,6 +77,34 @@ object GraftExtensions {
         case Literal(k: Int, IntegerType) => MinHashSig(Cast(args(0), ArrayType(LongType)), k)
         case other => throw new IllegalArgumentException(
           s"minhash_sig: k must be an integer literal, got $other")
-      })
+      }),
+    // Redshift JSON surface (SURVEY §2.2 JSON 🔧) over Spark's JSON-path
+    // machinery. Path elements compose into a `$.k1.k2` JSONPath — keys
+    // containing '.' or quotes would need bracket syntax and are not
+    // supported (documented divergence). A trailing boolean
+    // `null_if_invalid` arg is accepted and dropped: GetJsonObject is
+    // always null-on-invalid, which IS the null_if_invalid=true behavior.
+    (FunctionIdentifier("json_extract_path_text"),
+      info("json_extract_path_text",
+        "json_extract_path_text(json, k1[, k2, ...][, null_if_invalid]) - value at path $.k1.k2..."),
+      (args: Seq[Expression]) => {
+        val path = args.tail.filterNot {
+          case Literal(_, BooleanType) => true
+          case _ => false
+        }
+        GetJsonObject(args.head, Concat(
+          Literal("$") +: path.flatMap(k => Seq(Literal("."), Cast(k, StringType)))))
+      }),
+    (FunctionIdentifier("json_extract_array_element_text"),
+      info("json_extract_array_element_text",
+        "json_extract_array_element_text(json, idx[, null_if_invalid]) - array element at 0-based idx."),
+      (args: Seq[Expression]) => GetJsonObject(args.head,
+        Concat(Seq(Literal("$["), Cast(args(1), StringType), Literal("]"))))),
+    (FunctionIdentifier("is_valid_json"),
+      info("is_valid_json", "is_valid_json(s) - true iff s parses as JSON."),
+      (args: Seq[Expression]) => IsNotNull(GetJsonObject(args.head, Literal("$")))),
+    (FunctionIdentifier("is_valid_json_array"),
+      info("is_valid_json_array", "is_valid_json_array(s) - true iff s parses as a JSON array."),
+      (args: Seq[Expression]) => IsNotNull(LengthOfJsonArray(args.head)))
   )
 }

@@ -219,7 +219,22 @@ object RedshiftSql {
   }
 
   // 3-arg DATEADD/DATEDIFF → timestampadd/timestampdiff (Spark's 2-arg
-  // dateadd/datediff keep their day-based semantics untouched).
+  // dateadd/datediff keep their day-based semantics untouched). The unit
+  // token is normalized from Redshift's abbreviation set (`d`, `h`, `min`,
+  // `mon`, `qtr`, `w`, quoted or bare — Redshift accepts both) to the
+  // canonical Spark unit keyword, which timestampadd/timestampdiff require.
+  private val unitAliases: Map[String, String] = Map(
+    "YEAR" -> Seq("y", "yr", "yrs", "year", "years"),
+    "QUARTER" -> Seq("qtr", "qtrs", "quarter", "quarters"),
+    "MONTH" -> Seq("mon", "mons", "month", "months"),
+    "WEEK" -> Seq("w", "week", "weeks"),
+    "DAY" -> Seq("d", "day", "days", "dayofmonth"),
+    "HOUR" -> Seq("h", "hr", "hrs", "hour", "hours"),
+    "MINUTE" -> Seq("m", "min", "mins", "minute", "minutes"),
+    "SECOND" -> Seq("s", "sec", "secs", "second", "seconds"),
+    "MILLISECOND" -> Seq("ms", "msec", "msecs", "millisec", "millisecond", "milliseconds"),
+    "MICROSECOND" -> Seq("us", "usec", "usecs", "microsec", "microsecond", "microseconds")
+  ).flatMap { case (canon, aliases) => aliases.map(_ -> canon) }
   private def rewriteDateAddDiff(toks: Vector[Tok]): Vector[Tok] = {
     val hit = toks.indices.find { i =>
       (toks(i).isWord("dateadd") || toks(i).isWord("datediff")) && {
@@ -235,7 +250,16 @@ object RedshiftSql {
       case Some(i) =>
         val name =
           if (toks(i).isWord("dateadd")) "timestampadd" else "timestampdiff"
-        rewriteDateAddDiff(toks.updated(i, Tok(Word, name)))
+        val p = nextCode(toks, i + 1)
+        val u = nextCode(toks, p + 1)
+        val unitText = toks(u).kind match {
+          case Word => Some(toks(u).text)
+          case Str => Some(toks(u).text.stripPrefix("'").stripSuffix("'"))
+          case _ => None
+        }
+        val canon = unitText.flatMap(t => unitAliases.get(t.toLowerCase))
+        val renamed = toks.updated(i, Tok(Word, name))
+        rewriteDateAddDiff(canon.fold(renamed)(c => renamed.updated(u, Tok(Word, c))))
     }
   }
 

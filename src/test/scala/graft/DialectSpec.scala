@@ -109,6 +109,54 @@ class DialectSpec extends SparkSpecBase {
     assert(rewrite(q2) === q2)
   }
 
+  test("DATEADD/DATEDIFF normalize Redshift unit abbreviations, bare or quoted") {
+    assert(rewrite("SELECT DATEADD(d, 1, ts) FROM t") ===
+      "SELECT timestampadd(DAY, 1, ts) FROM t")
+    assert(rewrite("SELECT DATEDIFF('h', a, b) FROM t") ===
+      "SELECT timestampdiff(HOUR, a, b) FROM t")
+    assert(sql1("SELECT DATEADD(d, 1, DATE '2024-01-31')")
+      .get(0).toString.startsWith("2024-02-01"))
+    assert(sql1("SELECT DATEDIFF(min, TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 02:30:00')")
+      .getLong(0) === 150L)
+    assert(sql1("SELECT DATEADD(qtr, 1, DATE '2024-01-15')")
+      .get(0).toString.startsWith("2024-04-15"))
+    assert(sql1("SELECT DATEDIFF(mon, DATE '2024-01-01', DATE '2024-06-01')").getLong(0) === 5L)
+    assert(sql1("SELECT DATEADD(w, 2, DATE '2024-01-01')")
+      .get(0).toString.startsWith("2024-01-15"))
+  }
+
+  // ---- CONVERT_TIMEZONE ----
+  test("CONVERT_TIMEZONE executes with Redshift argument order (2- and 3-arg)") {
+    // 3-arg (source, target, ts): both engines share this order natively
+    assert(sql1(
+      "SELECT CONVERT_TIMEZONE('UTC', 'America/New_York', TIMESTAMP_NTZ '2024-01-01 12:00:00')")
+      .get(0).toString.startsWith("2024-01-01T07:00"))
+    // 2-arg (target, ts): source defaults to UTC in Redshift; Spark uses the
+    // session time zone, which GraftSession pins to UTC — same semantics
+    assert(sql1(
+      "SELECT CONVERT_TIMEZONE('Asia/Tokyo', TIMESTAMP_NTZ '2024-01-01 12:00:00')")
+      .get(0).toString.startsWith("2024-01-01T21:00"))
+  }
+
+  // ---- JSON function aliases ----
+  test("Redshift JSON functions resolve and compute (incl. events.props)") {
+    assert(sql1("""SELECT json_extract_path_text('{"a": {"b": 7}}', 'a', 'b')""")
+      .getString(0) === "7")
+    assert(sql1("""SELECT json_extract_path_text('{"a": 1}', 'missing')""").isNullAt(0))
+    assert(sql1("""SELECT json_extract_path_text('not json', 'a', true)""").isNullAt(0))
+    assert(sql1("""SELECT json_extract_array_element_text('[10, 20, 30]', 1)""")
+      .getString(0) === "20")
+    assert(sql1("""SELECT is_valid_json('{"k": 1}')""").getBoolean(0))
+    assert(!sql1("SELECT is_valid_json('nope')").getBoolean(0))
+    assert(sql1("SELECT is_valid_json_array('[1, 2]')").getBoolean(0))
+    assert(!sql1("SELECT is_valid_json_array('{\"k\": 1}')").getBoolean(0))
+    Tables.registerAll(spark, sfDir)
+    val n = spark.sql(
+      "SELECT count(*) FROM events WHERE CAST(json_extract_path_text(props, 'k') AS BIGINT) >= 0")
+      .collect()(0).getLong(0)
+    assert(n > 0)
+  }
+
   // ---- TO_CHAR ----
   test("TO_CHAR with date tokens becomes date_format with java tokens") {
     assert(rewrite("SELECT TO_CHAR(ts, 'YYYY-MM-DD HH24:MI:SS')") ===

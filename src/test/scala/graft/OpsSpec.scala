@@ -151,6 +151,21 @@ class OpsSpec extends SparkSpecBase {
     assert(lsh.subsetOf(exact)) // verification admits no false positives
   }
 
+  test("approx-percentile twin tracks the exact q18 within the sketch error bound") {
+    val exact = SparkEntry.queries("q18_percentiles")(spark, sfDir).collect()
+    val approx = SparkEntry.queries("q18_percentiles_approx")(spark, sfDir).collect()
+    assert(exact.length === approx.length && exact.nonEmpty)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e.getString(0) === a.getString(0))          // same groups
+      assert(e.getLong(4) === a.getLong(4))              // exact counts
+      (1 to 3).foreach { i =>
+        val ev = e.getDouble(i); val av = a.getDouble(i)
+        assert(math.abs(av - ev) <= 0.05 * math.abs(ev) + 1e-9,
+          s"col $i: approx $av vs exact $ev")
+      }
+    }
+  }
+
   test("multimodal decode: metadata is deterministic and schema-stable") {
     val d = docsDF(1L -> "some payload", 2L -> "some payload", 3L -> "other")
     val out = MultimodalOps.decodeMeta(d, batchSize = 2).orderBy("doc_id").collect()
