@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming extension over the `events` schema (SURVEY.md §2.2
+  * Streaming). The reference has zero streaming operators — all three
+  * blueprints are batch CLIs — so this is the driver's declared extension
+  * layer: the same sessionization the batch corpus computes with LAG +
+  * cumulative flag (q17, `graft.queries.T2`), expressed with
+  * `session_window` + watermark so it runs incrementally over an unbounded
+  * source.
+  *
+  * Scale design: session state is per (user_id, open window) and bounded by
+  * the watermark — Spark drops state for sessions older than the watermark
+  * delay, so memory is O(active users), not O(history). The shuffle key is
+  * user_id — the same single-shuffle shape as the batch variant.
+  */
+object StreamingOps {
+
+  /** Gap-based sessionization of a (possibly streaming) events frame.
+    *
+    * Session membership matches batch q17: a user's events belong to one
+    * session while consecutive timestamps are within `gap` (q17 splits on
+    * gap > 30 min; `session_window` extends each event's window by `gap`
+    * and merges overlaps). Output: one row per closed-over session with
+    * the session start, event count, and the order-independent
+    * decimal-accumulated value total (same discipline as the batch corpus).
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .selectExpr("user_id", "unix_micros(sw.start) as start_us",
+        "n_events", "total_value")
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StreamingOps
+
+/** The streaming sessionization must agree with the batch LAG-gap
+  * sessionization (gated q17) on identical data: same sessions (start,
+  * membership count) and same decimal-accumulated value totals.
+  */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("session_window streaming sessionization equals batch q17 on the fixture") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.load(spark, sfDir, "events")
+      .select("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .collect()
+    assert(rows.nonEmpty)
+
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    stream.addData(rows.toSeq)
+    val q = StreamingOps.sessionize(stream.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("sess_stream")
+      .select("user_id", "start_us", "n_events", "total_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    val batch = SparkEntry.queries("q17_sessionize")(spark, sfDir)
+      .select("user_id", "start_us", "n_events", "total_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    assert(streamed === batch)
+  }
+
+  test("incremental delivery across batches yields the same closed sessions") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.load(spark, sfDir, "events")
+      .select("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .collect()
+      .sortBy(_._2.getTime)
+    val (first, second) = rows.splitAt(rows.length / 2)
+
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = StreamingOps.sessionize(stream.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("sess_inc")
+      .outputMode("complete").start()
+    try {
+      stream.addData(first.toSeq)
+      q.processAllAvailable()
+      stream.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("sess_inc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = SparkEntry.queries("q17_sessionize")(spark, sfDir)
+      .select("user_id", "start_us", "n_events", "total_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed === batch)
+  }
+}
