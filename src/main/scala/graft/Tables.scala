@@ -25,7 +25,12 @@ object Tables {
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // nanosAsLong must already be set on the session (GraftSession and
+      // every main set it at build time; mutating conf here would leak a
+      // session-wide side effect into later parquet reads).
+      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+        "events.parquet is TIMESTAMP(NANOS): build the session with " +
+          "spark.sql.legacy.parquet.nanosAsLong=true (GraftSession does)")
       spark.read
         .parquet(s"$dir/events.parquet")
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

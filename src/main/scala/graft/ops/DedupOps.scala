@@ -48,11 +48,19 @@ object DedupOps {
         "min(doc_id) over (partition by norm_key) as keep_id")
       .selectExpr("doc_id", "keep_id", "cast(doc_id <> keep_id as int) as is_dup")
 
-  /** Docs with their distinct 3-gram shingle sets (and set size). */
+  /** Docs with their distinct 3-gram shingle sets (and set size), hashed to
+    * 60-bit longs with the portable [[TextOps.h60]] BEFORE any join: the
+    * pair-generation shuffle and the set intersections then move 8-byte
+    * keys instead of ~25-byte strings. The DuckDB oracles hash with the
+    * same md5 formula, so cross-engine equality is preserved exactly (a
+    * within-doc 60-bit collision would be seen identically by both
+    * engines).
+    */
   private def shingled(docs: DataFrame): DataFrame =
     docs
       .selectExpr("doc_id", s"${TextOps.wordsExpr("text")} as w")
-      .selectExpr("doc_id", s"${TextOps.shinglesExpr("w")} as sh")
+      .selectExpr("doc_id", s"${TextOps.shinglesExpr("w")} as sh_txt")
+      .selectExpr("doc_id", s"transform(sh_txt, x -> ${TextOps.h60("x")}) as sh")
       .selectExpr("doc_id", "sh", "cast(size(sh) as bigint) as n_sh")
 
   /** Exact all-pairs word-3-gram Jaccard ≥ `threshold`. The pair join is
@@ -83,8 +91,7 @@ object DedupOps {
     */
   private def signatures(docs: DataFrame): DataFrame =
     shingled(docs)
-      .selectExpr("doc_id", "sh", "n_sh",
-        s"transform(sh, x -> ${TextOps.h60("x")} % ${P}L) as hs")
+      .selectExpr("doc_id", "sh", "n_sh", s"transform(sh, h -> h % ${P}L) as hs")
       .selectExpr("doc_id", "sh", "n_sh", s"minhash_sig(hs, $K) as sig")
 
   /** MinHash + LSH near-dup pairs at exact Jaccard ≥ `threshold`.

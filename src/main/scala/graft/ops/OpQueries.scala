@@ -24,10 +24,14 @@ object OpQueries {
        |  CASE WHEN i + 2 <= len($w) THEN $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2] END),
        |  x -> x IS NOT NULL))""".stripMargin
   /** Ground-truth all-pairs 3-gram Jaccard ≥ thr (shared by the exact op
-    * and as the recall oracle of the MinHash+LSH op). */
+    * and as the recall oracle of the MinHash+LSH op). Shingles are hashed
+    * to 60-bit longs with the same portable md5 formula as the Spark side
+    * (DedupOps.shingled) so both engines join/intersect identical key
+    * multisets. */
   private def dkJaccard(thr: Double) =
     s"""WITH d AS (SELECT doc_id, $dkWords AS w FROM documents),
-       |sh AS (SELECT doc_id, unnest(${dkShingles("w")}) AS s FROM d),
+       |s0 AS (SELECT doc_id, ${dkShingles("w")} AS sh_txt FROM d),
+       |sh AS (SELECT doc_id, unnest(list_transform(sh_txt, x -> ${dkH60("x")})) AS s FROM s0),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
