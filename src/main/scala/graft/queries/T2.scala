@@ -34,6 +34,17 @@ object T2 {
   private def t(s: SparkSession, d: String, name: String): DataFrame =
     Tables.load(s, d, name)
 
+  /** Shared WITH RECURSIVE text for q20 — identical in Spark and DuckDB.
+    * (Declared before `defs`, which captures it at object init.) */
+  private val recursiveSql: String =
+    """WITH RECURSIVE m(mo) AS (
+      |  SELECT 1 UNION ALL SELECT mo + 1 FROM m WHERE mo < 12)
+      |SELECT mo, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+      |FROM m LEFT JOIN orders
+      |  ON month(o_orderdate) = mo AND year(o_orderdate) = 1995
+      |GROUP BY mo
+      |ORDER BY mo""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // 1. Scan + filter + project (lineitem pricing). Filters push to parquet.
     QueryDef(
@@ -556,6 +567,65 @@ object T2 {
              |       json_valid(props) AS valid
              |FROM events
              |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+             |ORDER BY event_id""".stripMargin)),
+
+    // 20. Recursive CTE (SURVEY §2.2 🔴 → native in Spark 4): a 12-month
+    //     seed relation built by recursion, outer-joined to per-month 1995
+    //     order counts. Both engines run the same WITH RECURSIVE text.
+    QueryDef(
+      "q20_recursive_cte",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(recursiveSql)
+      },
+      Some(recursiveSql)),
+
+    // 21. HLLSKETCH ops (SURVEY §2.2 🔴 → done): materialized binary
+    //     sketches per group, merged with hll_combine — the
+    //     pre-aggregate-then-union pattern that avoids rescans at scale.
+    //     Estimates are engine-specific (DataSketches vs DuckDB's HLL), so
+    //     no SQL oracle; DialectSpec pins the error bound vs exact counts
+    //     and the combine-vs-direct consistency.
+    QueryDef(
+      "q21_hll_sketch",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(
+          """WITH per_status AS (
+            |  SELECT o_orderstatus, hll_create_sketch(o_custkey) AS sk,
+            |         hll(o_custkey) AS n_approx
+            |  FROM orders GROUP BY o_orderstatus)
+            |SELECT o_orderstatus, hll_cardinality(sk) AS n_custs, n_approx
+            |FROM per_status
+            |UNION ALL
+            |SELECT 'ALL' AS o_orderstatus,
+            |       hll_cardinality(hll_combine(sk)) AS n_custs,
+            |       CAST(NULL AS BIGINT) AS n_approx
+            |FROM per_status
+            |ORDER BY o_orderstatus""".stripMargin)
+      },
+      None),
+
+    // 22. SUPER / PartiQL navigation (SURVEY §2.2 🔴 → done via Variant):
+    //     JSON_PARSE into VARIANT, path navigation, serialize back. The
+    //     oracle navigates the same JSON with DuckDB's JSON functions.
+    QueryDef(
+      "q22_super_variant",
+      (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("events")
+        s.sql(
+          """SELECT event_id,
+            |       CAST(variant_get(json_parse(props), '$.k') AS BIGINT) AS k_num,
+            |       json_serialize(json_parse(props)) AS roundtrip
+            |FROM events
+            |WHERE CAST(variant_get(json_parse(props), '$.k') AS BIGINT) >= 50
+            |ORDER BY event_id""".stripMargin)
+      },
+      Some("""SELECT event_id,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+             |       CAST(json(props) AS VARCHAR) AS roundtrip
+             |FROM events
+             |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
              |ORDER BY event_id""".stripMargin))
   )
 }

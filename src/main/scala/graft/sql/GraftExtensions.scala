@@ -3,8 +3,11 @@ package graft.sql
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
-  Cast, Concat, Expression, ExpressionInfo, GetJsonObject, IsNotNull, Length,
-  LengthOfJsonArray, Literal, RegExpExtract, StringLocate}
+  Cast, Concat, Expression, ExpressionInfo, GetJsonObject, HllSketchEstimate,
+  IsNotNull, Length, LengthOfJsonArray, Literal, RegExpExtract, StringLocate}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  HllSketchAgg, HllUnionAgg, HyperLogLogPlusPlus}
+import org.apache.spark.sql.catalyst.expressions.variant.ParseJson
 import org.apache.spark.sql.types.{ArrayType, BooleanType, DoubleType, IntegerType, LongType, StringType}
 
 import graft.sql.expressions.{ArrayDot, Checksum, FnvHash, MinHashSig, SimHash60}
@@ -105,6 +108,35 @@ object GraftExtensions {
       (args: Seq[Expression]) => IsNotNull(GetJsonObject(args.head, Literal("$")))),
     (FunctionIdentifier("is_valid_json_array"),
       info("is_valid_json_array", "is_valid_json_array(s) - true iff s parses as a JSON array."),
-      (args: Seq[Expression]) => IsNotNull(LengthOfJsonArray(args.head)))
+      (args: Seq[Expression]) => IsNotNull(LengthOfJsonArray(args.head))),
+    // Redshift HLLSKETCH surface (SURVEY §2.2 🔴 → done) over Spark's
+    // Apache DataSketches expressions. The materialized sketch is a
+    // DataSketches HLL buffer in a BINARY column (Redshift's own sketch
+    // wire format is proprietary — the OPERATIONS are equivalent, the
+    // bytes are not; documented divergence). Sketches are mergeable
+    // across groups/partitions with hll_combine, which is the property
+    // that matters at 100 TB: pre-aggregate per partition/day, union
+    // later, never rescan.
+    (FunctionIdentifier("hll"),
+      info("hll", "hll(expr) - approximate distinct cardinality of expr (HyperLogLog++)."),
+      (args: Seq[Expression]) => new HyperLogLogPlusPlus(args.head)),
+    (FunctionIdentifier("hll_create_sketch"),
+      info("hll_create_sketch", "hll_create_sketch(expr) - aggregate expr into a binary HLL sketch."),
+      (args: Seq[Expression]) => new HllSketchAgg(args.head)),
+    (FunctionIdentifier("hll_cardinality"),
+      info("hll_cardinality", "hll_cardinality(sketch) - estimated distinct count of a sketch."),
+      (args: Seq[Expression]) => HllSketchEstimate(args.head)),
+    (FunctionIdentifier("hll_combine"),
+      info("hll_combine", "hll_combine(sketch) - aggregate-union of HLL sketches."),
+      (args: Seq[Expression]) => new HllUnionAgg(args.head)),
+    // Redshift SUPER surface (SURVEY §2.2 🔴 → done) over Spark 4 Variant:
+    // JSON_PARSE → parse_json (VariantType); navigation is native
+    // (`v:a.b[0]` / variant_get); JSON_SERIALIZE → cast back to JSON text.
+    (FunctionIdentifier("json_parse"),
+      info("json_parse", "json_parse(s) - parse JSON text into a VARIANT (Redshift SUPER)."),
+      (args: Seq[Expression]) => ParseJson(args.head, failOnError = true)),
+    (FunctionIdentifier("json_serialize"),
+      info("json_serialize", "json_serialize(v) - serialize a VARIANT back to JSON text."),
+      (args: Seq[Expression]) => Cast(args.head, StringType))
   )
 }

@@ -157,6 +157,41 @@ class DialectSpec extends SparkSpecBase {
     assert(n > 0)
   }
 
+  // ---- recursive CTE ----
+  test("WITH RECURSIVE executes natively (fixed-point union)") {
+    assert(sql1(
+      "WITH RECURSIVE f(n, x) AS (SELECT 1, 1 UNION ALL SELECT n + 1, x * (n + 1) FROM f WHERE n < 5) " +
+        "SELECT max(x) FROM f").getInt(0) === 120) // 5!
+  }
+
+  // ---- HLLSKETCH ops ----
+  test("hll sketch ops: create/cardinality/combine track exact distinct counts") {
+    Tables.registerAll(spark, sfDir)
+    val exact = spark.sql("SELECT COUNT(DISTINCT o_custkey) FROM orders")
+      .collect()(0).getLong(0)
+    val direct = sql1("SELECT hll(o_custkey) FROM orders").getLong(0)
+    assert(math.abs(direct - exact).toDouble / exact < 0.05, s"hll $direct vs $exact")
+    val viaSketch = sql1("SELECT hll_cardinality(hll_create_sketch(o_custkey)) FROM orders")
+      .getLong(0)
+    assert(math.abs(viaSketch - exact).toDouble / exact < 0.05)
+    // mergeability: per-group sketches combined == one global sketch
+    val combined = sql1(
+      """SELECT hll_cardinality(hll_combine(sk)) FROM
+        |  (SELECT o_orderstatus, hll_create_sketch(o_custkey) AS sk
+        |   FROM orders GROUP BY o_orderstatus)""".stripMargin).getLong(0)
+    assert(combined === viaSketch)
+  }
+
+  // ---- SUPER / Variant ----
+  test("json_parse/json_serialize round-trip and variant navigation") {
+    assert(sql1("""SELECT json_serialize(json_parse('{"k": 69}'))""")
+      .getString(0) === """{"k":69}""")
+    assert(sql1("""SELECT CAST(variant_get(json_parse('{"a": {"b": [1, 7]}}'), '$.a.b[1]') AS INT)""")
+      .getInt(0) === 7)
+    // native colon navigation on the parsed variant
+    assert(sql1("""SELECT json_parse('{"a": 5}'):a::int""").getInt(0) === 5)
+  }
+
   // ---- TO_CHAR ----
   test("TO_CHAR with date tokens becomes date_format with java tokens") {
     assert(rewrite("SELECT TO_CHAR(ts, 'YYYY-MM-DD HH24:MI:SS')") ===
