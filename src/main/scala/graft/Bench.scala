@@ -42,7 +42,12 @@ object Bench {
         case e: Throwable =>
           Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Ops that persist compute-once intermediates (simhash/minhash/
+      // jaccard/LSH signatures) must not carry cached blocks — and the
+      // memory pressure they create — into the next query's measurement.
+      spark.catalog.clearCache()
+      (name, dt, err)
     }
     val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }

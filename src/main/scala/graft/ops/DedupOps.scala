@@ -69,7 +69,10 @@ object DedupOps {
     */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val sh = shingled(docs)
-    val ex = sh.selectExpr("doc_id", "n_sh", "explode(sh) as s")
+    // persisted: the exploded (doc_id, shingle-hash) relation feeds both
+    // self-join sides — without it each side re-runs the full tokenize +
+    // md5 pipeline (the same compute-once pattern as simhashPairs).
+    val ex = sh.selectExpr("doc_id", "n_sh", "explode(sh) as s").persist()
     val inter = ex.as("a")
       .join(ex.as("b"), expr("a.s = b.s and a.doc_id < b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -103,7 +106,10 @@ object DedupOps {
     */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val r = K / B
-    val sig = signatures(docs)
+    // persisted: the signature projection feeds the two band-join sides AND
+    // the two verification joins — four re-runs of the tokenize + md5 +
+    // minhash pipeline without it. ~(n_sh·8 + K·8) bytes per doc.
+    val sig = signatures(docs).persist()
     val bands = sig.selectExpr("doc_id",
       s"""explode(transform(sequence(0, ${B - 1}), b ->
          |  concat_ws(':', b, element_at(sig, b * $r + 1), element_at(sig, b * $r + 2))))

@@ -64,4 +64,18 @@ class PlanSpec extends SparkSpecBase {
       p.contains("BroadcastHashJoin"), s"band join must be an equi-join:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("simhash pair generation is a block-key equi-join, not all pairs") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val p = graft.ops.DedupOps.simhashPairs(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"simhash candidates must come from the block equi-join:\n$p")
+  }
+
+  test("embedding LSH candidate generation is a band-key equi-join, not all pairs") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val p = graft.ops.VectorOps.cosineNearDupLsh(e).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH near-dup must never fall back to all-pairs:\n$p")
+  }
 }
