@@ -63,22 +63,39 @@ object DedupOps {
       .selectExpr("doc_id", s"transform(sh_txt, x -> ${TextOps.h60("x")}) as sh")
       .selectExpr("doc_id", "sh", "cast(size(sh) as bigint) as n_sh")
 
-  /** Exact all-pairs word-3-gram Jaccard ≥ `threshold`. The pair join is
-    * keyed on shingles (not a cross join): only docs sharing ≥1 shingle
-    * ever meet. Quadratic only within identical-shingle groups.
+  /** Exact all-pairs word-3-gram Jaccard ≥ `threshold`, with AllPairs-style
+    * prefix filtering (Bayardo et al., WWW'07 — public algorithm): under
+    * any fixed global order of shingles, two sets with J ≥ t must share an
+    * element within their first |X| − ⌈t·|X|⌉ + 1 shingles (pigeonhole on
+    * the ≥ ⌈t·|X|⌉ shared elements), so candidate generation joins ONLY on
+    * those prefixes. Ordering rarest-document-frequency-first puts the hot
+    * shingles — the quadratic blow-up in a naive shingle join — at the END
+    * of every set, where the prefix never reaches them. The filter is
+    * EXACT: verification computes true Jaccard on the full sets, and the
+    * candidate set provably contains every qualifying pair, so the output
+    * (and the DuckDB ground-truth oracle) is unchanged.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = shingled(docs)
-    // persisted: the exploded (doc_id, shingle-hash) relation feeds both
-    // self-join sides — without it each side re-runs the full tokenize +
-    // md5 pipeline (the same compute-once pattern as simhashPairs).
-    val ex = sh.selectExpr("doc_id", "n_sh", "explode(sh) as s").persist()
-    val inter = ex.as("a")
-      .join(ex.as("b"), expr("a.s = b.s and a.doc_id < b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
-      .agg(count(lit(1)).as("inter"))
-    inter
+    // persisted: feeds the frequency count, the prefix build, and both
+    // verification joins — one tokenize+md5 pass total.
+    val sets = shingled(docs).persist()
+    val ex = sets.selectExpr("doc_id", "n_sh", "explode(sh) as s")
+    val freq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val prefix = ex.join(freq, "s")
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(expr("sort_array(collect_list(struct(df, s)))").as("os"))
+      .selectExpr("doc_id",
+        s"transform(slice(os, 1, cast(n_sh - ceil($threshold * n_sh) + 1 as int)), x -> x.s) as ps")
+      .selectExpr("doc_id", "explode(ps) as s")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), expr("a.s = b.s and a.doc_id < b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.selectExpr("doc_id as doc_a", "sh as sha", "n_sh as na"), Seq("doc_a"))
+      .join(sets.selectExpr("doc_id as doc_b", "sh as shb", "n_sh as nb"), Seq("doc_b"))
+      .selectExpr("doc_a", "doc_b",
+        "cast(size(array_intersect(sha, shb)) as bigint) as inter", "na", "nb")
       .selectExpr("doc_a", "doc_b",
         "cast(inter as double) / (na + nb - inter) as jaccard")
       .filter(col("jaccard") >= threshold)

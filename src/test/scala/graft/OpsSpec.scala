@@ -36,6 +36,24 @@ class OpsSpec extends SparkSpecBase {
     assert(out(0).getDouble(2) === 1.0)
   }
 
+  test("prefix-filtered jaccard equals brute-force all-pairs at the threshold") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sets = docs
+      .selectExpr("doc_id", s"${graft.ops.TextOps.wordsExpr("text")} as w")
+      .selectExpr("doc_id", s"${graft.ops.TextOps.shinglesExpr("w")} as sh_txt")
+      .selectExpr("doc_id", s"transform(sh_txt, x -> ${graft.ops.TextOps.h60("x")}) as sh",
+        "cast(size(sh_txt) as bigint) as n_sh")
+    val brute = sets.as("a").join(sets.as("b"), expr("a.doc_id < b.doc_id"))
+      .selectExpr("a.doc_id as doc_a", "b.doc_id as doc_b",
+        "cast(size(array_intersect(a.sh, b.sh)) as double) / (a.n_sh + b.n_sh - size(array_intersect(a.sh, b.sh))) as j")
+      .filter(col("j") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filtered = DedupOps.jaccardPairs(docs, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(filtered === brute)
+  }
+
   test("minhash LSH finds exactly the exact-jaccard pairs on the fixture") {
     val docs = Tables.load(spark, sfDir, "documents")
     val exact = DedupOps.jaccardPairs(docs, 0.8)
