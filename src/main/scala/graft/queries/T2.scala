@@ -626,6 +626,60 @@ object T2 {
              |       CAST(json(props) AS VARCHAR) AS roundtrip
              |FROM events
              |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // 23. PIVOT (Redshift 2022+ SQL surface): orders cross-tabbed by
+    //     priority, counts + decimal-exact revenue per cell. Spark runs
+    //     native PIVOT; the oracle is the equivalent portable CASE-WHEN
+    //     aggregation (missing count cells coalesce to 0 on both sides —
+    //     Spark pivots them to NULL, DuckDB COUNT gives 0).
+    QueryDef(
+      "q23_pivot",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT o_orderstatus,
+            |       COALESCE(urgent_n, 0L) AS urgent_n, urgent_rev,
+            |       COALESCE(high_n, 0L) AS high_n, high_rev
+            |FROM (SELECT o_orderstatus, o_orderpriority, o_totalprice FROM orders)
+            |PIVOT (CAST(COUNT(*) AS BIGINT) AS n,
+            |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+            |       FOR o_orderpriority IN ('1-URGENT' AS urgent, '2-HIGH' AS high))
+            |ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS urgent_n,
+             |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS urgent_rev,
+             |  CAST(COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS high_n,
+             |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS high_rev
+             |FROM orders
+             |GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // 24. MEDIAN as a window function (Redshift allows `MEDIAN(x) OVER
+    //     (PARTITION BY k)`; Spark does not) — the documented rewrite
+    //     (SURVEY §2.2 window 🔧): exact per-group median once via groupBy,
+    //     broadcast-joined back to the rows. One aggregation + a broadcast
+    //     — strictly cheaper than a per-row window sort at any scale.
+    QueryDef(
+      "q24_median_window",
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        val med = l.groupBy(col("l_returnflag"))
+          .agg(expr("median(l_quantity)").as("med_qty"))
+        l.select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_quantity"))
+          .join(broadcast(med), Seq("l_returnflag"))
+          .selectExpr("l_orderkey", "l_linenumber", "l_returnflag",
+            "l_quantity", "med_qty")
+          // the synthetic fixture has duplicate (orderkey, linenumber)
+          // pairs, so the tie-break must span every column (identical
+          // rows are then interchangeable — hash-stable)
+          .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+             |       MEDIAN(l_quantity) OVER (PARTITION BY l_returnflag) AS med_qty
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin))
   )
 }

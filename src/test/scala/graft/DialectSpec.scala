@@ -157,6 +157,22 @@ class DialectSpec extends SparkSpecBase {
     assert(n > 0)
   }
 
+  // ---- PIVOT / UNPIVOT ----
+  test("PIVOT and UNPIVOT execute natively") {
+    Tables.registerAll(spark, sfDir)
+    val piv = spark.sql(
+      """SELECT * FROM (SELECT o_orderstatus, o_orderpriority FROM orders)
+        |PIVOT (COUNT(*) FOR o_orderpriority IN ('1-URGENT' AS urgent, '2-HIGH' AS high))
+        |ORDER BY o_orderstatus""".stripMargin).collect()
+    assert(piv.nonEmpty && piv.head.schema.fieldNames.toSeq === Seq("o_orderstatus", "urgent", "high"))
+    val unpiv = spark.sql(
+      """SELECT * FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+        |                      CAST(o_custkey AS DOUBLE) AS cust
+        |               FROM orders LIMIT 3)
+        |UNPIVOT (val FOR metric IN (price, cust))""".stripMargin).collect()
+    assert(unpiv.length === 6) // 3 rows × 2 unpivoted metrics
+  }
+
   // ---- recursive CTE ----
   test("WITH RECURSIVE executes natively (fixed-point union)") {
     assert(sql1(
