@@ -64,4 +64,45 @@ object MultimodalOps {
       }
     }
   }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", LongType),
+    StructField("dim_j", LongType),
+    StructField("feat", DoubleType)))
+
+  /** Frame sampling + per-frame feature extraction — the video leg of the
+    * pipeline: every `every`-th frame of each media payload yields a
+    * `dim`-dimensional feature row. Same mapPartitions shape as
+    * [[decodeMeta]] (per-task codec init, lazy iterators, no collect);
+    * frame count reuses [[decodeStub]]'s metadata hash so the two stages
+    * agree on media geometry. The "features" are the deterministic stub
+    * tier (md5 of payload:frame fanned into [0,1) doubles) — swap the
+    * inner loop for a real decoder+embedder; schema, batching and
+    * partitioning stay as they are. Output is one scalar row per
+    * (doc, frame, dim) so the oracle comparison stays array-free.
+    */
+  def frameFeatures(docs: DataFrame, every: Int = 4, dim: Int = 4,
+                    batchSize: Int = 32): DataFrame = {
+    val src = docs.select(col("doc_id"), col("text"))
+    implicit val enc = RowEncoder.encoderFor(frameSchema)
+    src.mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5") // the per-task "codec"
+      def h60(s: String): Long = java.lang.Long.parseLong(
+        md.digest(s.getBytes(StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString.substring(0, 15), 16)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          val text = r.getString(1)
+          val nFrames = 1L + h60(text) % 30L
+          (0L until nFrames by every.toLong).iterator.flatMap { f =>
+            val h = h60(s"$text:$f")
+            (0 until dim).iterator.map(j =>
+              Row(id, f, j.toLong, ((h >>> (8 * j)) % 1000L) / 1000.0))
+          }
+        }
+      }
+    }.orderBy("doc_id", "frame_idx", "dim_j")
+  }
 }

@@ -197,6 +197,21 @@ object OpQueries {
               |  64 + (${dkH60("text")} >> 10) % 1024 AS height,
               |  1 + ${dkH60("text")} % 30 AS n_frames,
               |  CASE ${dkH60("text")} % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS codec
-              |FROM documents ORDER BY doc_id""".stripMargin))
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Frame sampling + per-frame features (video leg): mapPartitions
+    // plumbing on the Spark side, mirrored md5 arithmetic in the oracle.
+    QueryDef("op_multimodal_frames",
+      (s, d) => MultimodalOps.frameFeatures(docs(s, d)),
+      Some(s"""WITH f AS (SELECT doc_id, text,
+              |             1 + (${dkH60("text")} % 30) AS n_frames FROM documents),
+              |u AS (SELECT doc_id, text, unnest(range(0, n_frames, 4)) AS frame_idx FROM f),
+              |d AS (SELECT doc_id, frame_idx, unnest(range(0, 4)) AS dim_j,
+              |        ${dkH60("concat(text, ':', CAST(frame_idx AS VARCHAR))")} AS h
+              |      FROM u)
+              |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+              |       CAST(dim_j AS BIGINT) AS dim_j,
+              |       CAST((h >> (8 * dim_j)) % 1000 AS DOUBLE) / 1000.0 AS feat
+              |FROM d ORDER BY doc_id, frame_idx, dim_j""".stripMargin))
   )
 }

@@ -194,6 +194,25 @@ class BlueprintSpec extends SparkSpecBase {
     assert(part.count() === 50)
   }
 
+  test("full blueprint cycle over JDBC: CSV → upload CLI → Derby → store CLI → CSV") {
+    writeCsv("jdbc_cycle/src.csv", "id,city,amt\n1,oslo,10.5\n2,lima,20.0\n3,oslo,4.5\n")
+    val n = UploadFile.run(spark, MatchType.Exact, s"$tmp/jdbc_cycle", "src.csv",
+      "cycle_t", InsertMethod.Replace, schema = Some("bpc"), conn = Some(derby))
+    assert(n === 1)
+    // Spark's Derby dialect writes StringType as CLOB, which Derby cannot
+    // GROUP BY — the remote query casts back to VARCHAR (a remote-engine
+    // quirk the pass-through contract exposes verbatim, by design)
+    val dest = StoreQueryResults.run(spark,
+      """SELECT CAST("city" AS VARCHAR(32)) AS "city", COUNT(*) AS "n", SUM("amt") AS "total"
+        |FROM "bpc"."cycle_t" GROUP BY CAST("city" AS VARCHAR(32))
+        |ORDER BY 1""".stripMargin,
+      s"$tmp/jdbc_cycle/out", "agg.csv", header = true, conn = Some(derby))
+    val lines = Files.readAllLines(Paths.get(dest))
+    assert(lines.get(0) === "city,n,total")
+    assert(lines.size === 3)
+    assert(lines.get(2).startsWith("oslo,2,15.0"))
+  }
+
   test("csv sink scale path writes a directory of parts") {
     Tables.registerAll(spark, sfDir)
     val df = spark.sql("SELECT o_orderkey FROM orders").repartition(4)

@@ -184,6 +184,22 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("frame features: sampling stride and frame count agree with decode metadata") {
+    val d = docsDF(1L -> "clip one payload", 2L -> "clip two")
+    val meta = MultimodalOps.decodeMeta(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap // doc_id -> n_frames
+    val frames = MultimodalOps.frameFeatures(d, every = 4, dim = 4).collect()
+    frames.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      val expectFrames = (0L until meta(id) by 4L).toSet
+      assert(rows.map(_.getLong(1)).toSet === expectFrames) // every 4th frame
+      assert(rows.length === expectFrames.size * 4)         // dim rows per frame
+    }
+    frames.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0))
+    // deterministic: same payload, same features
+    val again = MultimodalOps.frameFeatures(d, every = 4, dim = 4).collect()
+    assert(frames.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("multimodal decode: metadata is deterministic and schema-stable") {
     val d = docsDF(1L -> "some payload", 2L -> "some payload", 3L -> "other")
     val out = MultimodalOps.decodeMeta(d, batchSize = 2).orderBy("doc_id").collect()
