@@ -82,14 +82,41 @@ object VectorOps {
       .orderBy("qid", "rank")
   }
 
+  /** Lloyd k-means refinement of IVF centroids: assign every vector to its
+    * nearest (cosine) centroid, recompute each centroid as the element-wise
+    * mean of its members, repeat. Each iteration is one broadcast join +
+    * one (cell, dimension)-keyed aggregation — both map-side combinable,
+    * nothing driver-side, centroid count stays tiny so the broadcast is
+    * free. Empty cells keep their previous centroid (left join fallback).
+    */
+  private def refineCells(c: DataFrame, cells0: DataFrame, iters: Int): DataFrame = {
+    var cells = cells0
+    for (_ <- 0 until iters) {
+      val wa = Window.partitionBy("nid").orderBy(col("cell_cos").desc, col("cell_id"))
+      val means = c.join(broadcast(cells))
+        .selectExpr("nid", "nv", "cell_id",
+          s"${cosExpr("cv", "nv", "norm_cv", "norm_nv")} as cell_cos")
+        .withColumn("arank", row_number().over(wa)).filter(col("arank") === 1)
+        .selectExpr("cell_id", "posexplode(nv) as (pos, x)")
+        .groupBy("cell_id", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cell_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("mv"))
+      cells = cells.as("old")
+        .join(means.as("new"), Seq("cell_id"), "left")
+        .selectExpr("cell_id", "coalesce(mv, cv) as cv")
+        .selectExpr("cell_id", "cv", "array_dot(cv, cv) as norm_cv")
+    }
+    cells
+  }
+
   /** IVF-bucketed approximate top-k — the sub-linear scale path.
     *
-    * Cells are the `nCells` lowest-vec_id vectors used as fixed centroids
-    * (a k-means iteration would refine them; centroid choice is orthogonal
-    * to the plumbing being exercised). Every corpus vector is assigned to
-    * its nearest cell (one broadcast join, one pass); a query probes its
-    * `nProbe` nearest cells and ranks only vectors in those cells —
-    * scanning ~nProbe/nCells of the corpus instead of all of it.
+    * Centroids seed from the `nCells` lowest-vec_id vectors and are
+    * refined with `kmeansIters` Lloyd iterations ([[refineCells]]). Every
+    * corpus vector is assigned to its nearest cell (one broadcast join,
+    * one pass); a query probes its `nProbe` nearest cells and ranks only
+    * vectors in those cells — scanning ~nProbe/nCells of the corpus
+    * instead of all of it.
     *
     * NOTE: fixture embeddings are uniform random — the hardest case for
     * any ANN structure (no cluster structure to exploit), so recall here
@@ -98,9 +125,12 @@ object VectorOps {
     * asserted in OpsSpec.
     */
   def cosineTopKIvf(emb: DataFrame, k: Int = 5, nQueries: Int = 20,
-                    nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cells = withNorm(emb.filter(col("vec_id") < nCells), "cell_id", "cv")
+                    nCells: Int = 16, nProbe: Int = 4,
+                    kmeansIters: Int = 2): DataFrame = {
     val c = withNorm(emb, "nid", "nv")
+    val cells = refineCells(c,
+      withNorm(emb.filter(col("vec_id") < nCells), "cell_id", "cv"), kmeansIters)
+      .persist()
     // assign: nearest cell per corpus vector
     val wa = Window.partitionBy("nid").orderBy(col("cell_cos").desc, col("cell_id"))
     val assigned = c.join(broadcast(cells))
