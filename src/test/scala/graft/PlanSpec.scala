@@ -78,4 +78,19 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"LSH near-dup must never fall back to all-pairs:\n$p")
   }
+
+  test("q24 median-window rewrite broadcasts the tiny per-group medians") {
+    val p = plan("q24_median_window")
+    assert(p.contains("BroadcastHashJoin"), s"medians side must broadcast:\n$p")
+  }
+
+  test("text ops prune the documents scan to doc_id + text") {
+    val p = SparkEntry.queries("op_text_stats")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+    // the fixture's lang/source/n_chars columns must NOT be read
+    assert(!readSchema.contains("lang") && !readSchema.contains("source") &&
+      !readSchema.contains("n_chars"), s"unneeded column read:\n$readSchema")
+  }
 }
