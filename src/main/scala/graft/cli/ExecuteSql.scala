@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.GraftSession
 import graft.config.{ArgParser, ConnectionConfig}
-import graft.sql.RedshiftSql
+import graft.sql.{LocalDml, RedshiftSql}
 
 /** Blueprint CLI #3: SQL pass-through executor (SURVEY.md §2.1 A10;
   * reference `execute_sql.py:62-79`).
@@ -43,8 +43,12 @@ object ExecuteSql {
         try { val st = jc.createStatement(); try st.execute(query) finally st.close() }
         finally jc.close()
       case None =>
-        // DDL/DML execute eagerly from spark.sql; SELECTs need an action to
+        val rewritten = RedshiftSql.rewrite(query)
+        // Local UPDATE/DELETE get copy-on-write emulation (Spark has no
+        // row-level DML on plain parquet tables); everything else runs on
+        // spark.sql. DDL/DML execute eagerly; SELECTs need an action to
         // actually run (the reference also discards SELECT results here).
-        spark.sql(RedshiftSql.rewrite(query)).foreach(_ => ())
+        if (!LocalDml.run(spark, rewritten))
+          spark.sql(rewritten).foreach(_ => ())
     }
 }

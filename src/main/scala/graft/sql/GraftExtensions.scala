@@ -3,8 +3,9 @@ package graft.sql
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
-  Cast, Concat, Expression, ExpressionInfo, GetJsonObject, HllSketchEstimate,
-  IsNotNull, Length, LengthOfJsonArray, Literal, RegExpExtract, StringLocate}
+  Add, Cast, Concat, Divide, Expression, ExpressionInfo, GetJsonObject,
+  HllSketchEstimate, IsNotNull, Length, LengthOfJsonArray, Literal, Multiply,
+  Pow, RegExpExtract, Size, Slice, StringLocate, StringSplitSQL, TruncDate}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   HllSketchAgg, HllUnionAgg, HyperLogLogPlusPlus}
 import org.apache.spark.sql.catalyst.expressions.variant.ParseJson
@@ -137,6 +138,36 @@ object GraftExtensions {
       (args: Seq[Expression]) => ParseJson(args.head, failOnError = true)),
     (FunctionIdentifier("json_serialize"),
       info("json_serialize", "json_serialize(v) - serialize a VARIANT back to JSON text."),
-      (args: Seq[Expression]) => Cast(args.head, StringType))
+      (args: Seq[Expression]) => Cast(args.head, StringType)),
+    // Redshift array-over-SUPER function names (SURVEY §2.2 array 🔧 row).
+    (FunctionIdentifier("array_concat"),
+      info("array_concat", "array_concat(a, b, ...) - concatenate arrays."),
+      (args: Seq[Expression]) => Concat(args)),
+    (FunctionIdentifier("array_flatten"),
+      info("array_flatten", "array_flatten(a) - flatten an array of arrays one level."),
+      (args: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions.Flatten(args.head)),
+    (FunctionIdentifier("get_array_length"),
+      info("get_array_length", "get_array_length(a) - number of elements, as BIGINT."),
+      (args: Seq[Expression]) => Cast(Size(args.head), LongType)),
+    (FunctionIdentifier("split_to_array"),
+      info("split_to_array", "split_to_array(s[, delim]) - split on a LITERAL delimiter (default ','), Redshift arg order."),
+      (args: Seq[Expression]) =>
+        StringSplitSQL(args.head, args.lift(1).getOrElse(Literal(",")))),
+    (FunctionIdentifier("subarray"),
+      info("subarray", "subarray(a, start, len) - len elements from 0-based start (Redshift indexing)."),
+      (args: Seq[Expression]) =>
+        Slice(args(0), Add(Cast(args(1), IntegerType), Literal(1)), Cast(args(2), IntegerType))),
+    // Redshift TRUNC is polymorphic; Spark's trunc is date-only. With a
+    // string-literal format the native date behavior is preserved; with a
+    // numeric scale (or one arg) this truncates toward zero like Redshift.
+    (FunctionIdentifier("trunc"),
+      info("trunc", "trunc(date, 'fmt') - date truncation; trunc(x[, scale]) - numeric truncation toward zero."),
+      (args: Seq[Expression]) => args match {
+        case Seq(x, fmt @ Literal(_, StringType)) => TruncDate(x, fmt)
+        case Seq(x, scale) =>
+          val s = Pow(Literal(10.0), Cast(scale, DoubleType))
+          Divide(Cast(Cast(Multiply(Cast(x, DoubleType), s), LongType), DoubleType), s)
+        case Seq(x) => Cast(Cast(x, LongType), DoubleType)
+      })
   )
 }

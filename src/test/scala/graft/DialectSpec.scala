@@ -157,6 +157,48 @@ class DialectSpec extends SparkSpecBase {
     assert(n > 0)
   }
 
+  // ---- array function aliases ----
+  test("Redshift array functions resolve and compute") {
+    val r = sql1(
+      """SELECT array_concat(array(1, 2), array(3)) AS c,
+        |       array_flatten(array(array(1), array(2, 3))) AS f,
+        |       get_array_length(array(1, 2, 3)) AS l,
+        |       split_to_array('a,b,c') AS s1,
+        |       split_to_array('a|b|c', '|') AS s2,
+        |       subarray(array(10, 20, 30, 40), 1, 2) AS sub""".stripMargin)
+    assert(r.getSeq[Int](0) === Seq(1, 2, 3))
+    assert(r.getSeq[Int](1) === Seq(1, 2, 3))
+    assert(r.getLong(2) === 3L)
+    assert(r.getSeq[String](3) === Seq("a", "b", "c"))
+    assert(r.getSeq[String](4) === Seq("a", "b", "c")) // literal '|', not regex
+    assert(r.getSeq[Int](5) === Seq(20, 30))           // 0-based Redshift start
+  }
+
+  test("trunc is polymorphic: date with a format literal, numeric otherwise") {
+    assert(sql1("SELECT trunc(DATE '2024-07-19', 'MM')").get(0).toString === "2024-07-01")
+    assert(sql1("SELECT trunc(123.456, 1)").getDouble(0) === 123.4)
+    assert(sql1("SELECT trunc(-123.456, 2)").getDouble(0) === -123.45) // toward zero
+    assert(sql1("SELECT trunc(987.654)").getDouble(0) === 987.0)
+  }
+
+  // ---- local UPDATE / DELETE (copy-on-write) ----
+  test("local UPDATE and DELETE run via copy-on-write swap") {
+    import spark.implicits._
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "tag", "amt")
+      .write.mode("overwrite").saveAsTable("dml_t")
+    graft.cli.ExecuteSql.run(spark,
+      "UPDATE dml_t SET amt = amt * 2, tag = upper(tag) WHERE id >= 2", None)
+    val afterUpdate = spark.table("dml_t").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(afterUpdate === Array((1L, "a", 10.0), (2L, "B", 40.0), (3L, "C", 60.0)))
+    graft.cli.ExecuteSql.run(spark, "DELETE FROM dml_t WHERE amt > 50", None)
+    assert(spark.table("dml_t").count() === 2)
+    graft.cli.ExecuteSql.run(spark, "DELETE FROM dml_t", None)
+    assert(spark.table("dml_t").count() === 0)
+    // schema survives the swap
+    assert(spark.table("dml_t").schema.fieldNames.toSeq === Seq("id", "tag", "amt"))
+  }
+
   // ---- PIVOT / UNPIVOT ----
   test("PIVOT and UNPIVOT execute natively") {
     Tables.registerAll(spark, sfDir)
