@@ -199,6 +199,26 @@ object OpQueries {
               |  CASE ${dkH60("text")} % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS codec
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // As-of join over events (last view before each click, per user):
+    // union + per-key window — one shuffle, no range-join pair blow-up.
+    // Oracle = DuckDB's native ASOF LEFT JOIN.
+    QueryDef("op_asof_join",
+      (s, d) => {
+        val e = Tables.load(s, d, "events")
+        val clicks = e.filter("event_type = 'click'")
+          .select("event_id", "user_id", "ts")
+        val views = e.filter("event_type = 'view'").select("user_id", "ts")
+        AsOfOps.asof(clicks, views, "user_id", "ts", "ts")
+          .selectExpr("event_id", "user_id", "unix_micros(ts) as ts_us",
+            "unix_micros(asof_ts) as view_ts_us")
+          .orderBy("event_id")
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+             |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, epoch_us(v.ts) AS view_ts_us
+             |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+             |ORDER BY c.event_id""".stripMargin)),
+
     // Frame sampling + per-frame features (video leg): mapPartitions
     // plumbing on the Spark side, mirrored md5 arithmetic in the oracle.
     QueryDef("op_multimodal_frames",

@@ -1,35 +1,43 @@
 package graft.sql
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, lit}
 
 import SqlTokens._
 
-/** Local UPDATE / DELETE emulation for session-catalog tables (SURVEY §2.2
-  * DML 🔴): vanilla parquet tables have no row-level mutation, so the
-  * statement is rewritten into a copy-on-write swap — materialize the new
-  * table contents with CTAS (fully executed before anything is dropped),
-  * then DROP + RENAME. Logically the same mechanism ACID table formats use
-  * per-file; here the unit is the whole table, which is the honest contract
-  * for format-agnostic parquet. Remote (JDBC) DML keeps going through the
-  * raw-statement pass-through in [[graft.cli.ExecuteSql]], matching the
-  * reference (`execute_sql.py:64,77`).
+/** Local UPDATE / DELETE / MERGE emulation for session-catalog tables
+  * (SURVEY §2.2 DML 🔴): vanilla parquet tables have no row-level
+  * mutation, so each statement is rewritten into a copy-on-write swap —
+  * materialize the new table contents (fully executed before anything is
+  * dropped), then DROP + RENAME. Logically the same mechanism ACID table
+  * formats use per-file; here the unit is the whole table, which is the
+  * honest contract for format-agnostic parquet. Remote (JDBC) DML keeps
+  * going through the raw-statement pass-through in
+  * [[graft.cli.ExecuteSql]], matching the reference
+  * (`execute_sql.py:64,77`).
   *
   * Grammar handled (tokenized — literals/comments never corrupted):
   *   UPDATE <table> SET col = expr [, col = expr]* [WHERE pred]
   *   DELETE FROM <table> [WHERE pred]
-  * MERGE stays deferred (documented).
+  *   MERGE INTO <t> [alias] USING <s> [alias] ON <cond>
+  *     [WHEN MATCHED [AND <cond>] THEN UPDATE SET … | DELETE]
+  *     [WHEN NOT MATCHED [AND <cond>] THEN INSERT [(cols)] VALUES (exprs)]
+  * Like Redshift, MERGE requires each target row to match at most one
+  * source row (a multi-match would duplicate the target row — caller's
+  * contract, as in Redshift's documented restriction).
   */
 object LocalDml {
 
-  /** Runs `sql` as emulated local DML if it is an UPDATE/DELETE statement;
-    * returns false when the statement is not DML (caller falls back to
-    * `spark.sql`). */
+  /** Runs `sql` as emulated local DML if it is an UPDATE/DELETE/MERGE
+    * statement; returns false when the statement is not DML (caller falls
+    * back to `spark.sql`). */
   def run(spark: SparkSession, sql: String): Boolean = {
     val toks = tokenize(sql)
     val first = nextCode(toks, 0)
     if (first >= toks.length) return false
     if (toks(first).isWord("update")) { runUpdate(spark, toks, first); true }
     else if (toks(first).isWord("delete")) { runDelete(spark, toks, first); true }
+    else if (toks(first).isWord("merge")) { runMerge(spark, toks, first); true }
     else false
   }
 
@@ -86,12 +94,162 @@ object LocalDml {
     swap(spark, table, s"SELECT ${select.mkString(", ")} FROM $table")
   }
 
-  /** Copy-on-write: CTAS fully materializes the new contents (the SELECT
-    * executes before any catalog change), then drop + rename swaps it in. */
-  private def swap(spark: SparkSession, table: String, select: String): Unit = {
+  private case class WhenClause(matched: Boolean, extraCond: Option[String],
+                                action: Vector[Tok])
+
+  private def runMerge(spark: SparkSession, toks: Vector[Tok], at: Int): Unit = {
+    val into = nextCode(toks, at + 1)
+    require(into < toks.length && toks(into).isWord("into"), "MERGE must be MERGE INTO")
+    val (target, afterT) = tableName(toks, into + 1)
+    val (tAlias, afterTA) = optionalAlias(toks, afterT, stop = Set("using"))
+    val usingAt = nextCode(toks, afterTA)
+    require(usingAt < toks.length && toks(usingAt).isWord("using"), "MERGE needs USING <source>")
+    val (source, afterS) = tableName(toks, usingAt + 1)
+    val (sAlias, afterSA) = optionalAlias(toks, afterS, stop = Set("on"))
+    val on = nextCode(toks, afterSA)
+    require(on < toks.length && toks(on).isWord("on"), "MERGE needs ON <condition>")
+
+    // split the remainder into ON-cond + WHEN clauses at depth 0
+    var depth = 0
+    val whenIdx = Vector.newBuilder[Int]
+    for (i <- (on + 1) until toks.length) {
+      val t = toks(i)
+      if (t.kind == Sym && t.text == "(") depth += 1
+      else if (t.kind == Sym && t.text == ")") depth -= 1
+      else if (t.isWord("when") && depth == 0) whenIdx += i
+    }
+    val whens = whenIdx.result()
+    require(whens.nonEmpty, "MERGE needs at least one WHEN clause")
+    val cond = render(toks.slice(on + 1, whens.head)).trim
+
+    val clauses = (whens :+ toks.length).sliding(2).toSeq.map { case Seq(a, b) =>
+      var i = nextCode(toks, a + 1)
+      val matched = if (toks(i).isWord("not")) { i = nextCode(toks, i + 1); false } else true
+      require(toks(i).isWord("matched"), "WHEN must be WHEN [NOT] MATCHED")
+      i = nextCode(toks, i + 1)
+      val extra = if (i < b && toks(i).isWord("and")) {
+        val thenAt = (i until b).find(j => toks(j).isWord("then") &&
+          toks.slice(i, j).count(t => t.kind == Sym && t.text == "(") ==
+            toks.slice(i, j).count(t => t.kind == Sym && t.text == ")"))
+          .getOrElse(sys.error("WHEN … AND needs THEN"))
+        val c = render(toks.slice(i + 1, thenAt)).trim
+        i = thenAt
+        Some(c)
+      } else None
+      require(toks(i).isWord("then"), "WHEN clause needs THEN")
+      WhenClause(matched, extra, toks.slice(nextCode(toks, i + 1), b))
+    }
+
+    val ta = tAlias.getOrElse(target)
+    val sa = sAlias.getOrElse(source)
+    val tDf = spark.table(target)
+    val sDf = spark.table(source).withColumn("__m", lit(true))
+    val fields = tDf.schema.fields
+
+    // target side: apply the (single) MATCHED clause over a left join
+    val joined = tDf.alias(ta).join(sDf.alias(sa), expr(cond), "left")
+    val matchedClauses = clauses.filter(_.matched)
+    require(matchedClauses.size <= 1, "at most one WHEN MATCHED clause is supported")
+    val kept: DataFrame = matchedClauses.headOption match {
+      case None =>
+        joined.selectExpr(fields.map(f => s"$ta.`${f.name}` AS `${f.name}`").toSeq: _*)
+      case Some(wc) =>
+        val isMatch = "coalesce(__m, false)" +
+          wc.extraCond.map(c => s" AND ($c)").getOrElse("")
+        val action = wc.action
+        if (action.nonEmpty && action(0).isWord("delete")) {
+          joined.filter(expr(s"NOT ($isMatch)"))
+            .selectExpr(fields.map(f => s"$ta.`${f.name}` AS `${f.name}`").toSeq: _*)
+        } else {
+          require(action.nonEmpty && action(0).isWord("update"),
+            "WHEN MATCHED action must be UPDATE SET … or DELETE")
+          val set = nextCode(action, 1)
+          require(set < action.length && action(set).isWord("set"), "UPDATE needs SET")
+          val assigns = parseAssignments(action.slice(set + 1, action.length))
+          joined.selectExpr(fields.map { f =>
+            assigns.get(f.name.toLowerCase) match {
+              case Some(e) =>
+                s"CASE WHEN $isMatch THEN ($e) ELSE $ta.`${f.name}` END AS `${f.name}`"
+              case None => s"$ta.`${f.name}` AS `${f.name}`"
+            }
+          }.toSeq: _*)
+        }
+    }
+
+    // insert side: WHEN NOT MATCHED over an anti join of source vs target
+    val inserts: Option[DataFrame] = clauses.find(!_.matched).map { wc =>
+      val action = wc.action
+      require(action.nonEmpty && action(0).isWord("insert"),
+        "WHEN NOT MATCHED action must be INSERT")
+      var i = nextCode(action, 1)
+      val cols: Seq[String] =
+        if (i < action.length && action(i).kind == Sym && action(i).text == "(") {
+          val close = matchParen(action, i)
+          val names = render(action.slice(i + 1, close)).split(",")
+            .map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+          i = nextCode(action, close + 1)
+          names
+        } else fields.map(_.name).toSeq
+      require(i < action.length && action(i).isWord("values"), "INSERT needs VALUES (…)")
+      val open = nextCode(action, i + 1)
+      require(open < action.length && action(open).text == "(", "VALUES needs (…)")
+      val close = matchParen(action, open)
+      val exprs = topCommas(action, open, close)
+        .foldLeft((open, Vector.empty[String])) { case ((from, acc), comma) =>
+          (comma, acc :+ render(action.slice(from + 1, comma)).trim)
+        } match { case (from, acc) => acc :+ render(action.slice(from + 1, close)).trim }
+      require(exprs.length == cols.length, "INSERT column/value count mismatch")
+      val valueOf = cols.map(_.toLowerCase).zip(exprs).toMap
+      val anti = spark.table(source).alias(sa).join(tDf.alias(ta), expr(cond), "left_anti")
+      val antiFiltered = wc.extraCond.fold(anti)(c => anti.filter(expr(c)))
+      antiFiltered.selectExpr(fields.map { f =>
+        valueOf.get(f.name.toLowerCase) match {
+          case Some(v) => s"CAST(($v) AS ${f.dataType.sql}) AS `${f.name}`"
+          case None => s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`"
+        }
+      }.toSeq: _*)
+    }
+
+    swapDf(spark, target, inserts.fold(kept)(kept.unionByName(_)))
+  }
+
+  private def optionalAlias(toks: Vector[Tok], from: Int,
+                            stop: Set[String]): (Option[String], Int) = {
+    var i = nextCode(toks, from)
+    if (i < toks.length && toks(i).isWord("as")) i = nextCode(toks, i + 1)
+    if (i < toks.length && toks(i).kind == Word &&
+        !stop.contains(toks(i).text.toLowerCase))
+      (Some(toks(i).text), i + 1)
+    else (None, from)
+  }
+
+  private def parseAssignments(frag: Vector[Tok]): Map[String, String] = {
+    var depth = 0
+    val commas = Vector.newBuilder[Int]
+    for (i <- frag.indices) {
+      val t = frag(i)
+      if (t.kind == Sym && t.text == "(") depth += 1
+      else if (t.kind == Sym && t.text == ")") depth -= 1
+      else if (t.kind == Sym && t.text == "," && depth == 0) commas += i
+    }
+    ((-1) +: commas.result() :+ frag.length).sliding(2).toSeq.map { case Seq(a, b) =>
+      val piece = frag.slice(a + 1, b)
+      val eq = piece.indexWhere(t => t.kind == Sym && t.text == "=")
+      require(eq > 0, s"malformed assignment: ${render(piece)}")
+      val col = render(piece.slice(0, eq)).trim.stripPrefix("`").stripSuffix("`")
+      col.toLowerCase -> render(piece.slice(eq + 1, piece.length)).trim
+    }.toMap
+  }
+
+  /** Copy-on-write: the new contents materialize fully (the read plan still
+    * sees the old table) before drop + rename swaps them in. */
+  private def swap(spark: SparkSession, table: String, select: String): Unit =
+    swapDf(spark, table, spark.sql(select))
+
+  private def swapDf(spark: SparkSession, table: String, df: DataFrame): Unit = {
     val tmp = s"${table}__graft_cow"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    spark.sql(s"CREATE TABLE $tmp AS $select")
+    df.write.saveAsTable(tmp)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }

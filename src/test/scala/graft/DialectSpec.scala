@@ -199,6 +199,35 @@ class DialectSpec extends SparkSpecBase {
     assert(spark.table("dml_t").schema.fieldNames.toSeq === Seq("id", "tag", "amt"))
   }
 
+  test("local MERGE: matched update + not-matched insert via copy-on-write") {
+    import spark.implicits._
+    Seq((1L, 100.0), (2L, 200.0)).toDF("id", "amt")
+      .write.mode("overwrite").saveAsTable("merge_t")
+    Seq((2L, 5.0), (3L, 7.0)).toDF("id", "delta")
+      .write.mode("overwrite").saveAsTable("merge_s")
+    graft.cli.ExecuteSql.run(spark,
+      """MERGE INTO merge_t USING merge_s ON merge_t.id = merge_s.id
+        |WHEN MATCHED THEN UPDATE SET amt = merge_t.amt + merge_s.delta
+        |WHEN NOT MATCHED THEN INSERT (id, amt) VALUES (merge_s.id, merge_s.delta)""".stripMargin,
+      None)
+    val rows = spark.table("merge_t").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows === Array((1L, 100.0), (2L, 205.0), (3L, 7.0)))
+  }
+
+  test("local MERGE: matched delete with an extra condition") {
+    import spark.implicits._
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "amt")
+      .write.mode("overwrite").saveAsTable("merge_d")
+    Seq((1L, 0), (2L, 1)).toDF("id", "kill")
+      .write.mode("overwrite").saveAsTable("merge_ds")
+    graft.cli.ExecuteSql.run(spark,
+      """MERGE INTO merge_d USING merge_ds ON merge_d.id = merge_ds.id
+        |WHEN MATCHED AND merge_ds.kill = 1 THEN DELETE""".stripMargin, None)
+    val ids = spark.table("merge_d").orderBy("id").collect().map(_.getLong(0))
+    assert(ids === Array(1L, 3L)) // only the kill-flagged match is removed
+  }
+
   // ---- PIVOT / UNPIVOT ----
   test("PIVOT and UNPIVOT execute natively") {
     Tables.registerAll(spark, sfDir)

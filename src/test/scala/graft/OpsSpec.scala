@@ -184,6 +184,18 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("asof join: latest right ts at-or-before, ties match, no-match is null") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c")).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L), (1L, 15L), (1L, 25L), (3L, 1L)).toDF("k", "t")
+    val out = graft.ops.AsOfOps.asof(left, right, "k", "t", "t")
+      .orderBy("tag").collect()
+      .map(r => (r.getString(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(out === Array(
+      ("a", Some(10L)),  // equal ts matches (<= semantics)
+      ("b", Some(15L)),  // latest preceding, not the future 25
+      ("c", None)))      // no right rows for key 2
+  }
+
   test("frame features: sampling stride and frame count agree with decode metadata") {
     val d = docsDF(1L -> "clip one payload", 2L -> "clip two")
     val meta = MultimodalOps.decodeMeta(d).collect()

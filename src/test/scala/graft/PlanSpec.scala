@@ -79,6 +79,14 @@ class PlanSpec extends SparkSpecBase {
       s"LSH near-dup must never fall back to all-pairs:\n$p")
   }
 
+  test("asof join is one union + one keyed window — never a range join") {
+    val p = SparkEntry.queries("op_asof_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"asof must not plan as a range/theta join:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("q24 median-window rewrite broadcasts the tiny per-group medians") {
     val p = plan("q24_median_window")
     assert(p.contains("BroadcastHashJoin"), s"medians side must broadcast:\n$p")
