@@ -175,17 +175,25 @@ object DedupOps {
       val mask = (1L << (bounds(i + 1) - start)) - 1
       s"named_struct('blk', $i, 'key', shiftright(simhash, $start) & ${mask}L)"
     }
+    // A pair agreeing on several blocks would be emitted once per block; a
+    // distinct() would dedup with one more full shuffle of all candidates.
+    // Instead each pair is kept ONLY at its first agreeing block — a pure
+    // codegen'd CASE over the xor (constant block masks), no exchange.
+    val firstAgreeingBlock = (0 until nBlocks).map { i =>
+      val start = bounds(i)
+      val mask = ((1L << (bounds(i + 1) - start)) - 1) << start
+      s"WHEN (x & ${mask}L) = 0 THEN $i"
+    }.mkString("CASE ", " ", " END")
     val s = TextOps.simhash(docs).persist()
     val blocks = s
       .selectExpr("doc_id", "simhash", s"explode(array(${blockCols.mkString(", ")})) as b")
       .selectExpr("doc_id", "simhash", "b.blk as blk", "b.key as key")
     blocks.as("a")
       .join(blocks.as("b"), expr("a.blk = b.blk and a.key = b.key and a.doc_id < b.doc_id"))
-      .selectExpr("a.doc_id as doc_a", "b.doc_id as doc_b",
-        "bit_count(a.simhash ^ b.simhash) as hamming")
-      .filter(col("hamming") <= maxHamming)
-      .distinct() // a pair can agree on several blocks; hamming is pair-determined
-      .selectExpr("doc_a", "doc_b", "cast(hamming as bigint) as hamming")
+      .selectExpr("a.doc_id as doc_a", "b.doc_id as doc_b", "a.blk as blk",
+        "a.simhash ^ b.simhash as x")
+      .filter(expr(s"bit_count(x) <= $maxHamming AND ($firstAgreeingBlock) = blk"))
+      .selectExpr("doc_a", "doc_b", "cast(bit_count(x) as bigint) as hamming")
       .orderBy("doc_a", "doc_b")
   }
 }

@@ -680,6 +680,54 @@ object T2 {
       Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
              |       MEDIAN(l_quantity) OVER (PARTITION BY l_returnflag) AS med_qty
              |FROM lineitem
-             |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin))
+             |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin)),
+
+    // 25. Ordered-set aggregates with WITHIN GROUP (Redshift
+    //     PERCENTILE_CONT / PERCENTILE_DISC) — native Spark 4 syntax vs
+    //     DuckDB's quantile_cont/quantile_disc.
+    QueryDef(
+      "q25_within_group",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql(
+          """SELECT l_returnflag,
+            |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+            |  percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75,
+            |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50_disc,
+            |  CAST(COUNT(*) AS BIGINT) AS n_rows
+            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_extendedprice, 0.25) AS p25,
+             |  quantile_cont(l_extendedprice, 0.75) AS p75,
+             |  quantile_disc(l_extendedprice, 0.5) AS p50_disc,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // 26. Date/time battery #2 (Redshift LAST_DAY / ADD_MONTHS /
+    //     DATE_PART variants): month-end clamping and ISO week/doy/dow
+    //     agreement across engines; dow normalized to Redshift's 0=Sunday.
+    QueryDef(
+      "q26_datetime2",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        o.selectExpr(
+            "o_orderkey",
+            "last_day(o_orderdate) as month_end",
+            "add_months(o_orderdate, 2) as plus2m",
+            "cast(extract(QUARTER FROM o_orderdate) as bigint) as qtr",
+            "cast(extract(WEEK FROM o_orderdate) as bigint) as iso_week",
+            "cast(extract(DOY FROM o_orderdate) as bigint) as doy",
+            "cast(dayofweek(o_orderdate) - 1 as bigint) as dow")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  last_day(o_orderdate) AS month_end,
+             |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+             |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+             |  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+             |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+             |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow
+             |FROM orders ORDER BY o_orderkey""".stripMargin))
   )
 }
