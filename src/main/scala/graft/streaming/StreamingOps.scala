@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming extension over the `events` schema (SURVEY.md §2.2
   * Streaming). The reference has zero streaming operators — all three
@@ -37,4 +38,35 @@ object StreamingOps {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
       .selectExpr("user_id", "unix_micros(sw.start) as start_us",
         "n_events", "total_value")
+
+  /** Streaming exact dedup over the documents schema — the online variant
+    * of `DedupOps.exact`: every document maps to the smallest doc_id SEEN
+    * SO FAR with identical normalized text. Custom per-key state via
+    * `flatMapGroupsWithState` (the `KeyValueGroupedDataset` stateful API):
+    * the state is ONE long per distinct normalized text — the minimum
+    * doc_id observed — so state size is O(distinct keys), not O(rows).
+    *
+    * Batch-equivalence: delivered in one batch this equals
+    * `DedupOps.exact` exactly (each group's batch minimum is the global
+    * minimum). Across batches the keeper is the running minimum — a later
+    * batch cannot retroactively re-flag an earlier emission (online-dedup
+    * semantics, the streaming contract every dedup pipeline accepts).
+    */
+  def dedupExactStream(docs: DataFrame): Dataset[(Long, Long, Int)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .selectExpr("doc_id", "md5(lower(trim(text))) as norm_key")
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[(Long, String)], state: GroupState[Long]) => {
+          val ids = rows.map(_._1).toVector
+          val keep = math.min(state.getOption.getOrElse(Long.MaxValue), ids.min)
+          state.update(keep)
+          ids.iterator.map(id => (id, keep, if (id != keep) 1 else 0))
+        })
+      .toDF("doc_id", "keep_id", "is_dup")
+      .as[(Long, Long, Int)]
+  }
 }

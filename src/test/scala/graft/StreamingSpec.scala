@@ -41,6 +41,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === batch)
   }
 
+  test("stateful streaming dedup equals batch exact dedup in one batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(rows.toSeq)
+    val q = StreamingOps.dedupExactStream(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dedup_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = graft.ops.DedupOps.exact(Tables.load(spark, sfDir, "documents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed === batch)
+  }
+
+  test("stateful streaming dedup flags later-batch duplicates against earlier state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.dedupExactStream(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup_inc")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((10L, "same doc"), (11L, "other")))
+      q.processAllAvailable()
+      stream.addData(Seq((12L, "Same Doc "), (13L, "third"))) // dup of 10 after norm
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("dedup_inc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows === Set(
+      (10L, 10L, 0), (11L, 11L, 0),
+      (12L, 10L, 1), // matched the state from batch 1
+      (13L, 13L, 0)))
+  }
+
   test("incremental delivery across batches yields the same closed sessions") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rows = Tables.load(spark, sfDir, "events")
