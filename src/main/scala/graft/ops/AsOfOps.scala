@@ -22,9 +22,14 @@ import org.apache.spark.sql.types.StructType
 object AsOfOps {
 
   /** Left rows + `asofCol` = greatest right-side `rightTs` ≤ `leftTs` for
-    * the same `key` (null when no right row precedes). */
+    * the same `key` (null when no right row precedes). `tolerance` (a SQL
+    * interval/arithmetic fragment, e.g. `INTERVAL 1 HOUR`) additionally
+    * requires the match to be no staler than `leftTs - tolerance` — the
+    * standard max-staleness bound (pandas `merge_asof` tolerance); stale
+    * matches become null, the row itself is kept. */
   def asof(left: DataFrame, right: DataFrame, key: String,
-           leftTs: String, rightTs: String, asofCol: String = "asof_ts"): DataFrame = {
+           leftTs: String, rightTs: String, asofCol: String = "asof_ts",
+           tolerance: Option[String] = None): DataFrame = {
     val rtsType = right.schema(rightTs).dataType
     val lu = left.select(
       col(key).as("__k"), col(leftTs).as("__t"),
@@ -39,9 +44,12 @@ object AsOfOps {
     val w = Window.partitionBy("__k")
       .orderBy(col("__t").asc, col("__side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lu.union(ru)
+    val matchedRaw = lu.union(ru)
       .withColumn(asofCol, last(col("__rts"), ignoreNulls = true).over(w))
       .filter(col("__side") === 0)
-      .select(col("__row.*"), col(asofCol))
+    val bounded = tolerance.fold(matchedRaw)(t =>
+      matchedRaw.withColumn(asofCol,
+        expr(s"CASE WHEN `$asofCol` >= __t - $t THEN `$asofCol` END")))
+    bounded.select(col("__row.*"), col(asofCol))
   }
 }

@@ -196,6 +196,18 @@ class OpsSpec extends SparkSpecBase {
       ("c", None)))      // no right rows for key 2
   }
 
+  test("asof join tolerance nulls out stale matches but keeps the row") {
+    val left = Seq((1L, 100L, "x"), (1L, 200L, "y")).toDF("k", "t", "tag")
+    val right = Seq((1L, 95L)).toDF("k", "t")
+    val out = graft.ops.AsOfOps.asof(left, right, "k", "t", "t",
+        tolerance = Some("10"))
+      .orderBy("tag").collect()
+      .map(r => (r.getString(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(out === Array(
+      ("x", Some(95L)),  // within 10 of 100
+      ("y", None)))      // 95 is 105 stale for t=200 -> nulled, row kept
+  }
+
   test("frame features: sampling stride and frame count agree with decode metadata") {
     val d = docsDF(1L -> "clip one payload", 2L -> "clip two")
     val meta = MultimodalOps.decodeMeta(d).collect()
