@@ -121,6 +121,21 @@ object OpQueries {
       (s, d) => TextOps.simhash(docs(s, d)).orderBy("doc_id"),
       Some(s"$dkSimhash ORDER BY doc_id")),
 
+    // Feature-hashing embedding (hashing trick): integer bucket counts —
+    // exact cross-engine equality, no float tolerance needed.
+    QueryDef("op_feature_hash",
+      (s, d) => TextOps.featureHashEmbed(docs(s, d), 64),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(list_transform($dkWords, x -> ${dkH60("x")})) AS h
+              |            FROM documents),
+              |agg AS (SELECT doc_id, h % 64 AS dim,
+              |          SUM(CASE WHEN (h >> 59) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              |        FROM tok GROUP BY 1, 2),
+              |dims AS (SELECT doc_id, unnest(range(0, 64)) AS dim FROM documents)
+              |SELECT dims.doc_id, CAST(dims.dim AS BIGINT) AS dim,
+              |       CAST(COALESCE(agg.v, 0) AS BIGINT) AS v
+              |FROM dims LEFT JOIN agg ON dims.doc_id = agg.doc_id AND dims.dim = agg.dim
+              |ORDER BY dims.doc_id, dims.dim""".stripMargin)),
+
     QueryDef("op_dedup_exact",
       (s, d) => DedupOps.exact(docs(s, d)).orderBy("doc_id"),
       Some("""WITH k AS (SELECT doc_id,

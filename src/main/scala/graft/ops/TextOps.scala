@@ -111,4 +111,19 @@ object TextOps {
     docs
       .selectExpr("doc_id", s"transform(${wordsExpr("text")}, x -> ${h60("x")}) as hs")
       .selectExpr("doc_id", "simhash60(hs) as simhash")
+
+  /** Text → embedding by feature hashing (the hashing trick, Weinberger et
+    * al. 2009 — public): token hash h lands in bucket h mod dim with sign
+    * ±1 from bit 59, summed per doc. One codegen'd kernel pass per row
+    * ([[graft.sql.expressions.FeatureHash]]); integer counts, so results
+    * are exactly reproducible across engines. Output is one scalar row per
+    * (doc, dim) — downstream similarity ops consume it re-assembled, the
+    * gate compares it array-free.
+    */
+  def featureHashEmbed(docs: DataFrame, dim: Int = 64): DataFrame =
+    docs
+      .selectExpr("doc_id", s"transform(${wordsExpr("text")}, x -> ${h60("x")}) as hs")
+      .selectExpr("doc_id", s"posexplode(feature_hash(hs, $dim)) as (dim, v)")
+      .selectExpr("doc_id", "cast(dim as bigint) as dim", "v")
+      .orderBy("doc_id", "dim")
 }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{
 import org.apache.spark.sql.catalyst.expressions.variant.ParseJson
 import org.apache.spark.sql.types.{ArrayType, BooleanType, DoubleType, IntegerType, LongType, StringType}
 
-import graft.sql.expressions.{ArrayDot, Checksum, FnvHash, MinHashSig, SimHash60}
+import graft.sql.expressions.{ArrayDot, Checksum, FeatureHash, FnvHash, MinHashSig, SimHash60}
 
 /** Session extensions registering the Redshift function-name surface that
   * Spark's parser accepts but its registry lacks (SURVEY.md §2.2 🔧/🔴):
@@ -81,6 +81,13 @@ object GraftExtensions {
         case Literal(k: Int, IntegerType) => MinHashSig(Cast(args(0), ArrayType(LongType)), k)
         case other => throw new IllegalArgumentException(
           s"minhash_sig: k must be an integer literal, got $other")
+      }),
+    (FunctionIdentifier("feature_hash"),
+      info("feature_hash", "feature_hash(hs, dim) - hashing-trick signed bucket counts over array<bigint>; dim must be an integer literal."),
+      (args: Seq[Expression]) => args(1) match {
+        case Literal(d: Int, IntegerType) => FeatureHash(Cast(args(0), ArrayType(LongType)), d)
+        case other => throw new IllegalArgumentException(
+          s"feature_hash: dim must be an integer literal, got $other")
       }),
     // Redshift JSON surface (SURVEY §2.2 JSON 🔧) over Spark's JSON-path
     // machinery. Path elements compose into a `$.k1.k2` JSONPath — keys

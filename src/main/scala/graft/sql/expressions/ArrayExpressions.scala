@@ -51,6 +51,23 @@ object ArrayKernels {
     out
   }
 
+  /** Feature-hashing (hashing-trick) projection of token hashes into a
+    * `dim`-bucket signed-count vector: bucket = h mod dim, sign = bit 59
+    * of h (±1). One pass over the tokens; integer counts, so the result
+    * is exactly reproducible in any engine with the same hash. */
+  def featureHash(hs: ArrayData, dim: Int): ArrayData = {
+    val v = new Array[Long](dim)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      val sign = if (((h >>> 59) & 1L) == 1L) 1L else -1L
+      v((h % dim).toInt) += sign
+      i += 1
+    }
+    new GenericArrayData(v.map(x => x: Any))
+  }
+
   private val P = 2147483647L // Mersenne 2^31-1, the MinHash hash space
 
   /** MinHash signature: sig_i = min over hashes of
@@ -105,6 +122,22 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.sql.expressions.ArrayKernels.simhash60($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+/** `feature_hash(hs, dim)` → array<bigint> of dim signed bucket counts
+  * (dim must be a literal). */
+case class FeatureHash(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "feature_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.featureHash(input.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.expressions.ArrayKernels.featureHash($c, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): FeatureHash =
     copy(child = newChild)
 }
 

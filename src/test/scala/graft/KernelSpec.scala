@@ -78,4 +78,25 @@ class KernelSpec extends SparkSpecBase {
     val r = spark.sql("SELECT minhash_sig(array(), 4) AS s").collect()(0)
     assert(r.getSeq[Any](0) === Seq(null, null, null, null))
   }
+
+  test("feature_hash equals the composed per-bucket signed counts on fixture tokens") {
+    val hs = Tables.load(spark, sfDir, "documents")
+      .selectExpr("doc_id",
+        s"transform(${graft.ops.TextOps.wordsExpr("text")}, x -> ${graft.ops.TextOps.h60("x")}) as hs")
+    val both = hs.selectExpr(
+      "feature_hash(hs, 16) as kernel",
+      """transform(sequence(0, 15), j ->
+        |  aggregate(hs, 0L, (acc, h) ->
+        |    acc + case when h % 16 = j
+        |               then case when (shiftright(h, 59) & 1) = 1 then 1L else -1L end
+        |               else 0L end)) as composed""".stripMargin)
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
+  test("feature_hash of an empty token list is all zeros") {
+    val r = spark.sql("SELECT feature_hash(array(), 4) AS v").collect()(0)
+    assert(r.getSeq[Long](0) === Seq(0L, 0L, 0L, 0L))
+  }
 }

@@ -51,6 +51,22 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("whole ops corpus: no cartesian anywhere; BNLJ only in declared all-pairs/broadcast tiers") {
+    // These ops broadcast a small side over a non-equi condition BY DESIGN:
+    // the top-k family broadcasts the query set; the exact near-dup tier is
+    // the documented all-pairs oracle tier (scale path = _lsh).
+    val bnljAllowed = Set("op_sim_topk", "op_sim_topk_agg", "op_sim_topk_ivf",
+      "op_dedup_embedding")
+    graft.ops.OpQueries.defs.foreach { q =>
+      val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"${q.name} went cartesian:\n$p")
+      if (!bnljAllowed(q.name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} fell back to a nested-loop join:\n$p")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("op_sim_topk broadcasts the query side (corpus streams)") {
     val p = SparkEntry.queries("op_sim_topk")(spark, sfDir)
       .queryExecution.executedPlan.toString
