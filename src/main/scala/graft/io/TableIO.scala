@@ -74,6 +74,23 @@ object TableIO {
     } finally jc.close()
   }
 
+  /** Bucketed write into the session catalog: rows hash-partition into
+    * `nBuckets` files per partition keyed on `bucketCol`, sorted within
+    * buckets. Joins and aggregations on the bucket key then need NO
+    * exchange on that side — the co-located-join layout for fact-fact
+    * joins that are too big to broadcast (the 100 TB alternative to
+    * shuffling both sides every query). Spark's session catalog records
+    * the layout; `spark.sql.sources.bucketing.enabled` (default on) lets
+    * the planner consume it.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int, method: InsertMethod = InsertMethod.Replace): Unit =
+    df.write
+      .mode(method.saveMode)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(s"`$table`")
+
   /** Run `query` and return its result (A7/A10). JDBC pushes the whole
     * query to the remote engine with a streaming fetch; local runs it on
     * the session catalog via `spark.sql` — the pass-through surface of

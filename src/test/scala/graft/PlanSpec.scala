@@ -103,6 +103,27 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Window"), p)
   }
 
+  test("bucketed tables join with ZERO exchanges (co-located fact-fact join)") {
+    val o = Tables.load(spark, sfDir, "orders")
+    val l = Tables.load(spark, sfDir, "lineitem")
+    graft.io.TableIO.writeBucketed(o, "bk_orders", "o_orderkey", 8)
+    graft.io.TableIO.writeBucketed(
+      l.withColumnRenamed("l_orderkey", "o_orderkey"), "bk_lineitem", "o_orderkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("bk_orders")
+        .join(spark.table("bk_lineitem"), "o_orderkey")
+        .groupBy("o_orderpriority").count()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      // the join itself consumes the bucket layout: no Exchange under it
+      val joinSection = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join must not reshuffle on the bucket key:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q24 median-window rewrite broadcasts the tiny per-group medians") {
     val p = plan("q24_median_window")
     assert(p.contains("BroadcastHashJoin"), s"medians side must broadcast:\n$p")
