@@ -1,0 +1,32 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for equi-joins on hot keys.
+  *
+  * AQE's skew-join handling (on by default in Spark 4) splits oversized
+  * sort-merge partitions at runtime; explicit salting is the complement
+  * for when the layout must be fixed up front — iterative jobs that reuse
+  * the exchange, plans AQE can't rewrite, or engines where a single hot
+  * key would otherwise pin one task at 100 TB while the cluster idles.
+  */
+object SkewOps {
+
+  /** Equi-join with the big side's hot keys spread over `salt` shuffle
+    * partitions: the big side gets a per-row salt, the small side is
+    * replicated once per salt value, and the join key becomes
+    * (key, salt) — so one hot key fans out across `salt` tasks instead of
+    * one. Cost: `salt`× duplication of the SMALL side only. The result is
+    * row-for-row identical to `big.join(small, Seq(key), joinType)`.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salt: Int = 8, joinType: String = "inner"): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    val salted = big.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salt)))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

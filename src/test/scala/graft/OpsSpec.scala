@@ -224,6 +224,19 @@ class OpsSpec extends SparkSpecBase {
     assert(frames.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("salted join equals the plain join on heavily skewed keys") {
+    // 10k rows of one hot key + a uniform tail, joined to a small dim
+    val big = spark.range(10000).selectExpr(
+      "CASE WHEN id < 9000 THEN 7L ELSE id % 50 END AS k", "id AS payload")
+    val dim = spark.range(50).selectExpr("id AS k", "concat('dim_', id) AS name")
+    val plain = big.join(dim, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val salted = graft.ops.SkewOps.saltedJoin(big, dim, "k", salt = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(salted.length === plain.length)
+    assert(salted === plain)
+  }
+
   test("multimodal decode: metadata is deterministic and schema-stable") {
     val d = docsDF(1L -> "some payload", 2L -> "some payload", 3L -> "other")
     val out = MultimodalOps.decodeMeta(d, batchSize = 2).orderBy("doc_id").collect()
