@@ -3,9 +3,10 @@ package graft.sql
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
-  Add, Cast, Concat, Divide, Expression, ExpressionInfo, GetJsonObject,
-  HllSketchEstimate, IsNotNull, Length, LengthOfJsonArray, Literal, Multiply,
-  Pow, RegExpExtract, Size, Slice, StringLocate, StringSplitSQL, TruncDate}
+  Add, CaseWhen, Cast, Concat, Conv, Divide, Expression, ExpressionInfo,
+  GetJsonObject, GreaterThan, HllSketchEstimate, IsNotNull, Length,
+  LengthOfJsonArray, LessThan, Literal, Multiply, Pow, RegExpExtract, Size,
+  Slice, StringLocate, StringRepeat, StringReplace, StringSplitSQL, TruncDate}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   HllSketchAgg, HllUnionAgg, HyperLogLogPlusPlus}
 import org.apache.spark.sql.catalyst.expressions.variant.ParseJson
@@ -117,6 +118,33 @@ object GraftExtensions {
     (FunctionIdentifier("is_valid_json_array"),
       info("is_valid_json_array", "is_valid_json_array(s) - true iff s parses as a JSON array."),
       (args: Seq[Expression]) => IsNotNull(LengthOfJsonArray(args.head))),
+    // Remaining Redshift string-function names with no Spark equivalent
+    // name (SURVEY §2.2 string row).
+    (FunctionIdentifier("replicate"),
+      info("replicate", "replicate(str, n) - str repeated n times."),
+      (args: Seq[Expression]) => StringRepeat(args(0), args(1))),
+    (FunctionIdentifier("textlen"),
+      info("textlen", "textlen(str) - length of str."),
+      (args: Seq[Expression]) => Length(args.head)),
+    (FunctionIdentifier("strtol"),
+      info("strtol", "strtol(str, base) - parse str in the given base to BIGINT."),
+      (args: Seq[Expression]) =>
+        Cast(Conv(args(0), Cast(args(1), IntegerType), Literal(10)), LongType)),
+    (FunctionIdentifier("quote_literal"),
+      info("quote_literal", "quote_literal(x) - x as a single-quoted SQL literal, quotes doubled."),
+      (args: Seq[Expression]) => Concat(Seq(Literal("'"),
+        StringReplace(Cast(args.head, StringType), Literal("'"), Literal("''")),
+        Literal("'")))),
+    (FunctionIdentifier("quote_ident"),
+      info("quote_ident", "quote_ident(x) - x as a double-quoted SQL identifier, quotes doubled."),
+      (args: Seq[Expression]) => Concat(Seq(Literal("\""),
+        StringReplace(Cast(args.head, StringType), Literal("\""), Literal("\"\"")),
+        Literal("\"")))),
+    (FunctionIdentifier("bpcharcmp"),
+      info("bpcharcmp", "bpcharcmp(a, b) - -1/0/1 string comparison."),
+      (args: Seq[Expression]) => CaseWhen(Seq(
+        (LessThan(args(0), args(1)), Literal(-1)),
+        (GreaterThan(args(0), args(1)), Literal(1))), Literal(0))),
     // Redshift HLLSKETCH surface (SURVEY §2.2 🔴 → done) over Spark's
     // Apache DataSketches expressions. The materialized sketch is a
     // DataSketches HLL buffer in a BINARY column (Redshift's own sketch

@@ -157,6 +157,18 @@ class DialectSpec extends SparkSpecBase {
     assert(n > 0)
   }
 
+  test("remaining Redshift string functions resolve and compute") {
+    assert(sql1("SELECT replicate('ab', 3)").getString(0) === "ababab")
+    assert(sql1("SELECT textlen('hello')").getInt(0) === 5)
+    assert(sql1("SELECT strtol('ff', 16)").getLong(0) === 255L)
+    assert(sql1("SELECT strtol('101', 2)").getLong(0) === 5L)
+    assert(sql1("SELECT quote_literal(\"o'brien\")").getString(0) === "'o''brien'")
+    assert(sql1("SELECT quote_ident('weird col')").getString(0) === "\"weird col\"")
+    assert(sql1("SELECT bpcharcmp('a', 'b')").getInt(0) === -1)
+    assert(sql1("SELECT bpcharcmp('b', 'a')").getInt(0) === 1)
+    assert(sql1("SELECT bpcharcmp('a', 'a')").getInt(0) === 0)
+  }
+
   // ---- array function aliases ----
   test("Redshift array functions resolve and compute") {
     val r = sql1(
