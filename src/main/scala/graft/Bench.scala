@@ -33,28 +33,39 @@ object Bench {
       case c => c.toString
     } + "\""
 
+    // The shared bench host swings individual queries up to 10× between
+    // adjacent runs (BASELINE.md); a single sample manufactures phantom
+    // regressions. Record the MIN of `runs` back-to-back executions —
+    // the contention-free floor — per query.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        None
-      } catch {
-        case e: Throwable =>
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      var best = Double.MaxValue
+      var err: Option[String] = None
+      var i = 0
+      while (i < runs && err.isEmpty) {
+        val t0 = System.nanoTime()
+        err = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          None
+        } catch {
+          case e: Throwable =>
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        // Ops that persist compute-once intermediates (simhash/minhash/
+        // jaccard/LSH signatures) must not carry cached blocks — and the
+        // memory pressure they create — into the next query's measurement.
+        spark.catalog.clearCache()
+        i += 1
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Ops that persist compute-once intermediates (simhash/minhash/
-      // jaccard/LSH signatures) must not carry cached blocks — and the
-      // memory pressure they create — into the next query's measurement.
-      spark.catalog.clearCache()
-      (name, dt, err)
+      (name, best, err)
     }
     val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val ok = results.count(_._3.isEmpty)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"ok":$ok,"n":${results.size},"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"ok":$ok,"n":${results.size},"runs":$runs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -91,6 +91,25 @@ object TableIO {
       .sortBy(bucketCol)
       .saveAsTable(s"`$table`")
 
+  /** Date/hive-partitioned write into the session catalog: one directory
+    * per distinct `partCol` value. The complement of [[writeBucketed]] in
+    * the 100 TB layout story: bucketing co-locates JOINS, partitioning
+    * prunes SCANS — a filter (static or a dynamic-partition-pruning
+    * subquery from a dim-side join) on `partCol` skips whole directories
+    * at planning/runtime instead of reading and filtering 100 TB.
+    * PlanSpec pins the pruning (`PartitionFilters` non-empty, pruned
+    * partition count visible in the scan).
+    *
+    * At real scale the partition column must be low-cardinality (a date,
+    * not an id): a file per key is the classic small-files failure mode.
+    */
+  def writePartitioned(df: DataFrame, table: String, partCol: String,
+                       method: InsertMethod = InsertMethod.Replace): Unit =
+    df.write
+      .mode(method.saveMode)
+      .partitionBy(partCol)
+      .saveAsTable(s"`$table`")
+
   /** Run `query` and return its result (A7/A10). JDBC pushes the whole
     * query to the remote engine with a streaming fetch; local runs it on
     * the session catalog via `spark.sql` — the pass-through surface of

@@ -167,33 +167,111 @@ object DedupOps {
     * The signature projection (doc_id, simhash — 16 bytes/doc) is persisted
     * so the text hashing runs once, not once per self-join side.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
-    val nBlocks = maxHamming + 1
-    val bounds = (0 to nBlocks).map(i => i * 60 / nBlocks)
-    val blockCols = (0 until nBlocks).map { i =>
-      val start = bounds(i)
-      val mask = (1L << (bounds(i + 1) - start)) - 1
-      s"named_struct('blk', $i, 'key', shiftright(simhash, $start) & ${mask}L)"
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame =
+    hammingPairs(TextOps.simhash(docs).persist(), maxHamming, bits = 60)
+
+  /** Production-radius SimHash config (VERDICT r3 #4): 64-bit signature
+    * over engine-native xxhash64 token hashes, radius 3 → FOUR 16-bit
+    * pigeonhole blocks → per-block bucket pruning ~2^16× (vs ~24× for the
+    * oracle-exhaustive radius-12/60-bit gate). Still exhaustive at the
+    * radius — the pigeonhole argument is radius-independent. No cross-
+    * engine oracle (xxhash64 is Spark-native); OpsSpec proves equality
+    * with an in-test brute-force ground truth on planted dups AND the
+    * candidate-count pruning bound.
+    */
+  def simhashPairs64(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhash64Sig(docs).persist(), maxHamming, bits = 64)
+
+  /** 64-bit SimHash signatures from xxhash64 word hashes (the
+    * [[graft.sql.expressions.SimHashBits]] kernel). */
+  private[graft] def simhash64Sig(docs: DataFrame): DataFrame =
+    docs
+      .selectExpr("doc_id", s"${TextOps.wordsExpr("text")} as w")
+      .selectExpr("doc_id", "transform(w, x -> xxhash64(x)) as hs")
+      .selectExpr("doc_id", "simhash_bits(hs, 64) as simhash")
+
+  /** All pairs of `sig` (doc_id, simhash) within Hamming ≤ `maxHamming`,
+    * via the candidate block-join + bit_count verification. */
+  private def hammingPairs(sig: DataFrame, maxHamming: Int, bits: Int): DataFrame =
+    blockCandidates(sig, maxHamming, bits)
+      .filter(expr(s"bit_count(x) <= $maxHamming"))
+      .selectExpr("doc_a", "doc_b", "cast(bit_count(x) as bigint) as hamming")
+      .orderBy("doc_a", "doc_b")
+
+  /** Near-dup cluster assignment — the step AFTER pair generation that a
+    * training-data pipeline actually consumes: every doc labeled with the
+    * smallest doc_id in its connected component of the `pairs` graph
+    * (keep_id), so "keep one per cluster" is a filter on `is_dup`.
+    *
+    * Iterative min-label propagation (the standard distributed CC
+    * approach — GraphFrames/Pregel do the same): each round joins labels
+    * to the bidirected edge list and takes the per-node min of own and
+    * neighbor labels. Rounds needed = graph diameter ≤ O(log N) on
+    * near-dup clusters (which are small and dense in practice); the loop
+    * exits early when a round changes nothing, `maxIters` bounds
+    * pathological chains. Each round is one shuffle on doc_id; labels are
+    * persisted per round and the previous round unpersisted, so lineage
+    * stays O(1). The only driver-side value is the scalar changed-count —
+    * the data never leaves the cluster.
+    */
+  def dedupGroups(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.selectExpr("doc_a as u", "doc_b as v")
+      .union(pairs.selectExpr("doc_b as u", "doc_a as v"))
+      .persist()
+    var labels = docs.selectExpr("doc_id", "doc_id as label").persist()
+    var converged = false
+    var i = 0
+    while (i < maxIters && !converged) {
+      val next = labels.as("l")
+        .join(edges.as("e"), col("l.doc_id") === col("e.u"), "left")
+        .join(labels.selectExpr("doc_id as v", "label as vlabel"), Seq("v"), "left")
+        .groupBy(col("l.doc_id").as("doc_id"))
+        .agg(least(min(col("l.label")), min(col("vlabel"))).as("label"))
+        .selectExpr("doc_id", "coalesce(label, doc_id) as label")
+        .persist()
+      converged = next.as("n")
+        .join(labels.as("o"), "doc_id")
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
     }
-    // A pair agreeing on several blocks would be emitted once per block; a
-    // distinct() would dedup with one more full shuffle of all candidates.
-    // Instead each pair is kept ONLY at its first agreeing block — a pure
-    // codegen'd CASE over the xor (constant block masks), no exchange.
+    edges.unpersist()
+    labels
+      .selectExpr("doc_id", "label as keep_id",
+        "cast(doc_id <> label as int) as is_dup")
+      .orderBy("doc_id")
+  }
+
+  /** Pigeonhole candidate generation: pairs agreeing exactly on ≥1 of the
+    * `maxHamming + 1` contiguous blocks of the `bits`-wide signature, each
+    * pair emitted ONCE — at its first agreeing block, selected by a pure
+    * codegen'd CASE over the xor (constant block masks), so no distinct()
+    * exchange. Package-visible so OpsSpec can assert the pruning ratio
+    * (candidates ≪ N²/2) independently of the Hamming verification.
+    */
+  private[graft] def blockCandidates(sig: DataFrame, maxHamming: Int,
+                                     bits: Int): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val bounds = (0 to nBlocks).map(i => i * bits / nBlocks)
+    def widthMask(i: Int): Long = {
+      val w = bounds(i + 1) - bounds(i)
+      if (w >= 64) -1L else (1L << w) - 1
+    }
+    val blockCols = (0 until nBlocks).map { i =>
+      s"named_struct('blk', $i, 'key', shiftright(simhash, ${bounds(i)}) & ${widthMask(i)}L)"
+    }
     val firstAgreeingBlock = (0 until nBlocks).map { i =>
-      val start = bounds(i)
-      val mask = ((1L << (bounds(i + 1) - start)) - 1) << start
-      s"WHEN (x & ${mask}L) = 0 THEN $i"
+      s"WHEN (x & ${widthMask(i) << bounds(i)}L) = 0 THEN $i"
     }.mkString("CASE ", " ", " END")
-    val s = TextOps.simhash(docs).persist()
-    val blocks = s
+    val blocks = sig
       .selectExpr("doc_id", "simhash", s"explode(array(${blockCols.mkString(", ")})) as b")
       .selectExpr("doc_id", "simhash", "b.blk as blk", "b.key as key")
     blocks.as("a")
       .join(blocks.as("b"), expr("a.blk = b.blk and a.key = b.key and a.doc_id < b.doc_id"))
       .selectExpr("a.doc_id as doc_a", "b.doc_id as doc_b", "a.blk as blk",
         "a.simhash ^ b.simhash as x")
-      .filter(expr(s"bit_count(x) <= $maxHamming AND ($firstAgreeingBlock) = blk"))
-      .selectExpr("doc_a", "doc_b", "cast(bit_count(x) as bigint) as hamming")
-      .orderBy("doc_a", "doc_b")
+      .filter(expr(s"($firstAgreeingBlock) = blk"))
   }
 }

@@ -17,12 +17,23 @@ object SkewOps {
     * partitions: the big side gets a per-row salt, the small side is
     * replicated once per salt value, and the join key becomes
     * (key, salt) — so one hot key fans out across `salt` tasks instead of
-    * one. Cost: `salt`× duplication of the SMALL side only. The result is
-    * row-for-row identical to `big.join(small, Seq(key), joinType)`.
+    * one. Cost: `salt`× duplication of the SMALL side only.
+    *
+    * Only big-side-preserving join types are supported: for those the
+    * result is row-for-row identical to `big.join(small, Seq(key),
+    * joinType)`. Right/full (and right-semi/anti) variants would emit each
+    * UNMATCHED small-side row `salt` times — one per replica — so they are
+    * rejected up front rather than silently corrupted.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salt: Int = 8, joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
+    val bigPreserving =
+      Set("inner", "cross", "left", "left_outer", "left_semi", "left_anti")
+    require(bigPreserving.contains(joinType.toLowerCase.replace("outer", "_outer")
+        .replace("semi", "_semi").replace("anti", "_anti").replace("__", "_")),
+      s"saltedJoin: join type '$joinType' is not big-side-preserving — " +
+        "unmatched small-side rows would appear once per salt replica")
     val salted = big.withColumn("__salt",
       pmod(hash(monotonically_increasing_id()), lit(salt)))
     val replicated = small.withColumn("__salt",

@@ -82,21 +82,41 @@ object VectorOps {
       .orderBy("qid", "rank")
   }
 
+  /** The centroid table collapsed to ONE row holding an array of
+    * (cell_id, cv, norm_cv) structs, sorted by cell_id — tiny (nCells ≤
+    * hundreds), broadcast everywhere an assignment or probe needs it.
+    */
+  private def cellArray(cells: DataFrame): DataFrame =
+    cells.agg(expr("array_sort(collect_list(struct(cell_id, cv, norm_cv)))").as("cells"))
+
+  /** Nearest-centroid assignment with ZERO shuffle: each corpus vector
+    * computes its own argmax with one in-row fold —
+    * `array_max(transform(cells, ...))` over `struct(cosine, -cell_id)`,
+    * which keeps the (max cosine, then min cell_id) tie-break — instead of
+    * exploding N×nCells rows through a window Exchange. At 100× corpus this
+    * is a map-only stage; the old `row_number` window shuffled 100× the
+    * rows (the round-3 op_sim_topk_ivf regression).
+    */
+  private def assignCells(c: DataFrame, cellsArr: DataFrame): DataFrame =
+    c.crossJoin(broadcast(cellsArr))
+      .withColumn("best", expr(
+        """array_max(transform(cells, cl -> struct(
+          |  array_dot(cl.cv, nv) / (sqrt(cl.norm_cv) * sqrt(norm_nv)) as bc,
+          |  -cl.cell_id as nbid)))""".stripMargin))
+      .selectExpr("-best.nbid as cell_id", "nid", "nv", "norm_nv")
+
   /** Lloyd k-means refinement of IVF centroids: assign every vector to its
-    * nearest (cosine) centroid, recompute each centroid as the element-wise
-    * mean of its members, repeat. Each iteration is one broadcast join +
-    * one (cell, dimension)-keyed aggregation — both map-side combinable,
-    * nothing driver-side, centroid count stays tiny so the broadcast is
-    * free. Empty cells keep their previous centroid (left join fallback).
+    * nearest (cosine) centroid ([[assignCells]], map-only), recompute each
+    * centroid as the element-wise mean of its members — a (cell, dimension)
+    * keyed average, partial-aggregated map-side, so the only exchange per
+    * iteration carries ≤ nCells·dim pre-combined rows per partition.
+    * Nothing driver-side; empty cells keep their previous centroid (left
+    * join fallback).
     */
   private def refineCells(c: DataFrame, cells0: DataFrame, iters: Int): DataFrame = {
     var cells = cells0
     for (_ <- 0 until iters) {
-      val wa = Window.partitionBy("nid").orderBy(col("cell_cos").desc, col("cell_id"))
-      val means = c.join(broadcast(cells))
-        .selectExpr("nid", "nv", "cell_id",
-          s"${cosExpr("cv", "nv", "norm_cv", "norm_nv")} as cell_cos")
-        .withColumn("arank", row_number().over(wa)).filter(col("arank") === 1)
+      val means = assignCells(c, cellArray(cells))
         .selectExpr("cell_id", "posexplode(nv) as (pos, x)")
         .groupBy("cell_id", "pos").agg(avg(col("x")).as("m"))
         .groupBy("cell_id")
@@ -130,22 +150,19 @@ object VectorOps {
     val c = withNorm(emb, "nid", "nv")
     val cells = refineCells(c,
       withNorm(emb.filter(col("vec_id") < nCells), "cell_id", "cv"), kmeansIters)
-      .persist()
-    // assign: nearest cell per corpus vector
-    val wa = Window.partitionBy("nid").orderBy(col("cell_cos").desc, col("cell_id"))
-    val assigned = c.join(broadcast(cells))
-      .selectExpr("nid", "nv", "norm_nv", "cell_id",
-        s"${cosExpr("cv", "nv", "norm_cv", "norm_nv")} as cell_cos")
-      .withColumn("arank", row_number().over(wa)).filter(col("arank") === 1)
-      .select("cell_id", "nid", "nv", "norm_nv")
-    // probe: nProbe nearest cells per query
+    val arr = cellArray(cells).persist()
+    // assign: nearest cell per corpus vector — map-only in-row argmax
+    val assigned = assignCells(c, arr).select("cell_id", "nid", "nv", "norm_nv")
+    // probe: nProbe nearest cells per query — same in-row fold, top-nProbe
+    // slice of the descending (cosine, -cell_id) sort, then explode
     val q = withNorm(emb.filter(col("vec_id") < nQueries), "qid", "qv")
-    val wp = Window.partitionBy("qid").orderBy(col("probe_cos").desc, col("cell_id"))
-    val probes = q.join(broadcast(cells))
-      .selectExpr("qid", "qv", "norm_qv", "cell_id",
-        s"${cosExpr("cv", "qv", "norm_cv", "norm_qv")} as probe_cos")
-      .withColumn("prank", row_number().over(wp)).filter(col("prank") <= nProbe)
-      .select("qid", "qv", "norm_qv", "cell_id")
+    val probes = q.crossJoin(broadcast(arr))
+      .withColumn("pcells", expr(
+        s"""slice(reverse(array_sort(transform(cells, cl -> struct(
+           |  array_dot(cl.cv, qv) / (sqrt(cl.norm_cv) * sqrt(norm_qv)) as pc,
+           |  -cl.cell_id as nbid)))), 1, $nProbe)""".stripMargin))
+      .selectExpr("qid", "qv", "norm_qv", "explode(pcells) as p")
+      .selectExpr("qid", "qv", "norm_qv", "-p.nbid as cell_id")
     // rank within probed cells only
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
     assigned.join(broadcast(probes), Seq("cell_id"))

@@ -728,6 +728,45 @@ object T2 {
              |  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
              |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
              |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow
-             |FROM orders ORDER BY o_orderkey""".stripMargin))
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // 27. PartiQL UNNEST of a SUPER array (Redshift `FROM t, t.arr AS x`
+    //     iterates a SUPER array; `execute_sql.py:77` admits the syntax) →
+    //     Spark's `variant_explode` generator via LATERAL VIEW — the last
+    //     untested SURVEY §2.2 row. Both engines build the same JSON array
+    //     text from events.props, then explode it; the oracle casts it to
+    //     BIGINT[] and unnests with explicit ordinality (the driver's
+    //     DuckDB has no json_each table function — verified).
+    QueryDef(
+      "q27_unnest_super",
+      (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("events")
+        s.sql(
+          """WITH base AS (
+            |  SELECT event_id,
+            |         CAST(json_extract_path_text(props, 'k') AS BIGINT) AS kk
+            |  FROM events
+            |  WHERE CAST(json_extract_path_text(props, 'k') AS BIGINT) >= 90)
+            |SELECT event_id, CAST(p.pos AS BIGINT) AS pos,
+            |       CAST(p.value AS BIGINT) AS v
+            |FROM base,
+            |     LATERAL variant_explode(json_parse(
+            |       concat('[', kk, ',', kk + 100, ',', kk * 3, ']'))) AS p
+            |ORDER BY event_id, pos""".stripMargin)
+      },
+      Some("""WITH base AS (
+             |  SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS kk
+             |  FROM events
+             |  WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90),
+             |b2 AS (
+             |  SELECT event_id,
+             |         CAST(json(concat('[', kk, ',', kk + 100, ',', kk * 3, ']')) AS BIGINT[]) AS lst
+             |  FROM base)
+             |SELECT event_id, CAST(s.pos AS BIGINT) AS pos, CAST(s.v AS BIGINT) AS v
+             |FROM (SELECT event_id,
+             |        unnest(list_transform(range(1, len(lst) + 1),
+             |          i -> struct_pack(pos := i - 1, v := lst[i]))) AS s
+             |      FROM b2)
+             |ORDER BY event_id, pos""".stripMargin))
   )
 }

@@ -4,15 +4,17 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
   Add, CaseWhen, Cast, Concat, Conv, Divide, Expression, ExpressionInfo,
-  GetJsonObject, GreaterThan, HllSketchEstimate, IsNotNull, Length,
-  LengthOfJsonArray, LessThan, Literal, Multiply, Pow, RegExpExtract, Size,
-  Slice, StringLocate, StringRepeat, StringReplace, StringSplitSQL, TruncDate}
+  Base64, GetJsonObject, GreaterThan, Hex, HllSketchEstimate, IsNotNull,
+  Length, LengthOfJsonArray, LessThan, Literal, Lower, Multiply, Pow,
+  RegExpExtract, Size, Slice, StringLocate, StringRepeat, StringReplace,
+  StringSplitSQL, TruncDate, UnBase64, Unhex}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   HllSketchAgg, HllUnionAgg, HyperLogLogPlusPlus}
 import org.apache.spark.sql.catalyst.expressions.variant.ParseJson
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DateType,
+  DoubleType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
 
-import graft.sql.expressions.{ArrayDot, Checksum, FeatureHash, FnvHash, MinHashSig, SimHash60}
+import graft.sql.expressions.{ArrayDot, Checksum, FeatureHash, FnvHash, MinHashSig, SimHash60, SimHashBits}
 
 /** Session extensions registering the Redshift function-name surface that
   * Spark's parser accepts but its registry lacks (SURVEY.md §2.2 🔧/🔴):
@@ -76,6 +78,14 @@ object GraftExtensions {
     (FunctionIdentifier("simhash60"),
       info("simhash60", "simhash60(hs) - 60-bit SimHash over array<bigint> token hashes."),
       (args: Seq[Expression]) => SimHash60(Cast(args.head, ArrayType(LongType)))),
+    (FunctionIdentifier("simhash_bits"),
+      info("simhash_bits", "simhash_bits(hs, bits) - bits-wide SimHash over array<bigint> token hashes; bits must be an integer literal <= 64."),
+      (args: Seq[Expression]) => args(1) match {
+        case Literal(b: Int, IntegerType) if b >= 1 && b <= 64 =>
+          SimHashBits(Cast(args(0), ArrayType(LongType)), b)
+        case other => throw new IllegalArgumentException(
+          s"simhash_bits: bits must be an integer literal in [1, 64], got $other")
+      }),
     (FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(hs, k) - array of k MinHash minima over array<bigint>; k must be an integer literal."),
       (args: Seq[Expression]) => args(1) match {
@@ -192,17 +202,57 @@ object GraftExtensions {
       info("subarray", "subarray(a, start, len) - len elements from 0-based start (Redshift indexing)."),
       (args: Seq[Expression]) =>
         Slice(args(0), Add(Cast(args(1), IntegerType), Literal(1)), Cast(args(2), IntegerType))),
-    // Redshift TRUNC is polymorphic; Spark's trunc is date-only. With a
-    // string-literal format the native date behavior is preserved; with a
-    // numeric scale (or one arg) this truncates toward zero like Redshift.
+    // Redshift TRUNC is polymorphic; Spark's trunc is date-only. Dispatch
+    // prefers the RESOLVED argument type: a date/timestamp first arg takes
+    // the date path (single-arg TRUNC(timestamp) → DATE, like Redshift; a
+    // string format — literal or not — → TruncDate); everything else
+    // truncates toward zero numerically.
     (FunctionIdentifier("trunc"),
-      info("trunc", "trunc(date, 'fmt') - date truncation; trunc(x[, scale]) - numeric truncation toward zero."),
-      (args: Seq[Expression]) => args match {
-        case Seq(x, fmt @ Literal(_, StringType)) => TruncDate(x, fmt)
-        case Seq(x, scale) =>
-          val s = Pow(Literal(10.0), Cast(scale, DoubleType))
-          Divide(Cast(Cast(Multiply(Cast(x, DoubleType), s), LongType), DoubleType), s)
-        case Seq(x) => Cast(Cast(x, LongType), DoubleType)
+      info("trunc", "trunc(ts) - truncate to date; trunc(date, 'fmt') - date truncation; trunc(x[, scale]) - numeric truncation toward zero."),
+      (args: Seq[Expression]) => {
+        def isDatish(e: Expression) = e.resolved && (e.dataType match {
+          case DateType | TimestampType | TimestampNTZType => true
+          case _ => false
+        })
+        def isStringish(e: Expression) = e.resolved && e.dataType == StringType
+        args match {
+          case Seq(x, fmt @ Literal(_, StringType)) => TruncDate(x, fmt)
+          case Seq(x, fmt) if isDatish(x) || isStringish(fmt) => TruncDate(x, fmt)
+          case Seq(x, scale) =>
+            val s = Pow(Literal(10.0), Cast(scale, DoubleType))
+            Divide(Cast(Cast(Multiply(Cast(x, DoubleType), s), LongType), DoubleType), s)
+          case Seq(x) if isDatish(x) => Cast(x, DateType)
+          case Seq(x) => Cast(Cast(x, LongType), DoubleType)
+        }
+      }),
+    // Redshift VARBYTE conversion surface (VERDICT r3 gap #2): VARBYTE maps
+    // to BinaryType (SURVEY §1.2); these are the string↔bytes codecs.
+    // Redshift emits lowercase hex; Spark's Hex is uppercase, hence Lower.
+    (FunctionIdentifier("to_varbyte"),
+      info("to_varbyte", "to_varbyte(str, 'hex'|'base64'|'utf8') - decode str into BINARY (Redshift VARBYTE)."),
+      (args: Seq[Expression]) => args(1) match {
+        case Literal(fmt, StringType) => fmt.toString.toLowerCase match {
+          case "hex" => Unhex(args.head)
+          case "base64" => UnBase64(args.head)
+          case "utf8" | "utf-8" => Cast(args.head, BinaryType)
+          case other => throw new IllegalArgumentException(
+            s"to_varbyte: unsupported format '$other' (hex|base64|utf8)")
+        }
+        case _ => throw new IllegalArgumentException(
+          "to_varbyte: format must be a string literal")
+      }),
+    (FunctionIdentifier("from_varbyte"),
+      info("from_varbyte", "from_varbyte(bytes, 'hex'|'base64'|'utf8') - encode BINARY as text."),
+      (args: Seq[Expression]) => args(1) match {
+        case Literal(fmt, StringType) => fmt.toString.toLowerCase match {
+          case "hex" => Lower(Hex(args.head))
+          case "base64" => Base64(args.head)
+          case "utf8" | "utf-8" => Cast(args.head, StringType)
+          case other => throw new IllegalArgumentException(
+            s"from_varbyte: unsupported format '$other' (hex|base64|utf8)")
+        }
+        case _ => throw new IllegalArgumentException(
+          "from_varbyte: format must be a string literal")
       })
   )
 }

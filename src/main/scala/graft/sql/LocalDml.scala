@@ -1,7 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, lit}
+import org.apache.spark.sql.functions.{col, count, expr, lit, monotonically_increasing_id}
 
 import SqlTokens._
 
@@ -23,8 +23,9 @@ import SqlTokens._
   *     [WHEN MATCHED [AND <cond>] THEN UPDATE SET … | DELETE]
   *     [WHEN NOT MATCHED [AND <cond>] THEN INSERT [(cols)] VALUES (exprs)]
   * Like Redshift, MERGE requires each target row to match at most one
-  * source row (a multi-match would duplicate the target row — caller's
-  * contract, as in Redshift's documented restriction).
+  * source row; a multi-match raises (Redshift's documented restriction),
+  * enforced with a pre-swap cardinality check rather than trusted to the
+  * caller.
   */
 object LocalDml {
 
@@ -142,12 +143,22 @@ object LocalDml {
 
     val ta = tAlias.getOrElse(target)
     val sa = sAlias.getOrElse(source)
-    val tDf = spark.table(target)
+    val tBase = spark.table(target)
+    val fields = tBase.schema.fields
+    val tDf = tBase.withColumn("__tid", monotonically_increasing_id())
     val sDf = spark.table(source).withColumn("__m", lit(true))
-    val fields = tDf.schema.fields
 
     // target side: apply the (single) MATCHED clause over a left join
     val joined = tDf.alias(ta).join(sDf.alias(sa), expr(cond), "left")
+
+    // Redshift raises when a target row matches more than one source row
+    // (the left join would otherwise silently duplicate it); enforce the
+    // same restriction before anything is dropped.
+    val multi = joined.filter(expr("coalesce(__m, false)"))
+      .groupBy(col("__tid")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+    require(multi.isEmpty,
+      s"MERGE: a row of $target matches more than one $source row (Redshift restriction)")
     val matchedClauses = clauses.filter(_.matched)
     require(matchedClauses.size <= 1, "at most one WHEN MATCHED clause is supported")
     val kept: DataFrame = matchedClauses.headOption match {
@@ -165,7 +176,8 @@ object LocalDml {
             "WHEN MATCHED action must be UPDATE SET … or DELETE")
           val set = nextCode(action, 1)
           require(set < action.length && action(set).isWord("set"), "UPDATE needs SET")
-          val assigns = parseAssignments(action.slice(set + 1, action.length))
+          val assigns = parseAssignments(action.slice(set + 1, action.length),
+            targetAlias = ta, fields = fields.map(_.name.toLowerCase).toSet)
           joined.selectExpr(fields.map { f =>
             assigns.get(f.name.toLowerCase) match {
               case Some(e) =>
@@ -223,7 +235,14 @@ object LocalDml {
     else (None, from)
   }
 
-  private def parseAssignments(frag: Vector[Tok]): Map[String, String] = {
+  /** Parse `col = expr [, col = expr]*`. A `target.`/`alias.` qualifier on
+    * the column (Redshift allows `UPDATE SET t.amt = …` in MERGE) is
+    * stripped when it names the target alias; every resulting key must be
+    * a target column, mirroring runUpdate's unknown-column check — a
+    * qualified name that silently matched nothing would otherwise leave
+    * the column unchanged with no error. */
+  private def parseAssignments(frag: Vector[Tok], targetAlias: String,
+                               fields: Set[String]): Map[String, String] = {
     var depth = 0
     val commas = Vector.newBuilder[Int]
     for (i <- frag.indices) {
@@ -232,13 +251,22 @@ object LocalDml {
       else if (t.kind == Sym && t.text == ")") depth -= 1
       else if (t.kind == Sym && t.text == "," && depth == 0) commas += i
     }
-    ((-1) +: commas.result() :+ frag.length).sliding(2).toSeq.map { case Seq(a, b) =>
+    val assigns = ((-1) +: commas.result() :+ frag.length).sliding(2).toSeq.map { case Seq(a, b) =>
       val piece = frag.slice(a + 1, b)
       val eq = piece.indexWhere(t => t.kind == Sym && t.text == "=")
       require(eq > 0, s"malformed assignment: ${render(piece)}")
-      val col = render(piece.slice(0, eq)).trim.stripPrefix("`").stripSuffix("`")
+      val raw = render(piece.slice(0, eq)).trim
+      val unqualified = raw.split("\\.", 2) match {
+        case Array(q, rest) if q.trim.stripPrefix("`").stripSuffix("`")
+            .equalsIgnoreCase(targetAlias) => rest
+        case _ => raw
+      }
+      val col = unqualified.trim.stripPrefix("`").stripSuffix("`")
       col.toLowerCase -> render(piece.slice(eq + 1, piece.length)).trim
     }.toMap
+    val unknown = assigns.keySet -- fields
+    require(unknown.isEmpty, s"unknown column(s) in SET: ${unknown.mkString(", ")}")
+    assigns
   }
 
   /** Copy-on-write: the new contents materialize fully (the read plan still
@@ -248,8 +276,26 @@ object LocalDml {
 
   private def swapDf(spark: SparkSession, table: String, df: DataFrame): Unit = {
     val tmp = s"${table}__graft_cow"
+    // Preserve the physical layout across the rewrite: a bucketed or
+    // partitioned table must come out of an UPDATE with the same provider,
+    // partition columns and bucket/sort spec it went in with (a default
+    // saveAsTable would silently flatten a TableIO.writeBucketed layout).
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    df.write.saveAsTable(tmp)
+    var w = df.write.format(meta.provider.getOrElse("parquet"))
+    if (meta.partitionColumnNames.nonEmpty)
+      w = w.partitionBy(meta.partitionColumnNames: _*)
+    meta.bucketSpec.foreach { bs =>
+      w = w.bucketBy(bs.numBuckets, bs.bucketColumnNames.head, bs.bucketColumnNames.tail: _*)
+      if (bs.sortColumnNames.nonEmpty)
+        w = w.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
+    }
+    w.saveAsTable(tmp)
+    // The DROP→RENAME pair below is the non-atomic window of the swap: a
+    // crash between the two leaves only the __graft_cow table on disk. The
+    // new contents are fully materialized by then, so recovery is a manual
+    // RENAME — at no point do both copies cease to exist.
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }

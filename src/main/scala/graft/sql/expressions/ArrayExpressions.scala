@@ -51,10 +51,39 @@ object ArrayKernels {
     out
   }
 
+  /** `bits`-wide SimHash — the same ±1 majority rule as [[simhash60]],
+    * parameterized for full-range 64-bit token hashes (xxhash64): the
+    * production-radius config, where pigeonhole blocks are 16 bits wide.
+    * No oracle portability needed (the 60-bit md5 path keeps that role). */
+  def simhashBits(hs: ArrayData, bits: Int): Long = {
+    val n = hs.numElements()
+    val counters = new Array[Int](bits)
+    var t = 0
+    while (t < n) {
+      val h = hs.getLong(t)
+      var j = 0
+      while (j < bits) {
+        counters(j) += (((h >>> j) & 1L).toInt << 1) - 1
+        j += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      if (counters(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
   /** Feature-hashing (hashing-trick) projection of token hashes into a
-    * `dim`-bucket signed-count vector: bucket = h mod dim, sign = bit 59
-    * of h (±1). One pass over the tokens; integer counts, so the result
-    * is exactly reproducible in any engine with the same hash. */
+    * `dim`-bucket signed-count vector: bucket = floorMod(h, dim) — always
+    * in [0, dim) even for negative hashes (Java `%` would go negative and
+    * index out of bounds; TextOps only feeds non-negative 60-bit hashes,
+    * where floorMod == %, but the SQL function accepts any BIGINT) — and
+    * sign = bit 59 of h (±1). One pass over the tokens; integer counts, so
+    * the result is exactly reproducible in any engine with the same hash. */
   def featureHash(hs: ArrayData, dim: Int): ArrayData = {
     val v = new Array[Long](dim)
     val n = hs.numElements()
@@ -62,7 +91,7 @@ object ArrayKernels {
     while (i < n) {
       val h = hs.getLong(i)
       val sign = if (((h >>> 59) & 1L) == 1L) 1L else -1L
-      v((h % dim).toInt) += sign
+      v(java.lang.Math.floorMod(h, dim.toLong).toInt) += sign
       i += 1
     }
     new GenericArrayData(v.map(x => x: Any))
@@ -122,6 +151,22 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.sql.expressions.ArrayKernels.simhash60($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+/** `simhash_bits(hs, bits)` → BIGINT: `bits`-wide SimHash over
+  * array<bigint> token hashes (bits must be a literal ≤ 64). */
+case class SimHashBits(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_bits"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.simhashBits(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.expressions.ArrayKernels.simhashBits($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
     copy(child = newChild)
 }
 

@@ -193,6 +193,25 @@ class DialectSpec extends SparkSpecBase {
     assert(sql1("SELECT trunc(987.654)").getDouble(0) === 987.0)
   }
 
+  test("trunc dispatches on the resolved type: timestamps truncate to DATE") {
+    // Redshift: single-arg TRUNC(timestamp) drops the time part
+    assert(sql1("SELECT trunc(TIMESTAMP '2024-07-19 13:45:10')").get(0).toString === "2024-07-19")
+    assert(sql1("SELECT trunc(TIMESTAMP '2024-07-19 13:45:10', 'MM')").get(0).toString === "2024-07-01")
+    // a NON-literal string format must still take the date path
+    assert(sql1("SELECT trunc(DATE '2024-07-19', substr('xMM', 2))").get(0).toString === "2024-07-01")
+  }
+
+  test("to_varbyte / from_varbyte convert hex, base64 and utf8 both directions") {
+    assert(sql1("SELECT from_varbyte(to_varbyte('spark', 'utf8'), 'hex')")
+      .getString(0) === "737061726b")              // Redshift emits lowercase hex
+    assert(sql1("SELECT from_varbyte(to_varbyte('6162', 'hex'), 'utf8')")
+      .getString(0) === "ab")
+    assert(sql1("SELECT from_varbyte(to_varbyte('aGk=', 'base64'), 'utf8')")
+      .getString(0) === "hi")
+    assert(sql1("SELECT from_varbyte(to_varbyte('hi', 'utf8'), 'base64')")
+      .getString(0) === "aGk=")
+  }
+
   // ---- local UPDATE / DELETE (copy-on-write) ----
   test("local UPDATE and DELETE run via copy-on-write swap") {
     import spark.implicits._
@@ -225,6 +244,66 @@ class DialectSpec extends SparkSpecBase {
     val rows = spark.table("merge_t").orderBy("id")
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(rows === Array((1L, 100.0), (2L, 205.0), (3L, 7.0)))
+  }
+
+  test("local MERGE rejects a multi-match source (Redshift restriction)") {
+    import spark.implicits._
+    Seq((1L, 10.0)).toDF("id", "amt")
+      .write.mode("overwrite").saveAsTable("merge_m")
+    Seq((1L, 1.0), (1L, 2.0)).toDF("id", "delta")
+      .write.mode("overwrite").saveAsTable("merge_ms")
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark,
+        """MERGE INTO merge_m USING merge_ms ON merge_m.id = merge_ms.id
+          |WHEN MATCHED THEN UPDATE SET amt = merge_m.amt + merge_ms.delta""".stripMargin,
+        None)
+    }
+    assert(e.getMessage.contains("more than one"))
+    // and the target is untouched — the check runs before anything is dropped
+    assert(spark.table("merge_m").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))) === Array((1L, 10.0)))
+  }
+
+  test("local MERGE: alias-qualified SET columns resolve; unknown columns raise") {
+    import spark.implicits._
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amt")
+      .write.mode("overwrite").saveAsTable("merge_q")
+    Seq((2L, 5.0)).toDF("id", "delta")
+      .write.mode("overwrite").saveAsTable("merge_qs")
+    graft.cli.ExecuteSql.run(spark,
+      """MERGE INTO merge_q t USING merge_qs s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.amt = t.amt + s.delta""".stripMargin, None)
+    assert(spark.table("merge_q").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))) === Array((1L, 10.0), (2L, 25.0)))
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark,
+        """MERGE INTO merge_q t USING merge_qs s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET nope = 1""".stripMargin, None)
+    }
+    assert(e.getMessage.contains("unknown column"))
+  }
+
+  test("copy-on-write preserves a bucketed layout across UPDATE") {
+    import spark.implicits._
+    graft.io.TableIO.writeBucketed(
+      Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), "cow_b", "id", 4)
+    graft.cli.ExecuteSql.run(spark, "UPDATE cow_b SET v = v + 1 WHERE id = 1", None)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("cow_b"))
+    assert(meta.bucketSpec.exists(_.numBuckets === 4),
+      s"bucket spec lost in the swap: ${meta.bucketSpec}")
+    assert(spark.table("cow_b").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))) === Array((1L, 2.0), (2L, 2.0)))
+  }
+
+  test("PartiQL UNNEST of a SUPER array maps to a lateral variant_explode") {
+    val rows = spark.sql(
+      """SELECT id, p.pos, CAST(p.value AS BIGINT) AS v
+        |FROM VALUES (1, '[10,20,30]') AS t(id, arr),
+        |     LATERAL variant_explode(json_parse(arr)) AS p
+        |ORDER BY id, pos""".stripMargin).collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq ===
+      Seq((1, 0, 10L), (1, 1, 20L), (1, 2, 30L)))
   }
 
   test("local MERGE: matched delete with an extra condition") {

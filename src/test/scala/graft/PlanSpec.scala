@@ -124,6 +124,46 @@ class PlanSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("date-partitioned tables prune the scan on a partition filter") {
+    val o = Tables.load(spark, sfDir, "orders")
+      .withColumn("o_month", org.apache.spark.sql.functions.expr(
+        "date_format(o_orderdate, 'yyyy-MM')"))
+    graft.io.TableIO.writePartitioned(o, "part_orders", "o_month")
+    val months = spark.table("part_orders").select("o_month").distinct().count()
+    assert(months > 3, s"fixture must span several months (got $months)")
+    val q = spark.table("part_orders").filter("o_month = '1995-03'")
+      .groupBy("o_orderstatus").count()
+    val scan = q.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan")).getOrElse("")
+    // the partition filter must reach the scan as a PartitionFilters entry
+    // (directory pruning), NOT a PushedFilters data filter over all files
+    assert(scan.contains("PartitionFilters: ["), s"no partition pruning:\n$scan")
+    assert(scan.contains("o_month"), s"partition filter lost:\n$scan")
+    // and the partition column is no longer in the data read schema
+    assert(q.collect().nonEmpty)
+  }
+
+  test("simhash64 production-radius candidates come from the block equi-join") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val p = graft.ops.DedupOps.simhashPairs64(docs, 3).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"production simhash must join on 16-bit block keys:\n$p")
+  }
+
+  test("IVF assignment is map-only: no window/aggregate exchange over the N×cells expansion") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val p = graft.ops.VectorOps.cosineTopKIvf(e, 5, 20)
+      .queryExecution.executedPlan.toString
+    // the corpus-side nearest-cell argmax happens in-row (array_max over the
+    // broadcast centroid array); the only Window operator allowed is the
+    // final per-query top-k rank, partitioned by qid (WindowGroupLimit
+    // lines are the top-k pushdown of that same window — not extra windows)
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows <= 1, s"IVF regressed to window-based assignment ($windows windows):\n$p")
+    assert(!p.contains("partitionBy(nid") && !p.contains("hashpartitioning(nid"),
+      s"IVF shuffles the corpus expansion:\n$p")
+  }
+
   test("q24 median-window rewrite broadcasts the tiny per-group medians") {
     val p = plan("q24_median_window")
     assert(p.contains("BroadcastHashJoin"), s"medians side must broadcast:\n$p")
