@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.GraftSession
 import graft.config.{ArgParser, ConnectionConfig}
-import graft.sql.{LocalDml, RedshiftSql}
+import graft.sql.{LocalCopy, LocalDml, RedshiftSql}
 
 /** Blueprint CLI #3: SQL pass-through executor (SURVEY.md §2.1 A10;
   * reference `execute_sql.py:62-79`).
@@ -45,10 +45,11 @@ object ExecuteSql {
       case None =>
         val rewritten = RedshiftSql.rewrite(query)
         // Local UPDATE/DELETE get copy-on-write emulation (Spark has no
-        // row-level DML on plain parquet tables); everything else runs on
-        // spark.sql. DDL/DML execute eagerly; SELECTs need an action to
-        // actually run (the reference also discards SELECT results here).
-        if (!LocalDml.run(spark, rewritten))
+        // row-level DML on plain parquet tables) and COPY/UNLOAD map to
+        // the blueprint CSV paths; everything else runs on spark.sql.
+        // DDL/DML execute eagerly; SELECTs need an action to actually run
+        // (the reference also discards SELECT results here).
+        if (!LocalDml.run(spark, rewritten) && !LocalCopy.run(spark, rewritten))
           spark.sql(rewritten).foreach(_ => ())
     }
 }

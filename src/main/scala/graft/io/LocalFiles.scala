@@ -52,7 +52,7 @@ object LocalFiles {
   def ensureFolder(folder: String): Unit =
     if (folder != null && folder.nonEmpty) Files.createDirectories(Paths.get(folder))
 
-  private[io] def deleteRecursively(p: Path): Unit = {
+  private[graft] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       val stream = Files.list(p)
       try stream.iterator.asScala.foreach(deleteRecursively)

@@ -148,6 +148,28 @@ object OpQueries {
       (s, d) => DedupOps.jaccardPairs(docs(s, d), 0.5),
       Some(dkJaccard(0.5))),
 
+    // Cluster assignment over the near-dup pair graph — the step a
+    // training pipeline actually consumes ("keep one doc per component"):
+    // Spark runs iterative min-label propagation; the oracle computes the
+    // same components with a recursive CTE over the identical ground-truth
+    // pair set, so transitive merges (A~B, B~C => one cluster) are gated,
+    // not just pairwise output.
+    QueryDef("op_dedup_groups",
+      (s, d) => DedupOps.dedupGroups(docs(s, d), DedupOps.jaccardPairs(docs(s, d), 0.5)),
+      Some(s"""WITH RECURSIVE pr AS (${dkJaccard(0.5)}),
+              |edges AS (SELECT doc_a AS u, doc_b AS v FROM pr
+              |          UNION ALL SELECT doc_b AS u, doc_a AS v FROM pr),
+              |reach(u, v) AS (
+              |  SELECT u, v FROM edges
+              |  UNION
+              |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |lab AS (SELECT d.doc_id,
+              |          LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS keep_id
+              |        FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+              |        GROUP BY d.doc_id)
+              |SELECT doc_id, keep_id, CAST(doc_id <> keep_id AS INT) AS is_dup
+              |FROM lab ORDER BY doc_id""".stripMargin)),
+
     // Oracle = ground-truth exact pairs: this gates the LSH candidate
     // generation's RECALL (banding math in DedupOps puts the per-pair miss
     // probability at ~3e-4 at s=0.8; fixture pairs sit at s≥0.9 → ~2e-6).

@@ -301,23 +301,8 @@ object LocalDml {
   }
 
   /** Consume a (possibly schema-qualified, possibly quoted) table name. */
-  private def tableName(toks: Vector[Tok], from: Int): (String, Int) = {
-    var i = nextCode(toks, from)
-    val sb = new StringBuilder
-    var done = false
-    while (i < toks.length && !done) {
-      toks(i).kind match {
-        case Word | QIdent | Num =>
-          sb.append(toks(i).text); i += 1
-          if (i < toks.length && toks(i).kind == Sym && toks(i).text == ".") {
-            sb.append('.'); i += 1
-          } else done = true
-        case _ => done = true
-      }
-    }
-    require(sb.nonEmpty, "expected a table name")
-    (sb.toString, i)
-  }
+  private def tableName(toks: Vector[Tok], from: Int): (String, Int) =
+    qualifiedName(toks, from)
 
   private def whereClause(toks: Vector[Tok], from: Int): Option[String] = {
     val w = nextCode(toks, from)

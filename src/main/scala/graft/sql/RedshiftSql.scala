@@ -23,6 +23,15 @@ import SqlTokens._
   *   DATEADD(u, n, ts)  (3-arg)    → timestampadd(u, n, ts)
   *   DATEDIFF(u, a, b)  (3-arg)    → timestampdiff(u, a, b)
   *   TO_CHAR(ts, 'datefmt')        → date_format(ts, '<java fmt>')
+  *   CREATE TABLE … DISTKEY/SORTKEY (table- or column-level)
+  *                                 → CLUSTERED BY … SORTED BY … INTO 32
+  *                                   BUCKETS (the Spark bucketed layout —
+  *                                   the same co-located-join/sorted-scan
+  *                                   role DISTKEY/SORTKEY play on Redshift);
+  *                                   DISTSTYLE / ENCODE / BACKUP dropped
+  *                                   (EVEN/ALL/AUTO distribution and column
+  *                                   encodings are decided by Spark at
+  *                                   plan/write time, not declared in DDL)
   *   NVL / NVL2 / DECODE / MINUS / `::` casts — already native in Spark.
   *
   * Function-name gaps with identical call syntax (CHARINDEX, LEN,
@@ -42,7 +51,121 @@ object RedshiftSql {
     toks = rewriteConvert(toks)
     toks = rewriteDateAddDiff(toks)
     toks = rewriteToChar(toks)
+    toks = rewriteTableAttrs(toks)
     render(toks)
+  }
+
+  /** CREATE TABLE physical-layout attributes (Redshift DDL that Spark's
+    * parser rejects outright). DISTKEY → bucket column, SORTKEY → in-bucket
+    * sort, fixed 32 buckets (bucket count is a Spark-side choice; Redshift
+    * slices are implicit). Runs LAST in the chain and only on statements
+    * that begin CREATE … TABLE; column names named `distkey`/`sortkey`/
+    * `encode` are safe — the column-level attr branches require a name AND
+    * a type to have been seen first.
+    */
+  private def rewriteTableAttrs(toks: Vector[Tok]): Vector[Tok] = {
+    val first = nextCode(toks, 0)
+    if (first >= toks.length || !toks(first).isWord("create")) return toks
+    // CREATE [LOCAL|TEMP|TEMPORARY|EXTERNAL …] TABLE
+    var w = nextCode(toks, first + 1)
+    var sawTable = false
+    var guard = 0
+    while (w < toks.length && toks(w).kind == Word && guard < 4 && !sawTable) {
+      if (toks(w).isWord("table")) sawTable = true
+      else { w = nextCode(toks, w + 1); guard += 1 }
+    }
+    if (!sawTable) return toks
+    // attrs can only appear after the table name — a table literally NAMED
+    // `distkey` must not trigger the attr branches
+    val afterName =
+      try qualifiedName(toks, w + 1)._2
+      catch { case _: IllegalArgumentException => return toks }
+
+    def ident(t: Tok): String = t.kind match {
+      case QIdent => t.text.stripPrefix("\"").stripSuffix("\"")
+      case _ => t.text.stripPrefix("`").stripSuffix("`")
+    }
+    def groupIdents(open: Int): (Vector[String], Int) = {
+      val close = matchParen(toks, open)
+      (toks.slice(open + 1, close)
+        .filter(t => t.kind == Word || t.kind == QIdent).map(ident), close)
+    }
+
+    var dk: Option[String] = None
+    var sks: Vector[String] = Vector.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    var insertAt = -1   // out-index for the bucket clause (table-level attrs)
+    var colListEnd = -1 // out-index just after the column list's ')'
+    var depth = 0
+    var seenFirstGroup = false
+    var inColList = false
+    var colDefTokens = 0
+    var currentCol: String = null
+    var copyRest = false
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (copyRest || t.kind == Ws || t.kind == Comment) { out += t; i += 1 }
+      else if (depth == 0 && t.isWord("as")) { copyRest = true; out += t; i += 1 }
+      else if (i < afterName) { out += t; i += 1 }
+      else if (depth == 0 && (t.isWord("diststyle") || t.isWord("backup"))) {
+        if (t.isWord("diststyle") && insertAt < 0) insertAt = out.length
+        i = nextCode(toks, i + 1) + 1 // drop keyword + its value word
+      } else if (depth == 0 && t.isWord("distkey")) {
+        val p = nextCode(toks, i + 1)
+        require(p < toks.length && toks(p).text == "(", "DISTKEY needs (col)")
+        val (ids, close) = groupIdents(p)
+        dk = ids.headOption
+        if (insertAt < 0) insertAt = out.length
+        i = close + 1
+      } else if (depth == 0 && (t.isWord("sortkey") ||
+          ((t.isWord("compound") || t.isWord("interleaved")) && {
+            val n = nextCode(toks, i + 1)
+            n < toks.length && toks(n).isWord("sortkey")
+          }))) {
+        val sk = if (t.isWord("sortkey")) i else nextCode(toks, i + 1)
+        val p = nextCode(toks, sk + 1)
+        if (insertAt < 0) insertAt = out.length
+        if (p < toks.length && toks(p).text == "(") {
+          val (ids, close) = groupIdents(p)
+          sks = ids
+          i = close + 1
+        } else i = p + 1 // SORTKEY AUTO | NONE — drop both words
+      } else if (t.kind == Sym && t.text == "(") {
+        depth += 1
+        if (depth == 1 && !seenFirstGroup) {
+          seenFirstGroup = true; inColList = true; colDefTokens = 0; currentCol = null
+        }
+        out += t; i += 1
+      } else if (t.kind == Sym && t.text == ")") {
+        depth -= 1
+        out += t; i += 1
+        if (depth == 0 && inColList) { inColList = false; colListEnd = out.length }
+      } else if (inColList && depth == 1 && t.kind == Sym && t.text == ",") {
+        colDefTokens = 0; currentCol = null; out += t; i += 1
+      } else if (inColList && depth == 1 && colDefTokens >= 2 && t.isWord("encode")) {
+        i = nextCode(toks, i + 1) + 1 // drop ENCODE + codec name
+      } else if (inColList && depth == 1 && colDefTokens >= 2 && t.isWord("distkey")) {
+        dk = Option(currentCol); i += 1
+      } else if (inColList && depth == 1 && colDefTokens >= 2 && t.isWord("sortkey")) {
+        if (currentCol != null) sks = sks :+ currentCol
+        i += 1
+      } else {
+        if (inColList && depth == 1 && (t.kind == Word || t.kind == QIdent)) {
+          if (colDefTokens == 0) currentCol = ident(t)
+          colDefTokens += 1
+        }
+        out += t; i += 1
+      }
+    }
+    if (dk.isEmpty && sks.isEmpty) return out.toVector
+    val bucket = dk.orElse(sks.headOption).get
+    val sorted =
+      if (sks.nonEmpty) s" SORTED BY (${sks.map(s => s"`$s`").mkString(", ")})" else ""
+    val pos =
+      if (insertAt >= 0) insertAt else if (colListEnd >= 0) colListEnd else out.length
+    out.insertAll(pos, tokenize(s" CLUSTERED BY (`$bucket`)$sorted INTO 32 BUCKETS"))
+    out.toVector
   }
 
   // SELECT TOP n … → SELECT … LIMIT n. The LIMIT lands at the end of the

@@ -39,6 +39,27 @@ object StreamingOps {
       .selectExpr("user_id", "unix_micros(sw.start) as start_us",
         "n_events", "total_value")
 
+  /** Streaming approximate distinct users per tumbling window — the online
+    * form of the HLLSKETCH surface (q21): `approx_count_distinct` (HLL++)
+    * as a windowed streaming aggregate under a watermark. State per open
+    * window is ONE mergeable sketch (~1.5 KB at the default rsd), not a
+    * distinct-user set — the O(1)-per-window memory that makes "unique
+    * users per hour over an unbounded event stream" a streaming query
+    * instead of a periodic batch DISTINCT over 100 TB of history. HLL
+    * register-max merging is commutative/associative, so the estimate is
+    * deterministic and equal to the batch aggregate on identical data.
+    */
+  def approxDistinctUsers(events: DataFrame, window: String = "1 hour",
+                          watermark: String = "1 hour",
+                          rsd: Double = 0.05): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window).as("w"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd).as("n_users_approx"),
+        count(lit(1)).as("n_events"))
+      .selectExpr("unix_micros(w.start) as start_us", "n_users_approx", "n_events")
+
   /** Streaming exact dedup over the documents schema — the online variant
     * of `DedupOps.exact`: every document maps to the smallest doc_id SEEN
     * SO FAR with identical normalized text. Custom per-key state via

@@ -319,6 +319,87 @@ class DialectSpec extends SparkSpecBase {
     assert(ids === Array(1L, 3L)) // only the kill-flagged match is removed
   }
 
+  test("CREATE TABLE with DISTKEY/SORTKEY/DISTSTYLE/ENCODE becomes a bucketed sorted table") {
+    spark.sql("DROP TABLE IF EXISTS ddl_layout")
+    graft.cli.ExecuteSql.run(spark,
+      """CREATE TABLE ddl_layout (
+        |  id BIGINT ENCODE az64,
+        |  cat STRING ENCODE lzo,
+        |  amt DOUBLE)
+        |DISTSTYLE KEY DISTKEY(id) COMPOUND SORTKEY(id, cat)""".stripMargin, None)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("ddl_layout"))
+    assert(meta.bucketSpec.exists(bs =>
+      bs.numBuckets === 32 && bs.bucketColumnNames === Seq("id") &&
+        bs.sortColumnNames === Seq("id", "cat")), meta.bucketSpec.toString)
+    assert(meta.schema.fieldNames.toSeq === Seq("id", "cat", "amt"))
+  }
+
+  test("column-level DISTKEY/SORTKEY attributes map to bucketing; attr-free DDL is untouched") {
+    spark.sql("DROP TABLE IF EXISTS ddl_col")
+    graft.cli.ExecuteSql.run(spark,
+      "CREATE TABLE ddl_col (id BIGINT DISTKEY, ts STRING SORTKEY, v DOUBLE)", None)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("ddl_col"))
+    assert(meta.bucketSpec.exists(bs =>
+      bs.bucketColumnNames === Seq("id") && bs.sortColumnNames === Seq("ts")))
+    // columns NAMED distkey/sortkey are not attributes
+    val same = "CREATE TABLE t2 (distkey INT, sortkey INT)"
+    assert(graft.sql.RedshiftSql.rewrite(same) === same)
+    // DISTSTYLE alone is dropped, no bucket clause invented
+    assert(graft.sql.RedshiftSql.rewrite("CREATE TABLE t3 (a INT) DISTSTYLE EVEN")
+      === "CREATE TABLE t3 (a INT) ")
+  }
+
+  test("COPY FROM local files appends into an existing table with the target's types") {
+    import java.nio.file.Files
+    spark.sql("DROP TABLE IF EXISTS copy_t")
+    spark.sql("CREATE TABLE copy_t (id BIGINT, name STRING, amt DOUBLE)")
+    val dir = Files.createTempDirectory("graft_copy_")
+    Files.writeString(dir.resolve("in.csv"), "id,name,amt\n1,a,10.5\n2,b,20.0\n")
+    graft.cli.ExecuteSql.run(spark,
+      s"COPY copy_t FROM '${dir.resolve("in.csv")}' CSV IGNOREHEADER 1", None)
+    assert(spark.table("copy_t").count() === 2)
+    // Redshift's default text format is pipe-delimited, no header
+    Files.writeString(dir.resolve("in.psv"), "3|c|30.5\n")
+    graft.cli.ExecuteSql.run(spark,
+      s"COPY copy_t FROM '${dir.resolve("in.psv")}'", None)
+    val rows = spark.table("copy_t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows === Array((1L, "a", 10.5), (2L, "b", 20.0), (3L, "c", 30.5)))
+    // a column list loads those columns and nulls the rest
+    Files.writeString(dir.resolve("part.csv"), "4,d\n")
+    graft.cli.ExecuteSql.run(spark,
+      s"COPY copy_t (id, name) FROM '${dir.resolve("part.csv")}' CSV", None)
+    val r4 = spark.table("copy_t").filter("id = 4").collect()(0)
+    assert(r4.getString(1) === "d" && r4.isNullAt(2))
+    // COPY into a missing table raises like Redshift
+    intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark,
+        s"COPY nope_t FROM '${dir.resolve("in.csv")}' CSV", None)
+    }
+  }
+
+  test("UNLOAD writes the query result; PARALLEL OFF yields the single-file contract") {
+    import java.nio.file.Files
+    spark.sql("DROP TABLE IF EXISTS unload_t")
+    spark.range(10).selectExpr("id", "id * 2 as v")
+      .write.saveAsTable("unload_t")
+    val dir = Files.createTempDirectory("graft_unload_")
+    val single = dir.resolve("out.csv")
+    graft.cli.ExecuteSql.run(spark,
+      s"UNLOAD ('SELECT TOP 3 id, v FROM unload_t ORDER BY id') TO '$single' HEADER PARALLEL OFF CSV",
+      None)
+    val lines = Files.readAllLines(single)
+    assert(lines.size === 4 && lines.get(0) === "id,v" && lines.get(1) === "0,0")
+    // default: parallel directory of parts, pipe-delimited, no header
+    val pdir = dir.resolve("parts")
+    graft.cli.ExecuteSql.run(spark,
+      s"UNLOAD ('SELECT id, v FROM unload_t') TO '$pdir'", None)
+    val back = spark.read.option("sep", "|").csv(pdir.toString)
+    assert(back.count() === 10)
+  }
+
   // ---- PIVOT / UNPIVOT ----
   test("PIVOT and UNPIVOT execute natively") {
     Tables.registerAll(spark, sfDir)

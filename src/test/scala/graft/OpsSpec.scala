@@ -64,6 +64,18 @@ class OpsSpec extends SparkSpecBase {
     assert(lsh === exact) // no false positives (verified) + full recall here
   }
 
+  test("dedup groups: min-label propagation merges components transitively") {
+    val docs = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain 5-6-7-8 needs THREE propagation rounds to reach label 5 at 8
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val out = DedupOps.dedupGroups(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out === Array(
+      (1L, 1L, 0), (2L, 1L, 1), (3L, 1L, 1), (4L, 4L, 0),
+      (5L, 5L, 0), (6L, 5L, 1), (7L, 5L, 1), (8L, 5L, 1)))
+  }
+
   test("simhash: identical docs collide at hamming 0") {
     val d = docsDF(1L -> "spark query engine test doc", 2L -> "spark query engine test doc")
     val out = DedupOps.simhashPairs(d, 0).collect()

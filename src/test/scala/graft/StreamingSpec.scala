@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{approx_count_distinct, col, count, countDistinct, lit, window}
 
 import graft.streaming.StreamingOps
 
@@ -76,6 +77,42 @@ class StreamingSpec extends SparkSpecBase {
       (10L, 10L, 0), (11L, 11L, 0),
       (12L, 10L, 1), // matched the state from batch 1
       (13L, 13L, 0)))
+  }
+
+  test("streaming windowed approx-distinct equals the batch aggregate and bounds its error") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Tables.load(spark, sfDir, "events")
+    val rows = events.select("user_id", "ts")
+      .as[(Long, java.sql.Timestamp)].collect()
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    stream.addData(rows.toSeq)
+    val q = StreamingOps.approxDistinctUsers(stream.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("adu_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("adu_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // HLL merge is order-independent → streaming == batch, exactly
+    val batch = events
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("n_users_approx"),
+        count(lit(1)).as("n_events"))
+      .selectExpr("unix_micros(w.start) as start_us", "n_users_approx", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+
+    // and the estimate tracks the exact distinct count within ~5 rsd
+    val exact = events
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+      .selectExpr("unix_micros(w.start) as start_us", "n_exact")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    streamed.foreach { case (start, approx, _) =>
+      val ex = exact(start).toDouble
+      assert(math.abs(approx - ex) <= math.max(5.0, 5 * 0.05 * ex),
+        s"window $start: approx $approx vs exact $ex")
+    }
   }
 
   test("incremental delivery across batches yields the same closed sessions") {
