@@ -218,16 +218,22 @@ object DedupOps {
     val edges = pairs.selectExpr("doc_a as u", "doc_b as v")
       .union(pairs.selectExpr("doc_b as u", "doc_a as v"))
       .persist()
-    var labels = docs.selectExpr("doc_id", "doc_id as label").persist()
+    // Propagate only over the pair graph's VERTEX set — docs with no
+    // near-dup edge are singleton components by definition and rejoin at
+    // the end. At 100 TB dup clusters are a small fraction of the corpus,
+    // so each iteration moves O(|V(pairs)|) rows, not O(N).
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .selectExpr("doc_id", "doc_id as label").persist()
     var converged = false
     var i = 0
     while (i < maxIters && !converged) {
+      // every vertex has ≥1 edge (it came from the edge list), so the
+      // joins are inner and the min over neighbors is never null
       val next = labels.as("l")
-        .join(edges.as("e"), col("l.doc_id") === col("e.u"), "left")
-        .join(labels.selectExpr("doc_id as v", "label as vlabel"), Seq("v"), "left")
+        .join(edges.as("e"), col("l.doc_id") === col("e.u"))
+        .join(labels.selectExpr("doc_id as v", "label as vlabel"), Seq("v"))
         .groupBy(col("l.doc_id").as("doc_id"))
         .agg(least(min(col("l.label")), min(col("vlabel"))).as("label"))
-        .selectExpr("doc_id", "coalesce(label, doc_id) as label")
         .persist()
       converged = next.as("n")
         .join(labels.as("o"), "doc_id")
@@ -238,9 +244,10 @@ object DedupOps {
       i += 1
     }
     edges.unpersist()
-    labels
-      .selectExpr("doc_id", "label as keep_id",
-        "cast(doc_id <> label as int) as is_dup")
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "coalesce(label, doc_id) as keep_id")
+      .selectExpr("doc_id", "keep_id", "cast(doc_id <> keep_id as int) as is_dup")
       .orderBy("doc_id")
   }
 

@@ -136,6 +136,33 @@ object OpQueries {
               |FROM dims LEFT JOIN agg ON dims.doc_id = agg.doc_id AND dims.dim = agg.dim
               |ORDER BY dims.doc_id, dims.dim""".stripMargin)),
 
+    // Composed selection step (quality filter → dedup keep → deterministic
+    // md5 sample): the composition is gated, not just the stages. The
+    // oracle rebuilds the identical pipeline from the shared fragments.
+    QueryDef("op_pipeline_sample",
+      (s, d) => PipelineOps.sample(docs(s, d), 0.3, 100),
+      Some(s"""WITH w0 AS (SELECT doc_id, text, $dkWords AS w FROM documents),
+              |s AS (SELECT doc_id,
+              |  CAST(len(w) AS BIGINT) AS n_words,
+              |  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(w) AS stopword_ratio,
+              |  CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio
+              |FROM w0),
+              |q AS (SELECT doc_id,
+              |        (1.0 - stopword_ratio) * (1.0 - punct_ratio) *
+              |        least(CAST(n_words AS DOUBLE) / 100.0, 1.0) AS quality_score
+              |      FROM s),
+              |k AS (SELECT doc_id FROM (
+              |        SELECT doc_id,
+              |               min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep_id
+              |        FROM documents) WHERE doc_id = keep_id),
+              |f AS (SELECT q.doc_id, q.quality_score,
+              |             md5(CAST(q.doc_id AS VARCHAR)) AS h
+              |      FROM q JOIN k ON q.doc_id = k.doc_id
+              |      WHERE q.quality_score >= 0.3)
+              |SELECT doc_id, quality_score
+              |FROM (SELECT * FROM f ORDER BY h LIMIT 100)
+              |ORDER BY doc_id""".stripMargin)),
+
     QueryDef("op_dedup_exact",
       (s, d) => DedupOps.exact(docs(s, d)).orderBy("doc_id"),
       Some("""WITH k AS (SELECT doc_id,

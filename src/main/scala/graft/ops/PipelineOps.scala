@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Composed training-data selection — the end-to-end step the individual
+  * ops exist for: score quality, drop exact duplicates, take a
+  * deterministic sample. Gated as one query (op_pipeline_sample) so the
+  * COMPOSITION is oracle-checked, not just each stage.
+  */
+object PipelineOps {
+
+  /** Quality-filter → exact-dedup keep → deterministic hash sample of `n`
+    * docs.
+    *
+    * Scale shape: the quality projection is map-only over the scan; the
+    * dedup keeper set is one hash shuffle (DedupOps.exact) consumed
+    * through a LEFT SEMI join; the "sample" is an ORDER BY md5(doc_id)
+    * LIMIT n — a total-ordered deterministic reservoir that Spark executes
+    * as TakeOrderedAndProject (per-partition top-n, then a k-row merge on
+    * the driver), never a full global sort. md5 keys make the sample
+    * reproducible across runs, partitionings and engines — the property a
+    * training-data pipeline needs for auditable subsets.
+    */
+  def sample(docs: DataFrame, minQuality: Double = 0.3, n: Int = 100): DataFrame = {
+    val keep = DedupOps.exact(docs).filter(col("is_dup") === 0).select("doc_id")
+    TextOps.textStats(docs)
+      .filter(col("quality_score") >= minQuality)
+      .join(keep, Seq("doc_id"), "left_semi")
+      .selectExpr("doc_id", "quality_score", "md5(cast(doc_id as string)) as h")
+      .orderBy("h")
+      .limit(n)
+      .selectExpr("doc_id", "quality_score")
+      .orderBy("doc_id")
+  }
+}

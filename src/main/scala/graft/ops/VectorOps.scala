@@ -174,6 +174,57 @@ object VectorOps {
       .orderBy("qid", "rank")
   }
 
+  /** Persist an IVF index for repeated probing — the "index once, probe
+    * many" structure [[cosineTopKIvf]] rebuilds inline. Two tables:
+    * `<name>_cells` (the refined centroids, tiny) and `<name>_data` (the
+    * corpus with its nearest-cell assignment), PARTITIONED BY cell_id via
+    * [[graft.io.TableIO.writePartitioned]] — so a probe's `cell_id IN
+    * (probed cells)` filter prunes whole directories and each query batch
+    * READS only ~nProbe/nCells of the corpus from disk. That is the actual
+    * IVF promise at 100 TB: sub-linear I/O per probe, not just sub-linear
+    * compute after a full scan.
+    */
+  def buildIvfIndex(emb: DataFrame, name: String, nCells: Int = 16,
+                    kmeansIters: Int = 2): Unit = {
+    val c = withNorm(emb, "nid", "nv")
+    val cells = refineCells(c,
+      withNorm(emb.filter(col("vec_id") < nCells), "cell_id", "cv"), kmeansIters)
+    cells.write.mode("overwrite").saveAsTable(s"${name}_cells")
+    val arr = cellArray(emb.sparkSession.table(s"${name}_cells"))
+    graft.io.TableIO.writePartitioned(
+      assignCells(c, arr).select("cell_id", "nid", "nv", "norm_nv"),
+      s"${name}_data", "cell_id")
+  }
+
+  /** Probe a [[buildIvfIndex]] index: top-k neighbors of each query vector
+    * (vec_id < nQueries of `queries`) scanning only the probed cells'
+    * partitions. Same ranking semantics (and same tie-breaks) as
+    * [[cosineTopKIvf]] — OpsSpec asserts bit-identical output; PlanSpec
+    * pins the partition-pruned scan.
+    */
+  def probeIvf(queries: DataFrame, name: String, k: Int = 5,
+               nQueries: Int = 20, nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val arr = cellArray(spark.table(s"${name}_cells"))
+    val q = withNorm(queries.filter(col("vec_id") < nQueries), "qid", "qv")
+    val probes = q.crossJoin(broadcast(arr))
+      .withColumn("pcells", expr(
+        s"""slice(reverse(array_sort(transform(cells, cl -> struct(
+           |  array_dot(cl.cv, qv) / (sqrt(cl.norm_cv) * sqrt(norm_qv)) as pc,
+           |  -cl.cell_id as nbid)))), 1, $nProbe)""".stripMargin))
+      .selectExpr("qid", "qv", "norm_qv", "explode(pcells) as p")
+      .selectExpr("qid", "qv", "norm_qv", "-p.nbid as cell_id")
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    spark.table(s"${name}_data")
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter(expr("qid <> nid"))
+      .selectExpr("qid", "nid", s"${cosExpr("qv", "nv", "norm_qv", "norm_nv")} as cosine")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .selectExpr("qid", "cast(rank as bigint) as rank", "nid", "cosine")
+      .orderBy("qid", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥
     * `threshold`. Exact all-pairs — the oracle tier; at scale, use
     * [[cosineNearDupLsh]] (random-hyperplane candidates + this cosine as

@@ -174,6 +174,16 @@ class OpsSpec extends SparkSpecBase {
     assert(ivf.subsetOf(exact) || ivf.nonEmpty)
   }
 
+  test("IVF index build + probe returns the identical result as the inline IVF") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    VectorOps.buildIvfIndex(e, "ivf_t", nCells = 16, kmeansIters = 2)
+    val probed = VectorOps.probeIvf(e, "ivf_t", 5, 20, 4).collect()
+    val inline = VectorOps.cosineTopKIvf(e, 5, 20, nCells = 16, nProbe = 4,
+      kmeansIters = 2).collect()
+    assert(probed.length === inline.length && probed.nonEmpty)
+    probed.zip(inline).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("embedding LSH near-dup: recall 1.0 with real pruning on planted near-dups") {
     // Deterministic corpus: 120 base vectors from an LCG, plus 10 planted
     // near-dups (base + small perturbation → cosine ≈ 0.99).

@@ -164,6 +164,27 @@ class PlanSpec extends SparkSpecBase {
       s"IVF shuffles the corpus expansion:\n$p")
   }
 
+  test("IVF probe prunes the partitioned index scan to the probed cells") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    graft.ops.VectorOps.buildIvfIndex(e, "ivf_plan")
+    val df = graft.ops.VectorOps.probeIvf(e, "ivf_plan")
+    val p = df.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("ivf_plan_data")).getOrElse("")
+    // the cell_id join key must reach the scan as a partition filter
+    // (dynamic partition pruning from the broadcast probe side)
+    assert(scanLine.contains("PartitionFilters: [") &&
+      (scanLine.contains("dynamicpruning") || p.contains("dynamicpruning")),
+      s"index scan not partition-pruned:\n$scanLine\n$p")
+  }
+
+  test("pipeline sample executes as a top-n (TakeOrderedAndProject), not a global sort") {
+    val p = SparkEntry.queries("op_pipeline_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"md5-sample limit must push into a top-n:\n$p")
+  }
+
   test("q24 median-window rewrite broadcasts the tiny per-group medians") {
     val p = plan("q24_median_window")
     assert(p.contains("BroadcastHashJoin"), s"medians side must broadcast:\n$p")
