@@ -65,6 +65,45 @@ object MultimodalOps {
     }
   }
 
+  val audioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("window_idx", LongType),
+    StructField("rms", DoubleType),
+    StructField("zcr", DoubleType)))
+
+  /** Windowed audio features — the audio leg of the pipeline: each media
+    * payload decodes to a (stubbed) duration, which is cut into
+    * `windowMs`-millisecond analysis windows; every window yields
+    * RMS-energy and zero-crossing-rate features (deterministic md5 stubs
+    * of payload:window — swap for a real PCM decoder + DSP without
+    * touching the batching/schema plumbing, exactly like [[decodeMeta]] /
+    * [[frameFeatures]]). One row per (doc, window): array-free for the
+    * oracle, and the window loop is lazy per task.
+    */
+  def audioWindows(docs: DataFrame, windowMs: Int = 250,
+                   batchSize: Int = 32): DataFrame = {
+    val src = docs.select(col("doc_id"), col("text"))
+    implicit val enc = RowEncoder.encoderFor(audioSchema)
+    src.mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5") // the per-task "decoder"
+      def h60(s: String): Long = java.lang.Long.parseLong(
+        md.digest(s.getBytes(StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString.substring(0, 15), 16)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          val text = r.getString(1)
+          val durMs = 200L + h60(text) % 2000L
+          val nWin = (durMs + windowMs - 1) / windowMs
+          (0L until nWin).iterator.map { w =>
+            val hw = h60(s"$text:w$w")
+            Row(id, w, (hw % 1000L) / 1000.0, ((hw >> 10) % 1000L) / 1000.0)
+          }
+        }
+      }
+    }.orderBy("doc_id", "window_idx")
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("frame_idx", LongType),

@@ -283,6 +283,23 @@ object OpQueries {
              |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
              |ORDER BY c.event_id""".stripMargin)),
 
+    // Windowed audio features (audio leg): same batched mapPartitions
+    // plumbing, duration → windows → per-window md5-stub DSP features.
+    QueryDef("op_multimodal_audio",
+      (s, d) => MultimodalOps.audioWindows(docs(s, d)),
+      Some(s"""WITH a AS (SELECT doc_id, text, 200 + ${dkH60("text")} % 2000 AS dur
+              |           FROM documents),
+              |w AS (SELECT doc_id, text,
+              |        unnest(range(0, (dur + 249) // 250)) AS window_idx
+              |      FROM a),
+              |d AS (SELECT doc_id, window_idx,
+              |        ${dkH60("concat(text, ':w', CAST(window_idx AS VARCHAR))")} AS hw
+              |      FROM w)
+              |SELECT doc_id, CAST(window_idx AS BIGINT) AS window_idx,
+              |       CAST(hw % 1000 AS DOUBLE) / 1000.0 AS rms,
+              |       CAST((hw >> 10) % 1000 AS DOUBLE) / 1000.0 AS zcr
+              |FROM d ORDER BY doc_id, window_idx""".stripMargin)),
+
     // Frame sampling + per-frame features (video leg): mapPartitions
     // plumbing on the Spark side, mirrored md5 arithmetic in the oracle.
     QueryDef("op_multimodal_frames",

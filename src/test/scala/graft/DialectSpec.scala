@@ -511,7 +511,9 @@ class DialectSpec extends SparkSpecBase {
       "SELECT * FROM t WHERE a SIMILAR TO 'ab%'",
       "SELECT GETDATE(), SYSDATE, RANDOM()",
       "SELECT CONVERT(INT, a), DATEADD(day, 1, ts), DATEDIFF(hour, a, b) FROM t",
-      "SELECT TO_CHAR(ts, 'YYYY-MM-DD') FROM t")
+      "SELECT TO_CHAR(ts, 'YYYY-MM-DD') FROM t",
+      "CREATE TABLE t (id BIGINT ENCODE az64, v DOUBLE) DISTSTYLE KEY DISTKEY(id) SORTKEY(id)",
+      "CREATE TABLE t2 (id BIGINT DISTKEY, ts STRING SORTKEY, v DOUBLE)")
     dialect.foreach { q =>
       val once = rewrite(q)
       assert(rewrite(once) === once, s"not idempotent on: $q -> $once")
