@@ -42,12 +42,14 @@ object CsvIO {
     * with executor parallelism).
     */
   def write(df: DataFrame, destPath: String, header: Boolean = true,
-            singleFile: Boolean = true): Unit = {
+            singleFile: Boolean = true, sep: String = ","): Unit = {
     if (!singleFile) {
-      df.write.mode("overwrite").option("header", header).csv(destPath)
+      df.write.mode("overwrite").option("header", header).option("sep", sep)
+        .csv(destPath)
     } else {
       val tmp = Files.createTempDirectory("graft_csv_").resolve("out").toString
-      df.coalesce(1).write.mode("overwrite").option("header", header).csv(tmp)
+      df.coalesce(1).write.mode("overwrite").option("header", header)
+        .option("sep", sep).csv(tmp)
       val stream = Files.list(Paths.get(tmp))
       val part =
         try stream.iterator.asScala.find(_.getFileName.toString.endsWith(".csv"))

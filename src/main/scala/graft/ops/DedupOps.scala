@@ -206,13 +206,15 @@ object DedupOps {
     * Iterative min-label propagation (the standard distributed CC
     * approach — GraphFrames/Pregel do the same): each round joins labels
     * to the bidirected edge list and takes the per-node min of own and
-    * neighbor labels. Rounds needed = graph diameter ≤ O(log N) on
-    * near-dup clusters (which are small and dense in practice); the loop
-    * exits early when a round changes nothing, `maxIters` bounds
-    * pathological chains. Each round is one shuffle on doc_id; labels are
-    * persisted per round and the previous round unpersisted, so lineage
-    * stays O(1). The only driver-side value is the scalar changed-count —
-    * the data never leaves the cluster.
+    * neighbor labels. Rounds needed = component diameter — small for the
+    * dense clusters near-dup graphs produce, but O(|V|) on a pure chain,
+    * so the loop RAISES if `maxIters` rounds don't converge rather than
+    * silently returning partial labels (an unconverged tail doc would
+    * keep an intermediate doc_id as its keeper). Each round is one
+    * shuffle on doc_id; labels are persisted per round, the previous
+    * round unpersisted, and the converged result is local-checkpointed so
+    * the iteration cache can be released without re-running the loop on
+    * first use. The only driver-side value is the scalar changed-count.
     */
   def dedupGroups(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.selectExpr("doc_a as u", "doc_b as v")
@@ -243,9 +245,17 @@ object DedupOps {
       labels = next
       i += 1
     }
+    require(converged,
+      s"dedupGroups did not converge in $maxIters rounds — a component's " +
+        "diameter exceeds maxIters; raise it (labels would be silently wrong)")
+    // truncate the O(iters)-deep lineage and release the loop's cache: the
+    // checkpointed labels are O(|V(pairs)|) and managed by the context
+    // cleaner, not a session-lifetime persist
+    val finalLabels = labels.localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
     docs.select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
+      .join(finalLabels, Seq("doc_id"), "left")
       .selectExpr("doc_id", "coalesce(label, doc_id) as keep_id")
       .selectExpr("doc_id", "keep_id", "cast(doc_id <> keep_id as int) as is_dup")
       .orderBy("doc_id")

@@ -49,6 +49,11 @@ object LocalCopy {
   private def unquote(s: String): String =
     s.stripPrefix("'").stripSuffix("'").replace("''", "'")
 
+  /** COPY/UNLOAD format words whose data would be misparsed as delimited
+    * text if silently skipped like the auth/transport options. */
+  private val unsupportedFormats =
+    Set("json", "avro", "parquet", "orc", "fixedwidth", "shapefile")
+
   private def runCopy(spark: SparkSession, toks: Vector[Tok], at: Int): Unit = {
     val (table, afterTable) = qualifiedName(toks, at + 1)
     var i = nextCode(toks, afterTable)
@@ -75,6 +80,11 @@ object LocalCopy {
     while (j < toks.length) {
       val t = toks(j)
       if (t.isWord("csv")) isCsv = true
+      else if (unsupportedFormats.contains(t.text.toLowerCase) && t.kind == Word)
+        // skipping these would silently load the file as delimited text —
+        // fail loudly instead (only CSV / delimited text are implemented)
+        throw new IllegalArgumentException(
+          s"COPY: format '${t.text}' is not supported (CSV/delimited text only)")
       else if (t.isWord("delimiter")) {
         var k = nextCode(toks, j + 1)
         if (k < toks.length && toks(k).isWord("as")) k = nextCode(toks, k + 1)
@@ -85,6 +95,9 @@ object LocalCopy {
         if (k < toks.length && toks(k).isWord("as")) k = nextCode(toks, k + 1)
         require(k < toks.length && toks(k).kind == Num, "IGNOREHEADER needs a number")
         headerRows = toks(k).text.toInt; j = k
+        // Spark's header option skips exactly one line per file; silently
+        // loading the remaining header lines as data would corrupt the table
+        require(headerRows <= 1, "COPY: IGNOREHEADER > 1 is not supported")
       }
       j = nextCode(toks, j + 1)
     }
@@ -128,6 +141,9 @@ object LocalCopy {
     while (j < toks.length) {
       val t = toks(j)
       if (t.isWord("csv")) isCsv = true
+      else if (t.kind == Word && unsupportedFormats.contains(t.text.toLowerCase))
+        throw new IllegalArgumentException(
+          s"UNLOAD: format '${t.text}' is not supported (CSV/delimited text only)")
       else if (t.isWord("header")) header = true
       else if (t.isWord("delimiter")) {
         var k = nextCode(toks, j + 1)
@@ -146,29 +162,10 @@ object LocalCopy {
     }
     val df = spark.sql(RedshiftSql.rewrite(query))
     val sep = delim.getOrElse(if (isCsv) "," else "|")
-    if (parallel)
-      df.write.mode("overwrite").option("header", header).option("sep", sep).csv(path)
-    else if (sep == ",")
-      graft.io.CsvIO.write(df, path, header = header, singleFile = true)
-    else {
-      // single-file contract with a custom delimiter: same spill-and-move
-      // mechanism, sep plumbed through a one-partition write
-      val tmp = java.nio.file.Files.createTempDirectory("graft_unload_")
-        .resolve("out").toString
-      df.coalesce(1).write.mode("overwrite")
-        .option("header", header).option("sep", sep).csv(tmp)
-      val stream = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-      val part =
-        try {
-          import scala.jdk.CollectionConverters._
-          stream.iterator.asScala.find(_.getFileName.toString.endsWith(".csv"))
-        } finally stream.close()
-      val dest = java.nio.file.Paths.get(path)
-      Option(dest.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      part.foreach(p => java.nio.file.Files.move(p, dest,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING))
-      graft.io.LocalFiles.deleteRecursively(
-        java.nio.file.Paths.get(tmp).getParent)
-    }
+    // PARALLEL ON (Redshift's default) → a directory of part files;
+    // PARALLEL OFF → the blueprint single-file contract (CsvIO owns the
+    // spill-and-move, including the empty-result empty-file case)
+    graft.io.CsvIO.write(df, path, header = header,
+      singleFile = !parallel, sep = sep)
   }
 }

@@ -76,9 +76,19 @@ object RedshiftSql {
     }
     if (!sawTable) return toks
     // attrs can only appear after the table name — a table literally NAMED
-    // `distkey` must not trigger the attr branches
+    // `distkey`/`backup` must not trigger the attr branches. Skip an
+    // IF NOT EXISTS prefix first, or qualifiedName would take `IF` as the
+    // name and leave the real name inside the attr-scan range.
+    var nameAt = nextCode(toks, w + 1)
+    if (nameAt < toks.length && toks(nameAt).isWord("if")) {
+      val not = nextCode(toks, nameAt + 1)
+      val exists = if (not < toks.length) nextCode(toks, not + 1) else toks.length
+      if (not < toks.length && toks(not).isWord("not") &&
+          exists < toks.length && toks(exists).isWord("exists"))
+        nameAt = nextCode(toks, exists + 1)
+    }
     val afterName =
-      try qualifiedName(toks, w + 1)._2
+      try qualifiedName(toks, nameAt)._2
       catch { case _: IllegalArgumentException => return toks }
 
     def ident(t: Tok): String = t.kind match {

@@ -351,6 +351,58 @@ class DialectSpec extends SparkSpecBase {
       === "CREATE TABLE t3 (a INT) ")
   }
 
+  test("trunc dispatch survives late-resolved arguments (subquery, lateral alias)") {
+    // the builder keys on e.resolved at registry-build time; these verify
+    // the analyzer hands it RESOLVED children for deferred shapes too
+    assert(sql1("SELECT trunc((SELECT TIMESTAMP '2024-07-19 13:45:10'))")
+      .get(0).toString === "2024-07-19")
+    assert(sql1(
+      "SELECT trunc(ts2) FROM (SELECT CAST('2024-07-19 13:45:10' AS TIMESTAMP) AS ts2)")
+      .get(0).toString === "2024-07-19")
+    // lateral column alias referencing a just-computed timestamp
+    assert(sql1(
+      "SELECT CAST('2024-07-19 13:45:10' AS TIMESTAMP) AS ts3, trunc(ts3) AS d")
+      .get(1).toString === "2024-07-19")
+  }
+
+  test("CREATE TABLE IF NOT EXISTS with attr-named tables rewrites safely") {
+    // IF NOT EXISTS must not be mistaken for the table name — a following
+    // table named `backup` or `distkey` would otherwise be eaten as an attr
+    val q1 = "CREATE TABLE IF NOT EXISTS backup (id INT)"
+    assert(graft.sql.RedshiftSql.rewrite(q1) === q1)
+    val q2 = "CREATE TABLE IF NOT EXISTS distkey (id INT)"
+    assert(graft.sql.RedshiftSql.rewrite(q2) === q2)
+    // and real attrs after IF NOT EXISTS still rewrite
+    val r = graft.sql.RedshiftSql.rewrite(
+      "CREATE TABLE IF NOT EXISTS t9 (id BIGINT) DISTKEY(id)")
+    assert(r.contains("CLUSTERED BY (`id`)") && r.contains("INTO 32 BUCKETS"), r)
+  }
+
+  test("COPY rejects unsupported formats and IGNOREHEADER > 1 instead of corrupting") {
+    import java.nio.file.Files
+    spark.sql("DROP TABLE IF EXISTS copy_guard")
+    spark.sql("CREATE TABLE copy_guard (id BIGINT)")
+    val f = Files.createTempDirectory("graft_copyg_").resolve("d.json")
+    Files.writeString(f, "{\"id\": 1}\n")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark, s"COPY copy_guard FROM '$f' FORMAT AS JSON 'auto'", None)
+    }
+    assert(e1.getMessage.contains("not supported"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark, s"COPY copy_guard FROM '$f' CSV IGNOREHEADER 2", None)
+    }
+    assert(e2.getMessage.contains("IGNOREHEADER"))
+    assert(spark.table("copy_guard").count() === 0) // nothing loaded
+  }
+
+  test("UNLOAD PARALLEL OFF writes an empty file (not no file) for an empty result") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft_unloade_").resolve("empty.psv")
+    graft.cli.ExecuteSql.run(spark,
+      s"UNLOAD ('SELECT 1 AS x WHERE 1 = 0') TO '$out' PARALLEL OFF", None)
+    assert(Files.exists(out) && Files.size(out) === 0L)
+  }
+
   test("COPY FROM local files appends into an existing table with the target's types") {
     import java.nio.file.Files
     spark.sql("DROP TABLE IF EXISTS copy_t")

@@ -76,6 +76,20 @@ class OpsSpec extends SparkSpecBase {
       (5L, 5L, 0), (6L, 5L, 1), (7L, 5L, 1), (8L, 5L, 1)))
   }
 
+  test("dedup groups raises instead of returning partial labels when maxIters is too low") {
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.dedupGroups(docs, chain, maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // with enough rounds the same chain fully collapses to label 1
+    val ok = DedupOps.dedupGroups(docs, chain, maxIters = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ok.forall(_._2 === 1L))
+  }
+
   test("simhash: identical docs collide at hamming 0") {
     val d = docsDF(1L -> "spark query engine test doc", 2L -> "spark query engine test doc")
     val out = DedupOps.simhashPairs(d, 0).collect()
