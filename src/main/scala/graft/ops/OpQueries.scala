@@ -234,6 +234,25 @@ object OpQueries {
       (s, d) => VectorOps.cosineNearDupLsh(emb(s, d), 0.45),
       None),
 
+    // Int8 embedding quantization (storage op): integer codes are exact
+    // cross-engine — both engines compute the identical affine map in
+    // IEEE doubles and round the same values.
+    QueryDef("op_embed_quantize",
+      (s, d) => VectorOps.quantizeEmbeddings(emb(s, d))
+        .selectExpr("vec_id", "posexplode(qv) as (pos, q)")
+        .selectExpr("vec_id", "cast(pos as bigint) as pos", "cast(q as bigint) as q")
+        .orderBy("vec_id", "pos"),
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |           FROM embeddings),
+             |m AS (SELECT vec_id, v, list_aggregate(v, 'min') AS qmin,
+             |        (list_aggregate(v, 'max') - list_aggregate(v, 'min')) / 255.0 AS qstep
+             |      FROM e)
+             |SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+             |       CAST(round(CASE WHEN qstep = 0 THEN 0
+             |                       ELSE (v[i] - qmin) / qstep END) AS BIGINT) AS q
+             |FROM m, unnest(range(1, len(v) + 1)) AS t(i)
+             |ORDER BY vec_id, pos""".stripMargin)),
+
     QueryDef("op_sim_topk",
       (s, d) => VectorOps.cosineTopK(emb(s, d), 5, 20)
         .withColumnRenamed("rank", "rnk"),

@@ -239,6 +239,28 @@ object VectorOps {
       .orderBy("ida", "idb")
   }
 
+  /** Int8-range quantization of embeddings — the storage-footprint op of
+    * an embedding pipeline: per-vector affine map x → round(255·(x−min)/
+    * (max−min)) yields codes in [0, 255], a 4× reduction vs float32
+    * before parquet's dictionary/byte-packing shrinks it further. Pure
+    * map-only projection (no shuffle); constant vectors (max = min)
+    * quantize to all-zero codes. Reconstruction error per component is
+    * ≤ step/2 by construction — asserted in OpsSpec, and the code values
+    * themselves are integer-exact cross-engine (gated op_embed_quantize).
+    */
+  def quantizeEmbeddings(emb: DataFrame): DataFrame =
+    emb.selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+      .selectExpr("vec_id", "v", "array_min(v) as qmin",
+        "(array_max(v) - array_min(v)) / 255.0D as qstep")
+      .selectExpr("vec_id", "qmin", "qstep",
+        """transform(v, x -> cast(round(
+          |  CASE WHEN qstep = 0D THEN 0D ELSE (x - qmin) / qstep END) as int)) as qv"""
+          .stripMargin)
+
+  /** Inverse of [[quantizeEmbeddings]]: x' = qmin + code·qstep. */
+  def dequantizeEmbeddings(q: DataFrame): DataFrame =
+    q.selectExpr("vec_id", "transform(qv, b -> qmin + b * qstep) as embedding")
+
   /** Deterministic pseudo-random hyperplanes for sign-LSH: component c of
     * plane p is md5-derived (same portable-hash discipline as
     * [[TextOps.h60]]), uniform on [-1, 1] — no RNG, no seed plumbing, so

@@ -4,10 +4,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
   Add, CaseWhen, Cast, Concat, Conv, Divide, Expression, ExpressionInfo,
-  Base64, GetJsonObject, GreaterThan, Hex, HllSketchEstimate, IsNotNull,
-  Length, LengthOfJsonArray, LessThan, Literal, Lower, Multiply, Pow,
-  RegExpExtract, Size, Slice, StringLocate, StringRepeat, StringReplace,
-  StringSplitSQL, TruncDate, UnBase64, Unhex}
+  Base64, Exp, GetJsonObject, GreaterThan, Hex, HllSketchEstimate, IsNotNull,
+  Length, LengthOfJsonArray, LessThan, Literal, Log, Log10, Lower, Multiply,
+  Pow, RegExpExtract, Sha1, Size, Slice, StringLocate, StringRepeat,
+  StringReplace, StringSplitSQL, TruncDate, UnBase64, Unhex}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   HllSketchAgg, HllUnionAgg, HyperLogLogPlusPlus}
 import org.apache.spark.sql.catalyst.expressions.variant.ParseJson
@@ -224,6 +224,34 @@ object GraftExtensions {
           case Seq(x) if isDatish(x) => Cast(x, DateType)
           case Seq(x) => Cast(Cast(x, LongType), DoubleType)
         }
+      }),
+    // Legacy Redshift double-precision math aliases and comparators —
+    // trivial mappings, registered so pass-through SQL using them resolves.
+    (FunctionIdentifier("dexp"),
+      info("dexp", "dexp(x) - e^x (legacy Redshift alias of exp)."),
+      (args: Seq[Expression]) => Exp(Cast(args.head, DoubleType))),
+    (FunctionIdentifier("dlog1"),
+      info("dlog1", "dlog1(x) - natural log (legacy Redshift alias of ln)."),
+      (args: Seq[Expression]) => Log(Cast(args.head, DoubleType))),
+    (FunctionIdentifier("dlog10"),
+      info("dlog10", "dlog10(x) - base-10 log (legacy Redshift alias)."),
+      (args: Seq[Expression]) => Log10(Cast(args.head, DoubleType))),
+    (FunctionIdentifier("func_sha1"),
+      info("func_sha1", "func_sha1(x) - SHA-1 hex digest (Redshift alias of sha1)."),
+      (args: Seq[Expression]) => Sha1(Cast(args.head, BinaryType))),
+    (FunctionIdentifier("date_cmp"),
+      info("date_cmp", "date_cmp(a, b) - -1/0/1 comparison of two dates."),
+      (args: Seq[Expression]) => {
+        val (a, b) = (Cast(args(0), DateType), Cast(args(1), DateType))
+        CaseWhen(Seq((LessThan(a, b), Literal(-1)),
+          (GreaterThan(a, b), Literal(1))), Literal(0))
+      }),
+    (FunctionIdentifier("timestamp_cmp"),
+      info("timestamp_cmp", "timestamp_cmp(a, b) - -1/0/1 comparison of two timestamps."),
+      (args: Seq[Expression]) => {
+        val (a, b) = (Cast(args(0), TimestampType), Cast(args(1), TimestampType))
+        CaseWhen(Seq((LessThan(a, b), Literal(-1)),
+          (GreaterThan(a, b), Literal(1))), Literal(0))
       }),
     // Redshift VARBYTE conversion surface (VERDICT r3 gap #2): VARBYTE maps
     // to BinaryType (SURVEY §1.2); these are the string↔bytes codecs.

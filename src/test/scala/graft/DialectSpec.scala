@@ -201,6 +201,18 @@ class DialectSpec extends SparkSpecBase {
     assert(sql1("SELECT trunc(DATE '2024-07-19', substr('xMM', 2))").get(0).toString === "2024-07-01")
   }
 
+  test("legacy math aliases and date/timestamp comparators resolve and compute") {
+    assert(math.abs(sql1("SELECT dexp(1.0)").getDouble(0) - math.E) < 1e-12)
+    assert(math.abs(sql1("SELECT dlog1(dexp(2.5))").getDouble(0) - 2.5) < 1e-12)
+    assert(sql1("SELECT dlog10(1000.0)").getDouble(0) === 3.0)
+    assert(sql1("SELECT func_sha1('abc')").getString(0)
+      === "a9993e364706816aba3e25717850c26c9cd0d89d") // published SHA-1 vector
+    assert(sql1("SELECT date_cmp(DATE '2024-01-01', DATE '2024-06-01')").getInt(0) === -1)
+    assert(sql1("SELECT date_cmp(DATE '2024-01-01', DATE '2024-01-01')").getInt(0) === 0)
+    assert(sql1("SELECT timestamp_cmp(TIMESTAMP '2024-01-01 12:00:01', TIMESTAMP '2024-01-01 12:00:00')")
+      .getInt(0) === 1)
+  }
+
   test("to_varbyte / from_varbyte convert hex, base64 and utf8 both directions") {
     assert(sql1("SELECT from_varbyte(to_varbyte('spark', 'utf8'), 'hex')")
       .getString(0) === "737061726b")              // Redshift emits lowercase hex

@@ -188,6 +188,21 @@ class OpsSpec extends SparkSpecBase {
     assert(ivf.subsetOf(exact) || ivf.nonEmpty)
   }
 
+  test("embedding quantization: reconstruction error is bounded by half a step") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = VectorOps.quantizeEmbeddings(e)
+    val worst = e
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+      .join(VectorOps.dequantizeEmbeddings(q).withColumnRenamed("embedding", "v2"), "vec_id")
+      .join(q.select("vec_id", "qstep"), "vec_id")
+      .selectExpr(
+        "aggregate(zip_with(v, v2, (a, b) -> abs(a - b)), 0D, (m, x) -> greatest(m, x)) as maxerr",
+        "qstep")
+      .selectExpr("max(maxerr - (qstep / 2 + 1e-12)) as over")
+      .collect()(0).getDouble(0)
+    assert(worst <= 0, s"reconstruction error exceeds step/2 by $worst")
+  }
+
   test("IVF index build + probe returns the identical result as the inline IVF") {
     val e = Tables.load(spark, sfDir, "embeddings")
     VectorOps.buildIvfIndex(e, "ivf_t", nCells = 16, kmeansIters = 2)
