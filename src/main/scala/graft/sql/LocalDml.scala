@@ -39,7 +39,64 @@ object LocalDml {
     if (toks(first).isWord("update")) { runUpdate(spark, toks, first); true }
     else if (toks(first).isWord("delete")) { runDelete(spark, toks, first); true }
     else if (toks(first).isWord("merge")) { runMerge(spark, toks, first); true }
+    else if (toks(first).isWord("analyze")) runAnalyze(spark, toks, first)
+    else if (toks(first).isWord("vacuum")) runVacuum(spark, toks, first)
     else false
+  }
+
+  /** Redshift `ANALYZE [table [(cols)]]` → Spark catalog statistics: the
+    * same role (feed the cost-based planner) with Spark's native
+    * mechanism. Column lists map to COMPUTE STATISTICS FOR COLUMNS;
+    * PREDICATE COLUMNS (Redshift's auto-selection) falls back to table
+    * stats. Bare `ANALYZE` (all tables) is rejected — at warehouse scale
+    * that is an accident, not a request. Returns false for Spark's own
+    * `ANALYZE TABLE …` syntax so it passes through untouched.
+    */
+  private def runAnalyze(spark: SparkSession, toks: Vector[Tok], at: Int): Boolean = {
+    var i = nextCode(toks, at + 1)
+    if (i < toks.length && toks(i).isWord("table")) return false // Spark syntax
+    if (i < toks.length && (toks(i).isWord("verbose")))
+      i = nextCode(toks, i + 1)
+    require(i < toks.length, "ANALYZE needs a table name (analyzing every table is not supported)")
+    val (table, afterT) = tableName(toks, i)
+    var j = nextCode(toks, afterT)
+    // optional (col, col) list; PREDICATE COLUMNS / ALL COLUMNS keywords
+    val cols: Seq[String] =
+      if (j < toks.length && toks(j).kind == Sym && toks(j).text == "(") {
+        val close = matchParen(toks, j)
+        toks.slice(j + 1, close).collect {
+          case t if t.kind == Word => t.text
+          case t if t.kind == QIdent => t.text.stripPrefix("\"").stripSuffix("\"")
+        }
+      } else Seq.empty
+    val forCols =
+      if (cols.nonEmpty) s" FOR COLUMNS ${cols.map(c => s"`$c`").mkString(", ")}"
+      else ""
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS$forCols")
+    true
+  }
+
+  /** Redshift `VACUUM [FULL|SORT ONLY|DELETE ONLY|REINDEX] [table]` →
+    * copy-on-write compaction through [[swapDf]]: rewrites the table's
+    * files (many small files → shuffle-partition-sized ones) and, because
+    * swapDf re-applies the recorded bucket/sort spec, restores the sorted
+    * layout — the closest honest analog of Redshift's re-sort + reclaim.
+    * A bare `VACUUM` (every table) is rejected for the same reason as
+    * ANALYZE.
+    */
+  private def runVacuum(spark: SparkSession, toks: Vector[Tok], at: Int): Boolean = {
+    var i = nextCode(toks, at + 1)
+    // skip the mode words; they all map to the same full rewrite here
+    while (i < toks.length && (toks(i).isWord("full") || toks(i).isWord("sort") ||
+           toks(i).isWord("delete") || toks(i).isWord("only") ||
+           toks(i).isWord("reindex") || toks(i).isWord("recluster")))
+      i = nextCode(toks, i + 1)
+    require(i < toks.length, "VACUUM needs a table name (vacuuming every table is not supported)")
+    val (table, afterT) = tableName(toks, i)
+    // `TO threshold PERCENT` / BOOST suffixes are advisory — ignored
+    swapDf(spark, table, spark.table(table))
+    val _ = afterT
+    true
   }
 
   /** DELETE removes rows where the predicate is TRUE; NULL-predicate rows

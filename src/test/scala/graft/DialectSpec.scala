@@ -464,6 +464,32 @@ class DialectSpec extends SparkSpecBase {
     assert(back.count() === 10)
   }
 
+  test("ANALYZE maps to catalog statistics; VACUUM compacts files copy-on-write") {
+    import spark.implicits._
+    def meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("maint_t"))
+    def partFiles: Int = {
+      val dir = java.nio.file.Paths.get(new java.net.URI(meta.location.toString))
+      val s = java.nio.file.Files.list(dir)
+      try s.filter(p => p.getFileName.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
+    spark.sql("DROP TABLE IF EXISTS maint_t")
+    (1 to 1000).map(i => (i.toLong, i % 7)).toDF("id", "k")
+      .repartition(16).write.saveAsTable("maint_t")
+    assert(partFiles === 16)
+    graft.cli.ExecuteSql.run(spark, "ANALYZE maint_t", None)
+    assert(meta.stats.exists(_.sizeInBytes > 0), "table stats missing after ANALYZE")
+    graft.cli.ExecuteSql.run(spark, "ANALYZE maint_t (id, k)", None)
+    assert(meta.stats.exists(_.colStats.nonEmpty), "column stats missing")
+    // VACUUM: 16 tiny files pack into far fewer on the rewrite
+    graft.cli.ExecuteSql.run(spark, "VACUUM FULL maint_t", None)
+    assert(partFiles < 16, s"expected compaction, still $partFiles files")
+    assert(spark.table("maint_t").count() === 1000)
+    // Spark's own ANALYZE TABLE syntax passes through untouched
+    graft.cli.ExecuteSql.run(spark, "ANALYZE TABLE maint_t COMPUTE STATISTICS", None)
+  }
+
   // ---- PIVOT / UNPIVOT ----
   test("PIVOT and UNPIVOT execute natively") {
     Tables.registerAll(spark, sfDir)

@@ -190,6 +190,37 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), s"medians side must broadcast:\n$p")
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "24KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "24KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // one hot key carries ~90% of the rows — the 100 TB poison layout
+      val big = spark.range(200000)
+        .selectExpr("CASE WHEN id % 10 < 9 THEN 0L ELSE id END AS k",
+          "uuid() AS payload")
+      val small = spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+      val joined = big.join(small, "k")
+      // execute THIS queryExecution (a write would plan a fresh one), so
+      // the adaptive plan re-optimizes to its final shape
+      joined.queryExecution.toRdd.count()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p.take(500))
+      assert(p.contains("skew=true"),
+        s"AQE did not split the hot-key partition:\n${p.take(3000)}")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("text ops prune the documents scan to doc_id + text") {
     val p = SparkEntry.queries("op_text_stats")(spark, sfDir)
       .queryExecution.executedPlan.toString
