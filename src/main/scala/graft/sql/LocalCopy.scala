@@ -137,6 +137,7 @@ object LocalCopy {
     var delim: Option[String] = None
     var header = false
     var parallel = true // Redshift default: one file per slice
+    var partitionCols: Seq[String] = Seq.empty
     var j = nextCode(toks, i + 1)
     while (j < toks.length) {
       val t = toks(j)
@@ -144,6 +145,24 @@ object LocalCopy {
       else if (t.kind == Word && unsupportedFormats.contains(t.text.toLowerCase))
         throw new IllegalArgumentException(
           s"UNLOAD: format '${t.text}' is not supported (CSV/delimited text only)")
+      else if (t.isWord("partition")) {
+        val by = nextCode(toks, j + 1)
+        require(by < toks.length && toks(by).isWord("by"), "PARTITION needs BY (cols)")
+        val open = nextCode(toks, by + 1)
+        require(open < toks.length && toks(open).kind == Sym && toks(open).text == "(",
+          "PARTITION BY needs (cols)")
+        val close = matchParen(toks, open)
+        partitionCols = toks.slice(open + 1, close).collect {
+          case tk if tk.kind == Word => tk.text
+          case tk if tk.kind == QIdent => tk.text.stripPrefix("\"").stripSuffix("\"")
+        }
+        j = close
+      } else if (t.isWord("include"))
+        // Spark's partitionBy encodes the columns in the path and excludes
+        // them from data files (Redshift's default); duplicating them would
+        // silently change the file schema
+        throw new IllegalArgumentException(
+          "UNLOAD: PARTITION BY ... INCLUDE is not supported")
       else if (t.isWord("header")) header = true
       else if (t.isWord("delimiter")) {
         var k = nextCode(toks, j + 1)
@@ -162,10 +181,17 @@ object LocalCopy {
     }
     val df = spark.sql(RedshiftSql.rewrite(query))
     val sep = delim.getOrElse(if (isCsv) "," else "|")
-    // PARALLEL ON (Redshift's default) → a directory of part files;
-    // PARALLEL OFF → the blueprint single-file contract (CsvIO owns the
-    // spill-and-move, including the empty-result empty-file case)
-    graft.io.CsvIO.write(df, path, header = header,
-      singleFile = !parallel, sep = sep)
+    if (partitionCols.nonEmpty) {
+      // partitioned export: one directory per key prefix — Spark's
+      // partitionBy is exactly Redshift's PARTITION BY layout
+      require(parallel, "UNLOAD: PARTITION BY cannot be combined with PARALLEL OFF")
+      df.write.mode("overwrite").option("header", header).option("sep", sep)
+        .partitionBy(partitionCols: _*).csv(path)
+    } else
+      // PARALLEL ON (Redshift's default) → a directory of part files;
+      // PARALLEL OFF → the blueprint single-file contract (CsvIO owns the
+      // spill-and-move, including the empty-result empty-file case)
+      graft.io.CsvIO.write(df, path, header = header,
+        singleFile = !parallel, sep = sep)
   }
 }

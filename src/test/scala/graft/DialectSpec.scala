@@ -464,6 +464,30 @@ class DialectSpec extends SparkSpecBase {
     assert(back.count() === 10)
   }
 
+  test("UNLOAD PARTITION BY writes Redshift's partitioned directory layout") {
+    import java.nio.file.Files
+    spark.sql("DROP TABLE IF EXISTS unload_p")
+    spark.range(100).selectExpr("id", "id % 3 AS k")
+      .write.saveAsTable("unload_p")
+    val out = Files.createTempDirectory("graft_unloadp_").resolve("byk")
+    graft.cli.ExecuteSql.run(spark,
+      s"UNLOAD ('SELECT id, k FROM unload_p') TO '$out' CSV PARTITION BY (k)", None)
+    val dirs = Files.list(out)
+    val keys = try {
+      import scala.jdk.CollectionConverters._
+      dirs.iterator.asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("k=")).toSet
+    } finally dirs.close()
+    assert(keys === Set("k=0", "k=1", "k=2"))
+    val back = spark.read.option("sep", ",").csv(out.toString)
+    assert(back.count() === 100)
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark,
+        s"UNLOAD ('SELECT id, k FROM unload_p') TO '$out' PARTITION BY (k) INCLUDE", None)
+    }
+    assert(e.getMessage.contains("INCLUDE"))
+  }
+
   test("ANALYZE maps to catalog statistics; VACUUM compacts files copy-on-write") {
     import spark.implicits._
     def meta = spark.sessionState.catalog.getTableMetadata(
