@@ -4,10 +4,11 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
   Add, CaseWhen, Cast, Concat, Conv, Divide, Expression, ExpressionInfo,
-  Base64, Exp, GetJsonObject, GreaterThan, Hex, HllSketchEstimate, IsNotNull,
-  Length, LengthOfJsonArray, LessThan, Literal, Log, Log10, Lower, Multiply,
-  Pow, RegExpExtract, Sha1, Size, Slice, StringLocate, StringRepeat,
-  StringReplace, StringSplitSQL, TruncDate, UnBase64, Unhex}
+  Base64, Exp, GetJsonObject, GreaterThan, Hex, HllSketchEstimate, If,
+  IsNotNull, IsNull, Length, LengthOfJsonArray, LessThan, Literal, Log,
+  Log10, Lower, Multiply, Or, Pow, RegExpExtract, Sha1, Size, Slice,
+  StringLocate, StringRepeat, StringReplace, StringSplitSQL, TruncDate,
+  UnBase64, Unhex}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   HllSketchAgg, HllUnionAgg, HyperLogLogPlusPlus}
 import org.apache.spark.sql.catalyst.expressions.variant.ParseJson
@@ -151,10 +152,12 @@ object GraftExtensions {
         StringReplace(Cast(args.head, StringType), Literal("\""), Literal("\"\"")),
         Literal("\"")))),
     (FunctionIdentifier("bpcharcmp"),
-      info("bpcharcmp", "bpcharcmp(a, b) - -1/0/1 string comparison."),
-      (args: Seq[Expression]) => CaseWhen(Seq(
-        (LessThan(args(0), args(1)), Literal(-1)),
-        (GreaterThan(args(0), args(1)), Literal(1))), Literal(0))),
+      info("bpcharcmp", "bpcharcmp(a, b) - -1/0/1 string comparison; NULL if either is NULL."),
+      (args: Seq[Expression]) =>
+        If(Or(IsNull(args(0)), IsNull(args(1))), Literal.create(null, IntegerType),
+          CaseWhen(Seq(
+            (LessThan(args(0), args(1)), Literal(-1)),
+            (GreaterThan(args(0), args(1)), Literal(1))), Literal(0)))),
     // Redshift HLLSKETCH surface (SURVEY §2.2 🔴 → done) over Spark's
     // Apache DataSketches expressions. The materialized sketch is a
     // DataSketches HLL buffer in a BINARY column (Redshift's own sketch
@@ -239,19 +242,23 @@ object GraftExtensions {
     (FunctionIdentifier("func_sha1"),
       info("func_sha1", "func_sha1(x) - SHA-1 hex digest (Redshift alias of sha1)."),
       (args: Seq[Expression]) => Sha1(Cast(args.head, BinaryType))),
+    // NULL on either side propagates to NULL (Redshift scalar semantics)
+    // rather than falling through CaseWhen's ELSE into a spurious 0.
     (FunctionIdentifier("date_cmp"),
-      info("date_cmp", "date_cmp(a, b) - -1/0/1 comparison of two dates."),
+      info("date_cmp", "date_cmp(a, b) - -1/0/1 comparison of two dates; NULL if either is NULL."),
       (args: Seq[Expression]) => {
         val (a, b) = (Cast(args(0), DateType), Cast(args(1), DateType))
-        CaseWhen(Seq((LessThan(a, b), Literal(-1)),
-          (GreaterThan(a, b), Literal(1))), Literal(0))
+        If(Or(IsNull(a), IsNull(b)), Literal.create(null, IntegerType),
+          CaseWhen(Seq((LessThan(a, b), Literal(-1)),
+            (GreaterThan(a, b), Literal(1))), Literal(0)))
       }),
     (FunctionIdentifier("timestamp_cmp"),
-      info("timestamp_cmp", "timestamp_cmp(a, b) - -1/0/1 comparison of two timestamps."),
+      info("timestamp_cmp", "timestamp_cmp(a, b) - -1/0/1 comparison of two timestamps; NULL if either is NULL."),
       (args: Seq[Expression]) => {
         val (a, b) = (Cast(args(0), TimestampType), Cast(args(1), TimestampType))
-        CaseWhen(Seq((LessThan(a, b), Literal(-1)),
-          (GreaterThan(a, b), Literal(1))), Literal(0))
+        If(Or(IsNull(a), IsNull(b)), Literal.create(null, IntegerType),
+          CaseWhen(Seq((LessThan(a, b), Literal(-1)),
+            (GreaterThan(a, b), Literal(1))), Literal(0)))
       }),
     // Redshift VARBYTE conversion surface (VERDICT r3 gap #2): VARBYTE maps
     // to BinaryType (SURVEY §1.2); these are the string↔bytes codecs.

@@ -60,11 +60,7 @@ object LocalCopy {
     // optional (col, col, ...) list
     val cols: Seq[String] =
       if (i < toks.length && toks(i).kind == Sym && toks(i).text == "(") {
-        val close = matchParen(toks, i)
-        val names = toks.slice(i + 1, close).collect {
-          case t if t.kind == Word => t.text
-          case t if t.kind == QIdent => t.text.stripPrefix("\"").stripSuffix("\"")
-        }
+        val (names, close) = nameList(toks, i)
         i = nextCode(toks, close + 1)
         names
       } else Seq.empty
@@ -149,13 +145,8 @@ object LocalCopy {
         val by = nextCode(toks, j + 1)
         require(by < toks.length && toks(by).isWord("by"), "PARTITION needs BY (cols)")
         val open = nextCode(toks, by + 1)
-        require(open < toks.length && toks(open).kind == Sym && toks(open).text == "(",
-          "PARTITION BY needs (cols)")
-        val close = matchParen(toks, open)
-        partitionCols = toks.slice(open + 1, close).collect {
-          case tk if tk.kind == Word => tk.text
-          case tk if tk.kind == QIdent => tk.text.stripPrefix("\"").stripSuffix("\"")
-        }
+        val (cols, close) = nameList(toks, open)
+        partitionCols = cols
         j = close
       } else if (t.isWord("include"))
         // Spark's partitionBy encodes the columns in the path and excludes

@@ -59,19 +59,20 @@ object LocalDml {
       i = nextCode(toks, i + 1)
     require(i < toks.length, "ANALYZE needs a table name (analyzing every table is not supported)")
     val (table, afterT) = tableName(toks, i)
-    var j = nextCode(toks, afterT)
-    // optional (col, col) list; PREDICATE COLUMNS / ALL COLUMNS keywords
-    val cols: Seq[String] =
-      if (j < toks.length && toks(j).kind == Sym && toks(j).text == "(") {
-        val close = matchParen(toks, j)
-        toks.slice(j + 1, close).collect {
-          case t if t.kind == Word => t.text
-          case t if t.kind == QIdent => t.text.stripPrefix("\"").stripSuffix("\"")
-        }
-      } else Seq.empty
+    val j = nextCode(toks, afterT)
+    // optional (col, col) list; ALL COLUMNS / PREDICATE COLUMNS collect
+    // column stats for everything (PREDICATE COLUMNS is Redshift's
+    // auto-subset — a superset is the honest local mapping; collecting
+    // more stats than asked never misleads the planner)
     val forCols =
-      if (cols.nonEmpty) s" FOR COLUMNS ${cols.map(c => s"`$c`").mkString(", ")}"
-      else ""
+      if (j < toks.length && toks(j).kind == Sym && toks(j).text == "(") {
+        val (cols, _) = nameList(toks, j)
+        require(cols.nonEmpty, "ANALYZE (…) needs at least one column")
+        s" FOR COLUMNS ${cols.map(c => s"`$c`").mkString(", ")}"
+      } else if (j < toks.length &&
+          (toks(j).isWord("all") || toks(j).isWord("predicate"))) {
+        " FOR ALL COLUMNS"
+      } else ""
     spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS$forCols")
     true
   }
@@ -81,8 +82,10 @@ object LocalDml {
     * files (many small files → shuffle-partition-sized ones) and, because
     * swapDf re-applies the recorded bucket/sort spec, restores the sorted
     * layout — the closest honest analog of Redshift's re-sort + reclaim.
-    * A bare `VACUUM` (every table) is rejected for the same reason as
-    * ANALYZE.
+    * Catalog statistics survive the swap by RECOMPUTING them afterwards
+    * (the data is unchanged, so fresh stats are both accurate and what
+    * Redshift's VACUUM leaves behind). A bare `VACUUM` (every table) is
+    * rejected for the same reason as ANALYZE.
     */
   private def runVacuum(spark: SparkSession, toks: Vector[Tok], at: Int): Boolean = {
     var i = nextCode(toks, at + 1)
@@ -92,10 +95,18 @@ object LocalDml {
            toks(i).isWord("reindex") || toks(i).isWord("recluster")))
       i = nextCode(toks, i + 1)
     require(i < toks.length, "VACUUM needs a table name (vacuuming every table is not supported)")
-    val (table, afterT) = tableName(toks, i)
+    val (table, _) = tableName(toks, i)
     // `TO threshold PERCENT` / BOOST suffixes are advisory — ignored
+    val priorStats = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).stats
     swapDf(spark, table, spark.table(table))
-    val _ = afterT
+    priorStats.foreach { s =>
+      val forCols =
+        if (s.colStats.nonEmpty)
+          s" FOR COLUMNS ${s.colStats.keys.map(c => s"`$c`").mkString(", ")}"
+        else ""
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS$forCols")
+    }
     true
   }
 

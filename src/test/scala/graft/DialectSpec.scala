@@ -201,6 +201,38 @@ class DialectSpec extends SparkSpecBase {
     assert(sql1("SELECT trunc(DATE '2024-07-19', substr('xMM', 2))").get(0).toString === "2024-07-01")
   }
 
+  test("comparators propagate NULL; unclosed lists raise instead of looping or degrading") {
+    assert(sql1("SELECT date_cmp(NULL, DATE '2024-01-01')").isNullAt(0))
+    assert(sql1("SELECT timestamp_cmp(TIMESTAMP '2024-01-01 00:00:00', NULL)").isNullAt(0))
+    assert(sql1("SELECT bpcharcmp(NULL, 'x')").isNullAt(0))
+    spark.sql("DROP TABLE IF EXISTS guard_t")
+    spark.sql("CREATE TABLE guard_t (id BIGINT, k BIGINT)")
+    // unclosed column list must error, not silently compute table-only stats
+    intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark, "ANALYZE guard_t (id, k", None)
+    }
+    // unclosed PARTITION BY must error, not loop forever
+    intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark,
+        "UNLOAD ('SELECT 1 AS k') TO '/tmp/guard_unload' PARTITION BY (k", None)
+    }
+  }
+
+  test("ANALYZE ALL/PREDICATE COLUMNS and VACUUM keep column statistics") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS maint_s")
+    (1 to 100).map(i => (i.toLong, i % 5)).toDF("id", "k")
+      .write.saveAsTable("maint_s")
+    def colStats = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("maint_s"))
+      .stats.map(_.colStats.keySet).getOrElse(Set.empty[String])
+    graft.cli.ExecuteSql.run(spark, "ANALYZE maint_s ALL COLUMNS", None)
+    assert(colStats === Set("id", "k"))
+    // VACUUM recomputes (not drops) the stats across the copy-on-write swap
+    graft.cli.ExecuteSql.run(spark, "VACUUM maint_s", None)
+    assert(colStats === Set("id", "k"), "stats lost across VACUUM")
+  }
+
   test("legacy math aliases and date/timestamp comparators resolve and compute") {
     assert(math.abs(sql1("SELECT dexp(1.0)").getDouble(0) - math.E) < 1e-12)
     assert(math.abs(sql1("SELECT dlog1(dexp(2.5))").getDouble(0) - 2.5) < 1e-12)
