@@ -216,14 +216,72 @@ object DedupOps {
     * the iteration cache can be released without re-running the loop on
     * first use. The only driver-side value is the scalar changed-count.
     */
-  def dedupGroups(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.selectExpr("doc_a as u", "doc_b as v")
-      .union(pairs.selectExpr("doc_b as u", "doc_a as v"))
-      .persist()
-    // Propagate only over the pair graph's VERTEX set — docs with no
-    // near-dup edge are singleton components by definition and rejoin at
-    // the end. At 100 TB dup clusters are a small fraction of the corpus,
-    // so each iteration moves O(|V(pairs)|) rows, not O(N).
+  def dedupGroups(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20,
+                  driverMaxPairs: Long = 1L << 20): DataFrame = {
+    val spark = docs.sparkSession
+    val base = pairs.selectExpr("doc_a as u", "doc_b as v").persist()
+    // The PAIR GRAPH is orders of magnitude smaller than the corpus (it is
+    // the output of near-dup candidate generation); when its edge list
+    // fits comfortably on the driver (≤ driverMaxPairs, default 2^20 ≈
+    // 16 MB), exact union-find there costs milliseconds and ONE broadcast
+    // join — versus several near-empty shuffle rounds of label
+    // propagation, whose per-job scheduling overhead dominates at this
+    // size. Above the threshold the fully distributed propagation below
+    // takes over (the same hybrid call GraphFrames-style CC makes).
+    val nPairs = base.count()
+    val labels: DataFrame =
+      if (nPairs <= driverMaxPairs) driverUnionFind(spark, base)
+      else propagateLabels(base, maxIters)
+    base.unpersist()
+    docs.select(col("doc_id"))
+      .join(broadcastIfSmall(labels, nPairs <= driverMaxPairs), Seq("doc_id"), "left")
+      .selectExpr("doc_id", "coalesce(label, doc_id) as keep_id")
+      .selectExpr("doc_id", "keep_id", "cast(doc_id <> keep_id as int) as is_dup")
+      .orderBy("doc_id")
+  }
+
+  private def broadcastIfSmall(df: DataFrame, small: Boolean): DataFrame =
+    if (small) broadcast(df) else df
+
+  /** Exact min-label connected components via driver union-find (union by
+    * MIN root + path compression): the root of every tree is provably the
+    * minimum doc_id of its component — unions always re-root to the
+    * smaller root, so the invariant holds inductively. */
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+                              edges: DataFrame): DataFrame = {
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val resolved = es.iterator.flatMap(e => Iterator(e._1, e._2))
+      .toSet.toSeq.map((x: Long) => org.apache.spark.sql.Row(x, find(x)))
+    // explicit schema — TypeTag-based createDataFrame needs runtime
+    // reflection that breaks under REPL/embedded classloaders
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(resolved.asJava,
+      StructType(Seq(StructField("doc_id", LongType), StructField("label", LongType))))
+  }
+
+  /** Distributed min-label propagation over the pair graph's vertex set —
+    * the > driverMaxPairs path. Each round is one shuffle stage group over
+    * O(|V(pairs)|) rows; RAISES if `maxIters` rounds don't converge
+    * (an unconverged tail doc would keep an intermediate doc_id as its
+    * keeper — silent corruption). The converged labels are
+    * local-checkpointed so the loop's cache is released. */
+  private def propagateLabels(base: DataFrame, maxIters: Int): DataFrame = {
+    val edges = base.union(base.selectExpr("v as u", "u as v")).persist()
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .selectExpr("doc_id", "doc_id as label").persist()
     var converged = false
@@ -248,17 +306,10 @@ object DedupOps {
     require(converged,
       s"dedupGroups did not converge in $maxIters rounds — a component's " +
         "diameter exceeds maxIters; raise it (labels would be silently wrong)")
-    // truncate the O(iters)-deep lineage and release the loop's cache: the
-    // checkpointed labels are O(|V(pairs)|) and managed by the context
-    // cleaner, not a session-lifetime persist
     val finalLabels = labels.localCheckpoint(true)
     labels.unpersist()
     edges.unpersist()
-    docs.select(col("doc_id"))
-      .join(finalLabels, Seq("doc_id"), "left")
-      .selectExpr("doc_id", "coalesce(label, doc_id) as keep_id")
-      .selectExpr("doc_id", "keep_id", "cast(doc_id <> keep_id as int) as is_dup")
-      .orderBy("doc_id")
+    finalLabels
   }
 
   /** Pigeonhole candidate generation: pairs agreeing exactly on ≥1 of the

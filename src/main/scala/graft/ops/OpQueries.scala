@@ -216,6 +216,15 @@ object OpQueries {
               |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Production-radius SimHash twin (64-bit xxhash64 signatures, radius 3
+    // → 16-bit pigeonhole blocks, ~2^16 bucket pruning): no cross-engine
+    // oracle (xxhash64 is Spark-native) → rows-only check; exhaustiveness
+    // at the radius + the pruning bound are proven in OpsSpec against an
+    // in-test brute force.
+    QueryDef("op_simhash_pairs64",
+      (s, d) => DedupOps.simhashPairs64(docs(s, d), 3),
+      None),
+
     QueryDef("op_dedup_embedding",
       (s, d) => VectorOps.cosineNearDup(emb(s, d), 0.45),
       Some(s"""WITH $dkNormed

@@ -249,13 +249,9 @@ object VectorOps {
     * themselves are integer-exact cross-engine (gated op_embed_quantize).
     */
   def quantizeEmbeddings(emb: DataFrame): DataFrame =
-    emb.selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
-      .selectExpr("vec_id", "v", "array_min(v) as qmin",
-        "(array_max(v) - array_min(v)) / 255.0D as qstep")
-      .selectExpr("vec_id", "qmin", "qstep",
-        """transform(v, x -> cast(round(
-          |  CASE WHEN qstep = 0D THEN 0D ELSE (x - qmin) / qstep END) as int)) as qv"""
-          .stripMargin)
+    emb.selectExpr("vec_id",
+        "quantize_i8(transform(embedding, x -> cast(x as double))) as q")
+      .selectExpr("vec_id", "q.qmin as qmin", "q.qstep as qstep", "q.qv as qv")
 
   /** Inverse of [[quantizeEmbeddings]]: x' = qmin + code·qstep. */
   def dequantizeEmbeddings(q: DataFrame): DataFrame =

@@ -15,7 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.variant.ParseJson
 import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DateType,
   DoubleType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
 
-import graft.sql.expressions.{ArrayDot, Checksum, FeatureHash, FnvHash, MinHashSig, SimHash60, SimHashBits}
+import graft.sql.expressions.{ArrayDot, Checksum, FeatureHash, FnvHash, MinHashSig, QuantizeI8, SimHash60, SimHashBits}
 
 /** Session extensions registering the Redshift function-name surface that
   * Spark's parser accepts but its registry lacks (SURVEY.md §2.2 🔧/🔴):
@@ -79,6 +79,9 @@ object GraftExtensions {
     (FunctionIdentifier("simhash60"),
       info("simhash60", "simhash60(hs) - 60-bit SimHash over array<bigint> token hashes."),
       (args: Seq[Expression]) => SimHash60(Cast(args.head, ArrayType(LongType)))),
+    (FunctionIdentifier("quantize_i8"),
+      info("quantize_i8", "quantize_i8(v) - struct(qmin, qstep, qv): one-pass int8-range quantization of array<double>."),
+      (args: Seq[Expression]) => QuantizeI8(Cast(args.head, ArrayType(DoubleType)))),
     (FunctionIdentifier("simhash_bits"),
       info("simhash_bits", "simhash_bits(hs, bits) - bits-wide SimHash over array<bigint> token hashes; bits must be an integer literal <= 64."),
       (args: Seq[Expression]) => args(1) match {

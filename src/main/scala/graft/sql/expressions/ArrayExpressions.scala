@@ -97,6 +97,38 @@ object ArrayKernels {
     new GenericArrayData(v.map(x => x: Any))
   }
 
+  /** One-pass int8-range quantization of a double array: returns
+    * (qmin, qstep, codes) with codes_i = round((x_i − min)/step), step =
+    * (max − min)/255 (0-step arrays quantize to all-zero codes). A single
+    * O(dim) loop — the composed SQL version re-evaluated array_min/max
+    * inside the per-element lambda after projection collapse, making it
+    * O(dim²) per row. Math.round matches Spark's and DuckDB's half-up for
+    * the non-negative operands here, so oracle hashes are unchanged. */
+  def quantizeI8(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    var mn = Double.MaxValue
+    var mx = Double.MinValue
+    var i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      if (x < mn) mn = x
+      if (x > mx) mx = x
+      i += 1
+    }
+    if (n == 0) { mn = 0.0; mx = 0.0 }
+    val step = (mx - mn) / 255.0
+    val codes = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      codes(i) =
+        if (step == 0.0) 0
+        else Math.round((v.getDouble(i) - mn) / step).toInt
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](mn, step, new GenericArrayData(codes)))
+  }
+
   private val P = 2147483647L // Mersenne 2^31-1, the MinHash hash space
 
   /** MinHash signature: sig_i = min over hashes of
@@ -183,6 +215,25 @@ case class FeatureHash(child: Expression, dim: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.sql.expressions.ArrayKernels.featureHash($c, $dim)")
 
   override protected def withNewChildInternal(newChild: Expression): FeatureHash =
+    copy(child = newChild)
+}
+
+/** `quantize_i8(v)` → struct<qmin: double, qstep: double, qv: array<int>>
+  * over array<double>: one-pass affine int8-range quantization. */
+case class QuantizeI8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("qmin", DoubleType, nullable = false),
+    StructField("qstep", DoubleType, nullable = false),
+    StructField("qv", ArrayType(IntegerType, containsNull = false), nullable = false)))
+  override def prettyName: String = "quantize_i8"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.quantizeI8(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.expressions.ArrayKernels.quantizeI8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeI8 =
     copy(child = newChild)
 }
 

@@ -64,29 +64,35 @@ class OpsSpec extends SparkSpecBase {
     assert(lsh === exact) // no false positives (verified) + full recall here
   }
 
-  test("dedup groups: min-label propagation merges components transitively") {
+  test("dedup groups: both CC paths merge components transitively and agree") {
     val docs = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // chain 5-6-7-8 needs THREE propagation rounds to reach label 5 at 8
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (7L, 8L))
       .toDF("doc_a", "doc_b")
-    val out = DedupOps.dedupGroups(docs, pairs).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-    assert(out === Array(
+    val expected = Array(
       (1L, 1L, 0), (2L, 1L, 1), (3L, 1L, 1), (4L, 4L, 0),
-      (5L, 5L, 0), (6L, 5L, 1), (7L, 5L, 1), (8L, 5L, 1)))
+      (5L, 5L, 0), (6L, 5L, 1), (7L, 5L, 1), (8L, 5L, 1))
+    // default: driver union-find fast path
+    val viaDriver = DedupOps.dedupGroups(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(viaDriver === expected)
+    // driverMaxPairs = 0 forces the distributed propagation path
+    val viaCluster = DedupOps.dedupGroups(docs, pairs, driverMaxPairs = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(viaCluster === expected)
   }
 
-  test("dedup groups raises instead of returning partial labels when maxIters is too low") {
+  test("distributed dedup groups raises instead of returning partial labels when maxIters is too low") {
     val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
       .toDF("doc_a", "doc_b")
     val e = intercept[IllegalArgumentException] {
-      DedupOps.dedupGroups(docs, chain, maxIters = 2).collect()
+      DedupOps.dedupGroups(docs, chain, maxIters = 2, driverMaxPairs = 0).collect()
     }
     assert(e.getMessage.contains("did not converge"))
     // with enough rounds the same chain fully collapses to label 1
-    val ok = DedupOps.dedupGroups(docs, chain, maxIters = 10).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+    val ok = DedupOps.dedupGroups(docs, chain, maxIters = 10, driverMaxPairs = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(ok.forall(_._2 === 1L))
   }
 
