@@ -39,6 +39,16 @@ object StreamingOps {
       .selectExpr("user_id", "unix_micros(sw.start) as start_us",
         "n_events", "total_value")
 
+  /** Stateless stream enrichment — the most common streaming op in
+    * practice: a stream-static LEFT join of the event stream to a
+    * dimension table, with the static side broadcast so each micro-batch
+    * is a map-only stage (no stream-side shuffle, no state store). The
+    * static side is re-read per batch by Structured Streaming's contract,
+    * so slowly-changing dimensions pick up updates between batches.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming approximate distinct users per tumbling window — the online
     * form of the HLLSKETCH surface (q21): `approx_count_distinct` (HLL++)
     * as a windowed streaming aggregate under a watermark. State per open

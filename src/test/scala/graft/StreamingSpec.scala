@@ -115,6 +115,29 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("stream-static enrichment equals the batch join (broadcast, stateless)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id").limit(500)
+    val dim = events.select("user_id").distinct()
+      .selectExpr("user_id", "concat('u', user_id) as user_tag")
+    val rows = events.as[(Long, Long)].collect()
+    val stream = MemoryStream[(Long, Long)]
+    stream.addData(rows.toSeq)
+    val q = StreamingOps.enrich(
+        stream.toDF().toDF("event_id", "user_id"), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("enrich_stream")
+      .select("event_id", "user_id", "user_tag")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batch = events.join(dim, Seq("user_id"), "left")
+      .select("event_id", "user_id", "user_tag")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
   test("incremental delivery across batches yields the same closed sessions") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rows = Tables.load(spark, sfDir, "events")
