@@ -82,6 +82,35 @@ class OpsSpec extends SparkSpecBase {
     assert(viaCluster === expected)
   }
 
+  test("dedup groups: driver union-find equals brute-force closure on random graphs") {
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
+    (1 to 8).foreach { trial =>
+      val n = 20
+      val rnd = lcg(7700 + trial)
+      val edges = rnd.take(12).toVector.map { x =>
+        val a = ((x >>> 20) % n).toInt; val b = ((x >>> 40) % n).toInt
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      // brute force: repeated relaxation to a fixed point over the closure
+      val lbl = scala.collection.mutable.Map((0L until n.toLong).map(i => i -> i): _*)
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (a, b) =>
+          val m = math.min(lbl(a), lbl(b))
+          if (lbl(a) != m) { lbl(a) = m; changed = true }
+          if (lbl(b) != m) { lbl(b) = m; changed = true }
+        }
+      }
+      val docs = (0L until n.toLong).map(i => (i, s"d$i")).toDF("doc_id", "text")
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val out = DedupOps.dedupGroups(docs, pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out === lbl.toMap, s"trial $trial mismatch (edges: $edges)")
+    }
+  }
+
   test("distributed dedup groups raises instead of returning partial labels when maxIters is too low") {
     val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
