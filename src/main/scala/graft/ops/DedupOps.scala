@@ -203,23 +203,28 @@ object DedupOps {
     * smallest doc_id in its connected component of the `pairs` graph
     * (keep_id), so "keep one per cluster" is a filter on `is_dup`.
     *
-    * Iterative min-label propagation (the standard distributed CC
-    * approach — GraphFrames/Pregel do the same): each round joins labels
-    * to the bidirected edge list and takes the per-node min of own and
-    * neighbor labels. Rounds needed = component diameter — small for the
-    * dense clusters near-dup graphs produce, but O(|V|) on a pure chain,
-    * so the loop RAISES if `maxIters` rounds don't converge rather than
-    * silently returning partial labels (an unconverged tail doc would
-    * keep an intermediate doc_id as its keeper). Each round is one
-    * shuffle on doc_id; labels are persisted per round, the previous
-    * round unpersisted, and the converged result is local-checkpointed so
-    * the iteration cache can be released without re-running the loop on
-    * first use. The only driver-side value is the scalar changed-count.
+    * Hybrid execution keyed on the PAIR GRAPH size (doc ids are treated
+    * as BIGINT on both paths):
+    *  - ≤ `driverMaxPairs` edges (default 2^20): exact union-find on the
+    *    driver — the edge list (tens of MB at the threshold) collects,
+    *    labels resolve in milliseconds, and ONE broadcast join applies
+    *    them; `maxIters` is irrelevant here. Near-dup pair lists are
+    *    orders of magnitude smaller than the corpus, so this is the
+    *    common case even at large corpus scale.
+    *  - above the threshold: distributed iterative min-label propagation
+    *    ([[propagateLabels]] — the GraphFrames/Pregel-style loop), one
+    *    shuffle round per iteration over the pair graph's vertex set,
+    *    RAISING if `maxIters` rounds don't converge rather than silently
+    *    returning partial labels.
     */
   def dedupGroups(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20,
                   driverMaxPairs: Long = 1L << 20): DataFrame = {
     val spark = docs.sparkSession
-    val base = pairs.selectExpr("doc_a as u", "doc_b as v").persist()
+    // normalize ids to BIGINT so both paths (driver getLong / LongType
+    // labels, distributed propagation) accept int-typed pair columns
+    val base = pairs
+      .selectExpr("cast(doc_a as bigint) as u", "cast(doc_b as bigint) as v")
+      .persist()
     // The PAIR GRAPH is orders of magnitude smaller than the corpus (it is
     // the output of near-dup candidate generation); when its edge list
     // fits comfortably on the driver (≤ driverMaxPairs, default 2^20 ≈
@@ -303,9 +308,16 @@ object DedupOps {
       labels = next
       i += 1
     }
-    require(converged,
-      s"dedupGroups did not converge in $maxIters rounds — a component's " +
-        "diameter exceeds maxIters; raise it (labels would be silently wrong)")
+    if (!converged) {
+      // release the loop's cache before raising: the documented remedy is
+      // catch-and-retry with a higher maxIters, which must not accumulate
+      // session-lifetime persisted copies per failed attempt
+      labels.unpersist()
+      edges.unpersist()
+      throw new IllegalArgumentException(
+        s"dedupGroups did not converge in $maxIters rounds — a component's " +
+          "diameter exceeds maxIters; raise it (labels would be silently wrong)")
+    }
     val finalLabels = labels.localCheckpoint(true)
     labels.unpersist()
     edges.unpersist()

@@ -177,10 +177,11 @@ object OpQueries {
 
     // Cluster assignment over the near-dup pair graph — the step a
     // training pipeline actually consumes ("keep one doc per component"):
-    // Spark runs iterative min-label propagation; the oracle computes the
-    // same components with a recursive CTE over the identical ground-truth
-    // pair set, so transitive merges (A~B, B~C => one cluster) are gated,
-    // not just pairwise output.
+    // Spark runs the hybrid CC (driver union-find under the pair
+    // threshold, distributed min-label propagation above it); the oracle
+    // computes the same components with a recursive CTE over the identical
+    // ground-truth pair set, so transitive merges (A~B, B~C => one
+    // cluster) are gated, not just pairwise output.
     QueryDef("op_dedup_groups",
       (s, d) => DedupOps.dedupGroups(docs(s, d), DedupOps.jaccardPairs(docs(s, d), 0.5)),
       Some(s"""WITH RECURSIVE pr AS (${dkJaccard(0.5)}),

@@ -117,8 +117,11 @@ class StreamingSpec extends SparkSpecBase {
 
   test("stream-static enrichment equals the batch join (broadcast, stateless)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // sort before limit: a bare limit is not deterministic across the
+    // three independent evaluations below (collect, micro-batch dim
+    // side, batch comparison)
     val events = Tables.load(spark, sfDir, "events")
-      .select("event_id", "user_id").limit(500)
+      .select("event_id", "user_id").orderBy("event_id").limit(500)
     val dim = events.select("user_id").distinct()
       .selectExpr("user_id", "concat('u', user_id) as user_tag")
     val rows = events.as[(Long, Long)].collect()
