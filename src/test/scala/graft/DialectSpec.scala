@@ -496,6 +496,19 @@ class DialectSpec extends SparkSpecBase {
     assert(back.count() === 10)
   }
 
+  test("COPY FROM a directory loads every file in it (Hadoop FS path semantics)") {
+    import java.nio.file.Files
+    spark.sql("DROP TABLE IF EXISTS copy_dir")
+    spark.sql("CREATE TABLE copy_dir (id BIGINT, v DOUBLE)")
+    val dir = Files.createTempDirectory("graft_copydir_")
+    Files.writeString(dir.resolve("a.csv"), "1|1.5\n2|2.5\n")
+    Files.writeString(dir.resolve("b.csv"), "3|3.5\n")
+    graft.cli.ExecuteSql.run(spark, s"COPY copy_dir FROM '$dir'", None)
+    val rows = spark.table("copy_dir").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows === Array((1L, 1.5), (2L, 2.5), (3L, 3.5)))
+  }
+
   test("UNLOAD PARTITION BY writes Redshift's partitioned directory layout") {
     import java.nio.file.Files
     spark.sql("DROP TABLE IF EXISTS unload_p")
