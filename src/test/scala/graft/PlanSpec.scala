@@ -30,6 +30,14 @@ class PlanSpec extends SparkSpecBase {
     assert(!readSchema.contains("l_tax"), s"unneeded column read:\n$readSchema")
   }
 
+  test("q06 aggregation is two-phase: map-side partial before the exchange") {
+    val p = plan("q06_group_agg")
+    // partial_sum/partial_count under the scan side proves the map-side
+    // combine that keeps the shuffle O(groups·partitions) at any scale
+    assert(p.contains("partial_"), s"no partial aggregation phase:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q05 theta join is a broadcast nested loop over dims only") {
     val p = plan("q05_theta_join")
     assert(p.contains("BroadcastNestedLoopJoin"),
