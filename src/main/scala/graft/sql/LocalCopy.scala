@@ -1,7 +1,11 @@
 package graft.sql
 
-import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.StructType
 
 import SqlTokens._
 
@@ -14,24 +18,45 @@ import SqlTokens._
   * the Spark parser; with a remote connection the statements still pass
   * through verbatim over JDBC (ExecuteSql's remote branch).
   *
-  * Grammar handled (tokenized; Redshift auth/region/compression options
-  * are skipped — Spark's Hadoop FS layer owns transport and decompression;
-  * on a real cluster an `s3a://` path reads exactly like the local paths
-  * used in tests):
+  * Grammar handled (tokenized; the full option scan is STRICT — every word
+  * is either implemented, on the documented transport/perf skip list below,
+  * or raises; silently skipping an unknown word risks treating a
+  * semantics-bearing option as noise):
   *   COPY <table> [(cols)] FROM '<path>'
-  *        [FORMAT] [AS] [CSV] [DELIMITER [AS] '<d>'] [IGNOREHEADER [AS] n]
+  *        [[FORMAT] [AS] CSV | PARQUET | JSON ['auto'|'auto ignorecase']]
+  *        [DELIMITER [AS] '<d>'] [IGNOREHEADER [AS] n] [NULL [AS] '<s>']
+  *        [DATEFORMAT [AS] '<fmt>'] [TIMEFORMAT [AS] '<fmt>']
   *   UNLOAD ('<query>') TO '<path>'
-  *        [FORMAT] [AS] [CSV] [DELIMITER [AS] '<d>'] [HEADER]
-  *        [PARALLEL ON|OFF|TRUE|FALSE]
+  *        [[FORMAT] [AS] CSV | PARQUET | JSON]
+  *        [DELIMITER [AS] '<d>'] [HEADER] [ADDQUOTES] [NULL [AS] '<s>']
+  *        [GZIP | BZIP2 | ZSTD] [PARALLEL ON|OFF] [PARTITION BY (cols)]
+  *        [ALLOWOVERWRITE | CLEANPATH] [MANIFEST [VERBOSE]]
   *
   * Semantics follow Redshift where they matter:
   *  - COPY appends into an EXISTING table and takes its types from the
   *    target schema (no inference drift between loads);
   *  - the default delimiter is '|' (Redshift's text format), ',' under CSV;
-  *  - a COPY column list loads those columns and fills the rest with NULL;
+  *  - a COPY column list loads those columns (matched case-insensitively —
+  *    Redshift identifiers fold case) and fills the rest with NULL;
+  *  - COPY from Parquet maps columns BY POSITION onto the target columns
+  *    (Redshift's columnar-format rule); JSON 'auto' matches fields by
+  *    name, 'auto ignorecase' case-insensitively;
+  *  - UNLOAD raises if the destination already holds files unless
+  *    ALLOWOVERWRITE (or CLEANPATH) is given — Redshift's default;
   *  - UNLOAD defaults to a parallel directory of part files (the 100 TB
-  *    path); PARALLEL OFF produces the single-file contract via
-  *    [[graft.io.CsvIO.write]].
+  *    path); PARALLEL OFF produces the single-file contract (CSV via
+  *    [[graft.io.CsvIO.write]], other formats via the same
+  *    spill-and-move);
+  *  - MANIFEST writes a `<path>manifest` JSON listing every data file
+  *    (VERBOSE adds content_length metadata), Redshift's layout.
+  *
+  * Transport/credential options (IAM_ROLE, CREDENTIALS, REGION, …) are
+  * skipped with their values — Spark's Hadoop FS layer owns transport; on a
+  * real cluster an `s3a://` path reads exactly like the local paths used in
+  * tests. Compression words on COPY are skipped too: Hadoop decompresses by
+  * file extension. Perf hints (MAXFILESIZE, ROWGROUPSIZE, COMPROWS,
+  * MAXERROR, STATUPDATE, COMPUPDATE) parse and are ignored — Spark decides
+  * file sizing and statistics. Everything else raises.
   */
 object LocalCopy {
 
@@ -49,10 +74,118 @@ object LocalCopy {
   private def unquote(s: String): String =
     s.stripPrefix("'").stripSuffix("'").replace("''", "'")
 
-  /** COPY/UNLOAD format words whose data would be misparsed as delimited
-    * text if silently skipped like the auth/transport options. */
-  private val unsupportedFormats =
-    Set("json", "avro", "parquet", "orc", "fixedwidth", "shapefile")
+  /** Formats whose data has no Spark-native reader/writer mapping here —
+    * silently skipping the word would misparse the data as delimited text. */
+  private val rejectedFormats = Set("avro", "orc", "fixedwidth", "shapefile")
+
+  /** Auth/transport words carrying a quoted (or `default`) value: skipped
+    * together with the value — the Hadoop FS layer owns transport. */
+  private val transportOpts = Set(
+    "iam_role", "credentials", "access_key_id", "secret_access_key",
+    "session_token", "kms_key_id", "master_symmetric_key", "region")
+
+  /** Consume an option value: optional AS, then a quoted string.
+    * Returns (value, index of last consumed token). */
+  private def strVal(toks: Vector[Tok], at: Int, what: String): (String, Int) = {
+    var k = nextCode(toks, at + 1)
+    if (k < toks.length && toks(k).isWord("as")) k = nextCode(toks, k + 1)
+    require(k < toks.length && toks(k).kind == Str, s"$what needs a quoted value")
+    (unquote(toks(k).text), k)
+  }
+
+  /** Consume a numeric option value (optional AS). */
+  private def numVal(toks: Vector[Tok], at: Int, what: String): (Long, Int) = {
+    var k = nextCode(toks, at + 1)
+    if (k < toks.length && toks(k).isWord("as")) k = nextCode(toks, k + 1)
+    require(k < toks.length && toks(k).kind == Num, s"$what needs a number")
+    (toks(k).text.toLong, k)
+  }
+
+  /** Skip a transport option's value: a quoted literal or the bare word
+    * `default` (IAM_ROLE default). Returns the last consumed index. */
+  private def skipTransportVal(toks: Vector[Tok], at: Int): Int = {
+    val k = nextCode(toks, at + 1)
+    if (k < toks.length && (toks(k).kind == Str || toks(k).isWord("default"))) k
+    else at
+  }
+
+  /** Mutable option state shared by the COPY and UNLOAD scans. */
+  private final class Opts {
+    var format: String = "text" // text | csv | parquet | json
+    var jsonSpec: String = "auto"
+    var delim: Option[String] = None
+    var nullAs: Option[String] = None
+    var dateFmt: Option[String] = None
+    var timeFmt: Option[String] = None
+    var compression: Option[String] = None
+    /** Delimited-text-only options seen during the scan, validated AFTER it
+      * (the format word may come before or after the option). */
+    var delimitedOpts: List[String] = Nil
+    def delimitedOnly(opt: String): Unit = delimitedOpts ::= opt
+    def validate(stmt: String): Unit =
+      if (format == "parquet" || format == "json")
+        require(delimitedOpts.isEmpty,
+          s"$stmt: ${delimitedOpts.mkString(", ")} only applies to " +
+            s"CSV/delimited text, not ${format.toUpperCase}")
+    def sep: String = delim.getOrElse(if (format == "csv") "," else "|")
+  }
+
+  /** Option words common to COPY and UNLOAD. Returns the new scan index, or
+    * -1 when the word is not a shared option (caller handles or raises). */
+  private def scanShared(toks: Vector[Tok], j: Int, o: Opts, stmt: String): Int = {
+    val t = toks(j)
+    if (t.kind != Word) return j // symbols/strings between options: ignore
+    val w = t.text.toLowerCase
+    w match {
+      case "format" | "as" => j
+      case "csv" => o.format = "csv"; j
+      case "parquet" => o.format = "parquet"; j
+      case "json" =>
+        o.format = "json"
+        // optional spec literal ('auto' | 'auto ignorecase' | jsonpaths)
+        val k = nextCode(toks, j + 1)
+        if (k < toks.length && toks(k).kind == Str) {
+          o.jsonSpec = unquote(toks(k).text).toLowerCase.trim
+          require(o.jsonSpec == "auto" || o.jsonSpec == "auto ignorecase",
+            s"$stmt: JSON '${o.jsonSpec}' is not supported ('auto' and 'auto ignorecase' only)")
+          k
+        } else j
+      case "delimiter" =>
+        o.delimitedOnly("DELIMITER")
+        val (v, k) = strVal(toks, j, "DELIMITER"); o.delim = Some(v); k
+      case "null" =>
+        o.delimitedOnly("NULL AS")
+        val (v, k) = strVal(toks, j, "NULL"); o.nullAs = Some(v); k
+      case "dateformat" =>
+        val (v, k) = strVal(toks, j, "DATEFORMAT")
+        if (!v.equalsIgnoreCase("auto")) o.dateFmt = Some(RedshiftSql.translateFormat(v))
+        k
+      case "timeformat" =>
+        val (v, k) = strVal(toks, j, "TIMEFORMAT")
+        require(!v.toLowerCase.startsWith("epoch"),
+          s"$stmt: TIMEFORMAT '$v' is not supported")
+        if (!v.equalsIgnoreCase("auto")) o.timeFmt = Some(RedshiftSql.translateFormat(v))
+        k
+      case "encrypted" =>
+        val k = nextCode(toks, j + 1)
+        if (k < toks.length && toks(k).isWord("auto")) k else j
+      case f if rejectedFormats.contains(f) =>
+        throw new IllegalArgumentException(
+          s"$stmt: format '${t.text}' is not supported (CSV/delimited text, PARQUET, JSON)")
+      case tr if transportOpts.contains(tr) => skipTransportVal(toks, j)
+      case _ => -1
+    }
+  }
+
+  // ---------------------------------------------------------------- COPY
+
+  /** COPY flag words that are data-compatible no-ops under Spark's
+    * permissive CSV reader (null-fill on parse failure ≈ their behavior)
+    * or that only tune Redshift-side stats — parsed and ignored. */
+  private val copyFlagSkips = Set(
+    "emptyasnull", "blanksasnull", "trimblanks", "truncatecolumns",
+    "roundec", "explicit_ids", "acceptanydate", "ignoreblanklines",
+    "fillrecord", "removequotes", "gzip", "bzip2", "zstd")
 
   private def runCopy(spark: SparkSession, toks: Vector[Tok], at: Int): Unit = {
     val (table, afterTable) = qualifiedName(toks, at + 1)
@@ -68,45 +201,93 @@ object LocalCopy {
     i = nextCode(toks, i + 1)
     require(i < toks.length && toks(i).kind == Str, "COPY FROM needs a quoted path")
     val path = unquote(toks(i).text)
-    // option scan: csv / delimiter / ignoreheader; everything else skipped
-    var isCsv = false
-    var delim: Option[String] = None
+
+    val o = new Opts
     var headerRows = 0
     var j = nextCode(toks, i + 1)
     while (j < toks.length) {
-      val t = toks(j)
-      if (t.isWord("csv")) isCsv = true
-      else if (unsupportedFormats.contains(t.text.toLowerCase) && t.kind == Word)
-        // skipping these would silently load the file as delimited text —
-        // fail loudly instead (only CSV / delimited text are implemented)
-        throw new IllegalArgumentException(
-          s"COPY: format '${t.text}' is not supported (CSV/delimited text only)")
-      else if (t.isWord("delimiter")) {
-        var k = nextCode(toks, j + 1)
-        if (k < toks.length && toks(k).isWord("as")) k = nextCode(toks, k + 1)
-        require(k < toks.length && toks(k).kind == Str, "DELIMITER needs a quoted char")
-        delim = Some(unquote(toks(k).text)); j = k
-      } else if (t.isWord("ignoreheader")) {
-        var k = nextCode(toks, j + 1)
-        if (k < toks.length && toks(k).isWord("as")) k = nextCode(toks, k + 1)
-        require(k < toks.length && toks(k).kind == Num, "IGNOREHEADER needs a number")
-        headerRows = toks(k).text.toInt; j = k
-        // Spark's header option skips exactly one line per file; silently
-        // loading the remaining header lines as data would corrupt the table
-        require(headerRows <= 1, "COPY: IGNOREHEADER > 1 is not supported")
+      val shared = scanShared(toks, j, o, "COPY")
+      if (shared >= 0) j = nextCode(toks, shared + 1)
+      else {
+        val t = toks(j)
+        val w = t.text.toLowerCase
+        j = w match {
+          case "ignoreheader" =>
+            o.delimitedOnly("IGNOREHEADER")
+            val (n, k) = numVal(toks, j, "IGNOREHEADER")
+            headerRows = n.toInt
+            // Spark's header option skips exactly one line per file;
+            // silently loading the remaining header lines as data would
+            // corrupt the table
+            require(headerRows <= 1, "COPY: IGNOREHEADER > 1 is not supported")
+            k
+          case "compupdate" | "statupdate" =>
+            val k = nextCode(toks, j + 1)
+            if (k < toks.length && (toks(k).isWord("on") || toks(k).isWord("off") ||
+                toks(k).isWord("true") || toks(k).isWord("false") ||
+                toks(k).isWord("preset"))) k
+            else j
+          case "maxerror" | "comprows" => numVal(toks, j, t.text)._2
+          case "acceptinvchars" =>
+            val k = nextCode(toks, j + 1)
+            if (k < toks.length && toks(k).kind == Str) k else j
+          case f if copyFlagSkips.contains(f) => j
+          case _ =>
+            throw new IllegalArgumentException(
+              s"COPY: unknown option '${t.text}' — refusing to guess its semantics")
+        }
+        j = nextCode(toks, j + 1)
       }
-      j = nextCode(toks, j + 1)
     }
+    o.validate("COPY")
     require(spark.catalog.tableExists(table), s"COPY target $table does not exist")
     val target = spark.table(table)
-    val loadCols = if (cols.nonEmpty) cols else target.schema.fieldNames.toSeq
-    val loadSchema = org.apache.spark.sql.types.StructType(
+    // resolve the column list case-insensitively — Redshift identifiers
+    // fold case, so COPY t (ID, NAME) must load lowercase columns
+    val loadCols: Seq[String] =
+      if (cols.isEmpty) target.schema.fieldNames.toSeq
+      else cols.map { c =>
+        target.schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"COPY: column '$c' does not exist in $table"))
+      }
+    val loadSchema = StructType(
       loadCols.map(c => target.schema(target.schema.fieldIndex(c))))
-    val read = spark.read
-      .schema(loadSchema)
-      .option("header", headerRows > 0)
-      .option("sep", delim.getOrElse(if (isCsv) "," else "|"))
-      .csv(path)
+    val read: DataFrame = o.format match {
+      case "parquet" =>
+        // Redshift's columnar-format rule: columns map BY POSITION onto
+        // the target columns, so names may differ but order and count match
+        val raw = spark.read.parquet(path)
+        require(raw.schema.length == loadSchema.length,
+          s"COPY: parquet data has ${raw.schema.length} columns, " +
+            s"target list has ${loadSchema.length}")
+        raw.select(raw.schema.fieldNames.zip(loadSchema.fields).map {
+          case (src, f) => col(s"`$src`").cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+      case "json" if o.jsonSpec == "auto" =>
+        // 'auto': field names match exactly (Redshift's rule); reading with
+        // the target schema projects and types in one pass
+        jsonReader(spark, o).schema(loadSchema).json(path)
+      case "json" =>
+        // 'auto ignorecase': infer, then project case-insensitively
+        val raw = jsonReader(spark, o).json(path)
+        val byLower = raw.schema.fieldNames.map(n => n.toLowerCase -> n).toMap
+        raw.select(loadSchema.fields.map { f =>
+          byLower.get(f.name.toLowerCase) match {
+            case Some(src) => col(s"`$src`").cast(f.dataType).as(f.name)
+            case None => expr(s"CAST(NULL AS ${f.dataType.sql})").as(f.name)
+          }
+        }.toSeq: _*)
+      case _ =>
+        var r = spark.read
+          .schema(loadSchema)
+          .option("header", headerRows > 0)
+          .option("sep", o.sep)
+        o.nullAs.foreach(v => r = r.option("nullValue", v))
+        o.dateFmt.foreach(v => r = r.option("dateFormat", v))
+        o.timeFmt.foreach(v => r = r.option("timestampFormat", v))
+        r.csv(path)
+    }
     // fill unlisted columns with typed NULLs, in target column order
     val full = target.schema.fields.map { f =>
       if (loadCols.contains(f.name)) col(f.name)
@@ -115,6 +296,15 @@ object LocalCopy {
     read.select(full.toSeq: _*).write.mode("append")
       .saveAsTable(table)
   }
+
+  private def jsonReader(spark: SparkSession, o: Opts) = {
+    var r = spark.read
+    o.dateFmt.foreach(v => r = r.option("dateFormat", v))
+    o.timeFmt.foreach(v => r = r.option("timestampFormat", v))
+    r
+  }
+
+  // -------------------------------------------------------------- UNLOAD
 
   private def runUnload(spark: SparkSession, toks: Vector[Tok], at: Int): Unit = {
     var i = nextCode(toks, at + 1)
@@ -129,60 +319,167 @@ object LocalCopy {
     i = nextCode(toks, i + 1)
     require(i < toks.length && toks(i).kind == Str, "UNLOAD TO needs a quoted path")
     val path = unquote(toks(i).text)
-    var isCsv = false
-    var delim: Option[String] = None
+
+    val o = new Opts
     var header = false
+    var addQuotes = false
     var parallel = true // Redshift default: one file per slice
     var partitionCols: Seq[String] = Seq.empty
+    var allowOverwrite = false
+    var cleanPath = false
+    var manifest = false
+    var manifestVerbose = false
     var j = nextCode(toks, i + 1)
     while (j < toks.length) {
-      val t = toks(j)
-      if (t.isWord("csv")) isCsv = true
-      else if (t.kind == Word && unsupportedFormats.contains(t.text.toLowerCase))
-        throw new IllegalArgumentException(
-          s"UNLOAD: format '${t.text}' is not supported (CSV/delimited text only)")
-      else if (t.isWord("partition")) {
-        val by = nextCode(toks, j + 1)
-        require(by < toks.length && toks(by).isWord("by"), "PARTITION needs BY (cols)")
-        val open = nextCode(toks, by + 1)
-        val (cols, close) = nameList(toks, open)
-        partitionCols = cols
-        j = close
-      } else if (t.isWord("include"))
-        // Spark's partitionBy encodes the columns in the path and excludes
-        // them from data files (Redshift's default); duplicating them would
-        // silently change the file schema
-        throw new IllegalArgumentException(
-          "UNLOAD: PARTITION BY ... INCLUDE is not supported")
-      else if (t.isWord("header")) header = true
-      else if (t.isWord("delimiter")) {
-        var k = nextCode(toks, j + 1)
-        if (k < toks.length && toks(k).isWord("as")) k = nextCode(toks, k + 1)
-        require(k < toks.length && toks(k).kind == Str, "DELIMITER needs a quoted char")
-        delim = Some(unquote(toks(k).text)); j = k
-      } else if (t.isWord("parallel")) {
-        val k = nextCode(toks, j + 1)
-        if (k < toks.length && (toks(k).isWord("off") || toks(k).isWord("false"))) {
-          parallel = false; j = k
-        } else if (k < toks.length && (toks(k).isWord("on") || toks(k).isWord("true"))) {
-          j = k
+      val shared = scanShared(toks, j, o, "UNLOAD")
+      if (shared >= 0) j = nextCode(toks, shared + 1)
+      else {
+        val t = toks(j)
+        val w = t.text.toLowerCase
+        j = w match {
+          case "header" => o.delimitedOnly("HEADER"); header = true; j
+          case "addquotes" => o.delimitedOnly("ADDQUOTES"); addQuotes = true; j
+          case "gzip" => o.compression = Some("gzip"); j
+          case "bzip2" => o.compression = Some("bzip2"); j
+          case "zstd" => o.compression = Some("zstd"); j
+          case "allowoverwrite" => allowOverwrite = true; j
+          case "cleanpath" => cleanPath = true; j
+          case "manifest" =>
+            manifest = true
+            val k = nextCode(toks, j + 1)
+            if (k < toks.length && toks(k).isWord("verbose")) {
+              manifestVerbose = true; k
+            } else j
+          case "parallel" =>
+            // a PARALLEL value is required — silently treating a typo'd
+            // value as the next option would flip the file layout
+            val k = nextCode(toks, j + 1)
+            require(k < toks.length &&
+              (toks(k).isWord("on") || toks(k).isWord("off") ||
+                toks(k).isWord("true") || toks(k).isWord("false")),
+              "UNLOAD: PARALLEL needs ON or OFF")
+            parallel = toks(k).isWord("on") || toks(k).isWord("true")
+            k
+          case "partition" =>
+            val by = nextCode(toks, j + 1)
+            require(by < toks.length && toks(by).isWord("by"), "PARTITION needs BY (cols)")
+            val open = nextCode(toks, by + 1)
+            val (cols, cl) = nameList(toks, open)
+            partitionCols = cols
+            val k = nextCode(toks, cl + 1)
+            if (k < toks.length && toks(k).isWord("include"))
+              // Spark's partitionBy encodes the columns in the path and
+              // excludes them from data files (Redshift's default);
+              // duplicating them would silently change the file schema
+              throw new IllegalArgumentException(
+                "UNLOAD: PARTITION BY ... INCLUDE is not supported")
+            cl
+          case "maxfilesize" | "rowgroupsize" =>
+            // perf hints: Spark sizes files itself. Value = n [MB|GB]
+            val (_, k) = numVal(toks, j, t.text)
+            val u = nextCode(toks, k + 1)
+            if (u < toks.length && (toks(u).isWord("mb") || toks(u).isWord("gb"))) u
+            else k
+          case "extension" => strVal(toks, j, "EXTENSION")._2
+          case "escape" =>
+            throw new IllegalArgumentException(
+              "UNLOAD: ESCAPE (unquoted backslash escaping) has no Spark CSV equivalent")
+          case _ =>
+            throw new IllegalArgumentException(
+              s"UNLOAD: unknown option '${t.text}' — refusing to guess its semantics")
         }
+        j = nextCode(toks, j + 1)
       }
-      j = nextCode(toks, j + 1)
     }
+    o.validate("UNLOAD")
+    require(!(o.format == "parquet" && o.compression.contains("bzip2")),
+      "UNLOAD: BZIP2 does not apply to PARQUET")
     val df = spark.sql(RedshiftSql.rewrite(query))
-    val sep = delim.getOrElse(if (isCsv) "," else "|")
+
+    // Redshift's default refuses to UNLOAD over existing files — a mistyped
+    // TO path must not silently destroy data (ADVICE r4)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath) && !(allowOverwrite || cleanPath)) {
+      val occupied =
+        if (fs.getFileStatus(hPath).isFile) true
+        else fs.listStatus(hPath).nonEmpty
+      if (occupied) throw new IllegalArgumentException(
+        s"UNLOAD: destination '$path' already contains files; " +
+          "add ALLOWOVERWRITE (or CLEANPATH) to replace them")
+    }
+    if (cleanPath && fs.exists(hPath)) fs.delete(hPath, true)
+
+    val writeOpts: Map[String, String] =
+      (if (o.format == "parquet" || o.format == "json") Map.empty[String, String]
+       else Map("header" -> header.toString, "sep" -> o.sep) ++
+         (if (addQuotes) Map("quoteAll" -> "true") else Map.empty) ++
+         o.nullAs.map("nullValue" -> _).toMap) ++
+        o.compression.map("compression" -> _).toMap
+    val fmt = if (o.format == "parquet" || o.format == "json") o.format else "csv"
+
     if (partitionCols.nonEmpty) {
       // partitioned export: one directory per key prefix — Spark's
       // partitionBy is exactly Redshift's PARTITION BY layout
       require(parallel, "UNLOAD: PARTITION BY cannot be combined with PARALLEL OFF")
-      df.write.mode("overwrite").option("header", header).option("sep", sep)
-        .partitionBy(partitionCols: _*).csv(path)
-    } else
-      // PARALLEL ON (Redshift's default) → a directory of part files;
-      // PARALLEL OFF → the blueprint single-file contract (CsvIO owns the
-      // spill-and-move, including the empty-result empty-file case)
+      df.write.mode("overwrite").options(writeOpts)
+        .partitionBy(partitionCols: _*).format(fmt).save(path)
+    } else if (parallel) {
+      // PARALLEL ON (Redshift's default) → a directory of part files
+      df.write.mode("overwrite").options(writeOpts).format(fmt).save(path)
+    } else if (fmt == "csv" && o.compression.isEmpty) {
+      // the blueprint single-file contract (CsvIO owns the spill-and-move,
+      // including the empty-result empty-file case)
       graft.io.CsvIO.write(df, path, header = header,
-        singleFile = !parallel, sep = sep)
+        singleFile = true, sep = o.sep)
+    } else {
+      // single-file contract for parquet/json/compressed csv: same
+      // spill-and-move as CsvIO, matching on the part- prefix (compression
+      // suffixes vary)
+      val tmp = Files.createTempDirectory("graft_unload_").resolve("out").toString
+      df.coalesce(1).write.mode("overwrite").options(writeOpts).format(fmt).save(tmp)
+      val stream = Files.list(Paths.get(tmp))
+      val part =
+        try stream.iterator.asScala.find(_.getFileName.toString.startsWith("part-"))
+        finally stream.close()
+      val dest = Paths.get(path)
+      Option(dest.getParent).foreach(Files.createDirectories(_))
+      part match {
+        case Some(p) => Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
+        case None => Files.write(dest, Array.emptyByteArray)
+      }
+      graft.io.LocalFiles.deleteRecursively(Paths.get(tmp).getParent)
+    }
+
+    if (manifest) writeManifest(fs, hPath, manifestVerbose)
+  }
+
+  /** Redshift UNLOAD MANIFEST layout: a JSON file at `<path>manifest`
+    * listing every data file's URL ({"entries": [{"url": …}, …]}; VERBOSE
+    * adds {"meta": {"content_length": N}}). */
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+                            dest: org.apache.hadoop.fs.Path,
+                            verbose: Boolean): Unit = {
+    val files: Seq[(String, Long)] =
+      if (fs.getFileStatus(dest).isFile)
+        Seq(dest.toUri.toString -> fs.getFileStatus(dest).getLen)
+      else
+        fs.listStatus(dest).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .map(s => s.getPath.toUri.toString -> s.getLen)
+          .sortBy(_._1)
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val entries = files.map { case (url, len) =>
+      if (verbose)
+        s"""{"url": "${esc(url)}", "meta": {"content_length": $len}}"""
+      else s"""{"url": "${esc(url)}"}"""
+    }
+    val manifestPath = new org.apache.hadoop.fs.Path(
+      dest.getParent, dest.getName + "manifest")
+    val out = fs.create(manifestPath, true)
+    try out.write(
+      s"""{"entries": [${entries.mkString(", ")}]}""".getBytes("UTF-8"))
+    finally out.close()
   }
 }

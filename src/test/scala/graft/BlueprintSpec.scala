@@ -213,6 +213,27 @@ class BlueprintSpec extends SparkSpecBase {
     assert(lines.get(2).startsWith("oslo,2,15.0"))
   }
 
+  test("full local COPY/UNLOAD cycle through the SQL pass-through: CSV → table → parquet → table") {
+    import graft.cli.ExecuteSql
+    spark.sql("DROP TABLE IF EXISTS bp_cycle")
+    spark.sql("DROP TABLE IF EXISTS bp_cycle2")
+    spark.sql("CREATE TABLE bp_cycle (id BIGINT, city STRING, amt DOUBLE)")
+    spark.sql("CREATE TABLE bp_cycle2 (id BIGINT, city STRING, amt DOUBLE)")
+    writeCsv("cp_cycle/src.csv", "id,city,amt\n1,oslo,10.5\n2,lima,20.0\n3,oslo,4.5\n")
+    ExecuteSql.run(spark,
+      s"COPY bp_cycle FROM '$tmp/cp_cycle/src.csv' CSV IGNOREHEADER 1", None)
+    // export the loaded table as parquet and re-load it into a second table
+    ExecuteSql.run(spark,
+      s"UNLOAD ('SELECT id, city, amt FROM bp_cycle') TO '$tmp/cp_cycle/pq' FORMAT AS PARQUET MANIFEST",
+      None)
+    ExecuteSql.run(spark,
+      s"COPY bp_cycle2 FROM '$tmp/cp_cycle/pq' FORMAT AS PARQUET", None)
+    val a = spark.table("bp_cycle").orderBy("id").collect().map(_.toSeq)
+    val b = spark.table("bp_cycle2").orderBy("id").collect().map(_.toSeq)
+    assert(a.length === 3 && a.sameElements(b))
+    assert(Files.exists(Paths.get(s"$tmp/cp_cycle/pqmanifest")))
+  }
+
   test("csv sink scale path writes a directory of parts") {
     Tables.registerAll(spark, sfDir)
     val df = spark.sql("SELECT o_orderkey FROM orders").repartition(4)

@@ -422,21 +422,177 @@ class DialectSpec extends SparkSpecBase {
     assert(r.contains("CLUSTERED BY (`id`)") && r.contains("INTO 32 BUCKETS"), r)
   }
 
-  test("COPY rejects unsupported formats and IGNOREHEADER > 1 instead of corrupting") {
+  test("COPY rejects unsupported formats, unknown options and IGNOREHEADER > 1") {
     import java.nio.file.Files
     spark.sql("DROP TABLE IF EXISTS copy_guard")
     spark.sql("CREATE TABLE copy_guard (id BIGINT)")
-    val f = Files.createTempDirectory("graft_copyg_").resolve("d.json")
-    Files.writeString(f, "{\"id\": 1}\n")
+    val f = Files.createTempDirectory("graft_copyg_").resolve("d.csv")
+    Files.writeString(f, "1\n")
     val e1 = intercept[IllegalArgumentException] {
-      graft.cli.ExecuteSql.run(spark, s"COPY copy_guard FROM '$f' FORMAT AS JSON 'auto'", None)
+      graft.cli.ExecuteSql.run(spark, s"COPY copy_guard FROM '$f' FORMAT AS AVRO", None)
     }
     assert(e1.getMessage.contains("not supported"))
     val e2 = intercept[IllegalArgumentException] {
       graft.cli.ExecuteSql.run(spark, s"COPY copy_guard FROM '$f' CSV IGNOREHEADER 2", None)
     }
     assert(e2.getMessage.contains("IGNOREHEADER"))
+    // an unrecognized option word raises instead of being skipped as noise
+    val e3 = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark, s"COPY copy_guard FROM '$f' CSV FROBNICATE", None)
+    }
+    assert(e3.getMessage.contains("FROBNICATE"))
+    // a jsonpaths file spec (not 'auto') raises
+    val e4 = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark,
+        s"COPY copy_guard FROM '$f' JSON 's3://paths/jp.json'", None)
+    }
+    assert(e4.getMessage.toLowerCase.contains("json"))
     assert(spark.table("copy_guard").count() === 0) // nothing loaded
+  }
+
+  test("COPY FORMAT AS PARQUET round-trips a table (columns map by position)") {
+    import java.nio.file.Files
+    spark.sql("DROP TABLE IF EXISTS copy_pq")
+    spark.sql("CREATE TABLE copy_pq (id BIGINT, name STRING, amt DOUBLE)")
+    val dir = Files.createTempDirectory("graft_copypq_").resolve("data")
+    // source columns have different NAMES but matching positions/types —
+    // Redshift's columnar rule maps by position
+    spark.range(3).selectExpr("id AS a", "concat('n', id) AS b", "id * 1.5 AS c")
+      .write.parquet(dir.toString)
+    graft.cli.ExecuteSql.run(spark,
+      s"COPY copy_pq FROM '$dir' FORMAT AS PARQUET", None)
+    val rows = spark.table("copy_pq").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows === Array((0L, "n0", 0.0), (1L, "n1", 1.5), (2L, "n2", 3.0)))
+    // a column-count mismatch raises instead of silently mismapping
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark,
+        s"COPY copy_pq (id, name) FROM '$dir' PARQUET", None)
+    }
+    assert(e.getMessage.contains("columns"))
+    // delimited-text options are rejected with columnar formats
+    val e2 = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark,
+        s"COPY copy_pq FROM '$dir' DELIMITER '|' PARQUET", None)
+    }
+    assert(e2.getMessage.contains("DELIMITER"))
+  }
+
+  test("COPY JSON 'auto' matches fields by name; 'auto ignorecase' folds case") {
+    import java.nio.file.Files
+    spark.sql("DROP TABLE IF EXISTS copy_js")
+    spark.sql("CREATE TABLE copy_js (id BIGINT, name STRING, amt DOUBLE)")
+    val dir = Files.createTempDirectory("graft_copyjs_")
+    Files.writeString(dir.resolve("a.json"),
+      "{\"id\": 1, \"name\": \"x\", \"amt\": 2.5}\n{\"amt\": 7.0, \"id\": 2, \"name\": \"y\"}\n")
+    graft.cli.ExecuteSql.run(spark,
+      s"COPY copy_js FROM '${dir.resolve("a.json")}' FORMAT AS JSON 'auto'", None)
+    val rows = spark.table("copy_js").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows === Array((1L, "x", 2.5), (2L, "y", 7.0)))
+    // ignorecase: upper-cased keys + a missing field (NULL-filled)
+    graft.cli.ExecuteSql.run(spark, "DELETE FROM copy_js", None) // LocalDml CoW
+    Files.writeString(dir.resolve("b.json"), "{\"ID\": 3, \"Name\": \"z\"}\n")
+    graft.cli.ExecuteSql.run(spark,
+      s"COPY copy_js FROM '${dir.resolve("b.json")}' JSON 'auto ignorecase'", None)
+    val r3 = spark.table("copy_js").collect()(0)
+    assert(r3.getLong(0) === 3L && r3.getString(1) === "z" && r3.isNullAt(2))
+  }
+
+  test("COPY column lists resolve case-insensitively like Redshift identifiers") {
+    import java.nio.file.Files
+    spark.sql("DROP TABLE IF EXISTS copy_ci")
+    spark.sql("CREATE TABLE copy_ci (id BIGINT, name STRING)")
+    val f = Files.createTempDirectory("graft_copyci_").resolve("in.csv")
+    Files.writeString(f, "5,e\n")
+    graft.cli.ExecuteSql.run(spark, s"COPY copy_ci (ID, Name) FROM '$f' CSV", None)
+    val r = spark.table("copy_ci").collect()(0)
+    assert(r.getLong(0) === 5L && r.getString(1) === "e")
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark, s"COPY copy_ci (id, nope) FROM '$f' CSV", None)
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("UNLOAD FORMAT AS PARQUET re-reads equal; JSON writes one object per line") {
+    import java.nio.file.Files
+    spark.sql("DROP TABLE IF EXISTS unload_fmt")
+    spark.range(10).selectExpr("id", "id * 2 AS v", "concat('s', id) AS s")
+      .write.saveAsTable("unload_fmt")
+    val dir = Files.createTempDirectory("graft_unloadfmt_")
+    val pq = dir.resolve("pq")
+    graft.cli.ExecuteSql.run(spark,
+      s"UNLOAD ('SELECT id, v, s FROM unload_fmt') TO '$pq' FORMAT AS PARQUET", None)
+    val back = spark.read.parquet(pq.toString)
+    assert(back.count() === 10 &&
+      back.schema.fieldNames.toSeq === Seq("id", "v", "s") &&
+      back.agg(org.apache.spark.sql.functions.sum("v")).collect()(0).getLong(0) === 90L)
+    // JSON: newline-delimited objects, single-file contract under PARALLEL OFF
+    val js = dir.resolve("out.json")
+    graft.cli.ExecuteSql.run(spark,
+      s"UNLOAD ('SELECT id FROM unload_fmt ORDER BY id') TO '$js' JSON PARALLEL OFF", None)
+    val lines = Files.readAllLines(js)
+    assert(lines.size === 10 && lines.get(0) === "{\"id\":0}")
+    // HEADER with PARQUET is a delimited-text option → rejected
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark,
+        s"UNLOAD ('SELECT 1 AS x') TO '${dir.resolve("x")}' PARQUET HEADER", None)
+    }
+    assert(e.getMessage.contains("HEADER"))
+  }
+
+  test("UNLOAD refuses an occupied destination unless ALLOWOVERWRITE (Redshift default)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_unloadow_")
+    val out = dir.resolve("dest")
+    graft.cli.ExecuteSql.run(spark, s"UNLOAD ('SELECT 1 AS x') TO '$out'", None)
+    // second UNLOAD to the same non-empty destination raises…
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark, s"UNLOAD ('SELECT 2 AS x') TO '$out'", None)
+    }
+    assert(e.getMessage.contains("ALLOWOVERWRITE"))
+    // …and ALLOWOVERWRITE opts into replacement
+    graft.cli.ExecuteSql.run(spark,
+      s"UNLOAD ('SELECT 2 AS x') TO '$out' ALLOWOVERWRITE", None)
+    val back = spark.read.option("sep", "|").csv(out.toString)
+    assert(back.collect().map(_.getString(0)).toSeq === Seq("2"))
+    // single-file (PARALLEL OFF) destinations honor the same contract
+    val single = dir.resolve("one.csv")
+    graft.cli.ExecuteSql.run(spark,
+      s"UNLOAD ('SELECT 1 AS x') TO '$single' PARALLEL OFF", None)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark,
+        s"UNLOAD ('SELECT 3 AS x') TO '$single' PARALLEL OFF", None)
+    }
+    assert(e2.getMessage.contains("ALLOWOVERWRITE"))
+    // unknown UNLOAD options raise; PARALLEL requires an ON/OFF value
+    val e3 = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark,
+        s"UNLOAD ('SELECT 1 AS x') TO '${dir.resolve("y")}' FROBNICATE", None)
+    }
+    assert(e3.getMessage.contains("FROBNICATE"))
+    val e4 = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark,
+        s"UNLOAD ('SELECT 1 AS x') TO '${dir.resolve("z")}' PARALLEL MAYBE", None)
+    }
+    assert(e4.getMessage.contains("PARALLEL"))
+  }
+
+  test("UNLOAD MANIFEST writes the <path>manifest JSON listing the data files") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_unloadmf_")
+    val out = dir.resolve("parts")
+    graft.cli.ExecuteSql.run(spark,
+      s"UNLOAD ('SELECT id FROM range(5)') TO '$out' MANIFEST VERBOSE", None)
+    val mf = dir.resolve("partsmanifest")
+    assert(Files.exists(mf))
+    val txt = Files.readString(mf)
+    assert(txt.startsWith("{\"entries\": [") && txt.contains("\"url\": ") &&
+      txt.contains("\"content_length\": "))
+    // every listed url is a real file
+    val urls = "\"url\": \"([^\"]+)\"".r.findAllMatchIn(txt).map(_.group(1)).toSeq
+    assert(urls.nonEmpty && urls.forall(u =>
+      Files.exists(java.nio.file.Paths.get(new java.net.URI(u)))))
   }
 
   test("UNLOAD PARALLEL OFF writes an empty file (not no file) for an empty result") {
