@@ -333,6 +333,11 @@ object DedupOps {
     */
   private[graft] def blockCandidates(sig: DataFrame, maxHamming: Int,
                                      bits: Int): DataFrame = {
+    // maxHamming ≥ bits would make nBlocks > bits: zero-width blocks whose
+    // mask is 0, so every row joins on a constant key — a silent all-pairs
+    // quadratic shuffle instead of pigeonhole pruning
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, bits): got $maxHamming for $bits-bit keys")
     val nBlocks = maxHamming + 1
     val bounds = (0 to nBlocks).map(i => i * bits / nBlocks)
     def widthMask(i: Int): Long = {

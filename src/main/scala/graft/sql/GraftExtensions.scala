@@ -4,11 +4,11 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
   Add, CaseWhen, Cast, Concat, Conv, Divide, Expression, ExpressionInfo,
-  Base64, Exp, GetJsonObject, GreaterThan, Hex, HllSketchEstimate, If,
+  Base64, Exp, GetJsonObject, GreaterThan, Hex, HllSketchEstimate, If, In,
   IsNotNull, IsNull, Length, LengthOfJsonArray, LessThan, Literal, Log,
   Log10, Lower, Multiply, Or, Pow, RegExpExtract, Sha1, Size, Slice,
-  StringLocate, StringRepeat, StringReplace, StringSplitSQL, TruncDate,
-  UnBase64, Unhex}
+  StringLocate, StringRepeat, StringReplace, StringSplitSQL, StringTrim,
+  TruncDate, UnBase64, Unhex}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   HllSketchAgg, HllUnionAgg, HyperLogLogPlusPlus}
 import org.apache.spark.sql.catalyst.expressions.variant.ParseJson
@@ -126,9 +126,15 @@ object GraftExtensions {
         "json_extract_array_element_text(json, idx[, null_if_invalid]) - array element at 0-based idx."),
       (args: Seq[Expression]) => GetJsonObject(args.head,
         Concat(Seq(Literal("$["), Cast(args(1), StringType), Literal("]"))))),
+    // GetJsonObject returns NULL both for invalid JSON and for the valid
+    // JSON literal `null` — the bare literals are special-cased so
+    // is_valid_json('null') is true like Redshift's (ADVICE r4).
     (FunctionIdentifier("is_valid_json"),
       info("is_valid_json", "is_valid_json(s) - true iff s parses as JSON."),
-      (args: Seq[Expression]) => IsNotNull(GetJsonObject(args.head, Literal("$")))),
+      (args: Seq[Expression]) => Or(
+        In(StringTrim(Cast(args.head, StringType)),
+          Seq(Literal("null"), Literal("true"), Literal("false"))),
+        IsNotNull(GetJsonObject(args.head, Literal("$"))))),
     (FunctionIdentifier("is_valid_json_array"),
       info("is_valid_json_array", "is_valid_json_array(s) - true iff s parses as a JSON array."),
       (args: Seq[Expression]) => IsNotNull(LengthOfJsonArray(args.head))),

@@ -110,15 +110,18 @@ object ArrayKernels {
     var mx = Double.MinValue
     var i = 0
     while (i < n) {
-      // a null or NaN element cannot quantize to a meaningful code —
-      // raise rather than silently storing garbage (null slots read as
-      // 0.0 through getDouble and NaN escapes min/max comparisons, both
-      // of which would corrupt every code in the vector)
+      // a null, NaN or infinite element cannot quantize to a meaningful
+      // code — raise rather than silently storing garbage (null slots read
+      // as 0.0 through getDouble, NaN escapes min/max comparisons, and an
+      // Inf bound makes step Inf — then (x−min)/step is NaN and
+      // Math.round(NaN)=0 collapses every code to 0)
       if (v.isNullAt(i))
         throw new IllegalArgumentException(s"quantize_i8: null element at index $i")
       val x = v.getDouble(i)
       if (java.lang.Double.isNaN(x))
         throw new IllegalArgumentException(s"quantize_i8: NaN element at index $i")
+      if (java.lang.Double.isInfinite(x))
+        throw new IllegalArgumentException(s"quantize_i8: infinite element at index $i")
       if (x < mn) mn = x
       if (x > mx) mx = x
       i += 1

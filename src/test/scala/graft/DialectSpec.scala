@@ -148,6 +148,15 @@ class DialectSpec extends SparkSpecBase {
       .getString(0) === "20")
     assert(sql1("""SELECT is_valid_json('{"k": 1}')""").getBoolean(0))
     assert(!sql1("SELECT is_valid_json('nope')").getBoolean(0))
+    // JSON literal truth table: the bare literals are valid JSON values in
+    // Redshift even though GetJsonObject returns NULL for them (ADVICE r4)
+    assert(sql1("SELECT is_valid_json('null')").getBoolean(0))
+    assert(sql1("SELECT is_valid_json(' true ')").getBoolean(0))
+    assert(sql1("SELECT is_valid_json('false')").getBoolean(0))
+    assert(sql1("SELECT is_valid_json('3.14')").getBoolean(0))
+    assert(sql1("SELECT is_valid_json('\"str\"')").getBoolean(0))
+    assert(!sql1("SELECT is_valid_json('nulls')").getBoolean(0))
+    assert(!sql1("SELECT is_valid_json('')").getBoolean(0))
     assert(sql1("SELECT is_valid_json_array('[1, 2]')").getBoolean(0))
     assert(!sql1("SELECT is_valid_json_array('{\"k\": 1}')").getBoolean(0))
     Tables.registerAll(spark, sfDir)

@@ -172,6 +172,10 @@ class OpsSpec extends SparkSpecBase {
     val nCand = DedupOps.blockCandidates(DedupOps.simhash64Sig(d), 3, 64).count()
     val allPairs = n * (n - 1) / 2
     assert(nCand < allPairs / 100, s"no pruning: $nCand candidates of $allPairs pairs")
+    // a radius ≥ the key width would yield zero-width pigeonhole blocks
+    // (every row joins on a constant key — silent all-pairs); it raises
+    val e = intercept[IllegalArgumentException] { DedupOps.simhashPairs64(d, 64) }
+    assert(e.getMessage.contains("maxHamming"))
   }
 
   test("text stats computes exact counts on a known doc") {
