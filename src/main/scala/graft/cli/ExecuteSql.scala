@@ -44,6 +44,9 @@ object ExecuteSql {
         finally jc.close()
       case None =>
         val rewritten = RedshiftSql.rewrite(query)
+        // introspection queries against the Redshift system catalog resolve
+        // through generated views over the Spark catalog
+        graft.sql.CatalogShims.ensure(spark, rewritten)
         // Local UPDATE/DELETE get copy-on-write emulation (Spark has no
         // row-level DML on plain parquet tables) and COPY/UNLOAD map to
         // the blueprint CSV paths; everything else runs on spark.sql.

@@ -39,7 +39,10 @@ object StoreQueryResults {
           header: Boolean, conn: Option[ConnectionConfig] = None): String = {
     val df = conn match {
       case Some(c) => TableIO.query(spark, query, Some(c))
-      case None => TableIO.query(spark, RedshiftSql.rewrite(query))
+      case None =>
+        val rewritten = RedshiftSql.rewrite(query)
+        graft.sql.CatalogShims.ensure(spark, rewritten)
+        TableIO.query(spark, rewritten)
     }
     LocalFiles.ensureFolder(folder)
     val dest = LocalFiles.combine(folder, file)

@@ -44,6 +44,7 @@ object RedshiftSql {
   def rewrite(sql: String): String = {
     var toks = tokenize(sql)
     toks = rewriteTop(toks)
+    toks = rewriteQualify(toks)
     toks = rewriteApproximate(toks)
     toks = rewriteRatioToReport(toks)
     toks = rewriteSimilarTo(toks)
@@ -176,6 +177,141 @@ object RedshiftSql {
       if (insertAt >= 0) insertAt else if (colListEnd >= 0) colListEnd else out.length
     out.insertAll(pos, tokenize(s" CLUSTERED BY (`$bucket`)$sorted INTO 32 BUCKETS"))
     out.toVector
+  }
+
+  /** QUALIFY <pred> (Redshift 2023+/Snowflake window filter; Spark's parser
+    * rejects it) → hoist the SELECT into a subquery and filter outside:
+    *
+    *   SELECT <list> FROM … QUALIFY <pred> [ORDER BY …] [LIMIT n]
+    *   → SELECT * [EXCEPT (__qualify_i…)] FROM (
+    *       SELECT <list>[, <winexpr_i> AS __qualify_i…] FROM …
+    *     ) __qualify_src WHERE <pred'> [ORDER BY …] [LIMIT n]
+    *
+    * Window calls INSIDE the predicate (`QUALIFY row_number() OVER (…) = 1`)
+    * cannot live in a WHERE clause, so each `f(args) OVER (…)` is computed
+    * as a generated `__qualify_i` column in the inner select (the original
+    * scope, so PARTITION BY may reference non-selected source columns) and
+    * the outer star EXCEPTs the helpers away; predicates that only
+    * reference select-list aliases pass through unchanged. A DISTINCT moves
+    * to the OUTER select: the standard evaluates windows before DISTINCT,
+    * and helper columns inside the inner list must not weaken the dedup.
+    * The ORDER BY/LIMIT tail moves outside too — both apply AFTER the
+    * QUALIFY filter.
+    */
+  private def rewriteQualify(toks: Vector[Tok]): Vector[Tok] = {
+    // locate the first QUALIFY with a SELECT at the same paren depth
+    var depth = 0
+    val selectAt = scala.collection.mutable.Map.empty[Int, Int]
+    var q = -1; var qDepth = -1; var qSelect = -1
+    var i = 0
+    while (i < toks.length && q < 0) {
+      val t = toks(i)
+      if (t.kind == Sym && t.text == "(") depth += 1
+      else if (t.kind == Sym && t.text == ")") depth -= 1
+      else if (t.isWord("select")) selectAt(depth) = i
+      else if (t.isWord("qualify") && selectAt.contains(depth) &&
+        nextCode(toks, i + 1) < toks.length) {
+        q = i; qDepth = depth; qSelect = selectAt(depth)
+      }
+      i += 1
+    }
+    if (q < 0) return toks
+    // block end: the ')'/';'/set-op that closes the SELECT's own block
+    var end = toks.length
+    var tailStart = -1
+    var d = qDepth
+    var j = q + 1
+    var found = false
+    while (j < toks.length && !found) {
+      val t = toks(j)
+      if (t.kind == Sym && t.text == "(") d += 1
+      else if (t.kind == Sym && t.text == ")") {
+        if (d == qDepth) { end = j; found = true } else d -= 1
+      } else if (d == qDepth && t.kind == Sym && t.text == ";") {
+        end = j; found = true
+      } else if (d == qDepth && t.kind == Word &&
+        blockEnders.contains(t.text.toLowerCase)) {
+        end = j; found = true
+      } else if (d == qDepth && tailStart < 0 && t.kind == Word &&
+        (t.isWord("order") || t.isWord("limit") || t.isWord("offset"))) {
+        tailStart = j
+      }
+      j += 1
+    }
+    if (tailStart < 0) tailStart = end
+
+    // pull each `f(args) OVER (…)` out of the predicate into a helper column
+    val pred = toks.slice(q + 1, tailStart).toBuffer
+    val helpers = Vector.newBuilder[String]
+    var nHelpers = 0
+    var k = 0
+    while (k < pred.length) {
+      var advanced = false
+      if (pred(k).isWord("over")) {
+        val pv = pred.toVector
+        val open = nextCode(pv, k + 1)
+        if (open < pv.length && pv(open).kind == Sym && pv(open).text == "(") {
+          val close = matchParen(pv, open)
+          var e = k - 1
+          while (e >= 0 && (pv(e).kind == Ws || pv(e).kind == Comment)) e -= 1
+          if (e >= 0 && pv(e).kind == Sym && pv(e).text == ")") {
+            // match the function call's '(' backward, then its name
+            var dd = 0; var sIdx = e; var ok = false
+            while (sIdx >= 0 && !ok) {
+              val t = pv(sIdx)
+              if (t.kind == Sym && t.text == ")") dd += 1
+              else if (t.kind == Sym && t.text == "(") {
+                dd -= 1; if (dd == 0) ok = true
+              }
+              if (!ok) sIdx -= 1
+            }
+            var nIdx = sIdx - 1
+            while (nIdx >= 0 && (pv(nIdx).kind == Ws || pv(nIdx).kind == Comment)) nIdx -= 1
+            if (ok && nIdx >= 0 && pv(nIdx).kind == Word) {
+              val alias = s"__qualify_$nHelpers"; nHelpers += 1
+              helpers += s"${render(pv.slice(nIdx, close + 1))} AS $alias"
+              pred.remove(nIdx, close + 1 - nIdx)
+              pred.insert(nIdx, Tok(Word, alias))
+              k = nIdx + 1
+              advanced = true
+            }
+          }
+        }
+      }
+      if (!advanced) k += 1
+    }
+
+    // inner select = the original block up to QUALIFY, DISTINCT hoisted out,
+    // helper columns appended to the select list (just before its FROM)
+    var inner = toks.slice(qSelect, q)
+    val distIdx = nextCode(inner, 1)
+    val outerDistinct = distIdx < inner.length && inner(distIdx).isWord("distinct")
+    if (outerDistinct) inner = inner.patch(distIdx, Nil, 1)
+    if (nHelpers > 0) {
+      var fd = 0; var f = 0; var fromIdx = -1
+      while (f < inner.length && fromIdx < 0) {
+        val t = inner(f)
+        if (t.kind == Sym && t.text == "(") fd += 1
+        else if (t.kind == Sym && t.text == ")") fd -= 1
+        else if (fd == 0 && t.isWord("from")) fromIdx = f
+        f += 1
+      }
+      require(fromIdx >= 0, "QUALIFY needs a FROM clause to hoist into")
+      inner = inner.patch(fromIdx,
+        tokenize(s", ${helpers.result().mkString(", ")} "), 0)
+    }
+    val exceptClause =
+      if (nHelpers > 0)
+        s" EXCEPT (${(0 until nHelpers).map(n => s"__qualify_$n").mkString(", ")})"
+      else ""
+    val head = tokenize(
+      s"SELECT ${if (outerDistinct) "DISTINCT " else ""}*$exceptClause FROM (")
+    val mid = tokenize(") __qualify_src WHERE ")
+    while (pred.nonEmpty && pred.head.kind == Ws) pred.remove(0)
+    val tail = toks.slice(tailStart, end)
+    val newBlock = head ++ inner ++ mid ++ pred.toVector ++
+      (if (tail.nonEmpty) Tok(Ws, " ") +: tail else Vector.empty)
+    rewriteQualify(toks.patch(qSelect, newBlock, end - qSelect))
   }
 
   // SELECT TOP n … → SELECT … LIMIT n. The LIMIT lands at the end of the

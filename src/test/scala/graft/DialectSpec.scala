@@ -431,6 +431,57 @@ class DialectSpec extends SparkSpecBase {
     assert(r.contains("CLUSTERED BY (`id`)") && r.contains("INTO 32 BUCKETS"), r)
   }
 
+  // ---- QUALIFY ----
+  test("QUALIFY on a select-list alias hoists into a subquery filter") {
+    val r = rewrite(
+      "SELECT a, row_number() OVER (PARTITION BY b ORDER BY c) AS rn FROM t QUALIFY rn <= 2")
+    assert(r === "SELECT * FROM (SELECT a, row_number() OVER (PARTITION BY b ORDER BY c) AS rn " +
+      "FROM t ) __qualify_src WHERE rn <= 2")
+  }
+
+  test("QUALIFY executes: top-1 per group, inline window, WHERE, tail, DISTINCT, CTE") {
+    Tables.registerAll(spark, sfDir)
+    // alias predicate + ORDER BY/LIMIT tail applies AFTER the filter
+    val top1 = spark.sql(rewrite(
+      """SELECT o_orderpriority, o_orderkey,
+        |       row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders QUALIFY rn = 1 ORDER BY o_orderpriority LIMIT 3""".stripMargin))
+      .collect()
+    assert(top1.length === 3 && top1.forall(_.getInt(2) === 1))
+    // inline window call in the predicate, composed with an existing WHERE;
+    // the helper column must NOT leak into the output schema
+    val inline = spark.sql(rewrite(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |QUALIFY row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) <= 5""".stripMargin))
+    assert(inline.columns.toSeq === Seq("o_orderkey", "o_totalprice"))
+    val exp5 = spark.sql(
+      """SELECT o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""".stripMargin)
+      .collect().map(_.getDouble(0)).toSeq
+    assert(inline.collect().map(_.getDouble(1)).sorted.toSeq === exp5.sorted)
+    // the window may partition by a NON-selected source column
+    val nonSel = spark.sql(rewrite(
+      """SELECT o_orderkey FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) = 1""".stripMargin))
+    assert(nonSel.count() === 5 && nonSel.columns.toSeq === Seq("o_orderkey"))
+    // DISTINCT dedups AFTER the window filter (helpers must not weaken it)
+    val dist = spark.sql(rewrite(
+      """SELECT DISTINCT o_orderpriority FROM orders
+        |QUALIFY rank() OVER (PARTITION BY o_orderkey ORDER BY o_orderkey) = 1""".stripMargin))
+    assert(dist.count() === 5)
+    // QUALIFY inside a CTE body rewrites in place
+    val cte = spark.sql(rewrite(
+      """WITH best AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders QUALIFY rn = 1)
+        |SELECT COUNT(*) AS n FROM best""".stripMargin)).collect()(0).getLong(0)
+    val exactCte = spark.sql("SELECT COUNT(DISTINCT o_custkey) FROM orders")
+      .collect()(0).getLong(0)
+    assert(cte === exactCte)
+  }
+
   test("COPY rejects unsupported formats, unknown options and IGNOREHEADER > 1") {
     import java.nio.file.Files
     spark.sql("DROP TABLE IF EXISTS copy_guard")
@@ -696,6 +747,34 @@ class DialectSpec extends SparkSpecBase {
         s"UNLOAD ('SELECT id, k FROM unload_p') TO '$out' PARTITION BY (k) INCLUDE", None)
     }
     assert(e.getMessage.contains("INCLUDE"))
+  }
+
+  test("pg_table_def and svv_table_info resolve as generated catalog views") {
+    import graft.cli.ExecuteSql
+    spark.sql("DROP TABLE IF EXISTS shim_t")
+    ExecuteSql.run(spark,
+      "CREATE TABLE shim_t (id BIGINT, name STRING, amt DOUBLE) DISTKEY(id) SORTKEY(name)",
+      None)
+    ExecuteSql.run(spark, "INSERT INTO shim_t VALUES (1, 'a', 1.5), (2, 'b', 2.5)", None)
+    ExecuteSql.run(spark, "ANALYZE shim_t", None)
+    // the introspection query executes through the pass-through…
+    ExecuteSql.run(spark,
+      "SELECT tablename, type FROM pg_table_def WHERE tablename = 'shim_t'", None)
+    // …and the generated views answer it: types, distkey/sortkey mapping
+    val cols = spark.sql(
+      "SELECT `column`, type, distkey, sortkey FROM pg_table_def " +
+        "WHERE tablename = 'shim_t' ORDER BY `column`").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getInt(3)))
+    assert(cols === Array(
+      ("amt", "double precision", false, 0),
+      ("id", "bigint", true, 0),
+      ("name", "character varying(65535)", false, 1)))
+    ExecuteSql.run(spark, "SELECT diststyle FROM svv_table_info", None)
+    val info = spark.sql(
+      "SELECT diststyle, sortkey1, sortkey_num, tbl_rows FROM svv_table_info " +
+        "WHERE `table` = 'shim_t'").collect()(0)
+    assert(info.getString(0) === "KEY(id)" && info.getString(1) === "name" &&
+      info.getInt(2) === 1 && info.getLong(3) === 2L)
   }
 
   test("ANALYZE maps to catalog statistics; VACUUM compacts files copy-on-write") {
