@@ -279,49 +279,66 @@ object DedupOps {
       StructType(Seq(StructField("doc_id", LongType), StructField("label", LongType))))
   }
 
-  /** Distributed min-label propagation over the pair graph's vertex set —
-    * the > driverMaxPairs path. Each round is one shuffle stage group over
-    * O(|V(pairs)|) rows; RAISES if `maxIters` rounds don't converge
-    * (an unconverged tail doc would keep an intermediate doc_id as its
-    * keeper — silent corruption). The converged labels are
-    * local-checkpointed so the loop's cache is released. */
+  /** Distributed min-label connected components — the > driverMaxPairs
+    * path: alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    * algorithm). Each round halves long paths instead of shortening them by
+    * one hop, so rounds are O(log n) in the largest component size, NOT
+    * O(diameter) — a pathological chain converges in ~log₂ rounds where
+    * per-hop min-label propagation (the r4 implementation) needed one round
+    * per hop.
+    *
+    *  - large-star: per node u over its full neighborhood Γ(u), connect
+    *    every LARGER neighbor to m = min(Γ(u) ∪ {u});
+    *  - small-star: orient every edge toward its larger endpoint, then per
+    *    node connect its (all smaller) neighbors and itself to the minimum.
+    *
+    * Both steps preserve connectivity and never connect nodes of different
+    * components (each emitted edge (v, m) is witnessed by the path v–u–m);
+    * the fixed point is a star forest rooted at each component's minimum id
+    * — exactly the keep_id contract. Convergence is tested by EXACT edge-set
+    * equality (counts + except), not a checksum: a false positive would
+    * silently mislabel. RAISES if `maxIters` rounds don't converge. Each
+    * round's result is local-checkpointed: the loop would otherwise stack
+    * an exponentially growing lineage. */
   private def propagateLabels(base: DataFrame, maxIters: Int): DataFrame = {
-    val edges = base.union(base.selectExpr("v as u", "u as v")).persist()
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .selectExpr("doc_id", "doc_id as label").persist()
+    var edges = base
+      .selectExpr("greatest(u, v) as u", "least(u, v) as v")
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (i < maxIters && !converged) {
-      // every vertex has ≥1 edge (it came from the edge list), so the
-      // joins are inner and the min over neighbors is never null
-      val next = labels.as("l")
-        .join(edges.as("e"), col("l.doc_id") === col("e.u"))
-        .join(labels.selectExpr("doc_id as v", "label as vlabel"), Seq("v"))
-        .groupBy(col("l.doc_id").as("doc_id"))
-        .agg(least(min(col("l.label")), min(col("vlabel"))).as("label"))
-        .persist()
-      converged = next.as("n")
-        .join(labels.as("o"), "doc_id")
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels.unpersist()
-      labels = next
+      // large-star over the undirected neighborhood (both edge directions)
+      val dirL = edges.union(edges.selectExpr("v as u", "u as v"))
+      val mL = dirL.groupBy("u").agg(expr("least(min(v), u)").as("m"))
+      val largeE = dirL.join(mL, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // u > v by construction
+        .distinct()
+      // small-star: edges already oriented larger → smaller; connect each
+      // node's smaller neighbors AND itself to the neighborhood minimum
+      val mS = largeE.groupBy("u").agg(expr("least(min(v), u)").as("m"))
+      val smallE = largeE.join(mS, "u")
+        .select(explode(array(col("v"), col("u"))).as("n"), col("m"))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      converged = smallE.count() == edges.count() && smallE.except(edges).isEmpty
+      edges = smallE
       i += 1
     }
-    if (!converged) {
-      // release the loop's cache before raising: the documented remedy is
-      // catch-and-retry with a higher maxIters, which must not accumulate
-      // session-lifetime persisted copies per failed attempt
-      labels.unpersist()
-      edges.unpersist()
+    if (!converged)
       throw new IllegalArgumentException(
-        s"dedupGroups did not converge in $maxIters rounds — a component's " +
-          "diameter exceeds maxIters; raise it (labels would be silently wrong)")
-    }
-    val finalLabels = labels.localCheckpoint(true)
-    labels.unpersist()
-    edges.unpersist()
-    finalLabels
+        s"dedupGroups did not converge in $maxIters star-contraction rounds " +
+          "— raise maxIters (labels would be silently wrong)")
+    // fixed point = stars (child, root): child labels from the edges, root
+    // labels from the right side (roots have no outgoing edge)
+    edges.selectExpr("u as doc_id", "v as label")
+      .union(edges.selectExpr("v as doc_id", "v as label"))
+      .distinct()
   }
 
   /** Pigeonhole candidate generation: pairs agreeing exactly on ≥1 of the

@@ -704,6 +704,26 @@ object T2 {
              |  CAST(COUNT(*) AS BIGINT) AS n_rows
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // 25b. approx_percentile scale twin of q25 (VERDICT r4 #4): the exact
+    //      WITHIN GROUP ordered-set aggregates buffer every group value —
+    //      memory-unsafe under 100× group-cardinality skew; this twin keeps
+    //      a bounded sketch per group. Approximation is engine-specific →
+    //      no SQL oracle (rows-only check); the error bound vs the exact
+    //      q25 result is asserted in OpsSpec.
+    QueryDef(
+      "q25_within_group_approx",
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        l.groupBy(col("l_returnflag"))
+          .agg(
+            expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("p25"),
+            expr("approx_percentile(l_extendedprice, 0.75, 10000)").as("p75"),
+            expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_disc"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      None),
+
     // 26. Date/time battery #2 (Redshift LAST_DAY / ADD_MONTHS /
     //     DATE_PART variants): month-end clamping and ISO week/doy/dow
     //     agreement across engines; dow normalized to Redshift's 0=Sunday.

@@ -100,4 +100,52 @@ object StreamingOps {
       .toDF("doc_id", "keep_id", "is_dup")
       .as[(Long, Long, Int)]
   }
+
+  /** [[dedupExactStream]] with a state TTL — the unbounded-stream variant
+    * (VERDICT r4 #5): [[dedupExactStream]]'s state is O(distinct keys)
+    * FOREVER, which is correct for the gated semantics but grows without
+    * bound on an unbounded stream. Here `docs` carries an event-time `ts`
+    * column; a key's state expires once the WATERMARK passes its last
+    * event time + `ttlMs` (event-time timeout, so expiry is deterministic
+    * in the data, not in wall-clock processing speed). Within the TTL
+    * window semantics equal [[dedupExactStream]]; after expiry a
+    * re-arrival re-keeps under the new smallest doc_id — the standard
+    * "dedup within a horizon" contract of a bounded-state pipeline.
+    */
+  def dedupExactStreamTtl(docs: DataFrame, ttlMs: Long,
+                          watermark: String = "1 hour"): Dataset[(Long, Long, Int)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .selectExpr("doc_id", "md5(lower(trim(text))) as norm_key", "ts")
+      .withWatermark("ts", watermark)
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: String, rows: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[Long]) => {
+          if (state.hasTimedOut) {
+            // watermark passed last-seen + ttl: drop the key — this is the
+            // bounded-state contract, not an output event
+            state.remove()
+            Iterator.empty
+          } else {
+            val buf = rows.toVector
+            val keep = math.min(state.getOption.getOrElse(Long.MaxValue),
+              buf.iterator.map(_._1).min)
+            state.update(keep)
+            // the timeout must sit strictly above the current watermark or
+            // Spark rejects it (a late event could otherwise expire its own
+            // key mid-batch)
+            state.setTimeoutTimestamp(math.max(
+              buf.iterator.map(_._3.getTime).max + ttlMs,
+              state.getCurrentWatermarkMs + 1))
+            buf.iterator.map { case (id, _, _) =>
+              (id, keep, if (id != keep) 1 else 0)
+            }
+          }
+        })
+      .toDF("doc_id", "keep_id", "is_dup")
+      .as[(Long, Long, Int)]
+  }
 }

@@ -125,6 +125,46 @@ class OpsSpec extends SparkSpecBase {
     assert(ok.forall(_._2 === 1L))
   }
 
+  test("star-contraction CC: a 1000-node chain converges in O(log n) rounds, not O(diameter)") {
+    // the r4 per-hop min-label loop needed ~1000 rounds here; the
+    // large-star/small-star contraction must finish well inside 20
+    val n = 1000
+    val docs = (0L until n.toLong).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = DedupOps.dedupGroups(docs, chain, maxIters = 20, driverMaxPairs = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // brute-force closure of a chain: one component rooted at 0
+    assert(out.length === n)
+    assert(out.forall { case (id, keep, dup) => keep === 0L && dup === (if (id == 0L) 0 else 1) })
+  }
+
+  test("star-contraction CC equals brute-force closure on random graphs (distributed path)") {
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
+    (1 to 3).foreach { trial =>
+      val n = 24
+      val edges = lcg(9900 + trial).take(14).toVector.map { x =>
+        val a = ((x >>> 20) % n).toInt; val b = ((x >>> 40) % n).toInt
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      val lbl = scala.collection.mutable.Map((0L until n.toLong).map(i => i -> i): _*)
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (a, b) =>
+          val m = math.min(lbl(a), lbl(b))
+          if (lbl(a) != m) { lbl(a) = m; changed = true }
+          if (lbl(b) != m) { lbl(b) = m; changed = true }
+        }
+      }
+      val docs = (0L until n.toLong).map(i => (i, s"d$i")).toDF("doc_id", "text")
+      val out = DedupOps.dedupGroups(docs, edges.toDF("doc_a", "doc_b"),
+          driverMaxPairs = 0).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out === lbl.toMap, s"trial $trial mismatch (edges: $edges)")
+    }
+  }
+
   test("simhash: identical docs collide at hamming 0") {
     val d = docsDF(1L -> "spark query engine test doc", 2L -> "spark query engine test doc")
     val out = DedupOps.simhashPairs(d, 0).collect()
@@ -291,6 +331,21 @@ class OpsSpec extends SparkSpecBase {
   test("approx-percentile twin tracks the exact q18 within the sketch error bound") {
     val exact = SparkEntry.queries("q18_percentiles")(spark, sfDir).collect()
     val approx = SparkEntry.queries("q18_percentiles_approx")(spark, sfDir).collect()
+    assert(exact.length === approx.length && exact.nonEmpty)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e.getString(0) === a.getString(0))          // same groups
+      assert(e.getLong(4) === a.getLong(4))              // exact counts
+      (1 to 3).foreach { i =>
+        val ev = e.getDouble(i); val av = a.getDouble(i)
+        assert(math.abs(av - ev) <= 0.05 * math.abs(ev) + 1e-9,
+          s"col $i: approx $av vs exact $ev")
+      }
+    }
+  }
+
+  test("approx WITHIN GROUP twin tracks the exact q25 within the sketch error bound") {
+    val exact = SparkEntry.queries("q25_within_group")(spark, sfDir).collect()
+    val approx = SparkEntry.queries("q25_within_group_approx")(spark, sfDir).collect()
     assert(exact.length === approx.length && exact.nonEmpty)
     exact.zip(approx).foreach { case (e, a) =>
       assert(e.getString(0) === a.getString(0))          // same groups

@@ -79,6 +79,42 @@ class StreamingSpec extends SparkSpecBase {
       (13L, 13L, 0)))
   }
 
+  test("TTL'd streaming dedup: keys expire under the watermark, re-arrival re-keeps") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(minutes: Int) = new java.sql.Timestamp(1700000000000L + minutes * 60000L)
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // watermark delay 0 → watermark = max event time of prior batches;
+    // ttl 1 minute past a key's last event
+    val q = StreamingOps.dedupExactStreamTtl(
+        stream.toDF().toDF("doc_id", "text", "ts"), ttlMs = 60000L,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("dedup_ttl")
+      .outputMode("append").start()
+    try {
+      // batch 1 at t+0: in-window dedup behaves exactly like the
+      // un-TTL'd variant (13 flags against 10)
+      stream.addData(Seq((10L, "same doc", ts(0)), (11L, "other", ts(0)),
+        (13L, "same doc", ts(0))))
+      q.processAllAvailable()
+      // batch 2 advances event time far past t+0 + ttl…
+      stream.addData(Seq((20L, "filler", ts(60))))
+      q.processAllAvailable()
+      // …batch 3's watermark (t+60) then fires the t+1 timeouts,
+      // dropping the idle keys' state
+      stream.addData(Seq((21L, "filler two", ts(61))))
+      q.processAllAvailable()
+      // batch 4: a dup of doc 10 arrives AFTER expiry → re-keeps fresh
+      stream.addData(Seq((12L, "Same Doc ", ts(65))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("dedup_ttl")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows === Set(
+      (10L, 10L, 0), (11L, 11L, 0), (13L, 10L, 1), // within the window: identical to dedupExactStream
+      (20L, 20L, 0), (21L, 21L, 0),
+      (12L, 12L, 0))) // state expired → not flagged against doc 10
+  }
+
   test("streaming windowed approx-distinct equals the batch aggregate and bounds its error") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val events = Tables.load(spark, sfDir, "events")
