@@ -38,7 +38,13 @@ object Bench {
     // regressions. Record the MIN of `runs` back-to-back executions —
     // the contention-free floor — per query.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q13_set_ops,q18_percentiles — subset for local
+    // iteration; unset (the driver's mode) runs everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       var best = Double.MaxValue
       var err: Option[String] = None
       var i = 0
