@@ -342,6 +342,24 @@ object OpQueries {
               |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
               |       CAST(dim_j AS BIGINT) AS dim_j,
               |       CAST((h >> (8 * dim_j)) % 1000 AS DOUBLE) / 1000.0 AS feat
-              |FROM d ORDER BY doc_id, frame_idx, dim_j""".stripMargin))
+              |FROM d ORDER BY doc_id, frame_idx, dim_j""".stripMargin)),
+
+    // Deterministic stratified sample: 5 docs per (lang, source) stratum,
+    // md5-keyed — the balanced-subset selection step of a training mix.
+    // The rank filter compiles to WindowGroupLimit (map-side top-k per
+    // stratum before the exchange); PlanSpec pins it.
+    QueryDef("op_stratified_sample",
+      (s, d) => PipelineOps.stratifiedSample(docs(s, d), Seq("lang", "source"), 5)
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first,
+          col("rn")),
+      Some("""WITH h AS (SELECT lang, source, doc_id,
+             |             md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+             |r AS (SELECT lang, source, doc_id,
+             |        ROW_NUMBER() OVER (PARTITION BY lang, source
+             |                           ORDER BY hh, doc_id) AS rn
+             |      FROM h)
+             |SELECT lang, source, doc_id, CAST(rn AS BIGINT) AS rn
+             |FROM r WHERE rn <= 5
+             |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST, rn""".stripMargin))
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Composed training-data selection — the end-to-end step the individual
@@ -32,5 +33,27 @@ object PipelineOps {
       .limit(n)
       .selectExpr("doc_id", "quality_score")
       .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sample: `k` docs per stratum (the balanced
+    * per-language / per-source subsets a training mix is built from), keyed
+    * by md5 so the selection is reproducible across runs, partitionings and
+    * engines.
+    *
+    * Scale shape: the `row_number <= k` filter compiles to Spark's
+    * WindowGroupLimit pushdown — each map task keeps at most k rows per
+    * stratum BEFORE the exchange (Partial mode), so the shuffle carries
+    * O(strata · k · tasks) rows rather than the corpus, and the final
+    * per-stratum sort ranks only those survivors. PlanSpec pins the
+    * WindowGroupLimit node.
+    */
+  def stratifiedSample(docs: DataFrame, strata: Seq[String], k: Int): DataFrame = {
+    require(strata.nonEmpty && k > 0, "stratifiedSample needs strata and k > 0")
+    val sc: Seq[Column] = strata.map(col)
+    val w = Window.partitionBy(sc: _*).orderBy(col("__h"), col("doc_id"))
+    docs.selectExpr(strata ++ Seq("doc_id", "md5(cast(doc_id as string)) as __h"): _*)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(sc ++ Seq(col("doc_id"), col("rn").cast("long").as("rn")): _*)
   }
 }

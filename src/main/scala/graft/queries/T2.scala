@@ -787,6 +787,119 @@ object T2 {
              |        unnest(list_transform(range(1, len(lst) + 1),
              |          i -> struct_pack(pos := i - 1, v := lst[i]))) AS s
              |      FROM b2)
-             |ORDER BY event_id, pos""".stripMargin))
+             |ORDER BY event_id, pos""".stripMargin)),
+
+    // 25c. Bounded-memory EXACT scale twin of q25: the same
+    //      PERCENTILE_CONT/DISC results via distributed sort + rank
+    //      (graft.ops.PercentileOps) instead of Spark's buffering
+    //      ObjectHashAggregate, which holds every group value on one
+    //      executor — the 100 TB hot-group OOM. Exact (not approximate),
+    //      so it shares q25's full hash oracle; OpsSpec additionally
+    //      asserts bit-equality against the buffering aggregate.
+    QueryDef(
+      "q25_within_group_sorted",
+      (s, d) => {
+        import graft.ops.PercentileOps.{sortedPercentiles, PSpec}
+        sortedPercentiles(t(s, d, "lineitem"), "l_returnflag", Seq(
+            PSpec("l_extendedprice", 0.25, "p25"),
+            PSpec("l_extendedprice", 0.75, "p75"),
+            PSpec("l_extendedprice", 0.5, "p50_disc", disc = true)))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_extendedprice, 0.25) AS p25,
+             |  quantile_cont(l_extendedprice, 0.75) AS p75,
+             |  quantile_disc(l_extendedprice, 0.5) AS p50_disc,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // 28. Explicit GROUPING SETS (SURVEY §2.2 multi-grouping row): a set
+    //     combination no CUBE/ROLLUP expresses — (a,b), (a), (b) without
+    //     the grand total. One Expand + one aggregation; grouping_id()
+    //     disambiguates the NULL-as-ALL rows exactly as in q08.
+    QueryDef(
+      "q28_grouping_sets",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT CAST(grouping_id() AS BIGINT) AS gid,
+            |       o_orderpriority, o_orderstatus,
+            |       COUNT(*) AS n_orders,
+            |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+            |FROM orders
+            |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+            |                        (o_orderpriority), (o_orderstatus))
+            |ORDER BY gid, o_orderpriority ASC NULLS FIRST,
+            |         o_orderstatus ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+             |       o_orderpriority, o_orderstatus,
+             |       COUNT(*) AS n_orders,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+             |                        (o_orderpriority), (o_orderstatus))
+             |ORDER BY gid, o_orderpriority ASC NULLS FIRST,
+             |         o_orderstatus ASC NULLS FIRST""".stripMargin)),
+
+    // 29. RANGE value/interval window frames (SURVEY §2.2 frame-spec row):
+    //     peers by ORDER-BY value distance, not row position — a numeric
+    //     offset frame over o_totalprice and a 30-day interval frame over
+    //     o_orderdate. RANGE frames are tie-insensitive, so results are
+    //     deterministic without a unique window key; the frame sum goes
+    //     through DECIMAL for order-independence.
+    QueryDef(
+      "q29_range_frame",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT o_orderkey,
+            |  CAST(COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+            |    RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_near,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+            |    OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+            |    RANGE BETWEEN 1000.0 PRECEDING AND 500.0 FOLLOWING) AS DOUBLE) AS sum_near,
+            |  CAST(COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate
+            |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_30d
+            |FROM orders ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+             |    RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_near,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+             |    OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+             |    RANGE BETWEEN 1000.0 PRECEDING AND 500.0 FOLLOWING) AS DOUBLE) AS sum_near,
+             |  CAST(COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate
+             |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_30d
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // 30. NTILE / PERCENT_RANK / CUME_DIST (the last ungated ranking
+    //     functions of SURVEY §2.2). NTILE depends on row position, so the
+    //     window orders by a UNIQUE key pair (price, orderkey) for
+    //     cross-engine determinism; PERCENT_RANK = (rank-1)/(n-1) and
+    //     CUME_DIST = peers/n are exact small-integer divisions — doubles
+    //     are bit-identical across engines.
+    QueryDef(
+      "q30_ntile_dist",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT o_orderkey,
+            |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+            |  PERCENT_RANK() OVER w AS pr,
+            |  CUME_DIST() OVER w AS cd
+            |FROM orders
+            |WINDOW w AS (PARTITION BY o_orderpriority
+            |             ORDER BY o_totalprice, o_orderkey)
+            |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+             |  PERCENT_RANK() OVER w AS pr,
+             |  CUME_DIST() OVER w AS cd
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |             ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }

@@ -421,4 +421,51 @@ class OpsSpec extends SparkSpecBase {
     val codecs = out.map(_.getString(5)).toSet
     assert(codecs.subsetOf(Set("jpeg", "png", "webp")))
   }
+
+  test("sorted percentiles are BIT-identical to the buffering aggregate") {
+    // q25_within_group_sorted (PercentileOps rank path, O(1) per-group
+    // memory) vs q25_within_group (Spark's buffering percentile_cont/disc):
+    // same interpolation arithmetic → exact double equality, not epsilon.
+    val buffered = SparkEntry.queries("q25_within_group")(spark, sfDir).collect()
+    val sorted = SparkEntry.queries("q25_within_group_sorted")(spark, sfDir).collect()
+    assert(buffered.length === sorted.length && buffered.nonEmpty)
+    buffered.zip(sorted).foreach { case (b, s) =>
+      assert(b.getString(0) === s.getString(0))
+      (1 to 3).foreach(i => assert(b.getDouble(i) === s.getDouble(i),
+        s"group ${b.getString(0)} col $i: buffered ${b.getDouble(i)} vs sorted ${s.getDouble(i)}"))
+      assert(b.getLong(4) === s.getLong(4))
+    }
+  }
+
+  test("sorted percentiles: null-only and interpolation edge groups") {
+    import graft.ops.PercentileOps.{sortedPercentiles, PSpec}
+    val df = Seq[(String, java.lang.Double)](
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), // p=0.5 lands between
+      ("b", 10.0),                                    // single value
+      ("c", null), ("c", null)                        // all-null group
+    ).toDF("k", "v")
+    val out = sortedPercentiles(df, "k", Seq(
+        PSpec("v", 0.5, "med"), PSpec("v", 0.5, "med_d", disc = true)))
+      .orderBy("k").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a", "b", "c"))
+    assert(out(0).getDouble(1) === 2.5 && out(0).getDouble(2) === 2.0)
+    assert(out(1).getDouble(1) === 10.0 && out(1).getDouble(2) === 10.0)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2)) // nulls, group kept
+    assert(out.map(_.getLong(3)).toSeq === Seq(4L, 1L, 2L)) // COUNT(*) incl nulls
+  }
+
+  test("stratified sample: at most k per stratum, invariant to partitioning") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val base = graft.ops.PipelineOps.stratifiedSample(docs, Seq("lang"), 3)
+      .orderBy("lang", "rn").collect()
+    assert(base.nonEmpty)
+    val perStratum = base.groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(perStratum.values.forall(_ <= 3))
+    // md5 keying makes the selection a pure function of doc_id — the same
+    // rows must be chosen under a different physical partitioning
+    val repart = graft.ops.PipelineOps
+      .stratifiedSample(docs.repartition(7, col("doc_id")), Seq("lang"), 3)
+      .orderBy("lang", "rn").collect()
+    assert(base.map(_.toSeq).toSeq === repart.map(_.toSeq).toSeq)
+  }
 }

@@ -238,4 +238,26 @@ class PlanSpec extends SparkSpecBase {
     assert(!readSchema.contains("lang") && !readSchema.contains("source") &&
       !readSchema.contains("n_chars"), s"unneeded column read:\n$readSchema")
   }
+
+  test("sorted percentiles never buffer groups: windows + hash agg, no ObjectHashAggregate") {
+    // The point of the q25 sorted twin: Spark's percentile_cont plans an
+    // ObjectHashAggregate holding EVERY group value in one executor's heap;
+    // the rank path must plan sort-based windows + plain hash aggregation.
+    val p = plan("q25_within_group_sorted")
+    assert(!p.contains("ObjectHashAggregate"),
+      s"buffering aggregate crept back in:\n$p")
+    assert(p.linesIterator.exists(_.contains("Window [")), p)
+    assert(p.contains("HashAggregate"), p)
+    // and the baseline q25 really does take the buffering path (the
+    // contrast this gate encodes)
+    assert(plan("q25_within_group").contains("ObjectHashAggregate"))
+  }
+
+  test("stratified sample pushes the rank limit below the exchange (WindowGroupLimit)") {
+    val p = plan("op_stratified_sample")
+    // Partial WindowGroupLimit before the shuffle caps what each map task
+    // emits at k rows per stratum — the difference between shuffling
+    // O(strata·k·tasks) rows and shuffling the corpus.
+    assert(p.contains("WindowGroupLimit"), s"rank filter not pushed down:\n$p")
+  }
 }
