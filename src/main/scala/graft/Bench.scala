@@ -2,8 +2,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main. Emits ONE JSON line:
-  * {"metric":"total","value":N,"unit":"sec","queries":{name:sec,...},
-  *  "errors":{name:msg,...},"ok":k,"n":n,"sf":dir}
+  * {"metric":"total","value":N,"unit":"sec","queries":{name:min_sec,...},
+  *  "median":{name:median_sec,...},"errors":{name:msg,...},"ok":k,"n":n,"sf":dir}
   *
   * Each query is materialized with a DataSource-v2 noop write so the FULL
   * physical plan executes (a bare .count() would let Catalyst prune every
@@ -42,13 +42,19 @@ object Bench {
     // iteration; unset (the driver's mode) runs everything.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Sub-second queries swing multiples between rounds on the shared host
+    // with no code change (VERDICT r7: q14 0.69→0.93 s); their min alone
+    // can't separate noise from regression. They get extra samples (5
+    // total) and every query also reports its MEDIAN alongside the min.
+    val subSecondRuns = math.max(runs, 5)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      val times = Vector.newBuilder[Double]
       var best = Double.MaxValue
       var err: Option[String] = None
       var i = 0
-      while (i < runs && err.isEmpty) {
+      while (i < runs.max(if (best < 1.0) subSecondRuns else 0) && err.isEmpty) {
         val t0 = System.nanoTime()
         err = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -57,21 +63,28 @@ object Bench {
           case e: Throwable =>
             Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        val t = (System.nanoTime() - t0) / 1e9
+        times += t
+        best = math.min(best, t)
         // Ops that persist compute-once intermediates (simhash/minhash/
         // jaccard/LSH signatures) must not carry cached blocks — and the
         // memory pressure they create — into the next query's measurement.
         spark.catalog.clearCache()
         i += 1
       }
-      (name, best, err)
+      val ts = times.result().sorted
+      val median = if (ts.isEmpty) best
+        else if (ts.length % 2 == 1) ts(ts.length / 2)
+        else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2
+      (name, best, median, err)
     }
-    val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
+    val qs = results.map { case (k, v, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val med = results.map { case (k, _, m, _) => s"${jstr(k)}:$m" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
-    val ok = results.count(_._3.isEmpty)
+    val ok = results.count(_._4.isEmpty)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"ok":$ok,"n":${results.size},"runs":$runs,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"median":$med,"errors":$errs,"ok":$ok,"n":${results.size},"runs":$runs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -37,8 +37,8 @@ object PipelineOps {
 
   /** Deterministic stratified sample: `k` docs per stratum (the balanced
     * per-language / per-source subsets a training mix is built from), keyed
-    * by md5 so the selection is reproducible across runs, partitionings and
-    * engines.
+    * by md5 of `keyCol` (default `doc_id` — any unique row key works) so
+    * the selection is reproducible across runs, partitionings and engines.
     *
     * Scale shape: the `row_number <= k` filter compiles to Spark's
     * WindowGroupLimit pushdown — each map task keeps at most k rows per
@@ -47,13 +47,27 @@ object PipelineOps {
     * per-stratum sort ranks only those survivors. PlanSpec pins the
     * WindowGroupLimit node.
     */
-  def stratifiedSample(docs: DataFrame, strata: Seq[String], k: Int): DataFrame = {
+  def stratifiedSample(docs: DataFrame, strata: Seq[String], k: Int,
+                       keyCol: String = "doc_id"): DataFrame = {
     require(strata.nonEmpty && k > 0, "stratifiedSample needs strata and k > 0")
-    val sc: Seq[Column] = strata.map(col)
-    val w = Window.partitionBy(sc: _*).orderBy(col("__h"), col("doc_id"))
-    docs.selectExpr(strata ++ Seq("doc_id", "md5(cast(doc_id as string)) as __h"): _*)
+    // `rn` and `__h` are produced by this operator; a stratum (or key)
+    // column with one of those names would silently collide (ADVICE r7)
+    val reserved = Set("rn", "__h")
+    require(!(strata :+ keyCol).exists(c => reserved.contains(c.toLowerCase)),
+      s"stratifiedSample reserves column names ${reserved.mkString(", ")}")
+    require(!strata.exists(_.equalsIgnoreCase(keyCol)),
+      s"key column $keyCol cannot also be a stratum")
+    // backtick-quote every identifier so names with spaces/dots resolve as
+    // single columns (names may not themselves contain a backtick)
+    require(!(strata :+ keyCol).exists(_.contains("`")),
+      "column names must not contain backticks")
+    def c(name: String): Column = col(s"`$name`")
+    val sc: Seq[Column] = strata.map(c)
+    val w = Window.partitionBy(sc: _*).orderBy(col("__h"), c(keyCol))
+    docs.select(sc ++ Seq(c(keyCol),
+        md5(c(keyCol).cast("string")).as("__h")): _*)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(sc ++ Seq(col("doc_id"), col("rn").cast("long").as("rn")): _*)
+      .select(sc ++ Seq(c(keyCol), col("rn").cast("long").as("rn")): _*)
   }
 }

@@ -544,6 +544,33 @@ object T2 {
       },
       None),
 
+    // 18c. EXACT bounded-memory twin of q18 (VERDICT r7 #2): the same
+    //      median + two percentiles through PercentileOps' rank path —
+    //      windows + plain HashAggregate, O(1) per-group memory — instead
+    //      of the buffering median/percentile ObjectHashAggregate that
+    //      OOMs on a hot group at 100×. Exercises the multi-value-column
+    //      case (l_quantity AND l_extendedprice → two ranked passes).
+    //      Exact → shares q18's full hash oracle; OpsSpec additionally
+    //      asserts bit-equality against the buffering aggregate.
+    QueryDef(
+      "q18_percentiles_sorted",
+      (s, d) => {
+        import graft.ops.PercentileOps.{sortedPercentiles, PSpec}
+        sortedPercentiles(t(s, d, "lineitem"), "l_returnflag", Seq(
+            PSpec("l_quantity", 0.5, "med_qty"),
+            PSpec("l_extendedprice", 0.25, "p25_price"),
+            PSpec("l_extendedprice", 0.75, "p75_price")))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |       MEDIAN(l_quantity) AS med_qty,
+             |       QUANTILE_CONT(l_extendedprice, 0.25) AS p25_price,
+             |       QUANTILE_CONT(l_extendedprice, 0.75) AS p75_price,
+             |       COUNT(*) AS n_rows
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // 19. Redshift JSON surface over events.props (SURVEY §2.2 JSON 🔧):
     //     JSON_EXTRACT_PATH_TEXT / IS_VALID_JSON resolve through
     //     GraftExtensions onto Spark's JSON-path machinery; the projection

@@ -42,6 +42,19 @@ import SqlTokens._
 object RedshiftSql {
 
   def rewrite(sql: String): String = {
+    // Redshift `EXPLAIN [VERBOSE] <q>`: rewrite the inner query so dialect
+    // constructs (QUALIFY, TOP, …) explain instead of erroring; VERBOSE
+    // maps to Spark's EXTENDED. Recursion depth is 1 — the remainder
+    // cannot itself start with EXPLAIN after the strip.
+    val lead = tokenize(sql)
+    val f = nextCode(lead, 0)
+    if (f < lead.length && lead(f).isWord("explain")) {
+      var r = nextCode(lead, f + 1)
+      val verbose = r < lead.length && lead(r).isWord("verbose")
+      if (verbose) r = nextCode(lead, r + 1)
+      val mode = if (verbose) "EXPLAIN EXTENDED " else "EXPLAIN "
+      return mode + rewrite(render(lead.slice(r, lead.length)).trim)
+    }
     var toks = tokenize(sql)
     toks = rewriteTop(toks)
     toks = rewriteQualify(toks)

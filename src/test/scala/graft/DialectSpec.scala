@@ -892,6 +892,24 @@ class DialectSpec extends SparkSpecBase {
   }
 
   // ---- identity property ----
+  // ---- EXPLAIN pass-through ----
+  test("EXPLAIN over dialect constructs rewrites the inner query and returns a plan") {
+    Tables.registerAll(spark, sfDir)
+    val plan = spark.sql(rewrite(
+      """EXPLAIN SELECT TOP 3 o_custkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk
+        |FROM orders QUALIFY rk = 1 ORDER BY o_custkey""".stripMargin))
+      .collect()(0).getString(0)
+    assert(plan.contains("Physical Plan"), plan)
+    assert(!plan.toLowerCase.contains("qualify"), s"QUALIFY must be rewritten away:\n$plan")
+  }
+  test("EXPLAIN VERBOSE maps to Spark's EXTENDED mode") {
+    val r = rewrite("EXPLAIN VERBOSE SELECT TOP 1 a FROM t")
+    assert(r === "EXPLAIN EXTENDED SELECT a FROM t LIMIT 1")
+    val plain = rewrite("EXPLAIN SELECT a FROM t")
+    assert(plain === "EXPLAIN SELECT a FROM t")
+  }
+
   test("rewriter is the identity on already-valid Spark SQL") {
     val valid = Seq(
       "SELECT a, b FROM t WHERE a > 1 ORDER BY b LIMIT 10",

@@ -437,6 +437,20 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("q18 sorted twin is BIT-identical to the buffering median/percentile") {
+    // multi-value-column shape: median(l_quantity) + two percentiles of
+    // l_extendedprice → two ranked passes joined back on the group key
+    val buffered = SparkEntry.queries("q18_percentiles")(spark, sfDir).collect()
+    val sorted = SparkEntry.queries("q18_percentiles_sorted")(spark, sfDir).collect()
+    assert(buffered.length === sorted.length && buffered.nonEmpty)
+    buffered.zip(sorted).foreach { case (b, s) =>
+      assert(b.getString(0) === s.getString(0))
+      (1 to 3).foreach(i => assert(b.getDouble(i) === s.getDouble(i),
+        s"group ${b.getString(0)} col $i: buffered ${b.getDouble(i)} vs sorted ${s.getDouble(i)}"))
+      assert(b.getLong(4) === s.getLong(4))
+    }
+  }
+
   test("sorted percentiles: null-only and interpolation edge groups") {
     import graft.ops.PercentileOps.{sortedPercentiles, PSpec}
     val df = Seq[(String, java.lang.Double)](
@@ -459,13 +473,54 @@ class OpsSpec extends SparkSpecBase {
     val base = graft.ops.PipelineOps.stratifiedSample(docs, Seq("lang"), 3)
       .orderBy("lang", "rn").collect()
     assert(base.nonEmpty)
-    val perStratum = base.groupBy(_.getString(0)).view.mapValues(_.length)
-    assert(perStratum.values.forall(_ <= 3))
+    // rn must be the CONTIGUOUS sequence 1..min(k, stratum size) — an
+    // off-by-one that under-selects (rn < k) would still satisfy a bare
+    // "at most k" check (ADVICE r7)
+    val stratumSizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    base.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val want = (1L to math.min(3L, stratumSizes(lang))).toSeq
+      assert(rows.map(_.getLong(2)).sorted.toSeq === want,
+        s"stratum $lang: rn not contiguous 1..${want.last}")
+    }
     // md5 keying makes the selection a pure function of doc_id — the same
     // rows must be chosen under a different physical partitioning
     val repart = graft.ops.PipelineOps
       .stratifiedSample(docs.repartition(7, col("doc_id")), Seq("lang"), 3)
       .orderBy("lang", "rn").collect()
     assert(base.map(_.toSeq).toSeq === repart.map(_.toSeq).toSeq)
+  }
+
+  test("stratified sample: one giant stratum (90% of rows) stays correct") {
+    // Skew gate (VERDICT r7 #5): the final per-stratum rank sorts one
+    // partition per stratum; a 90%-skewed stratum must still return the
+    // exact deterministic selection (WindowGroupLimit has already capped
+    // each map task at k rows per stratum, so the skewed sort ranks
+    // O(k · tasks) survivors, not 90% of the corpus).
+    val n = 200000L
+    val skewed = spark.range(n).selectExpr(
+      "id as doc_id",
+      "case when id % 10 = 0 then concat('small_', (id div 10) % 5) else 'big' end as stratum")
+    val out = graft.ops.PipelineOps
+      .stratifiedSample(skewed, Seq("stratum"), 4).collect()
+    val byStratum = out.groupBy(_.getString(0))
+    assert(byStratum.keySet === (0 until 5).map(i => s"small_$i").toSet + "big")
+    byStratum.foreach { case (st, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq === Seq(1L, 2L, 3L, 4L), st)
+    }
+    // determinism under a different physical partitioning, same skew
+    val repart = graft.ops.PipelineOps
+      .stratifiedSample(skewed.repartition(13), Seq("stratum"), 4).collect()
+    assert(out.map(_.toSeq).toSet === repart.map(_.toSeq).toSet)
+  }
+
+  test("stratified sample rejects reserved/colliding column names") {
+    val df = spark.range(10).selectExpr("id as doc_id", "'x' as rn")
+    intercept[IllegalArgumentException] {
+      graft.ops.PipelineOps.stratifiedSample(df, Seq("rn"), 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.PipelineOps.stratifiedSample(df, Seq("doc_id"), 1)
+    }
   }
 }

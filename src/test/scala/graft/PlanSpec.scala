@@ -253,6 +253,17 @@ class PlanSpec extends SparkSpecBase {
     assert(plan("q25_within_group").contains("ObjectHashAggregate"))
   }
 
+  test("q18 sorted twin takes the rank path too: no ObjectHashAggregate") {
+    // Same contract as the q25 gate, for the multi-value-column shape
+    // (two ranked passes — one per distinct value column — joined back).
+    val p = plan("q18_percentiles_sorted")
+    assert(!p.contains("ObjectHashAggregate"),
+      s"buffering aggregate crept back in:\n$p")
+    assert(p.linesIterator.exists(_.contains("Window [")), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(plan("q18_percentiles").contains("ObjectHashAggregate"))
+  }
+
   test("stratified sample pushes the rank limit below the exchange (WindowGroupLimit)") {
     val p = plan("op_stratified_sample")
     // Partial WindowGroupLimit before the shuffle caps what each map task
