@@ -48,11 +48,13 @@ object ExecuteSql {
         // through generated views over the Spark catalog
         graft.sql.CatalogShims.ensure(spark, rewritten)
         // Local UPDATE/DELETE get copy-on-write emulation (Spark has no
-        // row-level DML on plain parquet tables) and COPY/UNLOAD map to
-        // the blueprint CSV paths; everything else runs on spark.sql.
+        // row-level DML on plain parquet tables), COPY/UNLOAD map to the
+        // blueprint CSV paths, and MATERIALIZED VIEW DDL materializes as a
+        // refreshable table; everything else runs on spark.sql.
         // DDL/DML execute eagerly; SELECTs need an action to actually run
         // (the reference also discards SELECT results here).
-        if (!LocalDml.run(spark, rewritten) && !LocalCopy.run(spark, rewritten))
+        if (!LocalDml.run(spark, rewritten) && !LocalCopy.run(spark, rewritten) &&
+            !graft.sql.LocalMv.run(spark, rewritten))
           spark.sql(rewritten).foreach(_ => ())
     }
 }

@@ -25,7 +25,7 @@ import SqlTokens._
   *   COPY <table> [(cols)] FROM '<path>'
   *        [[FORMAT] [AS] CSV | PARQUET | JSON ['auto'|'auto ignorecase']]
   *        [DELIMITER [AS] '<d>'] [IGNOREHEADER [AS] n] [NULL [AS] '<s>']
-  *        [DATEFORMAT [AS] '<fmt>'] [TIMEFORMAT [AS] '<fmt>']
+  *        [DATEFORMAT [AS] '<fmt>'] [TIMEFORMAT [AS] '<fmt>'] [MANIFEST]
   *   UNLOAD ('<query>') TO '<path>'
   *        [[FORMAT] [AS] CSV | PARQUET | JSON]
   *        [DELIMITER [AS] '<d>'] [HEADER] [ADDQUOTES] [NULL [AS] '<s>']
@@ -48,7 +48,12 @@ import SqlTokens._
   *    [[graft.io.CsvIO.write]], other formats via the same
   *    spill-and-move);
   *  - MANIFEST writes a `<path>manifest` JSON listing every data file
-  *    (VERBOSE adds content_length metadata), Redshift's layout.
+  *    (VERBOSE adds content_length metadata), Redshift's layout;
+  *  - COPY … MANIFEST treats the FROM path as such a manifest and loads
+  *    exactly the listed files: a missing file raises when its entry is
+  *    `"mandatory": true`, and is skipped otherwise (Redshift's rule) —
+  *    the UNLOAD MANIFEST → COPY MANIFEST round-trip is gated in
+  *    DialectSpec.
   *
   * Transport/credential options (IAM_ROLE, CREDENTIALS, REGION, …) are
   * skipped with their values — Spark's Hadoop FS layer owns transport; on a
@@ -204,6 +209,7 @@ object LocalCopy {
 
     val o = new Opts
     var headerRows = 0
+    var manifest = false
     var j = nextCode(toks, i + 1)
     while (j < toks.length) {
       val shared = scanShared(toks, j, o, "COPY")
@@ -212,6 +218,7 @@ object LocalCopy {
         val t = toks(j)
         val w = t.text.toLowerCase
         j = w match {
+          case "manifest" => manifest = true; j
           case "ignoreheader" =>
             o.delimitedOnly("IGNOREHEADER")
             val (n, k) = numVal(toks, j, "IGNOREHEADER")
@@ -253,11 +260,17 @@ object LocalCopy {
       }
     val loadSchema = StructType(
       loadCols.map(c => target.schema(target.schema.fieldIndex(c))))
+    // MANIFEST: the path names a JSON manifest; load exactly the listed
+    // files. A missing file raises when its entry is mandatory, else it is
+    // skipped (Redshift's rule). An all-skipped list loads zero rows.
+    val dataPaths: Seq[String] =
+      if (manifest) manifestFiles(spark, path) else Seq(path)
+    if (dataPaths.isEmpty) return
     val read: DataFrame = o.format match {
       case "parquet" =>
         // Redshift's columnar-format rule: columns map BY POSITION onto
         // the target columns, so names may differ but order and count match
-        val raw = spark.read.parquet(path)
+        val raw = spark.read.parquet(dataPaths: _*)
         require(raw.schema.length == loadSchema.length,
           s"COPY: parquet data has ${raw.schema.length} columns, " +
             s"target list has ${loadSchema.length}")
@@ -267,10 +280,10 @@ object LocalCopy {
       case "json" if o.jsonSpec == "auto" =>
         // 'auto': field names match exactly (Redshift's rule); reading with
         // the target schema projects and types in one pass
-        jsonReader(spark, o).schema(loadSchema).json(path)
+        jsonReader(spark, o).schema(loadSchema).json(dataPaths: _*)
       case "json" =>
         // 'auto ignorecase': infer, then project case-insensitively
-        val raw = jsonReader(spark, o).json(path)
+        val raw = jsonReader(spark, o).json(dataPaths: _*)
         val byLower = raw.schema.fieldNames.map(n => n.toLowerCase -> n).toMap
         raw.select(loadSchema.fields.map { f =>
           byLower.get(f.name.toLowerCase) match {
@@ -286,7 +299,7 @@ object LocalCopy {
         o.nullAs.foreach(v => r = r.option("nullValue", v))
         o.dateFmt.foreach(v => r = r.option("dateFormat", v))
         o.timeFmt.foreach(v => r = r.option("timestampFormat", v))
-        r.csv(path)
+        r.csv(dataPaths: _*)
     }
     // fill unlisted columns with typed NULLs, in target column order
     val full = target.schema.fields.map { f =>
@@ -295,6 +308,38 @@ object LocalCopy {
     }
     read.select(full.toSeq: _*).write.mode("append")
       .saveAsTable(table)
+  }
+
+  /** Parse a Redshift COPY manifest ({"entries": [{"url": …,
+    * "mandatory": bool}, …]} — the same layout [[writeManifest]] emits) and
+    * return the files to load. `mandatory` defaults to false; a missing
+    * mandatory file raises, a missing optional one is skipped (Redshift's
+    * rule). The manifest itself is a small driver-side control file — it is
+    * read through Spark's JSON source with an explicit schema and collected
+    * (entry counts are file counts, never data-scale).
+    */
+  private def manifestFiles(spark: SparkSession, manifestPath: String): Seq[String] = {
+    import org.apache.spark.sql.types.{ArrayType, BooleanType, StringType, StructField}
+    val mPath = new org.apache.hadoop.fs.Path(manifestPath)
+    val mfs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(mfs.exists(mPath), s"COPY MANIFEST: manifest '$manifestPath' does not exist")
+    val schema = StructType(Seq(StructField("entries", ArrayType(StructType(Seq(
+      StructField("url", StringType), StructField("mandatory", BooleanType)))))))
+    val rows = spark.read.schema(schema).option("multiLine", "true")
+      .json(manifestPath).collect()
+    require(rows.length == 1 && !rows(0).isNullAt(0),
+      s"COPY MANIFEST: '$manifestPath' is not a manifest ({\"entries\": […]})")
+    rows(0).getSeq[org.apache.spark.sql.Row](0).flatMap { e =>
+      require(!e.isNullAt(0), s"COPY MANIFEST: entry without a url in '$manifestPath'")
+      val url = e.getString(0)
+      val mandatory = !e.isNullAt(1) && e.getBoolean(1)
+      val p = new org.apache.hadoop.fs.Path(url)
+      val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      if (exists) Some(url)
+      else if (mandatory) throw new IllegalArgumentException(
+        s"COPY MANIFEST: mandatory file '$url' does not exist")
+      else None
+    }
   }
 
   private def jsonReader(spark: SparkSession, o: Opts) = {

@@ -342,7 +342,9 @@ object LocalDml {
   private def swap(spark: SparkSession, table: String, select: String): Unit =
     swapDf(spark, table, spark.sql(select))
 
-  private def swapDf(spark: SparkSession, table: String, df: DataFrame): Unit = {
+  /** Shared with [[LocalMv]] (REFRESH re-materializes through the same
+    * copy-on-write swap). */
+  private[sql] def swapDf(spark: SparkSession, table: String, df: DataFrame): Unit = {
     val tmp = s"${table}__graft_cow"
     // Preserve the physical layout across the rewrite: a bucketed or
     // partitioned table must come out of an UPDATE with the same provider,

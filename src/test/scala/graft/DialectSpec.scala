@@ -655,6 +655,71 @@ class DialectSpec extends SparkSpecBase {
       Files.exists(java.nio.file.Paths.get(new java.net.URI(u)))))
   }
 
+  test("UNLOAD MANIFEST round-trips through COPY MANIFEST") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_copymf_")
+    val out = dir.resolve("rt_")
+    graft.cli.ExecuteSql.run(spark,
+      s"UNLOAD ('SELECT id, id * 3 AS v FROM range(20)') TO '$out' MANIFEST", None)
+    spark.sql("DROP TABLE IF EXISTS copymf_t")
+    spark.sql("CREATE TABLE copymf_t (id BIGINT, v BIGINT)")
+    graft.cli.ExecuteSql.run(spark,
+      s"COPY copymf_t FROM '${dir.resolve("rt_manifest")}' MANIFEST", None)
+    val rows = spark.table("copymf_t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq === (0L until 20L).map(i => (i, i * 3)))
+    // parquet UNLOAD round-trips too (by-position columnar mapping)
+    val pout = dir.resolve("pq_")
+    graft.cli.ExecuteSql.run(spark,
+      s"UNLOAD ('SELECT id, id * 7 AS v FROM range(6)') TO '$pout' PARQUET MANIFEST", None)
+    spark.sql("DROP TABLE IF EXISTS copymfp_t")
+    spark.sql("CREATE TABLE copymfp_t (id BIGINT, v BIGINT)")
+    graft.cli.ExecuteSql.run(spark,
+      s"COPY copymfp_t FROM '${dir.resolve("pq_manifest")}' PARQUET MANIFEST", None)
+    assert(spark.table("copymfp_t").selectExpr("sum(v)").collect()(0).getLong(0) ===
+      (0L until 6L).map(_ * 7).sum)
+  }
+
+  test("COPY MANIFEST honors mandatory: missing mandatory raises, optional skips") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_copymfm_")
+    Files.writeString(dir.resolve("a.csv"), "1|x\n")
+    spark.sql("DROP TABLE IF EXISTS copymfm_t")
+    spark.sql("CREATE TABLE copymfm_t (id BIGINT, name STRING)")
+    // optional missing file → skipped, the present file loads
+    val okMf = dir.resolve("ok.manifest")
+    Files.writeString(okMf,
+      s"""{"entries": [
+         |  {"url": "${dir.resolve("a.csv")}", "mandatory": true},
+         |  {"url": "${dir.resolve("gone.csv")}", "mandatory": false},
+         |  {"url": "${dir.resolve("alsogone.csv")}"}
+         |]}""".stripMargin)
+    graft.cli.ExecuteSql.run(spark, s"COPY copymfm_t FROM '$okMf' MANIFEST", None)
+    assert(spark.table("copymfm_t").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // missing MANDATORY file → raise, nothing appended
+    val badMf = dir.resolve("bad.manifest")
+    Files.writeString(badMf,
+      s"""{"entries": [{"url": "${dir.resolve("gone.csv")}", "mandatory": true}]}""")
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark, s"COPY copymfm_t FROM '$badMf' MANIFEST", None)
+    }
+    assert(e.getMessage.contains("mandatory"))
+    assert(spark.table("copymfm_t").count() === 1)
+    // a non-manifest file behind MANIFEST raises instead of loading garbage
+    val notMf = dir.resolve("not.manifest")
+    Files.writeString(notMf, """{"something": "else"}""")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark, s"COPY copymfm_t FROM '$notMf' MANIFEST", None)
+    }
+    assert(e2.getMessage.contains("entries"))
+    // an all-optional, all-missing manifest loads zero rows and succeeds
+    val emptyMf = dir.resolve("empty.manifest")
+    Files.writeString(emptyMf,
+      s"""{"entries": [{"url": "${dir.resolve("gone.csv")}"}]}""")
+    graft.cli.ExecuteSql.run(spark, s"COPY copymfm_t FROM '$emptyMf' MANIFEST", None)
+    assert(spark.table("copymfm_t").count() === 1)
+  }
+
   test("UNLOAD PARALLEL OFF writes an empty file (not no file) for an empty result") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("graft_unloade_").resolve("empty.psv")
@@ -892,6 +957,74 @@ class DialectSpec extends SparkSpecBase {
   }
 
   // ---- identity property ----
+  // ---- MATERIALIZED VIEW shim ----
+  test("CREATE/REFRESH/DROP MATERIALIZED VIEW: refresh sees base-table changes") {
+    import graft.cli.ExecuteSql.{run => x}
+    spark.sql("DROP TABLE IF EXISTS mv_base")
+    spark.sql("DROP TABLE IF EXISTS mv_sum")
+    spark.range(10).selectExpr("id % 2 as k", "id as v").write.saveAsTable("mv_base")
+    x(spark, """CREATE MATERIALIZED VIEW mv_sum AS
+               |SELECT k, SUM(v) AS total FROM mv_base GROUP BY k""".stripMargin, None)
+    // querying the MV is just querying the table
+    val before = spark.table("mv_sum").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(before.toSeq === Seq((0L, 20L), (1L, 25L)))
+    // base changes are NOT visible until refresh (materialized semantics)…
+    spark.sql("INSERT INTO mv_base VALUES (0, 100)")
+    assert(spark.table("mv_sum").orderBy("k").collect()(0).getLong(1) === 20L)
+    // …and ARE after REFRESH (full recompute, copy-on-write swap)
+    x(spark, "REFRESH MATERIALIZED VIEW mv_sum", None)
+    val after = spark.table("mv_sum").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(after.toSeq === Seq((0L, 120L), (1L, 25L)))
+    // a second refresh keeps working (the query property survives the swap)
+    x(spark, "REFRESH MATERIALIZED VIEW mv_sum", None)
+    assert(spark.table("mv_sum").count() === 2)
+    // guards: refresh of a plain table raises; drop requires MV-ness
+    val e = intercept[IllegalArgumentException] {
+      x(spark, "REFRESH MATERIALIZED VIEW mv_base", None)
+    }
+    assert(e.getMessage.contains("not a materialized view"))
+    val e2 = intercept[IllegalArgumentException] {
+      x(spark, "DROP MATERIALIZED VIEW mv_base", None)
+    }
+    assert(e2.getMessage.contains("DROP TABLE"))
+    // AUTO REFRESH YES raises (no background refresher — stale data must
+    // not be served silently); NO is accepted
+    val e3 = intercept[IllegalArgumentException] {
+      x(spark, "CREATE MATERIALIZED VIEW mv_auto AUTO REFRESH YES AS SELECT 1 AS x", None)
+    }
+    assert(e3.getMessage.contains("AUTO REFRESH"))
+    x(spark, "DROP MATERIALIZED VIEW mv_sum", None)
+    assert(!spark.catalog.tableExists("mv_sum"))
+    x(spark, "DROP MATERIALIZED VIEW IF EXISTS mv_sum", None) // no-op, no raise
+    spark.sql("DROP TABLE IF EXISTS mv_base")
+  }
+
+  test("MATERIALIZED VIEW defining query may use dialect constructs; DISTKEY buckets") {
+    import graft.cli.ExecuteSql.{run => x}
+    Tables.registerAll(spark, sfDir)
+    spark.sql("DROP TABLE IF EXISTS mv_top")
+    // the whole statement goes through the rewriter before LocalMv sees it,
+    // so TOP/QUALIFY in the defining query work and the STORED query is
+    // already valid Spark SQL (refresh re-runs it directly)
+    x(spark, """CREATE MATERIALIZED VIEW mv_top DISTKEY (o_custkey)
+               |SORTKEY (o_totalprice) AS
+               |SELECT TOP 5 o_custkey, o_totalprice FROM orders
+               |ORDER BY o_totalprice DESC""".stripMargin, None)
+    assert(spark.table("mv_top").count() === 5)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("mv_top"))
+    assert(meta.bucketSpec.exists(_.bucketColumnNames == Seq("o_custkey")))
+    assert(meta.bucketSpec.exists(_.sortColumnNames == Seq("o_totalprice")))
+    x(spark, "REFRESH MATERIALIZED VIEW mv_top", None)
+    // the bucketed layout survives the refresh swap
+    val meta2 = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("mv_top"))
+    assert(meta2.bucketSpec.exists(_.bucketColumnNames == Seq("o_custkey")))
+    x(spark, "DROP MATERIALIZED VIEW mv_top", None)
+  }
+
   // ---- EXPLAIN pass-through ----
   test("EXPLAIN over dialect constructs rewrites the inner query and returns a plan") {
     Tables.registerAll(spark, sfDir)
