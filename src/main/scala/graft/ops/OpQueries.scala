@@ -198,6 +198,30 @@ object OpQueries {
               |SELECT doc_id, keep_id, CAST(doc_id <> keep_id AS INT) AS is_dup
               |FROM lab ORDER BY doc_id""".stripMargin)),
 
+    // Substring-level dedup: maximal word-8-gram spans repeated across ≥2
+    // distinct docs. The oracle recomputes the same spans from scratch —
+    // positional shingles, cross-doc support, gaps-and-islands merge — so
+    // fingerprinting, support counting AND the span-merge arithmetic are
+    // all gated, not just row counts.
+    QueryDef("op_dedup_spans",
+      (s, d) => DedupOps.spanDedup(docs(s, d), 8),
+      Some(s"""WITH w0 AS (SELECT doc_id, $dkWords AS w FROM documents),
+              |sh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+              |         ${dkH60("array_to_string(w[i:i+7], ' ')")} AS fp
+              |       FROM w0, unnest(range(1, len(w) - 8 + 2)) AS t(i)
+              |       WHERE len(w) >= 8),
+              |shared AS (SELECT fp FROM sh GROUP BY fp
+              |           HAVING COUNT(DISTINCT doc_id) >= 2),
+              |m AS (SELECT sh.doc_id, sh.pos FROM sh JOIN shared USING (fp)),
+              |isl AS (SELECT doc_id, pos,
+              |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              |        FROM m)
+              |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+              |       CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+              |       CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_len
+              |FROM isl GROUP BY doc_id, grp
+              |ORDER BY doc_id, span_start""".stripMargin)),
+
     // Oracle = ground-truth exact pairs: this gates the LSH candidate
     // generation's RECALL (banding math in DedupOps puts the per-pair miss
     // probability at ~3e-4 at s=0.8; fixture pairs sit at s≥0.9 → ~2e-6).

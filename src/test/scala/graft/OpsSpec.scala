@@ -468,6 +468,43 @@ class OpsSpec extends SparkSpecBase {
     assert(out.map(_.getLong(3)).toSeq === Seq(4L, 1L, 2L)) // COUNT(*) incl nulls
   }
 
+  test("span dedup finds planted cross-document paragraphs with exact boundaries") {
+    val para = (1 to 12).map(i => s"para$i").mkString(" ")  // 12 shared tokens
+    val seven = (1 to 7).map(i => s"sev$i").mkString(" ")   // 7 < n=8 → invisible
+    val docsDf = Seq(
+      (1L, s"alpha beta gamma $para delta epsilon"),  // para at token 3
+      (2L, s"$para zeta $seven"),                     // para at token 0
+      (3L, s"unrelated words only here nothing shared at all plus $seven"),
+      (4L, "solo solo solo solo solo solo solo solo solo solo"), // within-doc only
+      (5L, "too short")                               // < n tokens → no shingles
+    ).toDF("doc_id", "text")
+    val out = graft.ops.DedupOps.spanDedup(docsDf, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exactly the planted paragraph, with exact token boundaries, in the
+    // two docs that share it: a 7-token overlap (docs 2/3) is below the
+    // shingle width, and doc 4's repetition is within ONE doc (distinct-doc
+    // support = 1) — neither may surface
+    assert(out.toSeq === Seq((1L, 3L, 14L, 12L), (2L, 0L, 11L, 12L)))
+  }
+
+  test("span dedup merges only adjacent matches and honors minDocs") {
+    // two disjoint shared runs inside one doc must come out as TWO spans
+    val run1 = (1 to 8).map(i => s"a$i").mkString(" ")
+    val run2 = (1 to 8).map(i => s"b$i").mkString(" ")
+    val docsDf = Seq(
+      (10L, s"$run1 filler1 filler2 $run2"),
+      (11L, s"x y $run1 z"),
+      (12L, s"$run2 tail1 tail2 tail3 tail4 tail5 tail6 tail7")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.DedupOps.spanDedup(docsDf, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (10L, 0L, 7L, 8L), (10L, 10L, 17L, 8L),  // two separate spans, not one
+      (11L, 2L, 9L, 8L), (12L, 0L, 7L, 8L)))
+    // raising minDocs above the support kills the spans
+    assert(graft.ops.DedupOps.spanDedup(docsDf, 8, minDocs = 3).count() === 0)
+  }
+
   test("stratified sample: at most k per stratum, invariant to partitioning") {
     val docs = Tables.load(spark, sfDir, "documents")
     val base = graft.ops.PipelineOps.stratifiedSample(docs, Seq("lang"), 3)

@@ -253,6 +253,17 @@ class PlanSpec extends SparkSpecBase {
     assert(plan("q25_within_group").contains("ObjectHashAggregate"))
   }
 
+  test("span dedup candidates come from a fingerprint group-by, never a pair join") {
+    val p = plan("op_dedup_spans")
+    // support counting is groupBy(fp).count_distinct(doc_id): a doc×doc
+    // shingle join would be quadratic on boilerplate shingles; the only
+    // join allowed is the LEFT SEMI marking join on the 8-byte fp key
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), s"marking must be a semi join:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q18 sorted twin takes the rank path too: no ObjectHashAggregate") {
     // Same contract as the q25 gate, for the multi-value-column shape
     // (two ranked passes — one per distinct value column — joined back).
