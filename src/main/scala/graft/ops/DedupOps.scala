@@ -263,6 +263,74 @@ object DedupOps {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Span CUT — the consuming step of [[spanDedup]]: rewrites the corpus
+    * with every cross-document repeated span removed EXCEPT its first
+    * occurrence (the doc with the smallest doc_id containing the shingle —
+    * the keep-first policy of span-level training-data dedup, Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better", ACL'22 —
+    * public algorithm; we use shingle fingerprints where they use suffix
+    * arrays, trading their exact-substring generality for a shuffle-only
+    * plan).
+    *
+    * Token-level contract (deterministic, engine-reproducible): a token of
+    * doc d is cut iff some shared shingle covers it whose canonical owner
+    * (min doc_id over the docs containing that fingerprint) is NOT d.
+    * Output: (doc_id, clean_text, n_cut, n_kept) — clean_text is the kept
+    * tokens joined by single spaces (tokenization normalizes whitespace
+    * and case, identically in both engines).
+    *
+    * Scale shape on top of [[spanDedup]]'s (still no pair join):
+    *  - owners ride the SAME groupBy(fp) aggregation as support counting
+    *    (min(doc_id) next to count_distinct);
+    *  - cut positions exist only for MATCHED shingles (repeated content,
+    *    small vs the corpus) and collapse to per-doc cut RANGES via
+    *    gaps-and-islands, so the re-filter of each doc's tokens is
+    *    O(tokens · ranges) with ranges = the handful of repeated spans in
+    *    that doc — never O(tokens · cut-positions);
+    *  - the ranges join back to docs on doc_id (one shuffle of the small
+    *    ranges side; broadcasts when it fits).
+    */
+  def spanCut(docs: DataFrame, n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 2, s"span shingle width must be ≥ 2 tokens, got $n")
+    require(minDocs >= 2, s"minDocs must be ≥ 2 (cross-document support), got $minDocs")
+    val words = docs.selectExpr("doc_id", s"${TextOps.wordsExpr("text")} as w")
+    val sh = words
+      .filter(expr(s"size(w) >= $n"))
+      .selectExpr("doc_id",
+        s"""posexplode(transform(sequence(1, size(w) - $n + 1), i ->
+           |  ${TextOps.h60(s"concat_ws(' ', slice(w, i, $n))")})) as (pos, fp)""".stripMargin)
+      .persist()
+    val owners = sh.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
+      .filter(col("nd") >= minDocs)
+      .select("fp", "owner")
+    // token indexes covered by a shared shingle owned elsewhere → islands →
+    // per-doc sorted cut ranges [s, e] (token positions, 0-based inclusive)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("t"))
+    val ranges = sh.join(owners, Seq("fp"))
+      .filter(col("doc_id") =!= col("owner"))
+      .selectExpr("doc_id", s"explode(sequence(pos, pos + $n - 1)) as t")
+      .distinct()
+      .withColumn("grp", col("t") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("t")).as("s"), max(col("t")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(expr("sort_array(collect_list(struct(s, e)))").as("ranges"))
+    // n_cut comes from the RANGES (disjoint by construction), not from
+    // re-sizing the kept array: CollapseProject would inline a `kept`
+    // alias into every consuming expression and re-run the O(tokens)
+    // filter once per output column (the op_embed_quantize lesson)
+    words.join(ranges, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "w", "coalesce(ranges, array()) as rs")
+      .selectExpr("doc_id",
+        """concat_ws(' ', filter(transform(w, (x, i) ->
+          |  case when exists(rs, r -> i >= r.s and i <= r.e) then null
+          |       else x end), x -> x is not null)) as clean_text""".stripMargin,
+        "cast(aggregate(rs, 0, (a, r) -> a + r.e - r.s + 1) as bigint) as n_cut",
+        "cast(size(w) - aggregate(rs, 0, (a, r) -> a + r.e - r.s + 1) as bigint) as n_kept")
+      .orderBy("doc_id")
+  }
+
   /** Near-dup cluster assignment — the step AFTER pair generation that a
     * training-data pipeline actually consumes: every doc labeled with the
     * smallest doc_id in its connected component of the `pairs` graph

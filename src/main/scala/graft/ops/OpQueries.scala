@@ -222,6 +222,37 @@ object OpQueries {
               |FROM isl GROUP BY doc_id, grp
               |ORDER BY doc_id, span_start""".stripMargin)),
 
+    // The CUT step consuming op_dedup_spans: rewrite the corpus with every
+    // repeated span removed except its first occurrence (min-doc_id owner
+    // per shingle). The oracle rebuilds the cleaned text token-by-token
+    // (anti join on cut positions + ordered string_agg), so ownership,
+    // coverage AND the reconstructed text are all hash-gated.
+    QueryDef("op_span_cut",
+      (s, d) => DedupOps.spanCut(docs(s, d), 8),
+      Some(s"""WITH w0 AS (SELECT doc_id, $dkWords AS w FROM documents),
+              |sh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+              |         ${dkH60("array_to_string(w[i:i+7], ' ')")} AS fp
+              |       FROM w0, unnest(range(1, len(w) - 8 + 2)) AS t(i)
+              |       WHERE len(w) >= 8),
+              |own AS (SELECT fp, MIN(doc_id) AS owner FROM sh
+              |        GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
+              |cut AS (SELECT DISTINCT sh.doc_id, u.t
+              |        FROM sh JOIN own USING (fp), unnest(range(sh.pos, sh.pos + 8)) AS u(t)
+              |        WHERE sh.doc_id <> own.owner),
+              |tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS t, w[i] AS tok
+              |        FROM w0, unnest(range(1, len(w) + 1)) AS v(i)),
+              |kept AS (SELECT tok.doc_id,
+              |           string_agg(tok.tok, ' ' ORDER BY tok.t) AS clean_text,
+              |           COUNT(*) AS n_kept
+              |         FROM tok ANTI JOIN cut
+              |           ON cut.doc_id = tok.doc_id AND cut.t = tok.t
+              |         GROUP BY tok.doc_id)
+              |SELECT w0.doc_id, COALESCE(kept.clean_text, '') AS clean_text,
+              |       CAST(len(w0.w) - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_cut,
+              |       CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept
+              |FROM w0 LEFT JOIN kept ON kept.doc_id = w0.doc_id
+              |ORDER BY w0.doc_id""".stripMargin)),
+
     // Oracle = ground-truth exact pairs: this gates the LSH candidate
     // generation's RECALL (banding math in DedupOps puts the per-pair miss
     // probability at ~3e-4 at s=0.8; fixture pairs sit at s≥0.9 → ~2e-6).

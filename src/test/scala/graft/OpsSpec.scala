@@ -505,6 +505,33 @@ class OpsSpec extends SparkSpecBase {
     assert(graft.ops.DedupOps.spanDedup(docsDf, 8, minDocs = 3).count() === 0)
   }
 
+  test("span cut removes repeated spans everywhere except the first occurrence") {
+    val para = (1 to 12).map(i => s"para$i").mkString(" ")
+    val docsDf = Seq(
+      (1L, s"alpha beta gamma $para delta epsilon"),  // owner (min doc_id)
+      (2L, s"$para zeta yy1 yy2 yy3 yy4 yy5 yy6 yy7"),
+      (3L, "unrelated words only here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.DedupOps.spanCut(docsDf, 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      // the owner keeps its text (normalized: lower-cased, single spaces)
+      (1L, s"alpha beta gamma $para delta epsilon", 0L, 17L),
+      // the later doc loses exactly the shared paragraph
+      (2L, "zeta yy1 yy2 yy3 yy4 yy5 yy6 yy7", 12L, 8L),
+      (3L, "unrelated words only here nothing shared at all", 0L, 8L)))
+    // a doc that is ENTIRELY a repeat of an earlier doc empties out
+    val full = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 10).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val f = graft.ops.DedupOps.spanCut(full, 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(f.toSeq === Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" "), 0L, 10L),
+      (2L, "", 10L, 0L)))
+  }
+
   test("stratified sample: at most k per stratum, invariant to partitioning") {
     val docs = Tables.load(spark, sfDir, "documents")
     val base = graft.ops.PipelineOps.stratifiedSample(docs, Seq("lang"), 3)
