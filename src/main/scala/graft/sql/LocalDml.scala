@@ -22,6 +22,7 @@ import SqlTokens._
   *   MERGE INTO <t> [alias] USING <s> [alias] ON <cond>
   *     [WHEN MATCHED [AND <cond>] THEN UPDATE SET … | DELETE]
   *     [WHEN NOT MATCHED [AND <cond>] THEN INSERT [(cols)] VALUES (exprs)]
+  *   ALTER TABLE <t> APPEND FROM <s> [IGNOREEXTRA | FILLTARGET]
   * Like Redshift, MERGE requires each target row to match at most one
   * source row; a multi-match raises (Redshift's documented restriction),
   * enforced with a pre-swap cardinality check rather than trusted to the
@@ -41,7 +42,71 @@ object LocalDml {
     else if (toks(first).isWord("merge")) { runMerge(spark, toks, first); true }
     else if (toks(first).isWord("analyze")) runAnalyze(spark, toks, first)
     else if (toks(first).isWord("vacuum")) runVacuum(spark, toks, first)
+    else if (toks(first).isWord("alter")) runAlterAppend(spark, toks, first)
     else false
+  }
+
+  /** Redshift `ALTER TABLE <target> APPEND FROM <source>
+    * [IGNOREEXTRA | FILLTARGET]` — the warehouse's move-rows ETL primitive
+    * (staging table → fact table, emptying the staging table). Locally the
+    * block move becomes: materialize target ∪ (projected source) through
+    * [[swapDf]] (layout preserved), then TRUNCATE the source. Column
+    * matching is by name, case-insensitive, and STRICT on types (Redshift
+    * raises on mismatched types; a silent cast could null out data);
+    * source-only columns raise unless IGNOREEXTRA (then they are dropped),
+    * target-only columns raise unless FILLTARGET (then they fill with
+    * NULL). Any other ALTER TABLE form returns false and passes through to
+    * Spark's native DDL. The swap→truncate pair is the same non-atomic
+    * window as [[swapDf]]: a crash between the two leaves the appended
+    * rows in BOTH tables (re-running the TRUNCATE recovers), never lost.
+    */
+  private def runAlterAppend(spark: SparkSession, toks: Vector[Tok], at: Int): Boolean = {
+    var i = nextCode(toks, at + 1)
+    if (i >= toks.length || !toks(i).isWord("table")) return false
+    val (target, afterT) = tableName(toks, i + 1)
+    i = nextCode(toks, afterT)
+    if (i >= toks.length || !toks(i).isWord("append")) return false // native ALTER
+    i = nextCode(toks, i + 1)
+    require(i < toks.length && toks(i).isWord("from"), "ALTER TABLE APPEND needs FROM <source>")
+    val (source, afterS) = tableName(toks, i + 1)
+    var ignoreExtra = false
+    var fillTarget = false
+    var j = nextCode(toks, afterS)
+    while (j < toks.length) {
+      val t = toks(j)
+      if (t.isWord("ignoreextra")) ignoreExtra = true
+      else if (t.isWord("filltarget")) fillTarget = true
+      else throw new IllegalArgumentException(
+        s"ALTER TABLE APPEND: unknown option '${t.text}'")
+      j = nextCode(toks, j + 1)
+    }
+    require(!(ignoreExtra && fillTarget),
+      "ALTER TABLE APPEND: IGNOREEXTRA and FILLTARGET are mutually exclusive (Redshift rule)")
+    val tDf = spark.table(target)
+    val sDf = spark.table(source)
+    val tByLower = tDf.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    val sByLower = sDf.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    val extra = sByLower.keySet -- tByLower.keySet
+    require(extra.isEmpty || ignoreExtra,
+      s"ALTER TABLE APPEND: source has column(s) ${extra.mkString(", ")} not in " +
+        s"$target — add IGNOREEXTRA to drop them")
+    val missing = tByLower.keySet -- sByLower.keySet
+    require(missing.isEmpty || fillTarget,
+      s"ALTER TABLE APPEND: $source lacks column(s) ${missing.mkString(", ")} — " +
+        "add FILLTARGET to fill them with NULL")
+    val projected = sDf.select(tDf.schema.fields.map { f =>
+      sByLower.get(f.name.toLowerCase) match {
+        case Some(sf) =>
+          require(sf.dataType == f.dataType,
+            s"ALTER TABLE APPEND: column ${f.name} is ${sf.dataType.sql} in $source " +
+              s"but ${f.dataType.sql} in $target (types must match)")
+          col(s"`${sf.name}`").as(f.name)
+        case None => expr(s"CAST(NULL AS ${f.dataType.sql})").as(f.name)
+      }
+    }.toSeq: _*)
+    swapDf(spark, target, tDf.unionByName(projected))
+    spark.sql(s"TRUNCATE TABLE $source")
+    true
   }
 
   /** Redshift `ANALYZE [table [(cols)]]` → Spark catalog statistics: the

@@ -957,6 +957,52 @@ class DialectSpec extends SparkSpecBase {
   }
 
   // ---- identity property ----
+  // ---- ALTER TABLE APPEND ----
+  test("ALTER TABLE APPEND moves all rows from source and empties it") {
+    import graft.cli.ExecuteSql.{run => x}
+    spark.sql("DROP TABLE IF EXISTS app_t")
+    spark.sql("DROP TABLE IF EXISTS app_s")
+    spark.range(3).selectExpr("id", "id * 2 as v").write.saveAsTable("app_t")
+    spark.range(10, 13).selectExpr("id", "id * 2 as v").write.saveAsTable("app_s")
+    x(spark, "ALTER TABLE app_t APPEND FROM app_s", None)
+    assert(spark.table("app_t").orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(0L, 1L, 2L, 10L, 11L, 12L))
+    assert(spark.table("app_s").count() === 0)      // emptied, not dropped
+    assert(spark.catalog.tableExists("app_s"))
+    // FILLTARGET: source lacking a target column fills it with NULL
+    spark.sql("DROP TABLE IF EXISTS app_s2")
+    spark.range(20, 22).selectExpr("id").write.saveAsTable("app_s2")
+    val e = intercept[IllegalArgumentException] {
+      x(spark, "ALTER TABLE app_t APPEND FROM app_s2", None)
+    }
+    assert(e.getMessage.contains("FILLTARGET"))
+    x(spark, "ALTER TABLE app_t APPEND FROM app_s2 FILLTARGET", None)
+    assert(spark.table("app_t").filter("id = 20").collect()(0).isNullAt(1))
+    // IGNOREEXTRA: a source-only column raises unless asked to drop it
+    spark.sql("DROP TABLE IF EXISTS app_s3")
+    spark.range(30, 31).selectExpr("id", "id * 2 as v", "'x' as junk")
+      .write.saveAsTable("app_s3")
+    val e2 = intercept[IllegalArgumentException] {
+      x(spark, "ALTER TABLE app_t APPEND FROM app_s3", None)
+    }
+    assert(e2.getMessage.contains("IGNOREEXTRA"))
+    x(spark, "ALTER TABLE app_t APPEND FROM app_s3 IGNOREEXTRA", None)
+    assert(spark.table("app_t").filter("id = 30").collect()(0).getLong(1) === 60L)
+    // mismatched column TYPES raise (Redshift rule — no silent cast)
+    spark.sql("DROP TABLE IF EXISTS app_s4")
+    spark.range(1).selectExpr("cast(id as int) as id", "id * 2 as v")
+      .write.saveAsTable("app_s4")
+    val e3 = intercept[IllegalArgumentException] {
+      x(spark, "ALTER TABLE app_t APPEND FROM app_s4", None)
+    }
+    assert(e3.getMessage.contains("types must match"))
+    // other ALTER TABLE forms still reach Spark's native DDL
+    x(spark, "ALTER TABLE app_t RENAME TO app_renamed", None)
+    assert(spark.catalog.tableExists("app_renamed"))
+    Seq("app_renamed", "app_s", "app_s2", "app_s3", "app_s4")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   // ---- MATERIALIZED VIEW shim ----
   test("CREATE/REFRESH/DROP MATERIALIZED VIEW: refresh sees base-table changes") {
     import graft.cli.ExecuteSql.{run => x}
