@@ -263,6 +263,52 @@ object DedupOps {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Benchmark-contamination scoring — the decontamination check an LM
+    * data pipeline runs before training: for each candidate document, the
+    * fraction of its distinct word-`n`-gram shingles that also appear
+    * ANYWHERE in `reference` (the held-out benchmark/eval corpus). A
+    * pipeline drops or flags docs above a contamination threshold so eval
+    * data never leaks into training data.
+    *
+    * Output: (doc_id, n_sh, n_matched, contamination) — contamination =
+    * n_matched / n_sh as one IEEE division (engine-reproducible), NULL for
+    * docs shorter than `n` tokens (no shingles → undefined, not 0: "too
+    * short to measure" must stay distinguishable from "measured clean").
+    *
+    * Scale shape: both sides reduce to distinct 60-bit fingerprints
+    * map-side ([[TextOps.h60]], array_distinct in-row); the reference set
+    * is distinct-ed once and the membership check is a LEFT SEMI equi-join
+    * on the 8-byte key (broadcasts when the benchmark fits, the common
+    * case — benchmarks are MBs, corpora are TBs); counting is a two-phase
+    * hash aggregate per doc. No pair join, nothing quadratic.
+    */
+  def contamination(docs: DataFrame, reference: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 2, s"shingle width must be ≥ 2 tokens, got $n")
+    def fps(df: DataFrame): DataFrame = df
+      .selectExpr("doc_id", s"${TextOps.wordsExpr("text")} as w")
+      .selectExpr("doc_id",
+        s"""case when size(w) >= $n
+           |  then array_distinct(transform(sequence(1, size(w) - $n + 1), i ->
+           |    ${TextOps.h60(s"concat_ws(' ', slice(w, i, $n))")}))
+           |  else array() end as fps""".stripMargin)
+    val cand = fps(docs)
+      .selectExpr("doc_id", "cast(size(fps) as bigint) as n_sh", "fps")
+      .persist()
+    val refSet = fps(reference).selectExpr("explode(fps) as fp").distinct()
+    val matched = cand.selectExpr("doc_id", "explode(fps) as fp")
+      .join(refSet, Seq("fp"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"))
+    cand.select("doc_id", "n_sh")
+      .join(matched, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_sh",
+        "coalesce(n_matched, 0) as n_matched",
+        """case when n_sh > 0
+          |  then cast(coalesce(n_matched, 0) as double) / n_sh end
+          |  as contamination""".stripMargin)
+      .orderBy("doc_id")
+  }
+
   /** Span CUT — the consuming step of [[spanDedup]]: rewrites the corpus
     * with every cross-document repeated span removed EXCEPT its first
     * occurrence (the doc with the smallest doc_id containing the shingle —

@@ -222,6 +222,38 @@ object OpQueries {
               |FROM isl GROUP BY doc_id, grp
               |ORDER BY doc_id, span_start""".stripMargin)),
 
+    // Decontamination scoring: candidates (doc_id % 7 <> 0) scored by the
+    // fraction of their distinct 8-gram shingles appearing anywhere in the
+    // held-out benchmark slice (doc_id % 7 = 0) — the eval-leak check run
+    // before training. NULL (not 0) for docs too short to measure.
+    QueryDef("op_decontaminate",
+      (s, d) => {
+        val all = docs(s, d)
+        DedupOps.contamination(
+          all.filter(col("doc_id") % 7 =!= 0),
+          all.filter(col("doc_id") % 7 === 0), 8)
+      },
+      Some(s"""WITH w0 AS (SELECT doc_id, $dkWords AS w FROM documents),
+              |f AS (SELECT doc_id,
+              |        CASE WHEN len(w) >= 8
+              |          THEN list_distinct(list_transform(range(1, len(w) - 6), i ->
+              |            ${dkH60("array_to_string(w[i:i+7], ' ')")}))
+              |          ELSE [] END AS fps
+              |      FROM w0),
+              |cand AS (SELECT * FROM f WHERE doc_id % 7 <> 0),
+              |refset AS (SELECT DISTINCT unnest(fps) AS fp FROM f WHERE doc_id % 7 = 0),
+              |m AS (SELECT u.doc_id, COUNT(*) AS c
+              |      FROM (SELECT doc_id, unnest(fps) AS fp FROM cand) u
+              |      SEMI JOIN refset USING (fp)
+              |      GROUP BY u.doc_id)
+              |SELECT cand.doc_id, CAST(len(cand.fps) AS BIGINT) AS n_sh,
+              |       CAST(COALESCE(m.c, 0) AS BIGINT) AS n_matched,
+              |       CASE WHEN len(cand.fps) > 0
+              |            THEN CAST(COALESCE(m.c, 0) AS DOUBLE) / len(cand.fps) END
+              |         AS contamination
+              |FROM cand LEFT JOIN m ON m.doc_id = cand.doc_id
+              |ORDER BY cand.doc_id""".stripMargin)),
+
     // The CUT step consuming op_dedup_spans: rewrite the corpus with every
     // repeated span removed except its first occurrence (min-doc_id owner
     // per shingle). The oracle rebuilds the cleaned text token-by-token

@@ -505,6 +505,24 @@ class OpsSpec extends SparkSpecBase {
     assert(graft.ops.DedupOps.spanDedup(docsDf, 8, minDocs = 3).count() === 0)
   }
 
+  test("contamination scoring: planted benchmark overlap measures exactly") {
+    val bench = Seq((100L, (1 to 10).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text")  // 10 tokens → 3 distinct 8-gram shingles
+    val cands = Seq(
+      (1L, "c1 c2 c3 c4 " + (1 to 10).map(i => s"b$i").mkString(" ")), // 3 of 7 windows inside the benchmark
+      (2L, (1 to 9).map(i => s"x$i").mkString(" ")),                   // clean: 2 shingles, 0 matched
+      (3L, "too short to shingle")                                     // < 8 tokens → NULL
+    ).toDF("doc_id", "text")
+    val out = graft.ops.DedupOps.contamination(cands, bench, 8)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert((out(0).getLong(1), out(0).getLong(2)) === ((7L, 3L)))
+    assert(out(0).getDouble(3) === 3.0 / 7.0)
+    assert((out(1).getLong(1), out(1).getLong(2)) === ((2L, 0L)))
+    assert(out(1).getDouble(3) === 0.0)
+    assert(out(2).getLong(1) === 0L && out(2).isNullAt(3)) // unmeasurable ≠ clean
+  }
+
   test("span cut removes repeated spans everywhere except the first occurrence") {
     val para = (1 to 12).map(i => s"para$i").mkString(" ")
     val docsDf = Seq(
