@@ -3,7 +3,8 @@ import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main. Emits ONE JSON line:
   * {"metric":"total","value":N,"unit":"sec","queries":{name:min_sec,...},
-  *  "median":{name:median_sec,...},"errors":{name:msg,...},"ok":k,"n":n,"sf":dir}
+  *  "median":{name:median_sec,...},"samples":{name:actual_runs,...},
+  *  "errors":{name:msg,...},"ok":k,"n":n,"sf":dir}
   *
   * Each query is materialized with a DataSource-v2 noop write so the FULL
   * physical plan executes (a bare .count() would let Catalyst prune every
@@ -76,15 +77,18 @@ object Bench {
       val median = if (ts.isEmpty) best
         else if (ts.length % 2 == 1) ts(ts.length / 2)
         else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2
-      (name, best, median, err)
+      (name, best, median, ts.length, err)
     }
-    val qs = results.map { case (k, v, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val med = results.map { case (k, _, m, _) => s"${jstr(k)}:$m" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
+    val qs = results.map { case (k, v, _, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val med = results.map { case (k, _, m, _, _) => s"${jstr(k)}:$m" }.mkString("{", ",", "}")
+    // per-query ACTUAL sample counts — "runs" alone would misreport the
+    // adaptive 5-sample sub-second queries
+    val cnt = results.map { case (k, _, _, c, _) => s"${jstr(k)}:$c" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
-    val ok = results.count(_._4.isEmpty)
+    val ok = results.count(_._5.isEmpty)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"median":$med,"errors":$errs,"ok":$ok,"n":${results.size},"runs":$runs,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"median":$med,"samples":$cnt,"errors":$errs,"ok":$ok,"n":${results.size},"runs":$runs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

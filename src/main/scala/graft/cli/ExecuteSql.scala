@@ -28,6 +28,24 @@ object ExecuteSql {
     println("Your query has been successfully executed.")
   }
 
+  /** When `sql` is EXPLAIN [EXTENDED] over a statement this engine only
+    * EMULATES (no Spark plan exists), returns that statement's leading
+    * keyword; None for everything Spark can plan natively. */
+  private def explainedEmulated(sql: String): Option[String] = {
+    import graft.sql.SqlTokens._
+    val emulated = Set("update", "delete", "merge", "copy", "unload",
+      "vacuum", "refresh")
+    val toks = tokenize(sql)
+    var i = nextCode(toks, 0)
+    if (i >= toks.length || !toks(i).isWord("explain")) return None
+    i = nextCode(toks, i + 1)
+    if (i < toks.length && toks(i).isWord("extended")) i = nextCode(toks, i + 1)
+    if (i < toks.length && toks(i).kind == Word &&
+        emulated.contains(toks(i).text.toLowerCase))
+      Some(toks(i).text.toUpperCase)
+    else None
+  }
+
   /** Tri-source connection resolution shared by all three CLIs — returns
     * None when no source is given (local session-catalog mode). */
   private[cli] def connectionOf(p: Map[String, String]): Option[ConnectionConfig] =
@@ -44,6 +62,14 @@ object ExecuteSql {
         finally jc.close()
       case None =>
         val rewritten = RedshiftSql.rewrite(query)
+        // EXPLAIN over a locally-EMULATED statement (DML/COPY/MV/APPEND)
+        // has no Spark plan to show — fail with the reason instead of the
+        // opaque ParseException spark.sql would raise on e.g. UPDATE
+        explainedEmulated(rewritten).foreach { stmt =>
+          throw new IllegalArgumentException(
+            s"EXPLAIN $stmt: the statement executes through local emulation " +
+              "(LocalDml/LocalCopy/LocalMv) — there is no Spark plan to explain")
+        }
         // introspection queries against the Redshift system catalog resolve
         // through generated views over the Spark catalog
         graft.sql.CatalogShims.ensure(spark, rewritten)

@@ -239,13 +239,7 @@ object DedupOps {
     require(minDocs >= 2, s"minDocs must be ≥ 2 (cross-document support), got $minDocs")
     // persisted: feeds the support count AND the semi-join side — one
     // tokenize + md5 pass total. (doc_id, pos, fp) = 20 bytes per token.
-    val sh = docs
-      .selectExpr("doc_id", s"${TextOps.wordsExpr("text")} as w")
-      .filter(expr(s"size(w) >= $n"))
-      .selectExpr("doc_id",
-        s"""posexplode(transform(sequence(1, size(w) - $n + 1), i ->
-           |  ${TextOps.h60(s"concat_ws(' ', slice(w, i, $n))")})) as (pos, fp)""".stripMargin)
-      .persist()
+    val sh = positionalShingles(docs, n).persist()
     val shared = sh.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
@@ -262,6 +256,23 @@ object DedupOps {
         s"cast(e - s + $n as bigint) as span_len")
       .orderBy("doc_id", "span_start")
   }
+
+  /** SQL fragment shared by the span/contamination family: the array of
+    * positional word-`n`-gram fingerprints of a tokenized column `w`
+    * (element j, 1-based, = [[TextOps.h60]] of the n-gram starting at
+    * 0-based token j−1). ONE definition so the Spark side cannot diverge
+    * from itself — the paired DuckDB oracles mirror this exact formula. */
+  private def shingleFpsExpr(n: Int): String =
+    s"""transform(sequence(1, size(w) - $n + 1), i ->
+       |  ${TextOps.h60(s"concat_ws(' ', slice(w, i, $n))")})""".stripMargin
+
+  /** (doc_id, pos, fp) positional shingle fingerprints, pos 0-based; docs
+    * shorter than `n` tokens contribute no rows. */
+  private def positionalShingles(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .selectExpr("doc_id", s"${TextOps.wordsExpr("text")} as w")
+      .filter(expr(s"size(w) >= $n"))
+      .selectExpr("doc_id", s"posexplode(${shingleFpsExpr(n)}) as (pos, fp)")
 
   /** Benchmark-contamination scoring — the decontamination check an LM
     * data pipeline runs before training: for each candidate document, the
@@ -288,8 +299,7 @@ object DedupOps {
       .selectExpr("doc_id", s"${TextOps.wordsExpr("text")} as w")
       .selectExpr("doc_id",
         s"""case when size(w) >= $n
-           |  then array_distinct(transform(sequence(1, size(w) - $n + 1), i ->
-           |    ${TextOps.h60(s"concat_ws(' ', slice(w, i, $n))")}))
+           |  then array_distinct(${shingleFpsExpr(n)})
            |  else array() end as fps""".stripMargin)
     val cand = fps(docs)
       .selectExpr("doc_id", "cast(size(fps) as bigint) as n_sh", "fps")
@@ -340,12 +350,7 @@ object DedupOps {
     require(n >= 2, s"span shingle width must be ≥ 2 tokens, got $n")
     require(minDocs >= 2, s"minDocs must be ≥ 2 (cross-document support), got $minDocs")
     val words = docs.selectExpr("doc_id", s"${TextOps.wordsExpr("text")} as w")
-    val sh = words
-      .filter(expr(s"size(w) >= $n"))
-      .selectExpr("doc_id",
-        s"""posexplode(transform(sequence(1, size(w) - $n + 1), i ->
-           |  ${TextOps.h60(s"concat_ws(' ', slice(w, i, $n))")})) as (pos, fp)""".stripMargin)
-      .persist()
+    val sh = positionalShingles(docs, n).persist()
     val owners = sh.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
       .filter(col("nd") >= minDocs)

@@ -82,6 +82,19 @@ object LocalDml {
     }
     require(!(ignoreExtra && fillTarget),
       "ALTER TABLE APPEND: IGNOREEXTRA and FILLTARGET are mutually exclusive (Redshift rule)")
+    // self-append would swap target := target ∪ target and then TRUNCATE
+    // the same table — destroying every row; Redshift rejects it too
+    def resolved(t: String): (String, String) = {
+      val id = spark.sessionState.sqlParser.parseTableIdentifier(t)
+      (id.database.getOrElse(spark.catalog.currentDatabase).toLowerCase,
+        id.table.toLowerCase)
+    }
+    require(resolved(target) != resolved(source),
+      "ALTER TABLE APPEND: target and source must be different tables (Redshift rule)")
+    // neither side may be a materialized view: writing the target diverges
+    // it from its definition; truncating the source empties an MV sideways
+    requireNotMv(spark, target, "ALTER TABLE APPEND")
+    requireNotMv(spark, source, "ALTER TABLE APPEND")
     val tDf = spark.table(target)
     val sDf = spark.table(source)
     val tByLower = tDf.schema.fields.map(f => f.name.toLowerCase -> f).toMap
@@ -175,12 +188,22 @@ object LocalDml {
     true
   }
 
+  /** Redshift forbids row-level DML against a materialized view (its
+    * contents are DEFINED by the stored query; REFRESH is the only write).
+    * Allowing it here would silently diverge the MV from its definition
+    * until the next refresh un-did the edit. */
+  private def requireNotMv(spark: SparkSession, table: String, stmt: String): Unit =
+    require(LocalMv.storedQuery(spark, table).isEmpty,
+      s"$stmt: $table is a materialized view — modify its base tables and " +
+        "REFRESH MATERIALIZED VIEW instead (Redshift rule)")
+
   /** DELETE removes rows where the predicate is TRUE; NULL-predicate rows
     * survive (SQL semantics), hence the coalesce. */
   private def runDelete(spark: SparkSession, toks: Vector[Tok], at: Int): Unit = {
     val from = nextCode(toks, at + 1)
     require(from < toks.length && toks(from).isWord("from"), "DELETE must be DELETE FROM <table>")
     val (table, rest) = tableName(toks, from + 1)
+    requireNotMv(spark, table, "DELETE")
     val pred = whereClause(toks, rest)
     val keep = pred.fold("false")(p => s"NOT coalesce(($p), false)")
     swap(spark, table, s"SELECT * FROM $table WHERE $keep")
@@ -188,6 +211,7 @@ object LocalDml {
 
   private def runUpdate(spark: SparkSession, toks: Vector[Tok], at: Int): Unit = {
     val (table, afterTable) = tableName(toks, at + 1)
+    requireNotMv(spark, table, "UPDATE")
     val set = nextCode(toks, afterTable)
     require(set < toks.length && toks(set).isWord("set"), "UPDATE must have a SET clause")
     // assignments run up to a depth-0 WHERE (or end of statement)
@@ -235,6 +259,7 @@ object LocalDml {
     val into = nextCode(toks, at + 1)
     require(into < toks.length && toks(into).isWord("into"), "MERGE must be MERGE INTO")
     val (target, afterT) = tableName(toks, into + 1)
+    requireNotMv(spark, target, "MERGE")
     val (tAlias, afterTA) = optionalAlias(toks, afterT, stop = Set("using"))
     val usingAt = nextCode(toks, afterTA)
     require(usingAt < toks.length && toks(usingAt).isWord("using"), "MERGE needs USING <source>")
@@ -433,6 +458,15 @@ object LocalDml {
     // RENAME — at no point do both copies cease to exist.
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    // engine-level table properties (graft.*, e.g. a materialized view's
+    // defining query) must survive the rewrite — VACUUM on an MV would
+    // otherwise silently demote it to a plain table
+    val keepProps = meta.properties.filter { case (k, _) => k.startsWith("graft.") }
+    if (keepProps.nonEmpty) {
+      val cat = spark.sessionState.catalog
+      val newMeta = cat.getTableMetadata(ident)
+      cat.alterTable(newMeta.copy(properties = newMeta.properties ++ keepProps))
+    }
   }
 
   /** Consume a (possibly schema-qualified, possibly quoted) table name. */

@@ -124,10 +124,12 @@ object LocalMv {
 
     val df = spark.sql(query)
     var w = df.write
-    distKey.foreach { dk =>
-      // same physical mapping as DISTKEY/SORTKEY on CREATE TABLE: 32
-      // buckets on the distribution key, sorted within buckets
-      w = w.bucketBy(32, dk)
+    // same physical mapping as DISTKEY/SORTKEY on CREATE TABLE DDL
+    // (RedshiftSql.rewriteTableAttrs): 32 buckets on the distribution key —
+    // or on the first sort key when only SORTKEY is given (a requested sort
+    // layout must not silently drop) — sorted within buckets
+    distKey.orElse(sortKeys.headOption).foreach { bk =>
+      w = w.bucketBy(32, bk)
       if (sortKeys.nonEmpty) w = w.sortBy(sortKeys.head, sortKeys.tail: _*)
     }
     w.saveAsTable(name)
@@ -166,9 +168,18 @@ object LocalMv {
     spark.sql(s"DROP TABLE $name")
   }
 
-  private def setQueryProp(spark: SparkSession, name: String, query: String): Unit =
-    spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES ('$QueryProp' = " +
-      s"'${query.replace("'", "''")}')")
+  /** Records the defining query through the CATALOG API, not an ALTER
+    * TABLE … SET TBLPROPERTIES statement: a SQL string literal would be
+    * parsed a second time (backslash escapes re-processed), so a defining
+    * query containing `'\\d'` would be stored once-unescaped and REFRESH
+    * would silently recompute with a different regex. The catalog call
+    * stores the raw string byte-for-byte. */
+  private def setQueryProp(spark: SparkSession, name: String, query: String): Unit = {
+    val cat = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    val meta = cat.getTableMetadata(ident)
+    cat.alterTable(meta.copy(properties = meta.properties + (QueryProp -> query)))
+  }
 
   /** The recorded defining query, or None when `name` is not an MV. */
   private[sql] def storedQuery(spark: SparkSession, name: String): Option[String] = {

@@ -1071,6 +1071,69 @@ class DialectSpec extends SparkSpecBase {
     x(spark, "DROP MATERIALIZED VIEW mv_top", None)
   }
 
+  test("MV defining queries with backslashes/quotes survive REFRESH byte-identically") {
+    import graft.cli.ExecuteSql.{run => x}
+    spark.sql("DROP TABLE IF EXISTS mv_esc")
+    // '\\d' parses to regex \d at CREATE; the stored query must hold the
+    // SAME text so REFRESH computes the same regex (a SQL-literal property
+    // round-trip would re-process the escapes — code-review r8 finding)
+    x(spark, """CREATE MATERIALIZED VIEW mv_esc AS
+               |SELECT regexp_replace('a1b2c3', '\\d', '') AS t, 'it''s' AS q""".stripMargin, None)
+    val before = spark.table("mv_esc").collect()(0)
+    assert(before.getString(0) === "abc" && before.getString(1) === "it's")
+    x(spark, "REFRESH MATERIALIZED VIEW mv_esc", None)
+    val after = spark.table("mv_esc").collect()(0)
+    assert(after.getString(0) === "abc" && after.getString(1) === "it's")
+    x(spark, "DROP MATERIALIZED VIEW mv_esc", None)
+  }
+
+  test("MV guards: DML on an MV raises; VACUUM keeps it refreshable; SORTKEY-only buckets") {
+    import graft.cli.ExecuteSql.{run => x}
+    spark.sql("DROP TABLE IF EXISTS mvg_base")
+    spark.sql("DROP TABLE IF EXISTS mvg")
+    spark.range(6).selectExpr("id as k", "id * 2 as v").write.saveAsTable("mvg_base")
+    x(spark, "CREATE MATERIALIZED VIEW mvg SORTKEY (k) AS SELECT k, v FROM mvg_base", None)
+    // SORTKEY without DISTKEY still produces the bucketed sorted layout
+    // (same rule as CREATE TABLE DDL — review finding: it was dropped)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("mvg"))
+    assert(meta.bucketSpec.exists(_.sortColumnNames == Seq("k")))
+    // row-level DML against the MV raises (Redshift rule) …
+    val e = intercept[IllegalArgumentException] {
+      x(spark, "UPDATE mvg SET v = 0", None)
+    }
+    assert(e.getMessage.contains("materialized view"))
+    intercept[IllegalArgumentException] { x(spark, "DELETE FROM mvg", None) }
+    // … but VACUUM is allowed and must NOT demote the MV (swapDf keeps
+    // graft.* properties): REFRESH still works afterwards
+    x(spark, "VACUUM mvg", None)
+    spark.sql("INSERT INTO mvg_base VALUES (100, 200)")
+    x(spark, "REFRESH MATERIALIZED VIEW mvg", None)
+    assert(spark.table("mvg").count() === 7)
+    x(spark, "DROP MATERIALIZED VIEW mvg", None)
+    spark.sql("DROP TABLE IF EXISTS mvg_base")
+  }
+
+  test("ALTER TABLE APPEND refuses self-append instead of destroying the table") {
+    import graft.cli.ExecuteSql.{run => x}
+    spark.sql("DROP TABLE IF EXISTS selfapp_t")
+    spark.range(4).write.saveAsTable("selfapp_t")
+    val e = intercept[IllegalArgumentException] {
+      x(spark, "ALTER TABLE selfapp_t APPEND FROM selfapp_t", None)
+    }
+    assert(e.getMessage.contains("different tables"))
+    assert(spark.table("selfapp_t").count() === 4) // untouched
+    spark.sql("DROP TABLE selfapp_t")
+  }
+
+  test("EXPLAIN over an emulated statement fails with the reason, not a parse error") {
+    import graft.cli.ExecuteSql.{run => x}
+    val e = intercept[IllegalArgumentException] {
+      x(spark, "EXPLAIN UPDATE some_t SET a = 1", None)
+    }
+    assert(e.getMessage.contains("local emulation"))
+  }
+
   // ---- EXPLAIN pass-through ----
   test("EXPLAIN over dialect constructs rewrites the inner query and returns a plan") {
     Tables.registerAll(spark, sfDir)
