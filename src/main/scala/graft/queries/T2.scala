@@ -927,6 +927,41 @@ object T2 {
              |FROM orders
              |WINDOW w AS (PARTITION BY o_orderpriority
              |             ORDER BY o_totalprice, o_orderkey)
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // 31. PERCENTILE_CONT / PERCENTILE_DISC as window functions — Redshift
+    //     allows its ordered-set aggregates with an OVER clause
+    //     (reachable via the pass-through, execute_sql.py:77). Same
+    //     rewrite as q24's MEDIAN-over: ONE ordered-set aggregation over
+    //     the 3 partition keys + a broadcast join back, instead of a
+    //     per-row window that re-buffers every group per partition — the
+    //     aggregate side is O(groups), the join adds no shuffle.
+    QueryDef(
+      "q31_percentile_window",
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+        l.createOrReplaceTempView("lineitem")
+        val pct = s.sql(
+          """SELECT l_returnflag,
+            |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25_price,
+            |  percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75_price,
+            |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS med_qty_disc
+            |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+        l.select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_extendedprice"))
+          .join(broadcast(pct), Seq("l_returnflag"))
+          .selectExpr("l_orderkey", "l_linenumber", "l_returnflag",
+            "l_extendedprice", "p25_price", "p75_price", "med_qty_disc")
+          // duplicate (orderkey, linenumber) pairs exist in the fixture;
+          // remaining ties are full-row-identical → hash-stable
+          .orderBy("l_orderkey", "l_linenumber", "l_returnflag",
+            "l_extendedprice")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+             |  quantile_cont(l_extendedprice, 0.25) OVER (PARTITION BY l_returnflag) AS p25_price,
+             |  quantile_cont(l_extendedprice, 0.75) OVER (PARTITION BY l_returnflag) AS p75_price,
+             |  quantile_disc(l_quantity, 0.5) OVER (PARTITION BY l_returnflag) AS med_qty_disc
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_extendedprice""".stripMargin))
   )
 }

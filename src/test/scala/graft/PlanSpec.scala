@@ -198,6 +198,15 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), s"medians side must broadcast:\n$p")
   }
 
+  test("q31 percentile-window rewrite broadcasts aggregates, plans no Window") {
+    val p = plan("q31_percentile_window")
+    assert(p.contains("BroadcastHashJoin"),
+      s"percentile side must broadcast:\n$p")
+    // the whole point of the rewrite: the per-row result comes from a join,
+    // not a window operator that re-buffers every group's values per row
+    assert(!p.contains("Window"), s"no window operator expected:\n$p")
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
     import spark.implicits._
     val conf = spark.conf
