@@ -136,6 +136,21 @@ object OpQueries {
               |FROM dims LEFT JOIN agg ON dims.doc_id = agg.doc_id AND dims.dim = agg.dim
               |ORDER BY dims.doc_id, dims.dim""".stripMargin)),
 
+    // Corpus-frequent n-gram mining (boilerplate/template detection):
+    // every word-5-gram in ≥3 distinct docs, with exact tf + df. The
+    // oracle recomputes the full slide→count→min-support pipeline, so
+    // the windowing arithmetic and both counts are hash-gated.
+    QueryDef("op_frequent_ngrams",
+      (s, d) => TextOps.frequentNgrams(docs(s, d), 5, 3),
+      Some(s"""WITH w0 AS (SELECT doc_id, $dkWords AS w FROM documents),
+              |g AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS ngram
+              |      FROM w0, unnest(range(1, len(w) - 5 + 2)) AS t(i)
+              |      WHERE len(w) >= 5)
+              |SELECT ngram, CAST(COUNT(*) AS BIGINT) AS tf,
+              |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              |FROM g GROUP BY ngram HAVING COUNT(DISTINCT doc_id) >= 3
+              |ORDER BY ngram""".stripMargin)),
+
     // Composed selection step (quality filter → dedup keep → deterministic
     // md5 sample): the composition is gated, not just the stages. The
     // oracle rebuilds the identical pipeline from the shared fragments.

@@ -61,6 +61,33 @@ object TextOps {
         """(1.0 - stopword_ratio) * (1.0 - punct_ratio) *
           |least(cast(n_words as double) / 100.0, 1.0) as quality_score""".stripMargin)
 
+  /** Corpus-level frequent n-gram mining — the boilerplate/template
+    * detector of a training-data pipeline: every word-`k`-gram occurring
+    * in at least `minDocs` distinct documents, with its total occurrence
+    * count (tf) and document frequency (df).
+    *
+    * Scale shape: one codegen map stage (tokenize → slide → explode), then
+    * ONE logical aggregation keyed by the n-gram. Spark plans the mixed
+    * count(*) + count(DISTINCT doc_id) as two-phase hash aggregation with
+    * map-side partials, so the shuffle carries per-partition-deduplicated
+    * (ngram, doc_id) partials — O(distinct grams·partitions), never the
+    * raw token stream. The min-support filter is global by definition and
+    * runs right after the final aggregate, before any result movement.
+    */
+  def frequentNgrams(docs: DataFrame, k: Int, minDocs: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs
+      .selectExpr("doc_id", s"${wordsExpr("text")} as w")
+      .where(s"size(w) >= $k")
+      .selectExpr("doc_id",
+        s"""explode(transform(sequence(1, size(w) - ${k - 1}), i ->
+           |  concat_ws(' ', slice(w, i, $k)))) as ngram""".stripMargin)
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= minDocs)
+      .orderBy("ngram")
+  }
+
   /** N-gram-heuristic language ID: score per language = number of tokens in
     * that language's closed stopword class; argmax with a fixed precedence
     * (en > fr > es > de > zh) for ties.

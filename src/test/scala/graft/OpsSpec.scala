@@ -505,6 +505,35 @@ class OpsSpec extends SparkSpecBase {
     assert(graft.ops.DedupOps.spanDedup(docsDf, 8, minDocs = 3).count() === 0)
   }
 
+  test("frequent n-grams equal an independent brute-force count on planted boilerplate") {
+    val boiler = "all rights reserved contact us here"          // 6 tokens → two 5-grams
+    val docsDf = Seq(
+      (1L, s"alpha beta $boiler"),
+      (2L, s"$boiler gamma"),
+      (3L, s"delta $boiler epsilon"),
+      (4L, s"unique words in this document only no repeats"),
+      (5L, s"$boiler $boiler")                                  // tf += 2 per gram, df += 1
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.frequentNgrams(docsDf, 5, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // independent brute force in plain Scala
+    val grams = Seq(1L -> s"alpha beta $boiler", 2L -> s"$boiler gamma",
+        3L -> s"delta $boiler epsilon", 4L -> "unique words in this document only no repeats",
+        5L -> s"$boiler $boiler")
+      .flatMap { case (id, t) =>
+        t.toLowerCase.trim.split("\\s+").toSeq.sliding(5)
+          .filter(_.size == 5).map(g => (g.mkString(" "), id)).toSeq
+      }
+    val brute = grams.groupBy(_._1).view
+      .mapValues(o => (o.size.toLong, o.map(_._2).distinct.size.toLong))
+      .filter(_._2._2 >= 3)
+      .map { case (g, (tf, df)) => (g, tf, df) }.toSeq.sortBy(_._1)
+    assert(brute.nonEmpty)
+    assert(out === brute)
+    // the planted boilerplate's own grams must be among the survivors
+    assert(out.exists(_._1 == "all rights reserved contact us"))
+  }
+
   test("contamination scoring: planted benchmark overlap measures exactly") {
     val bench = Seq((100L, (1 to 10).map(i => s"b$i").mkString(" ")))
       .toDF("doc_id", "text")  // 10 tokens → 3 distinct 8-gram shingles

@@ -198,6 +198,14 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), s"medians side must broadcast:\n$p")
   }
 
+  test("frequent n-grams aggregate two-phase with map-side partials") {
+    val p = plan("op_frequent_ngrams")
+    // the shuffle must carry per-partition partials keyed by the gram,
+    // never the raw exploded token stream
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q31 percentile-window rewrite broadcasts aggregates, plans no Window") {
     val p = plan("q31_percentile_window")
     assert(p.contains("BroadcastHashJoin"),
