@@ -33,6 +33,8 @@ import SqlTokens._
   *                                   encodings are decided by Spark at
   *                                   plan/write time, not declared in DDL)
   *   NVL / NVL2 / DECODE / MINUS / `::` casts — already native in Spark.
+  *   CREATE EXTERNAL SCHEMA / CREATE EXTERNAL TABLE (Spectrum DDL)
+  *                                 → Spark datasource-table DDL ([[SpectrumDdl]])
   *
   * Function-name gaps with identical call syntax (CHARINDEX, LEN,
   * REGEXP_SUBSTR, FNV_HASH, CHECKSUM) are registered as real functions in
@@ -56,6 +58,8 @@ object RedshiftSql {
       return mode + rewrite(render(lead.slice(r, lead.length)).trim)
     }
     var toks = tokenize(sql)
+    toks = SpectrumDdl.rewriteExternalSchema(toks)
+    toks = SpectrumDdl.rewriteExternalTable(toks)
     toks = rewriteTop(toks)
     toks = rewriteQualify(toks)
     toks = rewriteApproximate(toks)

@@ -1152,6 +1152,115 @@ class DialectSpec extends SparkSpecBase {
     assert(plain === "EXPLAIN SELECT a FROM t")
   }
 
+  // ---- Spectrum external DDL ----
+  test("CREATE EXTERNAL SCHEMA maps to CREATE SCHEMA, catalog plumbing dropped") {
+    assert(rewrite("CREATE EXTERNAL SCHEMA spectrum FROM DATA CATALOG " +
+      "DATABASE 'lake' IAM_ROLE 'arn:aws:iam::123:role/x' " +
+      "CREATE EXTERNAL DATABASE IF NOT EXISTS") === "CREATE SCHEMA spectrum")
+    assert(rewrite("CREATE EXTERNAL SCHEMA IF NOT EXISTS s2 FROM HIVE METASTORE " +
+      "URI '10.0.0.1'") === "CREATE SCHEMA IF NOT EXISTS s2")
+  }
+
+  test("CREATE EXTERNAL TABLE parquet executes: LOCATION-pinned, queryable") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_ext_parq_")
+    spark.range(10).selectExpr("id AS o_orderkey", "cast(id * 1.5 as double) AS o_totalprice")
+      .write.mode("overwrite").parquet(dir.toString)
+    graft.cli.ExecuteSql.run(spark,
+      "CREATE EXTERNAL SCHEMA ext_s1 FROM DATA CATALOG DATABASE 'l' IAM_ROLE 'r'", None)
+    graft.cli.ExecuteSql.run(spark,
+      s"CREATE EXTERNAL TABLE ext_s1.ext_orders (o_orderkey BIGINT, " +
+        s"o_totalprice DOUBLE PRECISION) STORED AS PARQUET LOCATION '$dir'", None)
+    assert(spark.table("ext_s1.ext_orders").count() === 10)
+    assert(spark.sql("SELECT count(*) FROM ext_s1.ext_orders WHERE o_totalprice > 6.0")
+      .head.getLong(0) === 5)
+    // dropping the external table must leave the data files in place
+    spark.sql("DROP TABLE ext_s1.ext_orders")
+    assert(Files.list(dir).iterator().hasNext, "external data files were deleted")
+  }
+
+  test("CREATE EXTERNAL TABLE partitioned + ALTER TABLE ADD PARTITION prunes") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_ext_part_")
+    val p1 = base.resolve("d1"); val p2 = base.resolve("d2")
+    spark.range(4).selectExpr("id", "cast(id as double) AS v")
+      .write.parquet(p1.toString)
+    spark.range(6).selectExpr("id", "cast(id as double) AS v")
+      .write.parquet(p2.toString)
+    graft.cli.ExecuteSql.run(spark,
+      "CREATE EXTERNAL SCHEMA IF NOT EXISTS ext_s2 FROM DATA CATALOG DATABASE 'l'", None)
+    graft.cli.ExecuteSql.run(spark,
+      s"CREATE EXTERNAL TABLE ext_s2.sales (id BIGINT, v DOUBLE) " +
+        s"PARTITIONED BY (dt DATE) STORED AS PARQUET LOCATION '$base/tbl'", None)
+    graft.cli.ExecuteSql.run(spark,
+      s"ALTER TABLE ext_s2.sales ADD PARTITION (dt='2008-01-01') LOCATION '$p1'", None)
+    graft.cli.ExecuteSql.run(spark,
+      s"ALTER TABLE ext_s2.sales ADD IF NOT EXISTS PARTITION (dt='2008-02-01') " +
+        s"LOCATION '$p2'", None)
+    assert(spark.table("ext_s2.sales").count() === 10)
+    val one = spark.sql("SELECT * FROM ext_s2.sales WHERE dt = DATE'2008-01-01'")
+    assert(one.count() === 4)
+    // the partition filter must prune at the scan, not post-filter all files
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("dt"),
+      s"no partition pruning in:\n$plan")
+    // Spectrum's DROP PARTITION detaches without deleting files
+    graft.cli.ExecuteSql.run(spark,
+      "ALTER TABLE ext_s2.sales DROP PARTITION (dt='2008-01-01')", None)
+    assert(spark.table("ext_s2.sales").count() === 6)
+    assert(Files.list(p1).iterator().hasNext, "dropped partition files were deleted")
+  }
+
+  test("CREATE EXTERNAL TABLE textfile: delimiter + skip.header.line.count") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_ext_csv_")
+    Files.writeString(dir.resolve("data.csv"), "id|name\n1|alpha\n2|beta\n")
+    graft.cli.ExecuteSql.run(spark,
+      "CREATE EXTERNAL SCHEMA IF NOT EXISTS ext_s3 FROM DATA CATALOG DATABASE 'l'", None)
+    graft.cli.ExecuteSql.run(spark,
+      s"CREATE EXTERNAL TABLE ext_s3.ext_csv (id INT, name VARCHAR(10)) " +
+        "ROW FORMAT DELIMITED FIELDS TERMINATED BY '|' LINES TERMINATED BY '\\n' " +
+        s"STORED AS TEXTFILE LOCATION '$dir' " +
+        "TABLE PROPERTIES ('skip.header.line.count'='1', 'numRows'='2')", None)
+    val rows = spark.table("ext_s3.ext_csv").orderBy("id").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((1, "alpha"), (2, "beta")))
+    // pass-through property survives as table metadata
+    val props = spark.sql("SHOW TBLPROPERTIES ext_s3.ext_csv").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("numRows").contains("2"))
+  }
+
+  test("CREATE EXTERNAL TABLE normalizes Redshift type spellings") {
+    val r = rewrite("CREATE EXTERNAL TABLE s.t (a INT8, b DOUBLE PRECISION, " +
+      "c FLOAT, d TEXT, e TIMESTAMPTZ, f BPCHAR, int8 VARBYTE) " +
+      "PARTITIONED BY (dt INT4) STORED AS PARQUET LOCATION '/x'")
+    assert(r === "CREATE TABLE s.t (a BIGINT, b DOUBLE, c DOUBLE, d STRING, " +
+      "e TIMESTAMP_LTZ, f CHAR(256), int8 BINARY, dt INT) USING PARQUET " +
+      "PARTITIONED BY (dt) LOCATION '/x'")
+  }
+
+  test("CREATE EXTERNAL TABLE guards: SERDE, unsupported formats, missing clauses") {
+    intercept[IllegalArgumentException] {
+      rewrite("CREATE EXTERNAL TABLE s.t (a INT) STORED AS AVRO LOCATION '/x'")
+    }
+    intercept[IllegalArgumentException] {
+      rewrite("CREATE EXTERNAL TABLE s.t (a INT) ROW FORMAT SERDE 'org.x.Y' " +
+        "STORED AS TEXTFILE LOCATION '/x'")
+    }
+    intercept[IllegalArgumentException] {
+      rewrite("CREATE EXTERNAL TABLE s.t (a INT) STORED AS PARQUET") // no LOCATION
+    }
+    intercept[IllegalArgumentException] { // delimiter is a TEXTFILE concept
+      rewrite("CREATE EXTERNAL TABLE s.t (a INT) ROW FORMAT DELIMITED " +
+        "FIELDS TERMINATED BY '|' STORED AS PARQUET LOCATION '/x'")
+    }
+    intercept[IllegalArgumentException] { // only one header line is skippable
+      rewrite("CREATE EXTERNAL TABLE s.t (a INT) STORED AS TEXTFILE LOCATION '/x' " +
+        "TABLE PROPERTIES ('skip.header.line.count'='3')")
+    }
+  }
+
   test("rewriter is the identity on already-valid Spark SQL") {
     val valid = Seq(
       "SELECT a, b FROM t WHERE a > 1 ORDER BY b LIMIT 10",
