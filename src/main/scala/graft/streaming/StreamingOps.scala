@@ -101,6 +101,79 @@ object StreamingOps {
       .as[(Long, Long, Int)]
   }
 
+  /** Streaming NEAR-dup pairs — the online form of
+    * [[graft.ops.DedupOps.simhashPairs64]]: every pair of documents whose
+    * 64-bit SimHash signatures are within Hamming distance `maxHamming`,
+    * emitted exactly once, incrementally, as documents arrive.
+    *
+    * Same pigeonhole decomposition as the batch op: the signature splits
+    * into `maxHamming + 1` contiguous blocks, and two in-radius signatures
+    * must agree exactly on ≥ 1 block — so the state key is
+    * (block_id, block_key) and an arriving document compares only against
+    * its own buckets' members, NEVER the corpus (the streaming analog of
+    * the batch equi-join: per-bucket state lookup instead of a shuffle).
+    * A pair agreeing on several blocks is emitted only by its FIRST
+    * agreeing block — deterministic from the two signatures alone, the
+    * identical rule the batch op applies — so the union over buckets is
+    * exactly the radius's pair set, once each. Delivered in one batch this
+    * equals `simhashPairs64` row-for-row (StreamingSpec proves it).
+    *
+    * State: the (doc_id, simhash) members per bucket — 16 bytes ×
+    * (maxHamming + 1) blocks per distinct document. O(corpus) total, like
+    * every doc-level dedup state; an event-time TTL composes exactly as in
+    * [[dedupExactStreamTtl]] when the stream is unbounded.
+    */
+  def simhashPairsStream(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bits = 64
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, $bits): got $maxHamming")
+    val nBlocks = maxHamming + 1
+    val bounds = (0 to nBlocks).map(i => i * bits / nBlocks)
+    def widthMask(i: Int): Long = {
+      val w = bounds(i + 1) - bounds(i)
+      if (w >= 64) -1L else (1L << w) - 1
+    }
+    // first block on which the two signatures agree (x = xor): the one
+    // bucket allowed to emit the pair — same CASE the batch op codegens
+    def firstBlock(x: Long): Int =
+      (0 until nBlocks).find(i => (x & (widthMask(i) << bounds(i))) == 0).getOrElse(-1)
+    val blockCols = (0 until nBlocks).map { i =>
+      s"named_struct('blk', $i, 'key', shiftright(simhash, ${bounds(i)}) & ${widthMask(i)}L)"
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.ops.DedupOps.simhash64Sig(docs)
+      .selectExpr("doc_id", "simhash",
+        s"explode(array(${blockCols.mkString(", ")})) as b")
+      .selectExpr("doc_id", "simhash", "b.blk as blk", "b.key as key")
+      .as[(Long, Long, Int, Long)]
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Int, Long), rows: Iterator[(Long, Long, Int, Long)],
+         state: GroupState[List[(Long, Long)]]) => {
+          val blk = key._1
+          // batch members in doc_id order: within one delivery the smaller
+          // id is "earlier", matching the batch op's a.doc_id < b.doc_id
+          val batch = rows.map(r => (r._1, r._2)).toVector.sortBy(_._1)
+          var seen = state.getOption.getOrElse(Nil)
+          val out = Vector.newBuilder[(Long, Long, Long)]
+          batch.foreach { case (id, sig) =>
+            if (!seen.exists(_._1 == id)) { // a re-delivered doc_id is not a pair
+              seen.foreach { case (pid, psig) =>
+                val x = psig ^ sig
+                val h = java.lang.Long.bitCount(x)
+                if (h <= maxHamming && firstBlock(x) == blk)
+                  out += ((math.min(pid, id), math.max(pid, id), h.toLong))
+              }
+              seen = (id, sig) :: seen
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+        })
+      .toDF("doc_a", "doc_b", "hamming")
+  }
+
   /** [[dedupExactStream]] with a state TTL — the unbounded-stream variant
     * (VERDICT r4 #5): [[dedupExactStream]]'s state is O(distinct keys)
     * FOREVER, which is correct for the gated semantics but grows without

@@ -59,6 +59,46 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === batch)
   }
 
+  test("streaming simhash near-dup pairs equal batch simhashPairs64 in one batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(rows.toSeq)
+    val q = StreamingOps.simhashPairsStream(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("simhash_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("simhash_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.ops.DedupOps.simhashPairs64(
+        Tables.load(spark, sfDir, "documents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "fixture must contain near-dup pairs at radius 3")
+    assert(streamed === batch)
+  }
+
+  test("streaming simhash pairs: cross-batch pair found once, never re-emitted") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.simhashPairsStream(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("simhash_inc")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((1L, base), (2L, "completely different words about other topics entirely")))
+      q.processAllAvailable()
+      stream.addData(Seq((3L, base))) // exact twin of doc 1 from batch 1
+      q.processAllAvailable()
+      stream.addData(Seq((3L, base))) // re-delivery must not duplicate the pair
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("simhash_inc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows === Seq((1L, 3L, 0L)),
+      s"expected exactly one cross-batch pair, got: $rows")
+  }
+
   test("stateful streaming dedup flags later-batch duplicates against earlier state") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[(Long, String)]
