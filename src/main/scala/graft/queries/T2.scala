@@ -932,21 +932,22 @@ object T2 {
     // 31. PERCENTILE_CONT / PERCENTILE_DISC as window functions — Redshift
     //     allows its ordered-set aggregates with an OVER clause
     //     (reachable via the pass-through, execute_sql.py:77). Same
-    //     rewrite as q24's MEDIAN-over: ONE ordered-set aggregation over
-    //     the 3 partition keys + a broadcast join back, instead of a
-    //     per-row window that re-buffers every group per partition — the
-    //     aggregate side is O(groups), the join adds no shuffle.
+    //     rewrite as q24's MEDIAN-over: ONE per-key percentile pass + a
+    //     broadcast join back, instead of a per-row window that re-buffers
+    //     every group per partition. The percentile side runs through the
+    //     bounded-memory rank path (PercentileOps — bit-identical to the
+    //     buffering aggregate), so NOTHING in this plan holds a group in
+    //     memory: rank windows spill, the join side is O(groups).
     QueryDef(
       "q31_percentile_window",
       (s, d) => {
+        import graft.ops.PercentileOps.{sortedPercentiles, PSpec}
         val l = t(s, d, "lineitem")
-        l.createOrReplaceTempView("lineitem")
-        val pct = s.sql(
-          """SELECT l_returnflag,
-            |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25_price,
-            |  percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75_price,
-            |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS med_qty_disc
-            |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+        val pct = sortedPercentiles(l, "l_returnflag", Seq(
+            PSpec("l_extendedprice", 0.25, "p25_price"),
+            PSpec("l_extendedprice", 0.75, "p75_price"),
+            PSpec("l_quantity", 0.5, "med_qty_disc", disc = true)))
+          .drop("n_rows")
         l.select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
             col("l_extendedprice"))
           .join(broadcast(pct), Seq("l_returnflag"))
