@@ -69,6 +69,8 @@ object RedshiftSql {
     toks = rewriteConvert(toks)
     toks = rewriteDateAddDiff(toks)
     toks = rewriteToChar(toks)
+    toks = rewriteToDateTs(toks)
+    toks = rewriteCreateLike(toks)
     toks = rewriteTableAttrs(toks)
     render(toks)
   }
@@ -584,6 +586,82 @@ object RedshiftSql {
         rewriteToChar(out)
     }
   }
+  /** TO_DATE(x, 'fmt') / TO_TIMESTAMP(x, 'fmt') with a Redshift
+    * (PostgreSQL-token) format → the same call with the java pattern.
+    * Spark's native to_date/to_timestamp already take java patterns, so the
+    * rewrite only fires on formats that are UNAMBIGUOUSLY PG: either a
+    * PG-only token (HH24/HH12/MI/MON/DAY/DY) or an all-uppercase format
+    * ('YYYY-MM-DD' — java-pattern authors write 'yyyy-MM-dd'). A mixed-case
+    * java format like 'yyyy-MM-dd HH:mm:ss' passes through untouched —
+    * translating its HH (0-23) to hh (1-12) would silently corrupt it.
+    */
+  private def hasPgTokens(fmt: String): Boolean =
+    Seq("HH24", "HH12", "MI", "MON", "MONTH", "DAY", "DY").exists(fmt.contains) ||
+      (fmt.exists(_.isUpper) && !fmt.exists(_.isLower) &&
+        hasDateTokens(fmt))
+  private def rewriteToDateTs(toks: Vector[Tok]): Vector[Tok] = {
+    val hit = toks.indices.find { i =>
+      (toks(i).isWord("to_date") || toks(i).isWord("to_timestamp")) && {
+        val p = nextCode(toks, i + 1)
+        p < toks.length && toks(p).text == "(" && {
+          val pe = matchParen(toks, p)
+          val commas = topCommas(toks, p, pe)
+          commas.length == 1 && {
+            val s = nextCode(toks, commas.head + 1)
+            toks(s).kind == Str &&
+              hasPgTokens(toks(s).text.stripPrefix("'").stripSuffix("'"))
+          }
+        }
+      }
+    }
+    hit match {
+      case None => toks
+      case Some(i) =>
+        val p = nextCode(toks, i + 1)
+        val pe = matchParen(toks, p)
+        val s = nextCode(toks, topCommas(toks, p, pe).head + 1)
+        val fmt = toks(s).text.stripPrefix("'").stripSuffix("'")
+        rewriteToDateTs(toks.updated(s, Tok(Str, s"'${translateFormat(fmt)}'")))
+    }
+  }
+
+  /** Redshift `CREATE TABLE t (LIKE parent [INCLUDING|EXCLUDING DEFAULTS])`
+    * → Spark `CREATE TABLE t LIKE parent` (the defaults clause has no
+    * Spark counterpart — Spark copies the full source schema either way).
+    */
+  private def rewriteCreateLike(toks: Vector[Tok]): Vector[Tok] = {
+    val first = nextCode(toks, 0)
+    if (first >= toks.length || !toks(first).isWord("create")) return toks
+    var w = nextCode(toks, first + 1)
+    var guard = 0
+    while (w < toks.length && toks(w).kind == Word && guard < 4 &&
+        !toks(w).isWord("table")) { w = nextCode(toks, w + 1); guard += 1 }
+    if (w >= toks.length || !toks(w).isWord("table")) return toks
+    var nameAt = nextCode(toks, w + 1)
+    if (nameAt < toks.length && toks(nameAt).isWord("if")) {
+      val not = nextCode(toks, nameAt + 1)
+      val exists = if (not < toks.length) nextCode(toks, not + 1) else toks.length
+      if (not < toks.length && toks(not).isWord("not") &&
+          exists < toks.length && toks(exists).isWord("exists"))
+        nameAt = nextCode(toks, exists + 1)
+    }
+    val afterName =
+      try qualifiedName(toks, nameAt)._2
+      catch { case _: IllegalArgumentException => return toks }
+    val open = nextCode(toks, afterName)
+    if (open >= toks.length || toks(open).text != "(") return toks
+    val like = nextCode(toks, open + 1)
+    if (like >= toks.length || !toks(like).isWord("like")) return toks
+    val close = matchParen(toks, open)
+    val (src, afterSrc) = try qualifiedName(toks, like + 1)
+      catch { case _: IllegalArgumentException => return toks }
+    // tolerate INCLUDING/EXCLUDING DEFAULTS between the name and ')'
+    val rest = render(toks.slice(afterSrc, close)).trim.toLowerCase
+    if (rest.nonEmpty && rest != "including defaults" && rest != "excluding defaults")
+      return toks
+    toks.patch(open, tokenize(s"LIKE $src"), close - open + 1)
+  }
+
   private def hasDateTokens(lit: String): Boolean = {
     val up = lit.toUpperCase
     Seq("YYYY", "YY", "MM", "DD", "HH", "MI", "SS", "MON", "DAY").exists(up.contains)

@@ -174,6 +174,84 @@ object StreamingOps {
       .toDF("doc_a", "doc_b", "hamming")
   }
 
+  /** [[simhashPairsStream]] with an event-time state TTL — the
+    * unbounded-stream form: bucket members whose last event time falls
+    * `ttlMs` behind the watermark are dropped, so state is O(docs within
+    * the horizon) instead of O(corpus). Within the horizon the semantics
+    * equal [[simhashPairsStream]]; a near-dup of an expired document is
+    * no longer flagged — the same "dedup within a horizon" contract as
+    * [[dedupExactStreamTtl]]. `docs` must carry an event-time `ts`.
+    *
+    * The timeout is per BUCKET (the state key), armed at the bucket's
+    * newest member + ttl: a bucket stays alive while any member is fresh,
+    * and individual stale members are pruned on every visit, so a hot
+    * bucket cannot pin its cold members forever.
+    */
+  def simhashPairsStreamTtl(docs: DataFrame, ttlMs: Long, maxHamming: Int = 3,
+                            watermark: String = "1 hour"): DataFrame = {
+    val bits = 64
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, $bits): got $maxHamming")
+    val nBlocks = maxHamming + 1
+    val bounds = (0 to nBlocks).map(i => i * bits / nBlocks)
+    def widthMask(i: Int): Long = {
+      val w = bounds(i + 1) - bounds(i)
+      if (w >= 64) -1L else (1L << w) - 1
+    }
+    def firstBlock(x: Long): Int =
+      (0 until nBlocks).find(i => (x & (widthMask(i) << bounds(i))) == 0).getOrElse(-1)
+    val blockCols = (0 until nBlocks).map { i =>
+      s"named_struct('blk', $i, 'key', shiftright(simhash, ${bounds(i)}) & ${widthMask(i)}L)"
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withWatermark("ts", watermark)
+      // same signature pipeline as DedupOps.simhash64Sig, ts carried along
+      .selectExpr("doc_id", "ts", s"${graft.ops.TextOps.wordsExpr("text")} as w")
+      .selectExpr("doc_id", "ts", "transform(w, x -> xxhash64(x)) as hs")
+      .selectExpr("doc_id", "ts", "simhash_bits(hs, 64) as simhash")
+      .selectExpr("doc_id", "simhash", "ts",
+        s"explode(array(${blockCols.mkString(", ")})) as b")
+      .selectExpr("doc_id", "simhash", "ts", "b.blk as blk", "b.key as key")
+      .as[(Long, Long, java.sql.Timestamp, Int, Long)]
+      .groupByKey(r => (r._4, r._5))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (Int, Long), rows: Iterator[(Long, Long, java.sql.Timestamp, Int, Long)],
+         state: GroupState[List[(Long, Long, Long)]]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val blk = key._1
+            val batch = rows.map(r => (r._1, r._2, r._3.getTime)).toVector.sortBy(_._1)
+            // prune members the watermark has already aged out — keeps a
+            // hot bucket from pinning cold members past their horizon
+            val horizon = state.getCurrentWatermarkMs - ttlMs
+            var seen = state.getOption.getOrElse(Nil).filter(_._3 >= horizon)
+            val out = Vector.newBuilder[(Long, Long, Long)]
+            batch.foreach { case (id, sig, ts) =>
+              seen.find(_._1 == id) match {
+                case Some(prev) => // re-delivery refreshes recency, no pair
+                  if (ts > prev._3) seen = (id, sig, ts) :: seen.filterNot(_._1 == id)
+                case None =>
+                  seen.foreach { case (pid, psig, _) =>
+                    val x = psig ^ sig
+                    val h = java.lang.Long.bitCount(x)
+                    if (h <= maxHamming && firstBlock(x) == blk)
+                      out += ((math.min(pid, id), math.max(pid, id), h.toLong))
+                  }
+                  seen = (id, sig, ts) :: seen
+              }
+            }
+            state.update(seen)
+            state.setTimeoutTimestamp(math.max(
+              seen.iterator.map(_._3).max + ttlMs,
+              state.getCurrentWatermarkMs + 1))
+            out.result().iterator
+          }
+        })
+      .toDF("doc_a", "doc_b", "hamming")
+  }
+
   /** [[dedupExactStream]] with a state TTL — the unbounded-stream variant
     * (VERDICT r4 #5): [[dedupExactStream]]'s state is O(distinct keys)
     * FOREVER, which is correct for the gated semantics but grows without

@@ -1152,6 +1152,41 @@ class DialectSpec extends SparkSpecBase {
     assert(plain === "EXPLAIN SELECT a FROM t")
   }
 
+  // ---- TO_DATE / TO_TIMESTAMP (PG format tokens) ----
+  test("TO_DATE/TO_TIMESTAMP translate PG format tokens and compute") {
+    assert(rewrite("SELECT TO_DATE('2019-06-30', 'YYYY-MM-DD')") ===
+      "SELECT TO_DATE('2019-06-30', 'yyyy-MM-dd')")
+    val d = sql1("SELECT TO_DATE('2019-06-30', 'YYYY-MM-DD') AS d")
+    assert(d.getDate(0).toString === "2019-06-30")
+    val t = sql1("SELECT TO_TIMESTAMP('30 Jun 2019 23:15:59', 'DD Mon YYYY HH24:MI:SS') AS t")
+    assert(t.getTimestamp(0).toString === "2019-06-30 23:15:59.0")
+    val t12 = sql1("SELECT TO_TIMESTAMP('2019-06-30 11:15 PM', 'YYYY-MM-DD HH12:MI PM') AS t")
+    assert(t12.getTimestamp(0).toString === "2019-06-30 23:15:00.0")
+  }
+  test("TO_DATE/TO_TIMESTAMP leave java-pattern formats untouched") {
+    val q = "SELECT to_timestamp('2019-06-30 23:15:59', 'yyyy-MM-dd HH:mm:ss')"
+    assert(rewrite(q) === q) // translating its HH would silently shift 12 hours
+    val r = sql1(q + " AS t")
+    assert(r.getTimestamp(0).toString === "2019-06-30 23:15:59.0")
+  }
+
+  // ---- CREATE TABLE (LIKE parent) ----
+  test("CREATE TABLE (LIKE parent) maps to Spark CREATE TABLE LIKE and executes") {
+    assert(rewrite("CREATE TABLE t2 (LIKE s.t1 INCLUDING DEFAULTS)") ===
+      "CREATE TABLE t2 LIKE s.t1")
+    spark.sql("DROP TABLE IF EXISTS like_child")
+    spark.sql("DROP TABLE IF EXISTS like_parent")
+    spark.sql("CREATE TABLE like_parent (id BIGINT, v DOUBLE) USING parquet")
+    graft.cli.ExecuteSql.run(spark, "CREATE TABLE like_child (LIKE like_parent)", None)
+    graft.cli.ExecuteSql.run(spark,
+      "INSERT INTO like_child VALUES (1, 1.5), (2, 2.5)", None)
+    assert(spark.table("like_child").count() === 2)
+    assert(spark.table("like_child").schema === spark.table("like_parent").schema)
+    // a plain column list with a column named `like` must not trigger it
+    assert(rewrite("CREATE TABLE t3 (like INT, a STRING)") ===
+      "CREATE TABLE t3 (like INT, a STRING)")
+  }
+
   // ---- Spectrum external DDL ----
   test("CREATE EXTERNAL SCHEMA maps to CREATE SCHEMA, catalog plumbing dropped") {
     assert(rewrite("CREATE EXTERNAL SCHEMA spectrum FROM DATA CATALOG " +

@@ -198,6 +198,14 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), s"medians side must broadcast:\n$p")
   }
 
+  test("decontamination matches via a semi-join on fingerprints, never a cartesian") {
+    val p = plan("op_decontaminate")
+    // the benchmark membership probe must be a semi-join on the 60-bit
+    // fingerprint key — one hash shuffle, never candidates × benchmark
+    assert(p.contains("LeftSemi"), s"no semi-join in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("frequent n-grams aggregate two-phase with map-side partials") {
     val p = plan("op_frequent_ngrams")
     // the shuffle must carry per-partition partials keyed by the gram,

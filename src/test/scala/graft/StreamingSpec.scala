@@ -99,6 +99,39 @@ class StreamingSpec extends SparkSpecBase {
       s"expected exactly one cross-batch pair, got: $rows")
   }
 
+  test("TTL'd streaming simhash pairs: expired docs stop matching, fresh ones match") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(minutes: Int) = new java.sql.Timestamp(1700000000000L + minutes * 60000L)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val other = "completely different words about other topics entirely for sure"
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingOps.simhashPairsStreamTtl(
+        stream.toDF().toDF("doc_id", "text", "ts"), ttlMs = 60000L,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("simhash_ttl")
+      .outputMode("append").start()
+    try {
+      // batch 1: two twins in-window → one pair, like the un-TTL'd variant
+      stream.addData(Seq((1L, base, ts(0)), (2L, other, ts(0)), (3L, base, ts(0))))
+      q.processAllAvailable()
+      // advance event time far past ts(0) + ttl, then let the timeout fire
+      stream.addData(Seq((10L, "filler words one two three four five six", ts(60))))
+      q.processAllAvailable()
+      stream.addData(Seq((11L, "more filler text seven eight nine ten eleven", ts(61))))
+      q.processAllAvailable()
+      // a twin of doc 1 arrives AFTER expiry → no pair; a twin of the
+      // fresh doc 20 in the same horizon → pair
+      stream.addData(Seq((20L, base, ts(65))))
+      q.processAllAvailable()
+      stream.addData(Seq((21L, base, ts(66))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("simhash_ttl")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set((1L, 3L, 0L), (20L, 21L, 0L)),
+      s"expected in-window pairs only, got: $rows")
+  }
+
   test("stateful streaming dedup flags later-batch duplicates against earlier state") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[(Long, String)]
