@@ -151,6 +151,21 @@ object OpQueries {
               |FROM g GROUP BY ngram HAVING COUNT(DISTINCT doc_id) >= 3
               |ORDER BY ngram""".stripMargin)),
 
+    // Rare-token (hapax-class) scoring: fraction of each doc's token
+    // occurrences with corpus frequency ≤ 2 — the lexical-noise quality
+    // signal. Exact integer counts + one division → full hash oracle.
+    QueryDef("op_rare_tokens",
+      (s, d) => TextOps.rareTokenScore(docs(s, d), 2),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($dkWords) AS tk FROM documents),
+              |cf AS (SELECT tk, COUNT(*) AS cf FROM tok GROUP BY tk)
+              |SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              |       CAST(SUM(CASE WHEN cf.cf <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+              |       CAST(SUM(CASE WHEN cf.cf <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+              |         / COUNT(*) AS rare_ratio
+              |FROM tok JOIN cf USING (tk)
+              |GROUP BY tok.doc_id
+              |ORDER BY tok.doc_id""".stripMargin)),
+
     // Composed selection step (quality filter → dedup keep → deterministic
     // md5 sample): the composition is gated, not just the stages. The
     // oracle rebuilds the identical pipeline from the shared fragments.

@@ -88,6 +88,32 @@ object TextOps {
       .orderBy("ngram")
   }
 
+  /** Rare-token scoring — the lexical-noise signal of a quality pipeline:
+    * per document, the fraction of token OCCURRENCES whose corpus-wide
+    * frequency is ≤ `rareMax` (the hapax/dis-legomena ratio at
+    * `rareMax = 2`). OCR garbage and gibberish score high — their tokens
+    * appear nowhere else; templated/boilerplate text scores near zero.
+    * Integer counts and one exact division, so the ratio is bit-stable
+    * across engines (no transcendentals — the determinism contract above).
+    *
+    * Scale shape: token explode (map-only) → one partial-aggregated
+    * groupBy(token) for corpus frequencies → shuffle equi-join back on the
+    * token → one partial-aggregated groupBy(doc_id). Every stage is keyed;
+    * nothing is collected or broadcast-sized by the vocabulary.
+    */
+  def rareTokenScore(docs: DataFrame, rareMax: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tok = docs.selectExpr("doc_id", s"explode(${wordsExpr("text")}) as tk")
+    val cf = tok.groupBy(col("tk")).agg(count(lit(1)).as("cf"))
+    tok.join(cf, "tk")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cf") <= rareMax, 1L).otherwise(0L)).as("n_rare"))
+      .selectExpr("doc_id", "n_tokens", "n_rare",
+        "cast(n_rare as double) / n_tokens as rare_ratio")
+      .orderBy("doc_id")
+  }
+
   /** N-gram-heuristic language ID: score per language = number of tokens in
     * that language's closed stopword class; argmax with a fixed precedence
     * (en > fr > es > de > zh) for ties.

@@ -42,8 +42,104 @@ object LocalDml {
     else if (toks(first).isWord("merge")) { runMerge(spark, toks, first); true }
     else if (toks(first).isWord("analyze")) runAnalyze(spark, toks, first)
     else if (toks(first).isWord("vacuum")) runVacuum(spark, toks, first)
-    else if (toks(first).isWord("alter")) runAlterAppend(spark, toks, first)
+    else if (toks(first).isWord("alter"))
+      runAlterAppend(spark, toks, first) || runAlterColumns(spark, toks, first)
     else false
+  }
+
+  /** Redshift column-level ALTER TABLE forms that vanilla parquet v1
+    * tables cannot express natively — emulated through the same
+    * copy-on-write swap as UPDATE/DELETE ([[swapDf]], layout preserved):
+    *
+    *   ALTER TABLE t DROP [COLUMN] c [CASCADE | RESTRICT]
+    *   ALTER TABLE t ALTER [COLUMN] c TYPE <type>   (cast, order kept)
+    *   ALTER TABLE t RENAME [COLUMN] a TO b
+    *
+    * ADD COLUMN is NOT here — it rewrites to Spark's native
+    * `ADD COLUMNS (…)` in [[RedshiftSql]] (a metadata-only operation; a
+    * full table rewrite for it would be wasteful and change no bytes
+    * Spark cares about). `RENAME TO` (table rename), ADD/DROP PARTITION
+    * and constraints return false and pass through to native DDL.
+    */
+  private def runAlterColumns(spark: SparkSession, toks: Vector[Tok], at: Int): Boolean = {
+    var i = nextCode(toks, at + 1)
+    if (i >= toks.length || !toks(i).isWord("table")) return false
+    val (table, afterT) = tableName(toks, i + 1)
+    i = nextCode(toks, afterT)
+    if (i >= toks.length) return false
+
+    // column names may arrive double-quoted (Redshift) — unwrap before
+    // matching against the schema
+    def deq(s: String): String =
+      if (s.length >= 2 && s.startsWith("\"") && s.endsWith("\""))
+        s.substring(1, s.length - 1).replace("\"\"", "\"")
+      else s
+    def colOf(df: DataFrame, raw: String, stmt: String): String = {
+      val name = deq(raw)
+      df.schema.fieldNames.find(_.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(s"$stmt: no column '$name' in $table"))
+    }
+
+    if (toks(i).isWord("drop")) {
+      var j = nextCode(toks, i + 1)
+      if (j < toks.length && (toks(j).isWord("partition") ||
+          toks(j).isWord("constraint"))) return false // native / pass-through
+      if (j < toks.length && toks(j).isWord("column")) j = nextCode(toks, j + 1)
+      val (cname, afterC) = tableName(toks, j)
+      val k = nextCode(toks, afterC)
+      if (k < toks.length && !(toks(k).isWord("cascade") || toks(k).isWord("restrict")))
+        throw new IllegalArgumentException(
+          s"ALTER TABLE DROP COLUMN: unexpected '${toks(k).text}'")
+      requireNotMv(spark, table, "ALTER TABLE DROP COLUMN")
+      val df = spark.table(table)
+      val real = colOf(df, cname, "ALTER TABLE DROP COLUMN")
+      require(df.schema.length > 1,
+        s"ALTER TABLE DROP COLUMN: cannot drop the only column of $table")
+      swapDf(spark, table, df.drop(real))
+      true
+    } else if (toks(i).isWord("alter")) {
+      var j = nextCode(toks, i + 1)
+      if (j < toks.length && toks(j).isWord("column")) j = nextCode(toks, j + 1)
+      val (cname, afterC) = tableName(toks, j)
+      val ty = nextCode(toks, afterC)
+      require(ty < toks.length && toks(ty).isWord("type"),
+        s"ALTER TABLE ALTER COLUMN supports only TYPE changes (got '${
+          if (ty < toks.length) toks(ty).text else ""}')")
+      var end = nextCode(toks, ty + 1)
+      while (end < toks.length && !(toks(end).kind == Sym && toks(end).text == ";"))
+        end += 1
+      // normalizeDef skips the first code token (the column name slot) —
+      // a dummy name lets it normalize a bare type expression
+      val typeText = SpectrumDdl
+        .normalizeDef(Tok(Word, "__t") +: toks.slice(nextCode(toks, ty + 1), end))
+        .stripPrefix("__t").trim
+      require(typeText.nonEmpty, "ALTER COLUMN TYPE needs a type")
+      val newType = spark.sessionState.sqlParser.parseDataType(typeText)
+      requireNotMv(spark, table, "ALTER TABLE ALTER COLUMN TYPE")
+      val df = spark.table(table)
+      val real = colOf(df, cname, "ALTER TABLE ALTER COLUMN TYPE")
+      swapDf(spark, table, df.select(df.schema.fieldNames.map { f =>
+        if (f == real) col(s"`$f`").cast(newType).as(f) else col(s"`$f`")
+      }.toSeq: _*))
+      true
+    } else if (toks(i).isWord("rename")) {
+      var j = nextCode(toks, i + 1)
+      if (j >= toks.length || !toks(j).isWord("column")) return false // RENAME TO = native
+      j = nextCode(toks, j + 1)
+      val (from, afterF) = tableName(toks, j)
+      val to = nextCode(toks, afterF)
+      require(to < toks.length && toks(to).isWord("to"),
+        "ALTER TABLE RENAME COLUMN needs TO <new name>")
+      val (newRaw, _) = tableName(toks, to + 1)
+      val newName = deq(newRaw)
+      requireNotMv(spark, table, "ALTER TABLE RENAME COLUMN")
+      val df = spark.table(table)
+      val real = colOf(df, from, "ALTER TABLE RENAME COLUMN")
+      require(!df.schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+        s"ALTER TABLE RENAME COLUMN: $table already has a column '$newName'")
+      swapDf(spark, table, df.withColumnRenamed(real, newName))
+      true
+    } else false
   }
 
   /** Redshift `ALTER TABLE <target> APPEND FROM <source>

@@ -71,6 +71,7 @@ object RedshiftSql {
     toks = rewriteToChar(toks)
     toks = rewriteToDateTs(toks)
     toks = rewriteCreateLike(toks)
+    toks = rewriteAlterAddColumn(toks)
     toks = rewriteTableAttrs(toks)
     render(toks)
   }
@@ -623,6 +624,41 @@ object RedshiftSql {
         val fmt = toks(s).text.stripPrefix("'").stripSuffix("'")
         rewriteToDateTs(toks.updated(s, Tok(Str, s"'${translateFormat(fmt)}'")))
     }
+  }
+
+  /** Redshift `ALTER TABLE t ADD [COLUMN] col type [DEFAULT expr]` →
+    * Spark `ALTER TABLE t ADD COLUMNS (col type [DEFAULT expr])`
+    * (Redshift's one-column-per-statement form without parens; Spark wants
+    * the parenthesized list). The type goes through the same Redshift
+    * spelling normalization as external DDL; DEFAULT rides through —
+    * Spark's column-default machinery gives existing rows the default on
+    * read, matching Redshift's ADD COLUMN backfill semantics.
+    */
+  private def rewriteAlterAddColumn(toks: Vector[Tok]): Vector[Tok] = {
+    val first = nextCode(toks, 0)
+    if (first >= toks.length || !toks(first).isWord("alter")) return toks
+    val tbl = nextCode(toks, first + 1)
+    if (tbl >= toks.length || !toks(tbl).isWord("table")) return toks
+    val afterName =
+      try qualifiedName(toks, tbl + 1)._2
+      catch { case _: IllegalArgumentException => return toks }
+    val add = nextCode(toks, afterName)
+    if (add >= toks.length || !toks(add).isWord("add")) return toks
+    var defAt = nextCode(toks, add + 1)
+    if (defAt < toks.length && toks(defAt).isWord("column"))
+      defAt = nextCode(toks, defAt + 1)
+    // already-parenthesized (Spark ADD COLUMNS (…)) or ADD PARTITION —
+    // native syntax, leave alone
+    if (defAt >= toks.length || toks(defAt).kind == Sym ||
+        toks(defAt).isWord("partition") || toks(defAt).isWord("columns") ||
+        toks(defAt).isWord("constraint") || toks(defAt).isWord("if")) return toks
+    // statement end = ';' or end of tokens
+    var end = defAt
+    while (end < toks.length && !(toks(end).kind == Sym && toks(end).text == ";"))
+      end += 1
+    val defText = SpectrumDdl.normalizeDef(toks.slice(defAt, end))
+    if (defText.isEmpty) return toks
+    toks.take(add).toVector ++ tokenize(s"ADD COLUMNS ($defText)") ++ toks.slice(end, toks.length)
   }
 
   /** Redshift `CREATE TABLE t (LIKE parent [INCLUDING|EXCLUDING DEFAULTS])`

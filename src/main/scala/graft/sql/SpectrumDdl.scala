@@ -117,8 +117,9 @@ object SpectrumDdl {
     "timestamptz" -> "TIMESTAMP_LTZ", "super" -> "VARIANT")
 
   /** Normalizes ONE column definition's type tokens; the leading name
-    * token is never touched (a column named `int8` stays a name). */
-  private def normalizeDef(defToks: Vector[Tok]): String = {
+    * token is never touched (a column named `int8` stays a name).
+    * Package-visible: ALTER TABLE ADD COLUMN reuses it ([[RedshiftSql]]). */
+  private[sql] def normalizeDef(defToks: Vector[Tok]): String = {
     val first = nextCode(defToks, 0)
     val out = Vector.newBuilder[Tok]
     var i = 0

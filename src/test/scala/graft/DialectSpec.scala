@@ -1187,6 +1187,51 @@ class DialectSpec extends SparkSpecBase {
       "CREATE TABLE t3 (like INT, a STRING)")
   }
 
+  // ---- column-level ALTER TABLE ----
+  test("ALTER TABLE ADD COLUMN rewrites to native ADD COLUMNS with type normalization") {
+    assert(rewrite("ALTER TABLE t ADD COLUMN c INT8") ===
+      "ALTER TABLE t ADD COLUMNS (c BIGINT)")
+    assert(rewrite("ALTER TABLE t ADD c DOUBLE PRECISION DEFAULT 0.0") ===
+      "ALTER TABLE t ADD COLUMNS (c DOUBLE DEFAULT 0.0)")
+    // native Spark forms and non-column ADDs stay untouched
+    Seq("ALTER TABLE t ADD COLUMNS (c INT)",
+        "ALTER TABLE t ADD PARTITION (dt='2008-01-01')").foreach { q =>
+      assert(rewrite(q) === q)
+    }
+  }
+
+  test("ALTER TABLE column DDL executes: add/alter-type/rename/drop, data kept") {
+    spark.sql("DROP TABLE IF EXISTS altcol_t")
+    spark.sql("CREATE TABLE altcol_t (id BIGINT, v DOUBLE) USING parquet")
+    spark.sql("INSERT INTO altcol_t VALUES (1, 1.5), (2, 2.5)")
+    // Redshift one-column ADD with DEFAULT: existing rows read the default
+    graft.cli.ExecuteSql.run(spark,
+      "ALTER TABLE altcol_t ADD COLUMN tag VARCHAR(8) DEFAULT 'none'", None)
+    assert(spark.table("altcol_t").filter("tag = 'none'").count() === 2)
+    // type change is a cast, column order preserved
+    graft.cli.ExecuteSql.run(spark,
+      "ALTER TABLE altcol_t ALTER COLUMN v TYPE DECIMAL(10,2)", None)
+    assert(spark.table("altcol_t").schema("v").dataType ===
+      org.apache.spark.sql.types.DecimalType(10, 2))
+    assert(spark.table("altcol_t").schema.fieldNames.toSeq === Seq("id", "v", "tag"))
+    // rename + drop, rows intact throughout
+    graft.cli.ExecuteSql.run(spark,
+      "ALTER TABLE altcol_t RENAME COLUMN tag TO label", None)
+    assert(spark.table("altcol_t").schema.fieldNames.toSeq === Seq("id", "v", "label"))
+    graft.cli.ExecuteSql.run(spark, "ALTER TABLE altcol_t DROP COLUMN label", None)
+    assert(spark.table("altcol_t").schema.fieldNames.toSeq === Seq("id", "v"))
+    assert(spark.table("altcol_t").count() === 2)
+    assert(spark.sql("SELECT CAST(sum(v) AS DOUBLE) FROM altcol_t")
+      .head.getDouble(0) === 4.0)
+    // guards: unknown column, duplicate rename target
+    intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark, "ALTER TABLE altcol_t DROP COLUMN nope", None)
+    }
+    intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark, "ALTER TABLE altcol_t RENAME COLUMN v TO id", None)
+    }
+  }
+
   // ---- Spectrum external DDL ----
   test("CREATE EXTERNAL SCHEMA maps to CREATE SCHEMA, catalog plumbing dropped") {
     assert(rewrite("CREATE EXTERNAL SCHEMA spectrum FROM DATA CATALOG " +

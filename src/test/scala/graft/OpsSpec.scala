@@ -505,6 +505,24 @@ class OpsSpec extends SparkSpecBase {
     assert(graft.ops.DedupOps.spanDedup(docsDf, 8, minDocs = 3).count() === 0)
   }
 
+  test("rare-token score equals an independent brute-force count") {
+    val texts = Seq(
+      1L -> "common common common oddityone",         // 1 of 4 occurrences rare
+      2L -> "common words words oddlytwo oddlythree", // words appears 3× → not rare at max 2
+      3L -> "words common",
+      4L -> "zzqx")                                   // pure hapax → ratio 1.0
+    val out = graft.ops.TextOps.rareTokenScore(texts.toDF("doc_id", "text"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val cf = texts.flatMap(_._2.split("\\s+")).groupBy(identity).view.mapValues(_.size)
+    val brute = texts.map { case (id, t) =>
+      val toks = t.split("\\s+").toSeq
+      val rare = toks.count(cf(_) <= 2)
+      (id, toks.size.toLong, rare.toLong, rare.toDouble / toks.size)
+    }
+    assert(out === brute)
+    assert(out.find(_._1 == 4L).get._4 === 1.0)
+  }
+
   test("frequent n-grams equal an independent brute-force count on planted boilerplate") {
     val boiler = "all rights reserved contact us here"          // 6 tokens → two 5-grams
     val docsDf = Seq(
