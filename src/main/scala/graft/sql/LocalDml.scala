@@ -44,7 +44,64 @@ object LocalDml {
     else if (toks(first).isWord("vacuum")) runVacuum(spark, toks, first)
     else if (toks(first).isWord("alter"))
       runAlterAppend(spark, toks, first) || runAlterColumns(spark, toks, first)
+    else if (toks(first).isWord("set")) runSet(spark, toks, first)
     else false
+  }
+
+  /** Redshift session `SET`s (every ETL script's preamble — reachable via
+    * the pass-through like everything else):
+    *
+    *   SET search_path TO|= s1, s2, …  → the current database becomes the
+    *     FIRST schema in the list that exists (Spark has one current
+    *     database, not a path — first-existing is the closest honest
+    *     resolution rule; `"$user"` placeholders are skipped; none
+    *     existing raises rather than silently ignoring the statement)
+    *   SET timezone / TIME ZONE TO|= 'tz' → spark.sql.session.timeZone
+    *   SET <name> TO <value>             → Spark's `SET name=value`
+    *     (Redshift accepts TO where Spark wants `=`; other session knobs
+    *     like statement_timeout land in the conf as inert keys)
+    *
+    * The native `SET key = value` form returns false and passes through.
+    */
+  private def runSet(spark: SparkSession, toks: Vector[Tok], at: Int): Boolean = {
+    var i = nextCode(toks, at + 1)
+    if (i < toks.length && (toks(i).isWord("session") || toks(i).isWord("local")))
+      i = nextCode(toks, i + 1)
+    if (i >= toks.length || toks(i).kind != Word) return false
+    val name = toks(i).text.toLowerCase
+    var sep = nextCode(toks, i + 1)
+    val isTz = name == "timezone" ||
+      (name == "time" && sep < toks.length && toks(sep).isWord("zone") && {
+        sep = nextCode(toks, sep + 1); true
+      })
+    if (sep >= toks.length) return false
+    val hasTo = toks(sep).isWord("to")
+    val hasEq = toks(sep).kind == Sym && toks(sep).text == "="
+    if (!hasTo && !hasEq) return false
+    val vals = toks.slice(sep + 1, toks.length)
+    def unquote(s: String): String = {
+      val t = s.trim
+      if (t.length >= 2 && ((t.head == '\'' && t.last == '\'') ||
+          (t.head == '"' && t.last == '"')))
+        t.substring(1, t.length - 1)
+      else t
+    }
+    if (name == "search_path") {
+      val names = render(vals).split(",").map(e => unquote(e)).map(_.trim)
+        .filter(n => n.nonEmpty && n != "$user")
+      require(names.nonEmpty, "SET search_path: no schema names given")
+      val found = names.find(spark.catalog.databaseExists)
+      require(found.nonEmpty,
+        s"SET search_path: none of ${names.mkString(", ")} exists in the catalog")
+      spark.catalog.setCurrentDatabase(found.get)
+      true
+    } else if (isTz) {
+      spark.conf.set("spark.sql.session.timeZone", unquote(render(vals)))
+      true
+    } else if (hasTo) {
+      spark.sql(s"SET $name=${render(vals).trim}")
+      true
+    } else false
   }
 
   /** Redshift column-level ALTER TABLE forms that vanilla parquet v1

@@ -1187,6 +1187,32 @@ class DialectSpec extends SparkSpecBase {
       "CREATE TABLE t3 (like INT, a STRING)")
   }
 
+  // ---- session SETs ----
+  test("SET search_path picks the first existing schema; SET timezone maps to the session conf") {
+    val prevDb = spark.catalog.currentDatabase
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.sql("CREATE SCHEMA IF NOT EXISTS sp_target")
+      graft.cli.ExecuteSql.run(spark,
+        "SET search_path TO no_such_schema, \"$user\", sp_target, default", None)
+      assert(spark.catalog.currentDatabase === "sp_target")
+      // unqualified DDL now lands in the schema the path selected
+      graft.cli.ExecuteSql.run(spark,
+        "CREATE TABLE sp_unqualified (id INT) USING parquet", None)
+      assert(spark.catalog.tableExists("sp_target.sp_unqualified"))
+      graft.cli.ExecuteSql.run(spark, "SET TIME ZONE 'America/New_York'", None)
+      assert(spark.conf.get("spark.sql.session.timeZone") === "America/New_York")
+      // generic TO-form session knobs execute as Spark SET (inert keys)
+      graft.cli.ExecuteSql.run(spark, "SET statement_timeout TO 0", None)
+      intercept[IllegalArgumentException] {
+        graft.cli.ExecuteSql.run(spark, "SET search_path TO nope_a, nope_b", None)
+      }
+    } finally {
+      spark.catalog.setCurrentDatabase(prevDb)
+      spark.conf.set("spark.sql.session.timeZone", prevTz)
+    }
+  }
+
   // ---- column-level ALTER TABLE ----
   test("ALTER TABLE ADD COLUMN rewrites to native ADD COLUMNS with type normalization") {
     assert(rewrite("ALTER TABLE t ADD COLUMN c INT8") ===
