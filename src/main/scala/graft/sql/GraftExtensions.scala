@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   IsNotNull, IsNull, Length, LengthOfJsonArray, LessThan, Literal, Log,
   Log10, Lower, Multiply, Or, Pow, RegExpExtract, Sha1, Size, Slice,
   StringLocate, StringRepeat, StringReplace, StringSplitSQL, StringTrim,
-  TruncDate, UnBase64, Unhex}
+  TruncDate, UnBase64, Unhex, Year}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   HllSketchAgg, HllUnionAgg, HyperLogLogPlusPlus}
 import org.apache.spark.sql.catalyst.expressions.variant.ParseJson
@@ -297,6 +297,15 @@ object GraftExtensions {
         }
         case _ => throw new IllegalArgumentException(
           "from_varbyte: format must be a string literal")
-      })
+      }),
+    // STRTOL(str, base) — Redshift's radix parser; Conv re-bases to
+    // decimal, the Cast yields the BIGINT Redshift returns.
+    (FunctionIdentifier("strtol"),
+      info("strtol", "strtol(str, base) - bigint value of str interpreted in the given base."),
+      (args: Seq[Expression]) =>
+        Cast(Conv(Cast(args(0), StringType), args(1), Literal(10)), LongType)),
+    (FunctionIdentifier("date_part_year"),
+      info("date_part_year", "date_part_year(date) - the year of date (Redshift shorthand)."),
+      (args: Seq[Expression]) => Year(Cast(args(0), DateType)))
   )
 }

@@ -65,6 +65,7 @@ object RedshiftSql {
     toks = rewriteApproximate(toks)
     toks = rewriteRatioToReport(toks)
     toks = rewriteSimilarTo(toks)
+    toks = rewritePosixRegex(toks)
     toks = rewriteSimpleCalls(toks)
     toks = rewriteConvert(toks)
     toks = rewriteDateAddDiff(toks)
@@ -450,6 +451,91 @@ object RedshiftSql {
         val rx = similarToRegex(raw)
         rewriteSimilarTo(toks.patch(i,
           Vector(Tok(Word, "RLIKE"), Tok(Ws, " "), Tok(Str, s"'$rx'")), s - i + 1))
+    }
+  }
+
+  /** POSIX regex predicates — `x ~ 'p'`, `x ~* 'p'`, `x !~ 'p'`,
+    * `x !~* 'p'` (grep-style matching, ubiquitous in Redshift WHERE
+    * clauses; Spark's parser has no binary `~`) → `[NOT] RLIKE`, with the
+    * case-insensitive forms folding `(?i)` into the pattern (literal
+    * patterns get it prefixed in place; a computed pattern is wrapped in
+    * `concat('(?i)', …)`).
+    *
+    * `~` is ALSO Spark's unary bitwise NOT: the rewrite fires only when
+    * the token before the operator (before the `!` for negated forms) is
+    * an OPERAND — a literal, quoted identifier, closing paren/bracket, or
+    * a non-keyword word — which a unary `~` can never follow. `SELECT ~5`
+    * and `a & ~b` pass through untouched (identity-property tested).
+    */
+  private val nonOperandKeywords = Set(
+    "select", "where", "and", "or", "not", "case", "when", "then", "else",
+    "on", "in", "is", "like", "ilike", "rlike", "regexp", "between", "from",
+    "join", "having", "all", "any", "some", "distinct", "as", "union",
+    "intersect", "except", "minus", "limit", "offset", "by", "over",
+    "partition", "escape", "set", "values", "returning", "filter")
+  private def rewritePosixRegex(toks: Vector[Tok]): Vector[Tok] = {
+    def isOperand(t: Tok): Boolean = t.kind match {
+      case Str | Num | QIdent => true
+      case Sym => t.text == ")" || t.text == "]"
+      case Word => !nonOperandKeywords.contains(t.text.toLowerCase)
+      case _ => false
+    }
+    def prevCode(i: Int): Int = {
+      var p = i - 1
+      while (p >= 0 && (toks(p).kind == Ws || toks(p).kind == Comment)) p -= 1
+      p
+    }
+    val hit = toks.indices.find { i =>
+      toks(i).kind == Sym && toks(i).text == "~" && {
+        val p = prevCode(i)
+        val p2 = if (p >= 0 && toks(p).kind == Sym && toks(p).text == "!") prevCode(p) else p
+        p2 >= 0 && isOperand(toks(p2))
+      }
+    }
+    hit match {
+      case None => toks
+      case Some(i) =>
+        val bang = prevCode(i)
+        val neg = bang >= 0 && toks(bang).kind == Sym && toks(bang).text == "!"
+        val star = nextCode(toks, i + 1)
+        val ci = star < toks.length && toks(star).kind == Sym && toks(star).text == "*"
+        val opStart = if (neg) bang else i
+        val opEnd = if (ci) star else i
+        val rhs = nextCode(toks, opEnd + 1)
+        if (rhs >= toks.length) return toks
+        // pad only where the original had no whitespace, so spaced input
+        // round-trips without doubled blanks
+        val core = tokenize(if (neg) "NOT RLIKE" else "RLIKE")
+        val pre = if (opStart > 0 && toks(opStart - 1).kind != Ws)
+          Vector(Tok(Ws, " ")) else Vector.empty
+        val post = if (opEnd + 1 < toks.length && toks(opEnd + 1).kind != Ws)
+          Vector(Tok(Ws, " ")) else Vector.empty
+        val opToks = pre ++ core ++ post
+        val out: Vector[Tok] =
+          if (!ci)
+            toks.patch(opStart, opToks, opEnd - opStart + 1)
+          else if (toks(rhs).kind == Str) {
+            val pat = toks(rhs).text.stripPrefix("'").stripSuffix("'")
+            toks.updated(rhs, Tok(Str, s"'(?i)$pat'"))
+              .patch(opStart, opToks, opEnd - opStart + 1)
+          } else {
+            // computed pattern: bound its extent (call, paren group, or a
+            // single identifier) and wrap it in concat('(?i)', …)
+            val rhsEnd = toks(rhs).kind match {
+              case Sym if toks(rhs).text == "(" => matchParen(toks, rhs)
+              case Word | QIdent =>
+                val p = nextCode(toks, rhs + 1)
+                if (p < toks.length && toks(p).kind == Sym && toks(p).text == "(")
+                  matchParen(toks, p)
+                else rhs
+              case _ => return toks // unrecognized rhs shape — leave it loud
+            }
+            val wrapped = tokenize(
+              s"concat('(?i)', ${render(toks.slice(rhs, rhsEnd + 1))})")
+            toks.patch(rhs, wrapped, rhsEnd - rhs + 1)
+              .patch(opStart, opToks, opEnd - opStart + 1)
+          }
+        rewritePosixRegex(out)
     }
   }
 

@@ -1187,6 +1187,34 @@ class DialectSpec extends SparkSpecBase {
       "CREATE TABLE t3 (like INT, a STRING)")
   }
 
+  // ---- POSIX regex operators ----
+  test("POSIX regex operators map to RLIKE; bitwise ~ stays untouched") {
+    assert(rewrite("SELECT * FROM t WHERE a ~ '^ab'") ===
+      "SELECT * FROM t WHERE a RLIKE '^ab'")
+    assert(rewrite("SELECT * FROM t WHERE a !~* 'ab$'") ===
+      "SELECT * FROM t WHERE a NOT RLIKE '(?i)ab$'")
+    assert(rewrite("SELECT * FROM t WHERE a ~* upper(b)") ===
+      "SELECT * FROM t WHERE a RLIKE concat('(?i)', upper(b))")
+    assert(rewrite("SELECT c FROM t WHERE x~'p' AND y !~ 'q'") ===
+      "SELECT c FROM t WHERE x RLIKE 'p' AND y NOT RLIKE 'q'")
+    Seq("SELECT ~5", "SELECT 5 & ~x FROM t",
+        "SELECT CASE WHEN a THEN ~b ELSE c END FROM t").foreach { q =>
+      assert(rewrite(q) === q, s"bitwise ~ corrupted: $q")
+    }
+    Tables.registerAll(spark, sfDir)
+    val n = spark.sql(rewrite(
+      "SELECT count(*) AS n FROM nation WHERE n_name ~* '^nation_1'")).head.getLong(0)
+    val m = spark.sql(
+      "SELECT count(*) FROM nation WHERE lower(n_name) LIKE 'nation_1%'").head.getLong(0)
+    assert(n === m && n > 0)
+  }
+
+  test("strtol and date_part_year compute") {
+    assert(sql1("SELECT strtol('ff', 16) AS v").getLong(0) === 255L)
+    assert(sql1("SELECT strtol('101', 2) AS v").getLong(0) === 5L)
+    assert(sql1("SELECT date_part_year(DATE'2008-06-01') AS y").getInt(0) === 2008)
+  }
+
   // ---- session SETs ----
   test("SET search_path picks the first existing schema; SET timezone maps to the session conf") {
     val prevDb = spark.catalog.currentDatabase
