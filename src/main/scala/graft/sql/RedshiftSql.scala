@@ -35,6 +35,11 @@ import SqlTokens._
   *   NVL / NVL2 / DECODE / MINUS / `::` casts — already native in Spark.
   *   CREATE EXTERNAL SCHEMA / CREATE EXTERNAL TABLE (Spectrum DDL)
   *                                 → Spark datasource-table DDL ([[SpectrumDdl]])
+  *   x ~ / ~* / !~ / !~* 'pat'     → [NOT] RLIKE (operand-guarded)
+  *   TO_DATE/TO_TIMESTAMP PG fmts  → java patterns (PG-token-guarded)
+  *   CREATE TABLE t (LIKE parent)  → CREATE TABLE t LIKE parent
+  *   ALTER TABLE ADD COLUMN c ty   → ADD COLUMNS (c ty) (types normalized)
+  *   START WITH … CONNECT BY PRIOR → WITH RECURSIVE fixed point (+ level)
   *
   * Function-name gaps with identical call syntax (CHARINDEX, LEN,
   * REGEXP_SUBSTR, FNV_HASH, CHECKSUM) are registered as real functions in
@@ -60,6 +65,7 @@ object RedshiftSql {
     var toks = tokenize(sql)
     toks = SpectrumDdl.rewriteExternalSchema(toks)
     toks = SpectrumDdl.rewriteExternalTable(toks)
+    toks = rewriteConnectBy(toks)
     toks = rewriteTop(toks)
     toks = rewriteQualify(toks)
     toks = rewriteApproximate(toks)
@@ -200,6 +206,109 @@ object RedshiftSql {
     out.toVector
   }
 
+  /** Redshift hierarchical queries (Oracle-style `START WITH … CONNECT BY
+    * PRIOR`; Spark has no CONNECT BY) → the native recursive CTE that
+    * computes the same fixed point:
+    *
+    *   SELECT <list> FROM <table> [WHERE w]
+    *     START WITH <seed> CONNECT BY PRIOR <pcol> = <ccol> [ORDER BY …]
+    *   → WITH RECURSIVE __connect_by AS (
+    *       SELECT __cb_c.*, CAST(1 AS BIGINT) AS level
+    *       FROM <table> __cb_c WHERE <seed>
+    *       UNION ALL
+    *       SELECT __cb_c.*, __cb_p.level + 1
+    *       FROM <table> __cb_c JOIN __connect_by __cb_p
+    *         ON __cb_p.<pcol> = __cb_c.<ccol>)
+    *     SELECT <list> FROM __connect_by [WHERE w] [ORDER BY …]
+    *
+    * `PRIOR x` refers to the PARENT row, so `PRIOR x = y` joins parent.x
+    * to child.y (either operand order is accepted). Oracle/Redshift's
+    * LEVEL pseudo-column is materialized as `level` (root = 1). The WHERE
+    * clause filters AFTER hierarchy expansion — Redshift's documented
+    * evaluation order. Single-table FROM only; a cyclic hierarchy is
+    * caught by Spark's recursion depth limit instead of looping forever.
+    */
+  private def rewriteConnectBy(toks: Vector[Tok]): Vector[Tok] = {
+    // locate CONNECT BY at paren depth 0
+    var depth = 0
+    var cb = -1
+    var i = 0
+    while (i < toks.length && cb < 0) {
+      val t = toks(i)
+      if (t.kind == Sym && t.text == "(") depth += 1
+      else if (t.kind == Sym && t.text == ")") depth -= 1
+      else if (depth == 0 && t.isWord("connect")) {
+        val by = nextCode(toks, i + 1)
+        if (by < toks.length && toks(by).isWord("by")) cb = i
+      }
+      i += 1
+    }
+    if (cb < 0) return toks
+
+    def findWord(w: String, from: Int, until: Int): Int = {
+      var d = 0
+      var j = from
+      var found = -1
+      while (j < until && found < 0) {
+        val t = toks(j)
+        if (t.kind == Sym && t.text == "(") d += 1
+        else if (t.kind == Sym && t.text == ")") d -= 1
+        else if (d == 0 && t.isWord(w)) found = j
+        j += 1
+      }
+      found
+    }
+    val sel = findWord("select", 0, cb)
+    val from = findWord("from", sel.max(0), cb)
+    require(sel >= 0 && from >= 0, "CONNECT BY needs SELECT … FROM …")
+    val startWith = findWord("start", from, cb)
+    require(startWith >= 0 && {
+      val w = nextCode(toks, startWith + 1)
+      w < toks.length && toks(w).isWord("with")
+    }, "CONNECT BY requires a START WITH clause")
+    val where = findWord("where", from, startWith)
+    val selectList = render(toks.slice(sel + 1, from)).trim
+    val tableEnd = if (where >= 0) where else startWith
+    val table = render(toks.slice(from + 1, tableEnd)).trim
+    require(!table.exists(c => c == ',' || c.isWhitespace) && table.nonEmpty,
+      s"CONNECT BY supports a single-table FROM (got: $table)")
+    val whereText =
+      if (where >= 0) render(toks.slice(where + 1, startWith)).trim
+      else ""
+    val withAt = nextCode(toks, startWith + 1)
+    val seed = render(toks.slice(withAt + 1, cb)).trim
+    require(seed.nonEmpty, "START WITH needs a predicate")
+
+    // CONNECT BY [PRIOR] a = b [ORDER BY …] — one equality, PRIOR on one side
+    val by = nextCode(toks, cb + 1)
+    var j = nextCode(toks, by + 1)
+    val tail = findWord("order", j, toks.length) match {
+      case -1 => toks.length
+      case o => o
+    }
+    var priorLeft = false
+    if (j < tail && toks(j).isWord("prior")) { priorLeft = true; j = nextCode(toks, j + 1) }
+    val eq = (j until tail).find(k => toks(k).kind == Sym && toks(k).text == "=")
+      .getOrElse(throw new IllegalArgumentException(
+        "CONNECT BY supports exactly `[PRIOR] col = [PRIOR] col`"))
+    var lhs = render(toks.slice(j, eq)).trim
+    var r = nextCode(toks, eq + 1)
+    var priorRight = false
+    if (r < tail && toks(r).isWord("prior")) { priorRight = true; r = nextCode(toks, r + 1) }
+    var rhs = render(toks.slice(r, tail)).trim
+    require(priorLeft ^ priorRight,
+      "CONNECT BY needs PRIOR on exactly one side of the equality")
+    val (pcol, ccol) = if (priorLeft) (lhs, rhs) else (rhs, lhs)
+    val orderText = if (tail < toks.length) " " + render(toks.slice(tail, toks.length)).trim else ""
+    val whereClause = if (whereText.nonEmpty) s" WHERE $whereText" else ""
+
+    tokenize(
+      s"WITH RECURSIVE __connect_by AS (" +
+        s"SELECT __cb_c.*, CAST(1 AS BIGINT) AS level FROM $table __cb_c WHERE $seed" +
+        s" UNION ALL SELECT __cb_c.*, __cb_p.level + 1" +
+        s" FROM $table __cb_c JOIN __connect_by __cb_p ON __cb_p.$pcol = __cb_c.$ccol)" +
+        s" SELECT $selectList FROM __connect_by$whereClause$orderText")
+  }
   /** QUALIFY <pred> (Redshift 2023+/Snowflake window filter; Spark's parser
     * rejects it) → hoist the SELECT into a subquery and filter outside:
     *

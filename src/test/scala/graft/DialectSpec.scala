@@ -1187,6 +1187,33 @@ class DialectSpec extends SparkSpecBase {
       "CREATE TABLE t3 (like INT, a STRING)")
   }
 
+  // ---- CONNECT BY ----
+  test("CONNECT BY PRIOR rewrites to a recursive CTE with LEVEL and executes") {
+    spark.sql("DROP TABLE IF EXISTS cb_emp")
+    spark.sql("CREATE TABLE cb_emp (id BIGINT, mgr BIGINT, name STRING) USING parquet")
+    spark.sql("INSERT INTO cb_emp VALUES (1, NULL, 'ceo'), (2, 1, 'vp1'), " +
+      "(3, 1, 'vp2'), (4, 2, 'ic1'), (5, 4, 'intern')")
+    val rows = spark.sql(rewrite(
+      "SELECT id, name, level FROM cb_emp START WITH mgr IS NULL " +
+        "CONNECT BY PRIOR id = mgr ORDER BY id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq === Seq((1L, "ceo", 1L), (2L, "vp1", 2L), (3L, "vp2", 2L),
+      (4L, "ic1", 3L), (5L, "intern", 4L)))
+    // reversed operand order; WHERE filters AFTER hierarchy expansion
+    val rows2 = spark.sql(rewrite(
+      "SELECT id, level FROM cb_emp WHERE id <> 3 START WITH mgr IS NULL " +
+        "CONNECT BY mgr = PRIOR id ORDER BY id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows2.toSeq === Seq((1L, 1L), (2L, 2L), (4L, 3L), (5L, 4L)))
+    // guards: PRIOR required on exactly one side; START WITH required
+    intercept[IllegalArgumentException] {
+      rewrite("SELECT id FROM cb_emp START WITH mgr IS NULL CONNECT BY id = mgr")
+    }
+    intercept[IllegalArgumentException] {
+      rewrite("SELECT id FROM cb_emp CONNECT BY PRIOR id = mgr")
+    }
+  }
+
   // ---- POSIX regex operators ----
   test("POSIX regex operators map to RLIKE; bitwise ~ stays untouched") {
     assert(rewrite("SELECT * FROM t WHERE a ~ '^ab'") ===
