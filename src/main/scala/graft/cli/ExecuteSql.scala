@@ -61,26 +61,48 @@ object ExecuteSql {
         try { val st = jc.createStatement(); try st.execute(query) finally st.close() }
         finally jc.close()
       case None =>
-        val rewritten = RedshiftSql.rewrite(query)
-        // EXPLAIN over a locally-EMULATED statement (DML/COPY/MV/APPEND)
-        // has no Spark plan to show — fail with the reason instead of the
-        // opaque ParseException spark.sql would raise on e.g. UPDATE
-        explainedEmulated(rewritten).foreach { stmt =>
-          throw new IllegalArgumentException(
-            s"EXPLAIN $stmt: the statement executes through local emulation " +
-              "(LocalDml/LocalCopy/LocalMv) — there is no Spark plan to explain")
+        // Redshift ETL scripts arrive as multi-statement strings
+        // (`BEGIN; …; COMMIT;`) — split at depth-0 semicolons OUTSIDE
+        // string literals / comments (the tokenizer guarantees that) and
+        // run each statement through the full local pipeline in order.
+        import graft.sql.SqlTokens._
+        val toks = tokenize(query)
+        val stmts = Vector.newBuilder[String]
+        var depth = 0
+        var start = 0
+        toks.zipWithIndex.foreach { case (t, i) =>
+          if (t.kind == Sym && t.text == "(") depth += 1
+          else if (t.kind == Sym && t.text == ")") depth -= 1
+          else if (depth == 0 && t.kind == Sym && t.text == ";") {
+            stmts += render(toks.slice(start, i)).trim
+            start = i + 1
+          }
         }
-        // introspection queries against the Redshift system catalog resolve
-        // through generated views over the Spark catalog
-        graft.sql.CatalogShims.ensure(spark, rewritten)
-        // Local UPDATE/DELETE get copy-on-write emulation (Spark has no
-        // row-level DML on plain parquet tables), COPY/UNLOAD map to the
-        // blueprint CSV paths, and MATERIALIZED VIEW DDL materializes as a
-        // refreshable table; everything else runs on spark.sql.
-        // DDL/DML execute eagerly; SELECTs need an action to actually run
-        // (the reference also discards SELECT results here).
-        if (!LocalDml.run(spark, rewritten) && !LocalCopy.run(spark, rewritten) &&
-            !graft.sql.LocalMv.run(spark, rewritten))
-          spark.sql(rewritten).foreach(_ => ())
+        stmts += render(toks.slice(start, toks.length)).trim
+        stmts.result().filter(_.nonEmpty).foreach(runOne(spark, _))
     }
+
+  private def runOne(spark: SparkSession, stmt: String): Unit = {
+    val rewritten = RedshiftSql.rewrite(stmt)
+    // EXPLAIN over a locally-EMULATED statement (DML/COPY/MV/APPEND)
+    // has no Spark plan to show — fail with the reason instead of the
+    // opaque ParseException spark.sql would raise on e.g. UPDATE
+    explainedEmulated(rewritten).foreach { stmt =>
+      throw new IllegalArgumentException(
+        s"EXPLAIN $stmt: the statement executes through local emulation " +
+          "(LocalDml/LocalCopy/LocalMv) — there is no Spark plan to explain")
+    }
+    // introspection queries against the Redshift system catalog resolve
+    // through generated views over the Spark catalog
+    graft.sql.CatalogShims.ensure(spark, rewritten)
+    // Local UPDATE/DELETE get copy-on-write emulation (Spark has no
+    // row-level DML on plain parquet tables), COPY/UNLOAD map to the
+    // blueprint CSV paths, and MATERIALIZED VIEW DDL materializes as a
+    // refreshable table; everything else runs on spark.sql.
+    // DDL/DML execute eagerly; SELECTs need an action to actually run
+    // (the reference also discards SELECT results here).
+    if (!LocalDml.run(spark, rewritten) && !LocalCopy.run(spark, rewritten) &&
+        !graft.sql.LocalMv.run(spark, rewritten))
+      spark.sql(rewritten).foreach(_ => ())
+  }
 }

@@ -45,7 +45,28 @@ object LocalDml {
     else if (toks(first).isWord("alter"))
       runAlterAppend(spark, toks, first) || runAlterColumns(spark, toks, first)
     else if (toks(first).isWord("set")) runSet(spark, toks, first)
-    else false
+    else if (toks(first).isWord("begin") || toks(first).isWord("commit") ||
+             toks(first).isWord("rollback") || toks(first).isWord("abort") ||
+             toks(first).isWord("end") ||
+             (toks(first).isWord("start") && {
+               val n = nextCode(toks, first + 1)
+               n < toks.length && toks(n).isWord("transaction")
+             })) {
+      // transaction control: the local engine's atomicity unit is the
+      // copy-on-write swap, not a multi-statement transaction — accepted
+      // so `BEGIN; …; COMMIT;` scripts run, loudly noted so nobody
+      // mistakes the emulation for real transactional semantics
+      System.err.println(
+        s"[graft] ${toks(first).text.toUpperCase}: transaction control is a " +
+          "no-op locally (per-statement copy-on-write atomicity only)")
+      true
+    } else if (toks(first).isWord("grant") || toks(first).isWord("revoke")) {
+      // permission DDL has no local counterpart (the session catalog has
+      // no ACLs); failing would abort every real-world script midway
+      System.err.println(
+        s"[graft] ${toks(first).text.toUpperCase}: no local ACLs — statement ignored")
+      true
+    } else false
   }
 
   /** Redshift session `SET`s (every ETL script's preamble — reachable via
@@ -159,9 +180,9 @@ object LocalDml {
       if (j < toks.length && toks(j).isWord("column")) j = nextCode(toks, j + 1)
       val (cname, afterC) = tableName(toks, j)
       val ty = nextCode(toks, afterC)
-      require(ty < toks.length && toks(ty).isWord("type"),
-        s"ALTER TABLE ALTER COLUMN supports only TYPE changes (got '${
-          if (ty < toks.length) toks(ty).text else ""}')")
+      // only TYPE changes need the copy-on-write; COMMENT/other forms are
+      // native Spark ALTER COLUMN syntax — pass through
+      if (ty >= toks.length || !toks(ty).isWord("type")) return false
       var end = nextCode(toks, ty + 1)
       while (end < toks.length && !(toks(end).kind == Sym && toks(end).text == ";"))
         end += 1

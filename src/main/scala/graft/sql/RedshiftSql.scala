@@ -79,6 +79,7 @@ object RedshiftSql {
     toks = rewriteToDateTs(toks)
     toks = rewriteCreateLike(toks)
     toks = rewriteAlterAddColumn(toks)
+    toks = rewriteCommentOn(toks)
     toks = rewriteTableAttrs(toks)
     render(toks)
   }
@@ -818,6 +819,43 @@ object RedshiftSql {
         val s = nextCode(toks, topCommas(toks, p, pe).head + 1)
         val fmt = toks(s).text.stripPrefix("'").stripSuffix("'")
         rewriteToDateTs(toks.updated(s, Tok(Str, s"'${translateFormat(fmt)}'")))
+    }
+  }
+
+  /** Redshift/PG `COMMENT ON TABLE t IS 'x'` / `COMMENT ON COLUMN t.c IS
+    * 'x'` → the Spark DDL holding the same metadata: table comments live
+    * in TBLPROPERTIES('comment'), column comments in the column's own
+    * COMMENT. `IS NULL` (comment removal) unsets / blanks it. Other
+    * COMMENT ON kinds (VIEW, SCHEMA, CONSTRAINT) pass through untouched.
+    */
+  private def rewriteCommentOn(toks: Vector[Tok]): Vector[Tok] = {
+    val first = nextCode(toks, 0)
+    if (first >= toks.length || !toks(first).isWord("comment")) return toks
+    val on = nextCode(toks, first + 1)
+    if (on >= toks.length || !toks(on).isWord("on")) return toks
+    val kindAt = nextCode(toks, on + 1)
+    if (kindAt >= toks.length || toks(kindAt).kind != Word) return toks
+    val kind = toks(kindAt).text.toLowerCase
+    if (kind != "table" && kind != "column") return toks
+    val (name, afterN) = qualifiedName(toks, kindAt + 1)
+    val is = nextCode(toks, afterN)
+    require(is < toks.length && toks(is).isWord("is"),
+      s"COMMENT ON ${kind.toUpperCase}: expected IS 'text' | IS NULL")
+    val v = nextCode(toks, is + 1)
+    require(v < toks.length && (toks(v).kind == Str || toks(v).isWord("null")),
+      s"COMMENT ON ${kind.toUpperCase}: the comment must be a string literal or NULL")
+    val isNull = toks(v).kind != Str
+    if (kind == "table")
+      tokenize(
+        if (isNull) s"ALTER TABLE $name UNSET TBLPROPERTIES ('comment')"
+        else s"ALTER TABLE $name SET TBLPROPERTIES ('comment'=${toks(v).text})")
+    else {
+      val di = name.lastIndexOf('.')
+      require(di > 0, "COMMENT ON COLUMN needs a table.column name")
+      val (tbl, c) = (name.substring(0, di), name.substring(di + 1))
+      tokenize(
+        if (isNull) s"ALTER TABLE $tbl ALTER COLUMN $c COMMENT ''"
+        else s"ALTER TABLE $tbl ALTER COLUMN $c COMMENT ${toks(v).text}")
     }
   }
 

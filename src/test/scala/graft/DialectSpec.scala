@@ -1187,6 +1187,45 @@ class DialectSpec extends SparkSpecBase {
       "CREATE TABLE t3 (like INT, a STRING)")
   }
 
+  // ---- multi-statement scripts / transaction control / comments ----
+  test("multi-statement script with BEGIN/COMMIT executes every statement in order") {
+    spark.sql("DROP TABLE IF EXISTS script_t")
+    graft.cli.ExecuteSql.run(spark,
+      """BEGIN;
+        |CREATE TABLE script_t (id BIGINT, v DOUBLE) USING parquet;
+        |INSERT INTO script_t VALUES (1, 1.0), (2, 2.0);
+        |UPDATE script_t SET v = v * 10 WHERE id = 2;
+        |GRANT SELECT ON script_t TO PUBLIC;
+        |COMMIT;""".stripMargin, None)
+    val rows = spark.table("script_t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq === Seq((1L, 1.0), (2L, 20.0)))
+    // a semicolon INSIDE a string literal must not split the script
+    graft.cli.ExecuteSql.run(spark,
+      "INSERT INTO script_t VALUES (3, 3.0); " +
+        "CREATE TABLE IF NOT EXISTS script_t2 AS SELECT 'a;b' AS s", None)
+    assert(spark.table("script_t").count() === 3)
+    assert(spark.table("script_t2").head.getString(0) === "a;b")
+  }
+
+  test("COMMENT ON TABLE/COLUMN map to Spark comment metadata") {
+    spark.sql("DROP TABLE IF EXISTS cmt_t")
+    spark.sql("CREATE TABLE cmt_t (id BIGINT, v DOUBLE) USING parquet")
+    def tblComment: Option[String] = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("cmt_t"))
+      .comment
+    graft.cli.ExecuteSql.run(spark, "COMMENT ON TABLE cmt_t IS 'fact table'", None)
+    assert(tblComment.contains("fact table"))
+    graft.cli.ExecuteSql.run(spark, "COMMENT ON COLUMN cmt_t.v IS 'value col'", None)
+    assert(spark.table("cmt_t").schema("v").getComment().contains("value col"))
+    graft.cli.ExecuteSql.run(spark, "COMMENT ON TABLE cmt_t IS NULL", None)
+    assert(tblComment.isEmpty)
+    // native ALTER COLUMN COMMENT passes through runAlterColumns untouched
+    graft.cli.ExecuteSql.run(spark,
+      "ALTER TABLE cmt_t ALTER COLUMN id COMMENT 'pk'", None)
+    assert(spark.table("cmt_t").schema("id").getComment().contains("pk"))
+  }
+
   // ---- CONNECT BY ----
   test("CONNECT BY PRIOR rewrites to a recursive CTE with LEVEL and executes") {
     spark.sql("DROP TABLE IF EXISTS cb_emp")
