@@ -45,6 +45,17 @@ object T2 {
       |GROUP BY mo
       |ORDER BY mo""".stripMargin
 
+  /** Shared UNPIVOT text for q32 — the SQL-standard form both engines
+    * parse identically (columns→rows; NULL measures dropped per the
+    * standard default). No arithmetic anywhere: raw doubles pass through
+    * bit-identical. */
+  private val unpivotSql: String =
+    """SELECT l_orderkey, l_linenumber, metric, val
+      |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+      |      FROM lineitem)
+      |UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax))
+      |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // 1. Scan + filter + project (lineitem pricing). Filters push to parquet.
     QueryDef(
@@ -963,6 +974,16 @@ object T2 {
              |  quantile_cont(l_extendedprice, 0.75) OVER (PARTITION BY l_returnflag) AS p75_price,
              |  quantile_disc(l_quantity, 0.5) OVER (PARTITION BY l_returnflag) AS med_qty_disc
              |FROM lineitem
-             |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_extendedprice""".stripMargin))
+             |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_extendedprice""".stripMargin)),
+
+    // 32. UNPIVOT (columns → rows) — the q23 PIVOT's inverse, previously
+    //     spec-only; the SQL-standard form runs verbatim in both engines.
+    QueryDef(
+      "q32_unpivot",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql(unpivotSql)
+      },
+      Some(unpivotSql))
   )
 }
