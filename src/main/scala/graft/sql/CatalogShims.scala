@@ -28,7 +28,8 @@ import org.apache.spark.sql.types._
   */
 object CatalogShims {
 
-  private val shimNames = Seq("pg_table_def", "svv_table_info")
+  private val shimNames =
+    Seq("pg_table_def", "svv_table_info", "__info_schema_")
 
   /** Re-register the shim views iff `sql` references one of them. */
   def ensure(spark: SparkSession, sql: String): Unit = {
@@ -115,5 +116,49 @@ object CatalogShims {
       StructField("tbl_rows", LongType)))
     spark.createDataFrame(infoRows.asJava, infoSchema)
       .createOrReplaceTempView("svv_table_info")
+
+    // information_schema.tables / .columns (standard core columns) over
+    // EVERY database — the rewriter folds the qualified names into these
+    // flat view names (temp views cannot live in a schema)
+    val allMetas = cat.listDatabases().flatMap(d =>
+      cat.listTables(d).flatMap(ti =>
+        scala.util.Try(cat.getTableMetadata(ti)).toOption))
+    val tableRows = allMetas.map { m =>
+      Row(
+        "graft",
+        m.identifier.database.getOrElse(db),
+        m.identifier.table,
+        if (m.tableType.name == "VIEW") "VIEW" else "BASE TABLE")
+    }
+    val tablesSchema = StructType(Seq(
+      StructField("table_catalog", StringType),
+      StructField("table_schema", StringType),
+      StructField("table_name", StringType),
+      StructField("table_type", StringType)))
+    spark.createDataFrame(tableRows.asJava, tablesSchema)
+      .createOrReplaceTempView("__info_schema_tables")
+
+    val columnRows = allMetas.flatMap { m =>
+      m.schema.fields.zipWithIndex.map { case (f, idx) =>
+        Row(
+          "graft",
+          m.identifier.database.getOrElse(db),
+          m.identifier.table,
+          f.name,
+          idx + 1,
+          if (f.nullable) "YES" else "NO",
+          redshiftType(f.dataType))
+      }
+    }
+    val columnsSchema = StructType(Seq(
+      StructField("table_catalog", StringType),
+      StructField("table_schema", StringType),
+      StructField("table_name", StringType),
+      StructField("column_name", StringType),
+      StructField("ordinal_position", IntegerType),
+      StructField("is_nullable", StringType),
+      StructField("data_type", StringType)))
+    spark.createDataFrame(columnRows.asJava, columnsSchema)
+      .createOrReplaceTempView("__info_schema_columns")
   }
 }

@@ -80,6 +80,7 @@ object RedshiftSql {
     toks = rewriteCreateLike(toks)
     toks = rewriteAlterAddColumn(toks)
     toks = rewriteCommentOn(toks)
+    toks = rewriteInfoSchema(toks)
     toks = rewriteTableAttrs(toks)
     render(toks)
   }
@@ -819,6 +820,33 @@ object RedshiftSql {
         val s = nextCode(toks, topCommas(toks, p, pe).head + 1)
         val fmt = toks(s).text.stripPrefix("'").stripSuffix("'")
         rewriteToDateTs(toks.updated(s, Tok(Str, s"'${translateFormat(fmt)}'")))
+    }
+  }
+
+  /** `information_schema.tables` / `.columns` → the flat shim-view names
+    * [[CatalogShims]] registers (temp views cannot be schema-qualified, so
+    * the qualified reference is folded into one identifier). Only those
+    * two relations are mapped; other information_schema members pass
+    * through and fail loudly rather than resolving to something wrong.
+    */
+  private def rewriteInfoSchema(toks: Vector[Tok]): Vector[Tok] = {
+    val mapped = Set("tables", "columns")
+    val hit = toks.indices.find { i =>
+      toks(i).isWord("information_schema") && {
+        val dot = i + 1 // must be IMMEDIATELY adjacent (no ws in a name)
+        dot < toks.length && toks(dot).kind == Sym && toks(dot).text == "." && {
+          val rel = dot + 1
+          rel < toks.length && toks(rel).kind == Word &&
+            mapped.contains(toks(rel).text.toLowerCase)
+        }
+      }
+    }
+    hit match {
+      case None => toks
+      case Some(i) =>
+        val rel = toks(i + 2).text.toLowerCase
+        rewriteInfoSchema(
+          toks.patch(i, Vector(Tok(Word, s"__info_schema_$rel")), 3))
     }
   }
 

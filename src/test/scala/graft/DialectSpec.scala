@@ -1187,6 +1187,28 @@ class DialectSpec extends SparkSpecBase {
       "CREATE TABLE t3 (like INT, a STRING)")
   }
 
+  test("information_schema.tables/columns resolve through the shim views") {
+    import graft.cli.ExecuteSql
+    spark.sql("DROP TABLE IF EXISTS infos_t")
+    spark.sql("CREATE TABLE infos_t (id BIGINT, name STRING) USING parquet")
+    // executes through the pass-through (rewriter folds the qualified name)
+    ExecuteSql.run(spark,
+      "SELECT table_name FROM information_schema.tables WHERE table_name = 'infos_t'", None)
+    graft.sql.CatalogShims.register(spark)
+    val t = spark.sql(rewrite(
+      "SELECT table_schema, table_type FROM information_schema.tables " +
+        "WHERE table_name = 'infos_t'")).collect()
+    assert(t.length === 1 && t(0).getString(1) === "BASE TABLE")
+    val cols = spark.sql(rewrite(
+      "SELECT column_name, ordinal_position, is_nullable, data_type " +
+        "FROM information_schema.columns WHERE table_name = 'infos_t' " +
+        "ORDER BY ordinal_position")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
+    assert(cols.toSeq === Seq(
+      ("id", 1, "YES", "bigint"),
+      ("name", 2, "YES", "character varying(65535)")))
+  }
+
   // ---- multi-statement scripts / transaction control / comments ----
   test("multi-statement script with BEGIN/COMMIT executes every statement in order") {
     spark.sql("DROP TABLE IF EXISTS script_t")
