@@ -306,6 +306,12 @@ object GraftExtensions {
         Cast(Conv(Cast(args(0), StringType), args(1), Literal(10)), LongType)),
     (FunctionIdentifier("date_part_year"),
       info("date_part_year", "date_part_year(date) - the year of date (Redshift shorthand)."),
-      (args: Seq[Expression]) => Year(Cast(args(0), DateType)))
+      (args: Seq[Expression]) => Year(Cast(args(0), DateType))),
+    // captured at analysis time — each statement re-analyzes, so the
+    // value is the count as of THIS query, matching Redshift's session fn
+    (FunctionIdentifier("pg_last_copy_count"),
+      info("pg_last_copy_count",
+        "pg_last_copy_count() - rows loaded by the most recent COPY (0 before any)."),
+      (_: Seq[Expression]) => Literal(LocalCopy.lastCopyCount))
   )
 }

@@ -3,8 +3,8 @@ package graft.sql
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{col, count, expr, lit}
 import org.apache.spark.sql.types.StructType
 
 import SqlTokens._
@@ -306,9 +306,18 @@ object LocalCopy {
       if (loadCols.contains(f.name)) col(f.name)
       else expr(s"CAST(NULL AS ${f.dataType.sql})").as(f.name)
     }
-    read.select(full.toSeq: _*).write.mode("append")
-      .saveAsTable(table)
+    // row count observed on the load itself (no second source scan) —
+    // backs pg_last_copy_count(), the standard post-COPY verification call
+    val obs = Observation()
+    read.select(full.toSeq: _*).observe(obs, count(lit(1)).as("n"))
+      .write.mode("append").saveAsTable(table)
+    lastCopyRows.set(obs.get("n").asInstanceOf[Long])
   }
+
+  /** Rows loaded by the most recent local COPY in this JVM (Redshift's
+    * `pg_last_copy_count()`; 0 before any COPY has run). */
+  private val lastCopyRows = new java.util.concurrent.atomic.AtomicLong(0L)
+  def lastCopyCount: Long = lastCopyRows.get
 
   /** Parse a Redshift COPY manifest ({"entries": [{"url": …,
     * "mandatory": bool}, …]} — the same layout [[writeManifest]] emits) and

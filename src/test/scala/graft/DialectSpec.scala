@@ -1187,6 +1187,19 @@ class DialectSpec extends SparkSpecBase {
       "CREATE TABLE t3 (like INT, a STRING)")
   }
 
+  test("pg_last_copy_count tracks the rows loaded by the latest COPY") {
+    import java.nio.file.Files
+    spark.sql("DROP TABLE IF EXISTS plcc_t")
+    spark.sql("CREATE TABLE plcc_t (id BIGINT, v DOUBLE) USING parquet")
+    val f = Files.createTempDirectory("graft_plcc_").resolve("d.csv")
+    Files.writeString(f, "1|1.5\n2|2.5\n3|3.5\n")
+    graft.cli.ExecuteSql.run(spark, s"COPY plcc_t FROM '$f'", None)
+    assert(sql1("SELECT pg_last_copy_count() AS n").getLong(0) === 3L)
+    Files.writeString(f, "9|9.9\n")
+    graft.cli.ExecuteSql.run(spark, s"COPY plcc_t FROM '$f'", None)
+    assert(sql1("SELECT pg_last_copy_count() AS n").getLong(0) === 1L)
+  }
+
   test("information_schema.tables/columns resolve through the shim views") {
     import graft.cli.ExecuteSql
     spark.sql("DROP TABLE IF EXISTS infos_t")
