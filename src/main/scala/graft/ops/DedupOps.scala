@@ -274,6 +274,39 @@ object DedupOps {
       .filter(expr(s"size(w) >= $n"))
       .selectExpr("doc_id", s"posexplode(${shingleFpsExpr(n)}) as (pos, fp)")
 
+  /** Span-level decontamination — WHERE a candidate document overlaps the
+    * held-out benchmark corpus, as maximal token ranges: the surgical
+    * complement of [[contamination]]'s per-doc score. A pipeline that cut
+    * these spans (instead of dropping whole documents) keeps the clean
+    * majority of a lightly-contaminated doc — the same keep-first economy
+    * [[spanCut]] applies to duplicates, aimed at eval leakage.
+    *
+    * Output: (doc_id, span_start, span_end, span_len) per maximal run of
+    * benchmark-matching word-`n`-gram shingles, positions 0-based
+    * inclusive — the identical mask contract as [[spanDedup]].
+    *
+    * Scale shape, same as spanDedup but with membership instead of
+    * support: candidate positional shingles LEFT SEMI join the DISTINCT
+    * benchmark fingerprint set (one hash shuffle on an 8-byte key —
+    * broadcasts when the benchmark is small, the common case), then the
+    * per-doc gaps-and-islands merge. Never candidate × benchmark rows.
+    */
+  def contaminationSpans(cands: DataFrame, reference: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 2, s"span shingle width must be ≥ 2 tokens, got $n")
+    val cs = positionalShingles(cands, n)
+    val ref = positionalShingles(reference, n).select("fp").distinct()
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    cs.join(ref, Seq("fp"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
+      .selectExpr("doc_id",
+        "cast(s as bigint) as span_start",
+        s"cast(e + $n - 1 as bigint) as span_end",
+        s"cast(e - s + $n as bigint) as span_len")
+      .orderBy("doc_id", "span_start")
+  }
+
   /** Benchmark-contamination scoring — the decontamination check an LM
     * data pipeline runs before training: for each candidate document, the
     * fraction of its distinct word-`n`-gram shingles that also appear

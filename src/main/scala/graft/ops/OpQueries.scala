@@ -284,6 +284,35 @@ object OpQueries {
               |FROM cand LEFT JOIN m ON m.doc_id = cand.doc_id
               |ORDER BY cand.doc_id""".stripMargin)),
 
+    // Span-level decontamination: WHERE candidates (doc_id % 7 <> 0)
+    // overlap the benchmark slice (doc_id % 7 = 0), as maximal token
+    // ranges — op_decontaminate tells HOW MUCH, this tells WHERE (the cut
+    // mask). The oracle recomputes fingerprints, benchmark membership AND
+    // the island merge from scratch.
+    QueryDef("op_decontaminate_spans",
+      (s, d) => {
+        val all = docs(s, d)
+        DedupOps.contaminationSpans(
+          all.filter(col("doc_id") % 7 =!= 0),
+          all.filter(col("doc_id") % 7 === 0), 8)
+      },
+      Some(s"""WITH w0 AS (SELECT doc_id, $dkWords AS w FROM documents),
+              |sh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+              |         ${dkH60("array_to_string(w[i:i+7], ' ')")} AS fp
+              |       FROM w0, unnest(range(1, len(w) - 8 + 2)) AS t(i)
+              |       WHERE len(w) >= 8),
+              |ref AS (SELECT DISTINCT fp FROM sh WHERE doc_id % 7 = 0),
+              |m AS (SELECT sh.doc_id, sh.pos FROM sh
+              |      SEMI JOIN ref USING (fp) WHERE sh.doc_id % 7 <> 0),
+              |isl AS (SELECT doc_id, pos,
+              |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              |        FROM m)
+              |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+              |       CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+              |       CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_len
+              |FROM isl GROUP BY doc_id, grp
+              |ORDER BY doc_id, span_start""".stripMargin)),
+
     // The CUT step consuming op_dedup_spans: rewrite the corpus with every
     // repeated span removed except its first occurrence (min-doc_id owner
     // per shingle). The oracle rebuilds the cleaned text token-by-token

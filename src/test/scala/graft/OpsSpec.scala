@@ -552,6 +552,24 @@ class OpsSpec extends SparkSpecBase {
     assert(out.exists(_._1 == "all rights reserved contact us"))
   }
 
+  test("contamination spans locate planted benchmark passages with exact boundaries") {
+    val passage = (1 to 10).map(i => s"bench$i").mkString(" ") // 10 shared tokens
+    val benchDf = Seq((100L, s"intro words $passage outro")).toDF("doc_id", "text")
+    val candsDf = Seq(
+      (1L, s"alpha beta gamma $passage delta"),   // passage at tokens 3..12
+      (2L, "totally clean text with nothing benchmark related in it at all"),
+      (3L, s"$passage")                           // entire doc contaminated
+    ).toDF("doc_id", "text")
+    val out = graft.ops.DedupOps.contaminationSpans(candsDf, benchDf, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 3L, 12L, 10L), (3L, 0L, 9L, 10L)))
+    // a 7-token overlap is below the shingle width → invisible
+    val seven = (1 to 7).map(i => s"bench$i").mkString(" ")
+    val below = graft.ops.DedupOps.contaminationSpans(
+      Seq((9L, s"x $seven y z w v u t s")).toDF("doc_id", "text"), benchDf, 8)
+    assert(below.count() === 0)
+  }
+
   test("contamination scoring: planted benchmark overlap measures exactly") {
     val bench = Seq((100L, (1 to 10).map(i => s"b$i").mkString(" ")))
       .toDF("doc_id", "text")  // 10 tokens → 3 distinct 8-gram shingles
