@@ -206,6 +206,12 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("decontamination spans probe membership via semi-join too") {
+    val p = plan("op_decontaminate_spans")
+    assert(p.contains("LeftSemi"), s"no semi-join in:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("frequent n-grams aggregate two-phase with map-side partials") {
     val p = plan("op_frequent_ngrams")
     // the shuffle must carry per-partition partials keyed by the gram,
