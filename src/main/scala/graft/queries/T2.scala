@@ -56,6 +56,15 @@ object T2 {
       |UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax))
       |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin
 
+  /** Shared QUALIFY text for q33 — DuckDB runs it natively, Spark runs the
+    * rewriter's output (declared before `defs`: eager capture). */
+  private val qualifySql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM orders
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey) <= 3
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // 1. Scan + filter + project (lineitem pricing). Filters push to parquet.
     QueryDef(
@@ -984,6 +993,19 @@ object T2 {
         t(s, d, "lineitem").createOrReplaceTempView("lineitem")
         s.sql(unpivotSql)
       },
-      Some(unpivotSql))
+      Some(unpivotSql)),
+
+    // 33. QUALIFY through the dialect REWRITER, oracle-gated end-to-end:
+    //     Spark runs the rewriter's subquery-hoist output, DuckDB runs the
+    //     SAME original text natively (it parses QUALIFY) — an independent
+    //     engine checking the rewrite's semantics, not just DialectSpec's
+    //     self-consistency. Top-3 orders per customer, fully tie-broken.
+    QueryDef(
+      "q33_qualify",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(graft.sql.RedshiftSql.rewrite(qualifySql))
+      },
+      Some(qualifySql))
   )
 }
