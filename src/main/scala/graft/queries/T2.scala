@@ -1006,6 +1006,36 @@ object T2 {
         t(s, d, "orders").createOrReplaceTempView("orders")
         s.sql(graft.sql.RedshiftSql.rewrite(qualifySql))
       },
-      Some(qualifySql))
+      Some(qualifySql)),
+
+    // 34. CONNECT BY through the dialect rewriter, oracle-gated: a synthetic
+    //     decimal-digit hierarchy over customer (parent = id div 10, root =
+    //     0) expanded with Redshift's START WITH/CONNECT BY PRIOR on the
+    //     Spark side, and an INDEPENDENTLY-written recursive CTE on the
+    //     DuckDB side — the fixed point, membership and LEVEL arithmetic of
+    //     the rewrite all hash-gated against the other engine.
+    QueryDef(
+      "q34_connect_by",
+      (s, d) => {
+        t(s, d, "customer")
+          .selectExpr("c_custkey as id",
+            "case when c_custkey = 0 then null else c_custkey div 10 end as parent")
+          .createOrReplaceTempView("cust_tree")
+        s.sql(graft.sql.RedshiftSql.rewrite(
+          """SELECT id, parent, level FROM cust_tree
+            |START WITH parent IS NULL
+            |CONNECT BY PRIOR id = parent
+            |ORDER BY id""".stripMargin))
+      },
+      Some("""WITH RECURSIVE h AS (
+             |  SELECT c_custkey AS id,
+             |         CASE WHEN c_custkey = 0 THEN NULL
+             |              ELSE CAST(c_custkey // 10 AS BIGINT) END AS parent
+             |  FROM customer),
+             |r AS (
+             |  SELECT id, parent, CAST(1 AS BIGINT) AS level FROM h WHERE parent IS NULL
+             |  UNION ALL
+             |  SELECT c.id, c.parent, p.level + 1 FROM h c JOIN r p ON p.id = c.parent)
+             |SELECT id, parent, level FROM r ORDER BY id""".stripMargin))
   )
 }
