@@ -1036,6 +1036,27 @@ object T2 {
              |  SELECT id, parent, CAST(1 AS BIGINT) AS level FROM h WHERE parent IS NULL
              |  UNION ALL
              |  SELECT c.id, c.parent, p.level + 1 FROM h c JOIN r p ON p.id = c.parent)
-             |SELECT id, parent, level FROM r ORDER BY id""".stripMargin))
+             |SELECT id, parent, level FROM r ORDER BY id""".stripMargin)),
+
+    // 35. TO_CHAR date-token translation, oracle-gated: the Spark side
+    //     rewrites Redshift TO_CHAR tokens to date_format java patterns;
+    //     DuckDB renders the SAME strings through its own strftime %-codes
+    //     — an independent formatter agreeing character-for-character.
+    QueryDef(
+      "q35_to_char",
+      (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("events")
+        s.sql(graft.sql.RedshiftSql.rewrite(
+          """SELECT event_id,
+            |  TO_CHAR(ts, 'YYYY-MM-DD') AS d_iso,
+            |  TO_CHAR(ts, 'DD Mon YYYY') AS d_mon,
+            |  TO_CHAR(ts, 'HH24:MI:SS') AS t_24
+            |FROM events ORDER BY event_id""".stripMargin))
+      },
+      Some("""SELECT event_id,
+             |  strftime(ts, '%Y-%m-%d') AS d_iso,
+             |  strftime(ts, '%d %b %Y') AS d_mon,
+             |  strftime(ts, '%H:%M:%S') AS t_24
+             |FROM events ORDER BY event_id""".stripMargin))
   )
 }
