@@ -1057,6 +1057,29 @@ object T2 {
              |  strftime(ts, '%Y-%m-%d') AS d_iso,
              |  strftime(ts, '%d %b %Y') AS d_mon,
              |  strftime(ts, '%H:%M:%S') AS t_24
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // 36. 3-arg DATEADD/DATEDIFF with Redshift unit abbreviations, oracle-
+    //     gated: the truncation rewrite's boundary-crossing counts vs
+    //     DuckDB's native date_diff (which counts crossings exactly like
+    //     Redshift), plus a DATEADD round-trip in epoch micros.
+    QueryDef(
+      "q36_dateadd_diff",
+      (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("events")
+        s.sql(graft.sql.RedshiftSql.rewrite(
+          """SELECT event_id,
+            |  DATEDIFF(h, TIMESTAMP '2024-01-01 00:00:00', ts) AS hrs,
+            |  DATEDIFF(min, TIMESTAMP '2024-01-01 00:00:00', ts) AS mins,
+            |  unix_micros(DATEADD(d, 2, ts)) AS plus2d_us
+            |FROM events ORDER BY event_id""".stripMargin))
+      },
+      Some("""SELECT event_id,
+             |  date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+             |            CAST(ts AS TIMESTAMP)) AS hrs,
+             |  date_diff('minute', TIMESTAMP '2024-01-01 00:00:00',
+             |            CAST(ts AS TIMESTAMP)) AS mins,
+             |  epoch_us(CAST(ts AS TIMESTAMP) + INTERVAL 2 DAY) AS plus2d_us
              |FROM events ORDER BY event_id""".stripMargin))
   )
 }

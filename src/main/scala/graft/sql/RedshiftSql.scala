@@ -21,7 +21,10 @@ import SqlTokens._
   *   RANDOM()                      → rand()
   *   CONVERT(type, x)              → CAST(x AS type)
   *   DATEADD(u, n, ts)  (3-arg)    → timestampadd(u, n, ts)
-  *   DATEDIFF(u, a, b)  (3-arg)    → timestampdiff(u, a, b)
+  *   DATEDIFF(u, a, b)  (3-arg)    → timestampdiff(u, date_trunc(u, a),
+  *                                   date_trunc(u, b)) — truncation turns
+  *                                   Spark's elapsed-complete-units into
+  *                                   Redshift's boundary-crossing count
   *   TO_CHAR(ts, 'datefmt')        → date_format(ts, '<java fmt>')
   *   CREATE TABLE … DISTKEY/SORTKEY (table- or column-level)
   *                                 → CLUSTERED BY … SORTED BY … INTO 32
@@ -734,9 +737,10 @@ object RedshiftSql {
     hit match {
       case None => toks
       case Some(i) =>
-        val name =
-          if (toks(i).isWord("dateadd")) "timestampadd" else "timestampdiff"
+        val isDiff = toks(i).isWord("datediff")
+        val name = if (isDiff) "timestampdiff" else "timestampadd"
         val p = nextCode(toks, i + 1)
+        val pe = matchParen(toks, p)
         val u = nextCode(toks, p + 1)
         val unitText = toks(u).kind match {
           case Word => Some(toks(u).text)
@@ -744,8 +748,25 @@ object RedshiftSql {
           case _ => None
         }
         val canon = unitText.flatMap(t => unitAliases.get(t.toLowerCase))
-        val renamed = toks.updated(i, Tok(Word, name))
-        rewriteDateAddDiff(canon.fold(renamed)(c => renamed.updated(u, Tok(Word, c))))
+        if (isDiff && canon.isDefined) {
+          // Redshift DATEDIFF counts unit-BOUNDARY CROSSINGS; Spark's
+          // timestampdiff counts elapsed complete units (10:59→11:01 is 1
+          // Redshift hour, 0 Spark hours). Truncating both operands to the
+          // unit makes the two identical: after truncation every operand
+          // sits on a boundary, so complete units == crossings.
+          val unit = canon.get
+          val commas = topCommas(toks, p, pe)
+          val a = render(toks.slice(commas(0) + 1, commas(1))).trim
+          val b = render(toks.slice(commas(1) + 1, pe)).trim
+          rewriteDateAddDiff(toks.patch(i,
+            Vector(Tok(Word,
+              s"timestampdiff($unit, date_trunc('$unit', $a), date_trunc('$unit', $b))")),
+            pe - i + 1))
+        } else {
+          val renamed = toks.updated(i, Tok(Word, name))
+          rewriteDateAddDiff(
+            canon.fold(renamed)(c => renamed.updated(u, Tok(Word, c))))
+        }
     }
   }
 

@@ -113,7 +113,15 @@ class DialectSpec extends SparkSpecBase {
     assert(rewrite("SELECT DATEADD(d, 1, ts) FROM t") ===
       "SELECT timestampadd(DAY, 1, ts) FROM t")
     assert(rewrite("SELECT DATEDIFF('h', a, b) FROM t") ===
-      "SELECT timestampdiff(HOUR, a, b) FROM t")
+      "SELECT timestampdiff(HOUR, date_trunc('HOUR', a), date_trunc('HOUR', b)) FROM t")
+    // Redshift DATEDIFF counts BOUNDARY CROSSINGS, not elapsed units:
+    // 10:59→11:01 is 1 hour, 23:59→00:01 is 1 day
+    assert(sql1("SELECT DATEDIFF(hour, TIMESTAMP '2024-01-01 10:59:00', " +
+      "TIMESTAMP '2024-01-01 11:01:00')").getLong(0) === 1L)
+    assert(sql1("SELECT DATEDIFF(day, TIMESTAMP '2024-01-01 23:59:00', " +
+      "TIMESTAMP '2024-01-02 00:01:00')").getLong(0) === 1L)
+    assert(sql1("SELECT DATEDIFF(hour, TIMESTAMP '2024-01-01 10:01:00', " +
+      "TIMESTAMP '2024-01-01 10:59:00')").getLong(0) === 0L)
     assert(sql1("SELECT DATEADD(d, 1, DATE '2024-01-31')")
       .get(0).toString.startsWith("2024-02-01"))
     assert(sql1("SELECT DATEDIFF(min, TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 02:30:00')")
