@@ -390,11 +390,20 @@ object DedupOps {
       .select("fp", "owner")
     // token indexes covered by a shared shingle owned elsewhere → islands →
     // per-doc sorted cut ranges [s, e] (token positions, 0-based inclusive)
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("t"))
-    val ranges = sh.join(owners, Seq("fp"))
+    val masked = sh.join(owners, Seq("fp"))
       .filter(col("doc_id") =!= col("owner"))
       .selectExpr("doc_id", s"explode(sequence(pos, pos + $n - 1)) as t")
       .distinct()
+    cutByPositions(words, masked)
+  }
+
+  /** The shared CUT reconstruction: given tokenized docs (doc_id, w) and
+    * the (doc_id, t) set of token indexes to remove, merges the indexes
+    * into islands and rebuilds clean_text + n_cut/n_kept. Docs with no
+    * masked tokens pass through whole (left join). */
+  private def cutByPositions(words: DataFrame, masked: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("t"))
+    val ranges = masked
       .withColumn("grp", col("t") - row_number().over(byDoc))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("t")).as("s"), max(col("t")).as("e"))
@@ -413,6 +422,25 @@ object DedupOps {
         "cast(aggregate(rs, 0, (a, r) -> a + r.e - r.s + 1) as bigint) as n_cut",
         "cast(size(w) - aggregate(rs, 0, (a, r) -> a + r.e - r.s + 1) as bigint) as n_kept")
       .orderBy("doc_id")
+  }
+
+  /** The decontamination CUT step — [[contaminationSpans]]' consumer:
+    * rewrite the candidate corpus with every benchmark-matching span
+    * removed, keeping the clean remainder of lightly-contaminated docs
+    * instead of dropping them whole. Same output contract and
+    * reconstruction as [[spanCut]]; the mask comes from benchmark
+    * membership instead of duplicate ownership (and unlike spanCut there
+    * is no owner exemption — eval text is cut wherever it appears).
+    */
+  def contaminationCut(cands: DataFrame, reference: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 2, s"span shingle width must be ≥ 2 tokens, got $n")
+    val words = cands.selectExpr("doc_id", s"${TextOps.wordsExpr("text")} as w")
+    val ref = positionalShingles(reference, n).select("fp").distinct()
+    val masked = positionalShingles(cands, n)
+      .join(ref, Seq("fp"), "left_semi")
+      .selectExpr("doc_id", s"explode(sequence(pos, pos + $n - 1)) as t")
+      .distinct()
+    cutByPositions(words, masked)
   }
 
   /** Near-dup cluster assignment — the step AFTER pair generation that a

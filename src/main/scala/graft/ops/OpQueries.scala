@@ -313,6 +313,42 @@ object OpQueries {
               |FROM isl GROUP BY doc_id, grp
               |ORDER BY doc_id, span_start""".stripMargin)),
 
+    // The decontamination CUT: candidates with every benchmark-matching
+    // span removed — the oracle rebuilds the cleaned text token-by-token
+    // (anti join on cut positions + ordered string_agg), so membership,
+    // coverage AND the reconstructed text are all hash-gated.
+    QueryDef("op_decontaminate_cut",
+      (s, d) => {
+        val all = docs(s, d)
+        DedupOps.contaminationCut(
+          all.filter(col("doc_id") % 7 =!= 0),
+          all.filter(col("doc_id") % 7 === 0), 8)
+      },
+      Some(s"""WITH w0 AS (SELECT doc_id, $dkWords AS w FROM documents),
+              |sh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+              |         ${dkH60("array_to_string(w[i:i+7], ' ')")} AS fp
+              |       FROM w0, unnest(range(1, len(w) - 8 + 2)) AS t(i)
+              |       WHERE len(w) >= 8),
+              |ref AS (SELECT DISTINCT fp FROM sh WHERE doc_id % 7 = 0),
+              |cut AS (SELECT DISTINCT sh.doc_id, u.t
+              |        FROM sh, unnest(range(sh.pos, sh.pos + 8)) AS u(t)
+              |        WHERE sh.doc_id % 7 <> 0 AND sh.fp IN (SELECT fp FROM ref)),
+              |tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS t, w[i] AS tok
+              |        FROM w0, unnest(range(1, len(w) + 1)) AS v(i)
+              |        WHERE doc_id % 7 <> 0),
+              |kept AS (SELECT tok.doc_id,
+              |           string_agg(tok.tok, ' ' ORDER BY tok.t) AS clean_text,
+              |           COUNT(*) AS n_kept
+              |         FROM tok ANTI JOIN cut
+              |           ON cut.doc_id = tok.doc_id AND cut.t = tok.t
+              |         GROUP BY tok.doc_id)
+              |SELECT w0.doc_id, COALESCE(kept.clean_text, '') AS clean_text,
+              |       CAST(len(w0.w) - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_cut,
+              |       CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept
+              |FROM w0 LEFT JOIN kept ON kept.doc_id = w0.doc_id
+              |WHERE w0.doc_id % 7 <> 0
+              |ORDER BY w0.doc_id""".stripMargin)),
+
     // The CUT step consuming op_dedup_spans: rewrite the corpus with every
     // repeated span removed except its first occurrence (min-doc_id owner
     // per shingle). The oracle rebuilds the cleaned text token-by-token

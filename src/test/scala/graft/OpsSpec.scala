@@ -570,6 +570,20 @@ class OpsSpec extends SparkSpecBase {
     assert(below.count() === 0)
   }
 
+  test("contamination cut removes exactly the planted benchmark passage") {
+    val passage = (1 to 10).map(i => s"bench$i").mkString(" ")
+    val benchDf = Seq((100L, passage)).toDF("doc_id", "text")
+    val candsDf = Seq(
+      (1L, s"keep1 keep2 $passage keep3"),
+      (2L, "all clean tokens here nothing to cut at all today")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.DedupOps.contaminationCut(candsDf, benchDf, 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, "keep1 keep2 keep3", 10L, 3L),
+      (2L, "all clean tokens here nothing to cut at all today", 0L, 10L)))
+  }
+
   test("contamination scoring: planted benchmark overlap measures exactly") {
     val bench = Seq((100L, (1 to 10).map(i => s"b$i").mkString(" ")))
       .toDF("doc_id", "text")  // 10 tokens → 3 distinct 8-gram shingles
