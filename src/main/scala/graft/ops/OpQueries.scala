@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, expr, lit, sum, unix_date}
 
 import graft.{QueryDef, Tables}
 
@@ -542,6 +542,34 @@ object OpQueries {
              |      FROM h)
              |SELECT lang, source, doc_id, CAST(rn AS BIGINT) AS rn
              |FROM r WHERE rn <= 5
-             |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST, rn""".stripMargin))
+             |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST, rn""".stripMargin)),
+
+    // Bucketed interval join: lineitem shipments landing inside each big
+    // order's 7-day window — `v BETWEEN lo AND hi` planned as an EQUI join
+    // on day-buckets (RangeJoinOps) instead of the O(n·m) nested loop a
+    // raw non-equi condition gets. PlanSpec pins no-BNLJ/no-cartesian.
+    // The oracle states the same join declaratively with plain BETWEEN.
+    QueryDef("op_range_join",
+      (s, d) => {
+        val l = Tables.load(s, d, "lineitem")
+          .select("l_orderkey", "l_shipdate", "l_quantity")
+        val o = Tables.load(s, d, "orders")
+          .filter(col("o_totalprice") > 490000)
+          .select(col("o_orderkey"), col("o_orderdate").as("win_lo"),
+            (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("win_hi"))
+        RangeJoinOps.intervalJoin(l, o, "l_shipdate", "win_lo", "win_hi",
+            bucketWidth = 7, units = c => unix_date(c.cast("date")))
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_ship"),
+            sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, COUNT(*) AS n_ship,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+             |FROM orders o JOIN lineitem l
+             |  ON l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 7 DAY
+             |WHERE o.o_totalprice > 490000
+             |GROUP BY o_orderkey
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }

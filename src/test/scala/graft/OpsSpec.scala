@@ -675,6 +675,35 @@ class OpsSpec extends SparkSpecBase {
     assert(out.map(_.toSeq).toSet === repart.map(_.toSeq).toSet)
   }
 
+  test("interval join equals the brute-force non-equi join") {
+    // planted intervals incl. boundary hits (closed BETWEEN), an empty
+    // interval, one spanning many buckets, and negative values (floorDiv)
+    val probe = Seq(-9L, -7L, -1L, 0L, 3L, 7L, 10L, 14L, 15L, 29L, 100L)
+      .toDF("v").withColumn("pid", col("v") * 2)
+    val build = Seq(
+      (1L, -10L, -8L),  // negative range
+      (2L, 0L, 7L),     // closed: both 0 and 7 hit
+      (3L, 7L, 7L),     // point interval on a bucket edge
+      (4L, 14L, 2L),    // inverted → matches nothing
+      (5L, -5L, 40L),   // spans 7 buckets
+      (6L, 90L, 110L)
+    ).toDF("iid", "lo", "hi")
+    val got = graft.ops.RangeJoinOps
+      .intervalJoin(probe, build, "v", "lo", "hi", 7, identity)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = probe.crossJoin(build)
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(want.nonEmpty && got.toSeq === want.toSeq)
+  }
+
+  test("interval join rejects reserved column names") {
+    val df = Seq((1L, 2L)).toDF("v", "__bkt")
+    intercept[IllegalArgumentException] {
+      graft.ops.RangeJoinOps.intervalJoin(df, df, "v", "v", "v", 7, identity)
+    }
+  }
+
   test("stratified sample rejects reserved/colliding column names") {
     val df = spark.range(10).selectExpr("id as doc_id", "'x' as rn")
     intercept[IllegalArgumentException] {

@@ -315,4 +315,15 @@ class PlanSpec extends SparkSpecBase {
     // O(strata·k·tasks) rows and shuffling the corpus.
     assert(p.contains("WindowGroupLimit"), s"rank filter not pushed down:\n$p")
   }
+
+  test("interval join plans as an equi join on buckets, never a nested loop") {
+    // A raw `v BETWEEN lo AND hi` join is BroadcastNestedLoopJoin /
+    // CartesianProduct — O(|probe|·|build|). The bucketed rewrite must
+    // meet on the __bkt equi key (hash or sort-merge or broadcast-HASH).
+    val p = plan("op_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"range join fell back to BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"range join went cartesian:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi join on the bucket key:\n$p")
+  }
 }
