@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact, deterministic Lloyd k-means over the `embeddings` table — the
+  * corpus-clustering primitive of a training-data pipeline (semantic
+  * curation / SemDeDup-style pruning / IVF coarse quantizers all start
+  * from "assign every vector to a centroid"). The reference reaches
+  * clustering only as SQL shipped to the warehouse (`execute_sql.py:64,77`);
+  * here it is a first-class distributed operator.
+  *
+  * Unlike [[VectorOps.cosineTopKIvf]]'s cosine refinement (whose per-row
+  * `avg` is addition-order-dependent and therefore engine-specific), this
+  * op is EXACT cross-engine — every step is either integer arithmetic or
+  * a fixed-order IEEE double computation, so the full assignment
+  * hash-matches an independent DuckDB implementation:
+  *
+  *   - vectors quantize to integers: `⌊double(x) · 2²⁰⌋` (float→double is
+  *     exact widening, the product and floor are identical IEEE ops);
+  *   - centroid means are exact BIGINT sums divided once in double —
+  *     addition over rows is integer, hence order-independent;
+  *   - distances are squared L2 decomposed as `x·x − 2·x·m + m·m`, each
+  *     dot a fixed-order left fold (the native `array_dot` kernel; DuckDB
+  *     `list_reduce` folds the same way), ties broken by centroid id.
+  *
+  * Scale shape: centroids live in ONE collect_list row broadcast to every
+  * task — assignment is a map-only stage (no shuffle, no driver round-trip
+  * for the data path). The update is a (cluster, dim)-keyed sum of
+  * BIGINTs, partial-aggregated map-side, so each iteration's only exchange
+  * carries ≤ k·dim pre-combined rows per partition. Empty clusters keep
+  * their previous centroid (left-join fallback). Iterations are a driver
+  * loop over PLANS (k·dim state), never over data — the same sync
+  * structure as Spark MLlib's KMeans.
+  */
+object ClusterOps {
+
+  private val SCALE = "1048576.0" // 2^20: quantization step ≈ 1e-6 per unit
+
+  /** (vec_id, cluster) after `iters` Lloyd update rounds from a
+    * deterministic seed (the `k` lowest-vec_id vectors), distances against
+    * the final centroids. */
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    // quantized integer vector + its exact double image (reused everywhere)
+    val q = emb.selectExpr("vec_id",
+        s"transform(embedding, x -> cast(floor(cast(x as double) * $SCALE) as bigint)) as xq")
+      .selectExpr("vec_id", "xq", "transform(xq, v -> cast(v as double)) as xd")
+      .selectExpr("vec_id", "xq", "xd", "array_dot(xd, xd) as xx")
+
+    // seed: the k lowest vec_ids, cid = 0..k-1 in vec_id order
+    val seed = q.orderBy("vec_id").limit(k)
+      .selectExpr("vec_id", "xd as m")
+      .withColumn("cid", row_number()
+        .over(org.apache.spark.sql.expressions.Window.orderBy(col("vec_id")))
+        .cast("long") - 1)
+      .select("cid", "m")
+
+    // one row holding all centroids, sorted by cid — the broadcast unit
+    def pack(cells: DataFrame): DataFrame =
+      cells.selectExpr("struct(cid, m, array_dot(m, m) as mm) as c")
+        .agg(expr("array_sort(collect_list(c))").as("cs"))
+
+    // map-only nearest-centroid assignment: in-row argmin over the packed
+    // array; struct min = (min dist, then min cid) — the tie-break DuckDB's
+    // ROW_NUMBER(ORDER BY dist, cid) applies
+    def assign(packed: DataFrame): DataFrame =
+      q.crossJoin(broadcast(packed))
+        .withColumn("best", expr(
+          """array_min(transform(cs, cl ->
+            |  struct(xx - 2 * array_dot(xd, cl.m) + cl.mm as dist,
+            |         cl.cid as cid)))""".stripMargin))
+        .selectExpr("vec_id", "xq", "best.cid as cluster")
+
+    var cells = seed
+    for (_ <- 0 until iters) {
+      // exact integer sums per (cluster, dim); one double division at the end
+      val means = assign(pack(cells))
+        .selectExpr("cluster as cid", "posexplode(xq) as (pos, v)")
+        .groupBy("cid", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, s, n))), " +
+          "t -> cast(t.s as double) / t.n)").as("m"))
+      cells = cells.as("old").join(means.as("new"), Seq("cid"), "left")
+        .selectExpr("cid", "coalesce(new.m, old.m) as m")
+    }
+    assign(pack(cells))
+      .selectExpr("vec_id", "cluster")
+      .orderBy("vec_id")
+  }
+}

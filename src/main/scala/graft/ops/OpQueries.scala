@@ -570,6 +570,60 @@ object OpQueries {
              |  ON l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 7 DAY
              |WHERE o.o_totalprice > 490000
              |GROUP BY o_orderkey
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Exact deterministic Lloyd k-means (ClusterOps): integer-quantized
+    // vectors, exact BIGINT centroid sums, fixed-order double distances —
+    // the FULL cluster assignment hash-matches DuckDB running the same
+    // algorithm independently (unrolled CTE chain, generated below).
+    QueryDef("op_embed_kmeans",
+      (s, d) => ClusterOps.kmeansAssign(emb(s, d), k = 8, iters = 2),
+      Some(dkKmeansOracle(k = 8, iters = 2)))
   )
+
+  /** DuckDB mirror of [[ClusterOps.kmeansAssign]]: the same quantize →
+    * seed → (assign → exact-sum update)ⁿ → final-assign pipeline as an
+    * unrolled CTE chain. Every arithmetic step matches the Spark side
+    * bit-for-bit (see ClusterOps scaladoc), so the assignment hash-gates.
+    */
+  private def dkKmeansOracle(k: Int, iters: Int): String = {
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+    def round(t: Int, prev: String): String =
+      s""",
+         |d$t AS (SELECT p.vec_id, p.xq, c.cid,
+         |          p.xx - 2 * ${dot("p.xd", "c.m")} + ${dot("c.m", "c.m")} AS dist
+         |        FROM qx p CROSS JOIN $prev c),
+         |a$t AS (SELECT vec_id, xq, cid FROM (
+         |          SELECT vec_id, xq, cid,
+         |                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |          FROM d$t) WHERE rn = 1),
+         |s$t AS (SELECT cid, t.i AS pos, SUM(xq[t.i]) AS s, COUNT(*) AS n
+         |        FROM a$t, unnest(range(1, len(xq) + 1)) AS t(i) GROUP BY cid, t.i),
+         |m$t AS (SELECT cid, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS m
+         |        FROM s$t GROUP BY cid),
+         |c$t AS (SELECT p.cid, COALESCE(m$t.m, p.m) AS m
+         |        FROM $prev p LEFT JOIN m$t ON m$t.cid = p.cid)""".stripMargin
+    val head =
+      s"""WITH q AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS xq
+         |  FROM embeddings),
+         |qd AS (SELECT vec_id, xq, list_transform(xq, v -> CAST(v AS DOUBLE)) AS xd FROM q),
+         |qx AS (SELECT vec_id, xq, xd, ${dot("xd", "xd")} AS xx FROM qd),
+         |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, xd AS m
+         |       FROM (SELECT vec_id, xd FROM qd ORDER BY vec_id LIMIT $k))""".stripMargin
+    val rounds = (1 to iters).map(t => round(t, s"c${t - 1}")).mkString
+    val fin =
+      s""",
+         |df AS (SELECT p.vec_id, c.cid,
+         |         p.xx - 2 * ${dot("p.xd", "c.m")} + ${dot("c.m", "c.m")} AS dist
+         |       FROM qx p CROSS JOIN c$iters c)
+         |SELECT vec_id, cid AS cluster FROM (
+         |  SELECT vec_id, cid,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM df) WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin
+    head + rounds + fin
+  }
 }

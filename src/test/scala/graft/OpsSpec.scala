@@ -697,6 +697,30 @@ class OpsSpec extends SparkSpecBase {
     assert(want.nonEmpty && got.toSeq === want.toSeq)
   }
 
+  test("kmeans recovers planted well-separated clusters, invariant to partitioning") {
+    // 3 centers far apart, small deterministic jitter; vec_ids 0,1,2 land
+    // in different centers so the lowest-vec_id seed spans all three
+    val pts = spark.range(90).selectExpr(
+      "id as vec_id",
+      """transform(sequence(0, 7), j -> cast(
+        |  100.0 * cast(id % 3 as double) * cast(j % 2 as double)
+        |  + cast(id as double) / 1000.0 as float)) as embedding""".stripMargin)
+    val out = graft.ops.ClusterOps.kmeansAssign(pts, k = 3, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length === 90)
+    // every point whose id % 3 agrees must share a label, and the three
+    // labels must be distinct
+    val byCenter = out.groupBy(_._1 % 3).map { case (c, rows) => c -> rows.map(_._2).toSet }
+    assert(byCenter.values.forall(_.size === 1), s"center split across labels: $byCenter")
+    assert(byCenter.values.flatten.toSet.size === 3, s"centers merged: $byCenter")
+    // exact integer sums → assignment is a pure function of the data,
+    // not its physical partitioning
+    val repart = graft.ops.ClusterOps
+      .kmeansAssign(pts.repartition(7, col("vec_id")), k = 3, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === repart.toSeq)
+  }
+
   test("interval join rejects reserved column names") {
     val df = Seq((1L, 2L)).toDF("v", "__bkt")
     intercept[IllegalArgumentException] {
