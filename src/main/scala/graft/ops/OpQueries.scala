@@ -578,7 +578,46 @@ object OpQueries {
     // algorithm independently (unrolled CTE chain, generated below).
     QueryDef("op_embed_kmeans",
       (s, d) => ClusterOps.kmeansAssign(emb(s, d), k = 8, iters = 2),
-      Some(dkKmeansOracle(k = 8, iters = 2)))
+      Some(dkKmeansOracle(k = 8, iters = 2))),
+
+    // PII redaction: the fixture text carries no PII, so both engines
+    // plant the same deterministic emails / dotted quads / phone numbers
+    // (varying per doc_id so counts differ row to row), then scrub. The
+    // counts AND the fully reconstructed clean text are hash-gated.
+    QueryDef("op_pii_scrub",
+      (s, d) => TextOps.piiScrub(docs(s, d).selectExpr("doc_id",
+          """concat(text,
+            |  case when doc_id % 3 <> 0
+            |       then concat(' contact user', cast(doc_id as string), '@mail.example.com')
+            |       else '' end,
+            |  case when doc_id % 2 = 0
+            |       then concat(' from 10.', cast(doc_id % 256 as string), '.0.', cast(doc_id % 100 as string))
+            |       else '' end,
+            |  case when doc_id % 5 = 0
+            |       then concat(' call +1415555', lpad(cast(doc_id % 10000 as string), 4, '0'))
+            |       else '' end) as text""".stripMargin))
+        .orderBy("doc_id"),
+      Some {
+        val Seq((_, ePat, eRep), (_, iPat, iRep), (_, pPat, pRep)) = TextOps.piiPatterns
+        s"""WITH p AS (SELECT doc_id, text
+           |  || CASE WHEN doc_id % 3 <> 0
+           |          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+           |          ELSE '' END
+           |  || CASE WHEN doc_id % 2 = 0
+           |          THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+           |          ELSE '' END
+           |  || CASE WHEN doc_id % 5 = 0
+           |          THEN ' call +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |          ELSE '' END AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t, '$ePat')) AS BIGINT) AS n_email,
+           |  CAST(len(regexp_extract_all(t, '$iPat')) AS BIGINT) AS n_ip,
+           |  CAST(len(regexp_extract_all(t, '$pPat')) AS BIGINT) AS n_phone,
+           |  regexp_replace(regexp_replace(regexp_replace(t,
+           |    '$ePat', '$eRep', 'g'), '$iPat', '$iRep', 'g'), '$pPat', '$pRep', 'g') AS clean_text
+           |FROM p ORDER BY doc_id""".stripMargin
+      })
   )
 
   /** DuckDB mirror of [[ClusterOps.kmeansAssign]]: the same quantize →

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.expr
 
 /** Text-analysis operators over the `documents` table — the per-document
   * stage of a training-data pipeline (quality scoring, language ID, token
@@ -179,4 +180,35 @@ object TextOps {
       .selectExpr("doc_id", s"posexplode(feature_hash(hs, $dim)) as (dim, v)")
       .selectExpr("doc_id", "cast(dim as bigint) as dim", "v")
       .orderBy("doc_id", "dim")
+
+  /** PII patterns shared by [[piiScrub]] and its oracle. Restricted to the
+    * regex subset where Java's engine and RE2 (DuckDB) agree exactly:
+    * character classes, bounded/unbounded repetition, ASCII \d and \b —
+    * no backreferences, no lookaround. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    // (kind, pattern, replacement) — applied IN ORDER: emails first (an
+    // email like a@1.2.3.4 contains an IP; email-first keeps one match),
+    // then dotted quads, then international phone numbers.
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+\\d{7,15}", "<PHONE>"))
+
+  /** PII redaction — the compliance pass of a training-data pipeline:
+    * count and replace email addresses, dotted-quad IPs and international
+    * phone numbers with sentinel tokens. Counts are taken on the ORIGINAL
+    * text (before any replacement), replacements apply sequentially in
+    * [[piiPatterns]] order, so the output is a pure per-row function —
+    * a map-only codegen stage, no shuffle, trivially scale-free.
+    */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val counts = piiPatterns.map { case (kind, pat, _) =>
+      expr(s"cast(size(regexp_extract_all($textCol, '${pat.replace("\\", "\\\\")}', 0)) as bigint)")
+        .as(s"n_$kind")
+    }
+    val cleaned = piiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+    docs.select(col("doc_id") +: counts :+ cleaned.as("clean_text"): _*)
+  }
 }

@@ -721,6 +721,23 @@ class OpsSpec extends SparkSpecBase {
     assert(out.toSeq === repart.toSeq)
   }
 
+  test("pii scrub redacts planted emails, IPs and phones, counts on the original") {
+    val d = Seq(
+      (1L, "mail a.b+c@sub.example.org and x@1.2.3.4 here"),   // email + dotted quad
+      (2L, "server 192.168.0.1 then 10.0.0.255 done"),          // 2 IPs
+      (3L, "call +4915112345678 now"),                          // 1 phone
+      (4L, "nothing to see 1234 www.example (at) dot")          // clean
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.piiScrub(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq === Seq(
+      // x@1.2.3.4 is NOT an email (no alphabetic TLD) — its quad scrubs as an IP
+      (1L, 1L, 1L, 0L, "mail <EMAIL> and x@<IP> here"),
+      (2L, 0L, 2L, 0L, "server <IP> then <IP> done"),
+      (3L, 0L, 0L, 1L, "call <PHONE> now"),
+      (4L, 0L, 0L, 0L, "nothing to see 1234 www.example (at) dot")))
+  }
+
   test("interval join rejects reserved column names") {
     val df = Seq((1L, 2L)).toDF("v", "__bkt")
     intercept[IllegalArgumentException] {
