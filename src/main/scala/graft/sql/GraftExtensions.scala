@@ -3,12 +3,13 @@ package graft.sql
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
-  Add, CaseWhen, Cast, Concat, Conv, Divide, Expression, ExpressionInfo,
+  Add, And, CaseWhen, Cast, Concat, Conv, CurrentTimestamp, DateFormatClass,
+  Divide, EqualTo, Expression, ExpressionInfo,
   Base64, Exp, GetJsonObject, GreaterThan, Hex, HllSketchEstimate, If, In,
   IsNotNull, IsNull, Length, LengthOfJsonArray, LessThan, Literal, Log,
-  Log10, Lower, Multiply, Or, Pow, RegExpExtract, Sha1, Size, Slice,
-  StringLocate, StringRepeat, StringReplace, StringSplitSQL, StringTrim,
-  TruncDate, UnBase64, Unhex, Year}
+  Log10, Lower, Multiply, OctetLength, Or, Pow, RegExpExtract, Sha1, Size,
+  Slice, SoundEx, StringLocate, StringRepeat, StringReplace, StringSplitSQL,
+  StringTrim, Substring, TruncDate, UnBase64, Unhex, Year}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   HllSketchAgg, HllUnionAgg, HyperLogLogPlusPlus}
 import org.apache.spark.sql.catalyst.expressions.variant.ParseJson
@@ -312,6 +313,59 @@ object GraftExtensions {
     (FunctionIdentifier("pg_last_copy_count"),
       info("pg_last_copy_count",
         "pg_last_copy_count() - rows loaded by the most recent COPY (0 before any)."),
-      (_: Seq[Expression]) => Literal(LocalCopy.lastCopyCount))
+      (_: Seq[Expression]) => Literal(LocalCopy.lastCopyCount)),
+    // r8 dialect sweep: the remaining Redshift scalar names with no
+    // same-name Spark builtin (SURVEY §2.2 string/date/JSON rows).
+    (FunctionIdentifier("to_hex"),
+      info("to_hex", "to_hex(n) - lowercase hex of an integer (Redshift emits lowercase)."),
+      (args: Seq[Expression]) => Lower(Hex(Cast(args.head, LongType)))),
+    (FunctionIdentifier("json_array_length"),
+      info("json_array_length",
+        "json_array_length(json[, null_if_invalid]) - length of a JSON array; NULL if invalid."),
+      (args: Seq[Expression]) => LengthOfJsonArray(args.head)),
+    // Positional match count of the two 4-char American Soundex codes
+    // (Redshift/SQL-Server DIFFERENCE, 0-4). Empty positions never match,
+    // so non-soundexable inputs score 0, and NULL propagates.
+    (FunctionIdentifier("difference"),
+      info("difference", "difference(a, b) - matching positions of soundex(a) and soundex(b), 0-4."),
+      (args: Seq[Expression]) => {
+        val (sa, sb) = (SoundEx(Cast(args(0), StringType)), SoundEx(Cast(args(1), StringType)))
+        def m(i: Int): Expression = {
+          val (ca, cb) = (Substring(sa, Literal(i), Literal(1)),
+            Substring(sb, Literal(i), Literal(1)))
+          If(And(And(EqualTo(ca, cb), GreaterThan(Length(ca), Literal(0))),
+            GreaterThan(Length(cb), Literal(0))), Literal(1), Literal(0))
+        }
+        If(Or(IsNull(args(0)), IsNull(args(1))), Literal.create(null, IntegerType),
+          Seq(1, 2, 3, 4).map(m).reduceLeft[Expression]((a, b) => Add(a, b)))
+      }),
+    (FunctionIdentifier("date_cmp_timestamp"),
+      info("date_cmp_timestamp",
+        "date_cmp_timestamp(d, ts) - -1/0/1 comparison of a date against a timestamp; NULL if either is NULL."),
+      (args: Seq[Expression]) => tsCmp(Cast(args(0), TimestampType), Cast(args(1), TimestampType))),
+    (FunctionIdentifier("timestamp_cmp_date"),
+      info("timestamp_cmp_date",
+        "timestamp_cmp_date(ts, d) - -1/0/1 comparison of a timestamp against a date; NULL if either is NULL."),
+      (args: Seq[Expression]) => tsCmp(Cast(args(0), TimestampType), Cast(args(1), TimestampType))),
+    // Byte (not character) index of sub in s, 1-based; 0 when absent —
+    // locate the char position, then measure the prefix in octets.
+    (FunctionIdentifier("octetindex"),
+      info("octetindex", "octetindex(sub, s) - 1-based BYTE offset of sub in s; 0 if absent."),
+      (args: Seq[Expression]) => {
+        val p = StringLocate(Cast(args(0), StringType), Cast(args(1), StringType), Literal(1))
+        If(EqualTo(p, Literal(0)), Literal(0),
+          Add(OctetLength(Substring(Cast(args(1), StringType), Literal(1),
+            Add(p, Literal(-1)))), Literal(1)))
+      }),
+    (FunctionIdentifier("timeofday"),
+      info("timeofday", "timeofday() - current timestamp as a Redshift-style text string."),
+      (_: Seq[Expression]) => DateFormatClass(CurrentTimestamp(),
+        Literal("EEE MMM dd HH:mm:ss.SSSSSS zz yyyy")))
   )
+
+  /** Shared -1/0/1 comparator with NULL-propagation (the *_cmp family). */
+  private def tsCmp(a: Expression, b: Expression): Expression =
+    If(Or(IsNull(a), IsNull(b)), Literal.create(null, IntegerType),
+      CaseWhen(Seq((LessThan(a, b), Literal(-1)),
+        (GreaterThan(a, b), Literal(1))), Literal(0)))
 }

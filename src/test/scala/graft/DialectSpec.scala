@@ -186,6 +186,36 @@ class DialectSpec extends SparkSpecBase {
     assert(sql1("SELECT bpcharcmp('a', 'a')").getInt(0) === 0)
   }
 
+  test("r8 scalar sweep: to_hex, json_array_length, difference, cmp variants, octetindex") {
+    assert(sql1("SELECT to_hex(2147676847)").getString(0) === "8002f2af")
+    assert(sql1("SELECT to_hex(255)").getString(0) === "ff")
+    assert(sql1("SELECT json_array_length('[11,12,13,{\"f1\":21,\"f2\":[25,26]},14]')")
+      .getInt(0) === 5)
+    assert(sql1("SELECT json_array_length('not json', true)").isNullAt(0))
+    // Redshift doc examples: identical soundex codes → 4
+    assert(sql1("SELECT difference('Amherst', 'Amerst')").getInt(0) === 4)
+    assert(sql1("SELECT difference('Greene', 'Green')").getInt(0) === 4)
+    assert(sql1("SELECT difference('smith', 'smyth')").getInt(0) === 4)
+    assert(sql1("SELECT difference('abc', 'xyz')").getInt(0) < 4)
+    assert(sql1("SELECT difference('', '')").getInt(0) === 0)
+    assert(sql1("SELECT difference(NULL, 'x')").isNullAt(0))
+    assert(sql1("SELECT date_cmp_timestamp(DATE'2008-01-04', TIMESTAMP'2008-01-04 00:00:00')")
+      .getInt(0) === 0)
+    assert(sql1("SELECT date_cmp_timestamp(DATE'2008-01-04', TIMESTAMP'2008-01-03 23:59:59')")
+      .getInt(0) === 1)
+    assert(sql1("SELECT timestamp_cmp_date(TIMESTAMP'2008-01-04 12:00:00', DATE'2008-01-05')")
+      .getInt(0) === -1)
+    // octet (byte) index, not char index: 'é' is 2 bytes in UTF-8
+    assert(sql1("SELECT octetindex('и', 'мир')").getInt(0) === 3)
+    assert(sql1("SELECT octetindex('zz', 'abc')").getInt(0) === 0)
+    assert(sql1("SELECT octetindex('b', 'abc')").getInt(0) === 2)
+    assert(sql1("SELECT timeofday()").getString(0).matches(
+      """\w{3} \w{3} \d{2} \d{2}:\d{2}:\d{2}\.\d{6} \w+ \d{4}"""))
+    // CONVERT_TIMEZONE passes through to Spark's same-order builtin
+    assert(sql1("SELECT CAST(convert_timezone('UTC', 'America/Los_Angeles', " +
+      "TIMESTAMP'2008-08-21 17:00:00') AS STRING)").getString(0) === "2008-08-21 10:00:00")
+  }
+
   // ---- array function aliases ----
   test("Redshift array functions resolve and compute") {
     val r = sql1(
