@@ -617,7 +617,20 @@ object OpQueries {
            |  regexp_replace(regexp_replace(regexp_replace(t,
            |    '$ePat', '$eRep', 'g'), '$iPat', '$iRep', 'g'), '$pPat', '$pRep', 'g') AS clean_text
            |FROM p ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Positional inverted index: postings (token, doc, tf, ordered
+    // positions) — tf AND the exact position payload hash-gated.
+    QueryDef("op_inverted_index",
+      (s, d) => TextOps.invertedIndex(docs(s, d)),
+      Some(s"""WITH w0 AS (SELECT doc_id, $dkWords AS w FROM documents),
+              |tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS token
+              |        FROM w0, unnest(range(1, len(w) + 1)) AS t(i)
+              |        WHERE w[i] <> '')
+              |SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+              |       string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+              |FROM tok GROUP BY token, doc_id
+              |ORDER BY token, doc_id""".stripMargin))
   )
 
   /** DuckDB mirror of [[ClusterOps.kmeansAssign]]: the same quantize →

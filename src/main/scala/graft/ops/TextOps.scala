@@ -181,6 +181,29 @@ object TextOps {
       .selectExpr("doc_id", "cast(dim as bigint) as dim", "v")
       .orderBy("doc_id", "dim")
 
+  /** Positional inverted index — the retrieval primitive over a corpus
+    * (BM25 scoring, phrase queries and span decontamination all consume
+    * postings): one row per (token, doc) with the term frequency and the
+    * 0-based token positions, comma-joined in order (a portable, exactly
+    * hashable encoding of the postings payload).
+    *
+    * Scale shape: tokenize + posexplode is map-only; the single exchange
+    * is the (token, doc_id) groupBy, partial-aggregated map-side. The key
+    * includes doc_id, so even stopword tokens spread over the full hash
+    * space — no hot-token reducer. A global sort by (token, doc_id) makes
+    * the output a range-partitioned index: readers binary-search tokens
+    * via parquet min/max pruning instead of scanning.
+    */
+  def invertedIndex(docs: DataFrame): DataFrame =
+    docs
+      .selectExpr("doc_id", s"posexplode(${wordsExpr("text")}) as (pos, token)")
+      .filter("token <> ''")
+      .groupBy("token", "doc_id")
+      .agg(
+        expr("cast(count(1) as bigint) as tf"),
+        expr("array_join(transform(sort_array(collect_list(pos)), p -> cast(p as string)), ',') as positions"))
+      .orderBy("token", "doc_id")
+
   /** PII patterns shared by [[piiScrub]] and its oracle. Restricted to the
     * regex subset where Java's engine and RE2 (DuckDB) agree exactly:
     * character classes, bounded/unbounded repetition, ASCII \d and \b —

@@ -721,6 +721,21 @@ class OpsSpec extends SparkSpecBase {
     assert(out.toSeq === repart.toSeq)
   }
 
+  test("inverted index: tf and ordered positions for planted repeats") {
+    val d = Seq(
+      (1L, "a b a c a"),
+      (2L, "c B b")   // case-folds: B → b
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.invertedIndex(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      ("a", 1L, 3L, "0,2,4"),
+      ("b", 1L, 1L, "1"),
+      ("b", 2L, 2L, "1,2"),
+      ("c", 1L, 1L, "3"),
+      ("c", 2L, 1L, "0")))
+  }
+
   test("pii scrub redacts planted emails, IPs and phones, counts on the original") {
     val d = Seq(
       (1L, "mail a.b+c@sub.example.org and x@1.2.3.4 here"),   // email + dotted quad
