@@ -62,9 +62,11 @@ class PlanSpec extends SparkSpecBase {
   test("whole ops corpus: no cartesian anywhere; BNLJ only in declared all-pairs/broadcast tiers") {
     // These ops broadcast a small side over a non-equi condition BY DESIGN:
     // the top-k family broadcasts the query set; the exact near-dup tier is
-    // the documented all-pairs oracle tier (scale path = _lsh).
+    // the documented all-pairs oracle tier (scale path = _lsh); kmeans
+    // broadcasts the ONE packed-centroid row to every task (map-only
+    // assignment — the BNLJ here is a 1-row build side, not a pair blowup).
     val bnljAllowed = Set("op_sim_topk", "op_sim_topk_agg", "op_sim_topk_ivf",
-      "op_dedup_embedding")
+      "op_dedup_embedding", "op_embed_kmeans")
     graft.ops.OpQueries.defs.foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"${q.name} went cartesian:\n$p")
