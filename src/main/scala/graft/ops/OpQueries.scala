@@ -630,7 +630,35 @@ object OpQueries {
               |SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
               |       string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
               |FROM tok GROUP BY token, doc_id
-              |ORDER BY token, doc_id""".stripMargin))
+              |ORDER BY token, doc_id""".stripMargin)),
+
+    // BM25-style retrieval over the corpus: deterministic data-derived
+    // queries, log-free rational idf (TextOps.bm25WFormula — the SAME
+    // template string runs in both engines), token-ordered score fold —
+    // rank AND the double score itself hash-gate.
+    QueryDef("op_bm25_topk",
+      (s, d) => TextOps.bm25TopK(docs(s, d), nQueries = 5, qLen = 8, k = 5),
+      Some(s"""WITH w0 AS (SELECT doc_id, $dkWords AS w FROM documents),
+              |tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS token FROM w0),
+              |post AS (SELECT doc_id, dl, token, COUNT(*) AS tf
+              |         FROM tok WHERE token <> '' GROUP BY doc_id, dl, token),
+              |dfq AS (SELECT token, COUNT(*) AS df FROM post GROUP BY token),
+              |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(w)) AS BIGINT) AS tot FROM w0),
+              |q AS (SELECT doc_id AS qid, unnest(list_distinct(w[1:8])) AS token
+              |      FROM w0 WHERE doc_id < 5),
+              |sc AS (SELECT q.qid, p.doc_id, p.token,
+              |         ${TextOps.bm25WFormula} AS tw
+              |       FROM q JOIN post p USING (token) JOIN dfq USING (token) CROSS JOIN st
+              |       WHERE p.token <> ''),
+              |g AS (SELECT qid, doc_id,
+              |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list(tw ORDER BY token)),
+              |                    (acc, x) -> acc + x) AS score
+              |      FROM sc GROUP BY qid, doc_id),
+              |r AS (SELECT qid, doc_id, score,
+              |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+              |      FROM g)
+              |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, score
+              |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin))
   )
 
   /** DuckDB mirror of [[ClusterOps.kmeansAssign]]: the same quantize →

@@ -204,6 +204,66 @@ object TextOps {
         expr("array_join(transform(sort_array(collect_list(pos)), p -> cast(p as string)), ',') as positions"))
       .orderBy("token", "doc_id")
 
+  /** The BM25-style term weight shared verbatim by [[bm25TopK]] and its
+    * oracle — ONE template string so both engines execute the identical
+    * IEEE expression tree (literals and parenthesization included).
+    *
+    * Deliberately log-free: classic BM25 idf is `ln((N-df+0.5)/(df+0.5))`,
+    * but `ln` is a libm call with no cross-engine bit guarantee; using the
+    * rational idf `(N-df+0.5)/(df+0.5)` directly keeps the same per-term
+    * document ordering (log is monotone) while every operation stays
+    * exactly-reproducible IEEE +,−,×,÷ from integer inputs. k1 = 1.2,
+    * b = 0.75, written as sub-expressions (`(1.2 + 1)`, `(1 - 0.75)`) so
+    * each engine derives the constants with its own identical arithmetic.
+    */
+  private val bm25W: String =
+    "((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))" +
+      " * ((CAST(tf AS DOUBLE) * (1.2 + 1)) / (CAST(tf AS DOUBLE) + 1.2 *" +
+      " ((1 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"
+  def bm25WFormula: String = bm25W
+
+  /** BM25-flavored lexical top-k retrieval — the consumer of the inverted
+    * index: score every document against each query (the first `qLen`
+    * distinct tokens of the `nQueries` lowest-id docs — deterministic,
+    * data-derived queries) and keep the `k` best per query.
+    *
+    * Determinism: per-term weights are pure IEEE arithmetic on exact
+    * integers ([[bm25WFormula]]); the per-document sum folds the matched
+    * terms IN TOKEN ORDER (sorted collect_list → sequential fold), so the
+    * double score is bit-identical in any engine that folds the same way —
+    * the full (qid, rank, doc, score) output hash-gates against DuckDB.
+    *
+    * Scale shape: postings and document frequencies are (doc, token)- and
+    * token-keyed two-phase aggregations; the tiny query set broadcasts
+    * onto the postings (corpus streams, no big-side shuffle); the global
+    * (N, total-length) pair is ONE broadcast row; scoring shuffles only
+    * matched (qid, doc) groups and the final top-k is a per-qid window.
+    */
+  def bm25TopK(docs: DataFrame, nQueries: Int = 5, qLen: Int = 8, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, row_number, sum}
+    val words = docs.selectExpr("doc_id", s"${wordsExpr("text")} as w")
+    val post = words.selectExpr("doc_id", "size(w) as dl", "explode(w) as token")
+      .filter("token <> ''")
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val dfq = post.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = words.selectExpr("size(w) as l")
+      .agg(count(lit(1)).as("n_docs"), sum(col("l")).as("tot"))
+    val q = words.filter(col("doc_id") < nQueries)
+      .selectExpr("doc_id as qid", s"explode(array_distinct(slice(w, 1, $qLen))) as token")
+      .filter("token <> ''")
+    val scored = broadcast(q).join(post, "token").join(dfq, "token")
+      .crossJoin(broadcast(stats))
+      .selectExpr("qid", "doc_id", "token", s"$bm25W as tw")
+      .groupBy("qid", "doc_id")
+      .agg(expr("aggregate(transform(array_sort(collect_list(struct(token, tw))), " +
+        "s -> s.tw), cast(0 as double), (acc, x) -> acc + x)").as("score"))
+    val win = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(win)).filter(col("rnk") <= k)
+      .selectExpr("qid", "cast(rnk as bigint) as rnk", "doc_id", "score")
+      .orderBy("qid", "rnk")
+  }
+
   /** PII patterns shared by [[piiScrub]] and its oracle. Restricted to the
     * regex subset where Java's engine and RE2 (DuckDB) agree exactly:
     * character classes, bounded/unbounded repetition, ASCII \d and \b —

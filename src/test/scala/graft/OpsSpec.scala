@@ -721,6 +721,21 @@ class OpsSpec extends SparkSpecBase {
     assert(out.toSeq === repart.toSeq)
   }
 
+  test("bm25 ranks full-match short docs above partial/longer matches") {
+    val d = Seq(
+      (0L, "apple banana cherry"),                    // the query doc
+      (1L, "apple banana cherry date egg fig"),       // all terms, longer
+      (2L, "apple zebra yam xylophone"),              // one (weak-idf) term
+      (3L, "zebra yam xylophone waffle")              // no match
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.bm25TopK(d, nQueries = 1, qLen = 8, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._3).toSeq === Seq(0L, 1L, 2L),
+      s"ranking wrong: ${out.toSeq}") // doc 3 matches nothing → absent
+    assert(out.map(_._2).toSeq === Seq(1L, 2L, 3L))
+    assert(out.map(_._4).toSeq === out.map(_._4).sorted.reverse.toSeq)
+  }
+
   test("inverted index: tf and ordered positions for planted repeats") {
     val d = Seq(
       (1L, "a b a c a"),
