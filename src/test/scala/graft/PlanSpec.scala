@@ -319,6 +319,24 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("WindowGroupLimit"), s"rank filter not pushed down:\n$p")
   }
 
+  test("pii scrub is a map-only stage: no exchange before the output sort") {
+    val p = plan("op_pii_scrub")
+    // one rangepartitioning exchange for the final ORDER BY is the only
+    // shuffle a pure per-row projection may have
+    val shuffles = "Exchange".r.findAllIn(p).length
+    assert(shuffles <= 1, s"per-row scrub must not shuffle ($shuffles):\n$p")
+    assert(!p.contains("Aggregate") && !p.contains("Join"),
+      s"per-row scrub must stay a projection:\n$p")
+  }
+
+  test("inverted index aggregates two-phase and prunes the documents scan") {
+    val p = plan("op_inverted_index")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"unneeded columns read:\n$readSchema")
+  }
+
   test("interval join plans as an equi join on buckets, never a nested loop") {
     // A raw `v BETWEEN lo AND hi` join is BroadcastNestedLoopJoin /
     // CartesianProduct — O(|probe|·|build|). The bucketed rewrite must
