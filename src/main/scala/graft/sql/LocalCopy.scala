@@ -23,7 +23,7 @@ import SqlTokens._
   * or raises; silently skipping an unknown word risks treating a
   * semantics-bearing option as noise):
   *   COPY <table> [(cols)] FROM '<path>'
-  *        [[FORMAT] [AS] CSV | PARQUET | JSON ['auto'|'auto ignorecase']]
+  *        [[FORMAT] [AS] CSV | PARQUET | ORC | JSON ['auto'|'auto ignorecase']]
   *        [DELIMITER [AS] '<d>'] [IGNOREHEADER [AS] n] [NULL [AS] '<s>']
   *        [DATEFORMAT [AS] '<fmt>'] [TIMEFORMAT [AS] '<fmt>'] [MANIFEST]
   *   UNLOAD ('<query>') TO '<path>'
@@ -81,7 +81,7 @@ object LocalCopy {
 
   /** Formats whose data has no Spark-native reader/writer mapping here —
     * silently skipping the word would misparse the data as delimited text. */
-  private val rejectedFormats = Set("avro", "orc", "fixedwidth", "shapefile")
+  private val rejectedFormats = Set("avro", "fixedwidth", "shapefile")
 
   /** Auth/transport words carrying a quoted (or `default`) value: skipped
     * together with the value — the Hadoop FS layer owns transport. */
@@ -128,7 +128,7 @@ object LocalCopy {
     var delimitedOpts: List[String] = Nil
     def delimitedOnly(opt: String): Unit = delimitedOpts ::= opt
     def validate(stmt: String): Unit =
-      if (format == "parquet" || format == "json")
+      if (format == "parquet" || format == "json" || format == "orc")
         require(delimitedOpts.isEmpty,
           s"$stmt: ${delimitedOpts.mkString(", ")} only applies to " +
             s"CSV/delimited text, not ${format.toUpperCase}")
@@ -145,6 +145,9 @@ object LocalCopy {
       case "format" | "as" => j
       case "csv" => o.format = "csv"; j
       case "parquet" => o.format = "parquet"; j
+      // COPY-only columnar source (Redshift UNLOAD has no ORC target;
+      // runUnload rejects it after the shared scan)
+      case "orc" => o.format = "orc"; j
       case "json" =>
         o.format = "json"
         // optional spec literal ('auto' | 'auto ignorecase' | jsonpaths)
@@ -176,7 +179,7 @@ object LocalCopy {
         if (k < toks.length && toks(k).isWord("auto")) k else j
       case f if rejectedFormats.contains(f) =>
         throw new IllegalArgumentException(
-          s"$stmt: format '${t.text}' is not supported (CSV/delimited text, PARQUET, JSON)")
+          s"$stmt: format '${t.text}' is not supported (CSV/delimited text, PARQUET, ORC, JSON)")
       case tr if transportOpts.contains(tr) => skipTransportVal(toks, j)
       case _ => -1
     }
@@ -266,17 +269,20 @@ object LocalCopy {
     val dataPaths: Seq[String] =
       if (manifest) manifestFiles(spark, path) else Seq(path)
     if (dataPaths.isEmpty) return
+    // Redshift's columnar-format rule (PARQUET and ORC alike): columns map
+    // BY POSITION onto the target columns, so names may differ but order
+    // and count must match
+    def positional(raw: DataFrame, what: String): DataFrame = {
+      require(raw.schema.length == loadSchema.length,
+        s"COPY: $what data has ${raw.schema.length} columns, " +
+          s"target list has ${loadSchema.length}")
+      raw.select(raw.schema.fieldNames.zip(loadSchema.fields).map {
+        case (src, f) => col(s"`$src`").cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+    }
     val read: DataFrame = o.format match {
-      case "parquet" =>
-        // Redshift's columnar-format rule: columns map BY POSITION onto
-        // the target columns, so names may differ but order and count match
-        val raw = spark.read.parquet(dataPaths: _*)
-        require(raw.schema.length == loadSchema.length,
-          s"COPY: parquet data has ${raw.schema.length} columns, " +
-            s"target list has ${loadSchema.length}")
-        raw.select(raw.schema.fieldNames.zip(loadSchema.fields).map {
-          case (src, f) => col(s"`$src`").cast(f.dataType).as(f.name)
-        }.toSeq: _*)
+      case "parquet" => positional(spark.read.parquet(dataPaths: _*), "parquet")
+      case "orc" => positional(spark.read.orc(dataPaths: _*), "orc")
       case "json" if o.jsonSpec == "auto" =>
         // 'auto': field names match exactly (Redshift's rule); reading with
         // the target schema projects and types in one pass
@@ -446,6 +452,8 @@ object LocalCopy {
       }
     }
     o.validate("UNLOAD")
+    require(o.format != "orc",
+      "UNLOAD: ORC is not an UNLOAD format in Redshift (CSV/JSON/PARQUET)")
     require(!(o.format == "parquet" && o.compression.contains("bzip2")),
       "UNLOAD: BZIP2 does not apply to PARQUET")
     val df = spark.sql(RedshiftSql.rewrite(query))

@@ -576,6 +576,32 @@ class DialectSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("DELIMITER"))
   }
 
+  test("COPY FORMAT AS ORC loads by position; UNLOAD rejects ORC") {
+    import java.nio.file.Files
+    spark.sql("DROP TABLE IF EXISTS copy_orc")
+    spark.sql("CREATE TABLE copy_orc (id BIGINT, name STRING, amt DOUBLE)")
+    val dir = Files.createTempDirectory("graft_copyorc_").resolve("data")
+    spark.range(3).selectExpr("id AS a", "concat('n', id) AS b", "id * 1.5 AS c")
+      .write.orc(dir.toString)
+    graft.cli.ExecuteSql.run(spark,
+      s"COPY copy_orc FROM '$dir' FORMAT AS ORC", None)
+    val rows = spark.table("copy_orc").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows === Array((0L, "n0", 0.0), (1L, "n1", 1.5), (2L, "n2", 3.0)))
+    // delimited options are rejected with ORC, like the other columnar formats
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark,
+        s"COPY copy_orc FROM '$dir' DELIMITER '|' ORC", None)
+    }
+    assert(e.getMessage.contains("DELIMITER"))
+    // Redshift UNLOAD has no ORC target — refuse rather than invent one
+    val e2 = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark,
+        s"UNLOAD ('SELECT 1') TO '${dir}_out' FORMAT AS ORC", None)
+    }
+    assert(e2.getMessage.contains("ORC"))
+  }
+
   test("COPY JSON 'auto' matches fields by name; 'auto ignorecase' folds case") {
     import java.nio.file.Files
     spark.sql("DROP TABLE IF EXISTS copy_js")
