@@ -658,7 +658,38 @@ object OpQueries {
               |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
               |      FROM g)
               |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, score
-              |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin))
+              |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+
+    // Column profiling: summary + equal-width histogram with an explicit
+    // shared bucket formula (width_bucket's boundary arithmetic is
+    // implementation-defined; this expression is the same IEEE tree in
+    // both engines), so every bucket count hash-gates.
+    QueryDef("op_profile",
+      (s, d) => ProfileOps.profile(Tables.load(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice"), nBuckets = 10),
+      Some {
+        def one(c: String) =
+          s"""SELECT '$c' AS col_name, bucket, COUNT(*) AS n,
+             |  ANY_VALUE(n_rows) AS n_rows, ANY_VALUE(n_null) AS n_null,
+             |  ANY_VALUE(ndv) AS ndv, ANY_VALUE(col_min) AS col_min, ANY_VALUE(col_max) AS col_max
+             |FROM (
+             |  SELECT CASE WHEN s.col_max = s.col_min THEN 0
+             |              ELSE least(CAST(floor(((CAST(l.$c AS DOUBLE) - s.col_min) / (s.col_max - s.col_min))
+             |                * 10) AS BIGINT), 9) END AS bucket,
+             |         s.n_rows, s.n_null, s.ndv, s.col_min, s.col_max
+             |  FROM lineitem l CROSS JOIN (
+             |    SELECT COUNT(*) AS n_rows,
+             |           CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |           CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+             |           CAST(MIN($c) AS DOUBLE) AS col_min, CAST(MAX($c) AS DOUBLE) AS col_max
+             |    FROM lineitem) s
+             |  WHERE l.$c IS NOT NULL)
+             |GROUP BY bucket""".stripMargin
+        s"""${one("l_quantity")}
+           |UNION ALL
+           |${one("l_extendedprice")}
+           |ORDER BY col_name, bucket""".stripMargin
+      })
   )
 
   /** DuckDB mirror of [[ClusterOps.kmeansAssign]]: the same quantize →

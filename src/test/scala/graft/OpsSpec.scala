@@ -721,6 +721,21 @@ class OpsSpec extends SparkSpecBase {
     assert(out.toSeq === repart.toSeq)
   }
 
+  test("profile: histogram buckets, null handling and the constant-column edge") {
+    val d = Seq[(java.lang.Double, java.lang.Double)](
+      (0.0, 7.0), (1.0, 7.0), (5.0, 7.0), (10.0, 7.0), (null, 7.0)
+    ).toDF("x", "c")
+    val out = graft.ops.ProfileOps.profile(d, Seq("x", "c"), nBuckets = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    val x = out.filter(_._1 == "x")
+    // 0 → bucket 0, 1 → bucket 1, 5 → bucket 5, 10 (the max) clamps to 9
+    assert(x.map(r => (r._2, r._3)).toSeq === Seq((0L, 1L), (1L, 1L), (5L, 1L), (9L, 1L)))
+    assert(x.head._4 === 5L && x.head._5 === 1L && x.head._6 === 4L) // n_rows, n_null, ndv
+    val c = out.filter(_._1 == "c")
+    assert(c.map(r => (r._2, r._3)).toSeq === Seq((0L, 5L))) // constant → one bucket
+  }
+
   test("bm25 ranks full-match short docs above partial/longer matches") {
     val d = Seq(
       (0L, "apple banana cherry"),                    // the query doc

@@ -65,9 +65,9 @@ class PlanSpec extends SparkSpecBase {
     // the documented all-pairs oracle tier (scale path = _lsh); kmeans
     // broadcasts the ONE packed-centroid row to every task (map-only
     // assignment — the BNLJ here is a 1-row build side, not a pair blowup).
-    // (bm25's BNLJ is likewise the one-row corpus-stats broadcast)
+    // (bm25 / profile BNLJs are likewise one-row stats broadcasts)
     val bnljAllowed = Set("op_sim_topk", "op_sim_topk_agg", "op_sim_topk_ivf",
-      "op_dedup_embedding", "op_embed_kmeans", "op_bm25_topk")
+      "op_dedup_embedding", "op_embed_kmeans", "op_bm25_topk", "op_profile")
     graft.ops.OpQueries.defs.foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"${q.name} went cartesian:\n$p")
