@@ -69,6 +69,33 @@ object OpQueries {
        |FROM (SELECT doc_id, list_transform($dkWords, x -> ${dkH60("x")}) AS hs FROM documents)""".stripMargin
 
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  /** Deterministic planted PII (the fixture text has none) — the SAME
+    * per-doc_id construction in Spark and DuckDB syntax. */
+  private val plantPiiSpark: String =
+    """concat(text,
+      |  case when doc_id % 3 <> 0
+      |       then concat(' contact user', cast(doc_id as string), '@mail.example.com')
+      |       else '' end,
+      |  case when doc_id % 2 = 0
+      |       then concat(' from 10.', cast(doc_id % 256 as string), '.0.', cast(doc_id % 100 as string))
+      |       else '' end,
+      |  case when doc_id % 5 = 0
+      |       then concat(' call +1415555', lpad(cast(doc_id % 10000 as string), 4, '0'))
+      |       else '' end) as text""".stripMargin
+  // NOTE: this fragment interpolates into stripMargin'd oracle templates —
+  // no line may begin with (whitespace +) '|', so `||` never starts a line.
+  private val plantPiiDuck: String =
+    "text || " +
+      "CASE WHEN doc_id % 3 <> 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END || " +
+      "CASE WHEN doc_id % 2 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END || " +
+      "CASE WHEN doc_id % 5 = 0 THEN ' call +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+  /** DuckDB mirror of [[TextOps.piiScrub]]'s sequential replacement. */
+  private def dkScrub(c: String): String = {
+    val Seq((_, ePat, eRep), (_, iPat, iRep), (_, pPat, pRep)) = TextOps.piiPatterns
+    s"""regexp_replace(regexp_replace(regexp_replace($c,
+       |    '$ePat', '$eRep', 'g'), '$iPat', '$iRep', 'g'), '$pPat', '$pRep', 'g')""".stripMargin
+  }
   private def emb(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "embeddings")
 
   val defs: Seq[QueryDef] = Seq(
@@ -585,37 +612,16 @@ object OpQueries {
     // (varying per doc_id so counts differ row to row), then scrub. The
     // counts AND the fully reconstructed clean text are hash-gated.
     QueryDef("op_pii_scrub",
-      (s, d) => TextOps.piiScrub(docs(s, d).selectExpr("doc_id",
-          """concat(text,
-            |  case when doc_id % 3 <> 0
-            |       then concat(' contact user', cast(doc_id as string), '@mail.example.com')
-            |       else '' end,
-            |  case when doc_id % 2 = 0
-            |       then concat(' from 10.', cast(doc_id % 256 as string), '.0.', cast(doc_id % 100 as string))
-            |       else '' end,
-            |  case when doc_id % 5 = 0
-            |       then concat(' call +1415555', lpad(cast(doc_id % 10000 as string), 4, '0'))
-            |       else '' end) as text""".stripMargin))
+      (s, d) => TextOps.piiScrub(docs(s, d).selectExpr("doc_id", plantPiiSpark))
         .orderBy("doc_id"),
       Some {
-        val Seq((_, ePat, eRep), (_, iPat, iRep), (_, pPat, pRep)) = TextOps.piiPatterns
-        s"""WITH p AS (SELECT doc_id, text
-           |  || CASE WHEN doc_id % 3 <> 0
-           |          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
-           |          ELSE '' END
-           |  || CASE WHEN doc_id % 2 = 0
-           |          THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)
-           |          ELSE '' END
-           |  || CASE WHEN doc_id % 5 = 0
-           |          THEN ' call +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-           |          ELSE '' END AS t
-           |  FROM documents)
+        val Seq((_, ePat, _), (_, iPat, _), (_, pPat, _)) = TextOps.piiPatterns
+        s"""WITH p AS (SELECT doc_id, $plantPiiDuck AS t FROM documents)
            |SELECT doc_id,
            |  CAST(len(regexp_extract_all(t, '$ePat')) AS BIGINT) AS n_email,
            |  CAST(len(regexp_extract_all(t, '$iPat')) AS BIGINT) AS n_ip,
            |  CAST(len(regexp_extract_all(t, '$pPat')) AS BIGINT) AS n_phone,
-           |  regexp_replace(regexp_replace(regexp_replace(t,
-           |    '$ePat', '$eRep', 'g'), '$iPat', '$iRep', 'g'), '$pPat', '$pRep', 'g') AS clean_text
+           |  ${dkScrub("t")} AS clean_text
            |FROM p ORDER BY doc_id""".stripMargin
       }),
 
@@ -689,6 +695,52 @@ object OpQueries {
            |UNION ALL
            |${one("l_extendedprice")}
            |ORDER BY col_name, bucket""".stripMargin
+      }),
+
+    // The CAPSTONE composition: scrub → quality-filter → benchmark span
+    // decontamination → exact keep-first dedup, gated END-TO-END (each
+    // stage is gated alone elsewhere; this catches stage-boundary bugs).
+    // PII is planted so the scrub stage is live inside the chain.
+    QueryDef("op_pipeline_curate",
+      (s, d) => PipelineOps.curate(
+        docs(s, d).selectExpr("doc_id", plantPiiSpark),
+        minQuality = 0.25, benchMod = 7, n = 8),
+      Some {
+        val stop = "('the','a','of','and','to','in','is','it')"
+        def sh(src: String) =
+          s"""SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             |       ${dkH60("array_to_string(w[i:i+7], ' ')")} AS fp
+             |FROM $src, unnest(range(1, len(w) - 8 + 2)) AS t(i)
+             |WHERE len(w) >= 8""".stripMargin
+        s"""WITH p AS (SELECT doc_id, $plantPiiDuck AS t FROM documents),
+           |scr AS (SELECT doc_id, ${dkScrub("t")} AS text FROM p),
+           |w0 AS (SELECT doc_id, text, $dkWords AS w FROM scr),
+           |keepq AS (SELECT doc_id FROM w0 WHERE
+           |  (1.0 - CAST(len(list_filter(w, x -> x IN $stop)) AS DOUBLE) / len(w))
+           |  * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text))
+           |  * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) >= 0.25),
+           |cand0 AS (SELECT w0.doc_id, w0.w FROM w0 JOIN keepq USING (doc_id)
+           |          WHERE doc_id % 7 <> 0),
+           |bench0 AS (SELECT doc_id, w FROM w0 WHERE doc_id % 7 = 0),
+           |shc AS (${sh("cand0")}),
+           |ref AS (SELECT DISTINCT fp FROM (${sh("bench0")})),
+           |cut AS (SELECT DISTINCT shc.doc_id, u.t
+           |        FROM shc, unnest(range(shc.pos, shc.pos + 8)) AS u(t)
+           |        WHERE shc.fp IN (SELECT fp FROM ref)),
+           |tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS t, w[i] AS tokn
+           |        FROM cand0, unnest(range(1, len(w) + 1)) AS v(i)),
+           |reb AS (SELECT tok.doc_id,
+           |          string_agg(tok.tokn, ' ' ORDER BY tok.t) AS clean_text,
+           |          COUNT(*) AS n_kept
+           |        FROM tok ANTI JOIN cut ON cut.doc_id = tok.doc_id AND cut.t = tok.t
+           |        GROUP BY tok.doc_id),
+           |fin AS (SELECT c.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+           |          CAST(len(c.w) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_cut,
+           |          CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept
+           |        FROM cand0 c LEFT JOIN reb ON reb.doc_id = c.doc_id),
+           |ded AS (SELECT fin.*, MIN(doc_id) OVER (PARTITION BY clean_text) AS keeper FROM fin)
+           |SELECT doc_id, clean_text, n_cut, n_kept
+           |FROM ded WHERE doc_id = keeper ORDER BY doc_id""".stripMargin
       })
   )
 

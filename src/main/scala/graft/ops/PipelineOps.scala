@@ -35,6 +35,41 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** End-to-end curation — the full pre-training data path as ONE composed,
+    * oracle-gated operator (each stage is individually gated elsewhere;
+    * this gates their COMPOSITION, where stage-boundary bugs live):
+    *
+    *   1. PII scrub ([[TextOps.piiScrub]], map-only);
+    *   2. quality filter on the scrubbed text ([[TextOps.textStats]]
+    *      composite score ≥ `minQuality`, map-only);
+    *   3. benchmark decontamination: candidates (doc_id % `benchMod` ≠ 0)
+    *      have every span matching the held-out slice (doc_id % benchMod
+    *      = 0, scrubbed but NOT quality-filtered — the eval set is given,
+    *      not curated) cut out ([[DedupOps.contaminationCut]]);
+    *   4. exact dedup, keep-first: one survivor per final clean text
+    *      (min doc_id).
+    *
+    * Scale shape: stages 1-2 are one fused codegen map stage; stage 3 is
+    * the bucketed shingle semi-join (never all-pairs); stage 4 is a
+    * text-keyed window — hash-partitioned by content, the same shape as
+    * DedupOps.exact. Nothing driver-side anywhere.
+    */
+  def curate(docs: DataFrame, minQuality: Double = 0.25,
+             benchMod: Long = 7, n: Int = 8): DataFrame = {
+    val scrubbed = TextOps.piiScrub(docs).selectExpr("doc_id", "clean_text as text")
+    val q = TextOps.textStats(scrubbed)
+      .filter(col("quality_score") >= minQuality).select("doc_id")
+    val cands = scrubbed.join(q, Seq("doc_id"), "left_semi")
+      .filter(col("doc_id") % benchMod =!= 0)
+    val bench = scrubbed.filter(col("doc_id") % benchMod === 0)
+    val cut = DedupOps.contaminationCut(cands, bench, n)
+    val w = Window.partitionBy(col("clean_text"))
+    cut.withColumn("keeper", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keeper"))
+      .select("doc_id", "clean_text", "n_cut", "n_kept")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified sample: `k` docs per stratum (the balanced
     * per-language / per-source subsets a training mix is built from), keyed
     * by md5 of `keyCol` (default `doc_id` — any unique row key works) so

@@ -721,6 +721,23 @@ class OpsSpec extends SparkSpecBase {
     assert(out.toSeq === repart.toSeq)
   }
 
+  test("curate pipeline: quality-drops, decontaminates, scrubs and dedups in one pass") {
+    val filler = (1 to 30).map(i => s"f$i").mkString(" ")
+    val passage = (1 to 10).map(i => s"bench$i").mkString(" ")
+    val d = Seq(
+      (0L, passage),                        // the benchmark slice (0 % 7 == 0)
+      (1L, s"$filler $passage"),            // contaminated → passage cut out
+      (3L, "tiny doc"),                     // too short → quality-dropped
+      (4L, s"$filler bob@x.com"),           // dup pair AFTER scrubbing:
+      (11L, s"$filler alice@y.org")         //   both end in <EMAIL> → keep 4
+    ).toDF("doc_id", "text")
+    val out = graft.ops.PipelineOps.curate(d, minQuality = 0.25, benchMod = 7, n = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, filler, 10L, 30L),
+      (4L, s"$filler <email>", 0L, 31L)))
+  }
+
   test("profile: histogram buckets, null handling and the constant-column edge") {
     val d = Seq[(java.lang.Double, java.lang.Double)](
       (0.0, 7.0), (1.0, 7.0), (5.0, 7.0), (10.0, 7.0), (null, 7.0)
