@@ -741,7 +741,21 @@ object OpQueries {
            |ded AS (SELECT fin.*, MIN(doc_id) OVER (PARTITION BY clean_text) AS keeper FROM fin)
            |SELECT doc_id, clean_text, n_cut, n_kept
            |FROM ded WHERE doc_id = keeper ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Sliding-window chunking (size 32, stride 24): every chunk's exact
+    // text, index and token count hash-gated; redundant fully-covered
+    // tail windows are dropped by the same rule in both engines.
+    QueryDef("op_chunk",
+      (s, d) => TextOps.chunk(docs(s, d), size = 32, stride = 24),
+      Some(s"""WITH w0 AS (SELECT doc_id, $dkWords AS w FROM documents),
+              |st AS (SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 24)) AS start
+              |       FROM w0)
+              |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_idx,
+              |       array_to_string(w[start + 1 : start + 32], ' ') AS chunk_text,
+              |       CAST(least(len(w) - start, 32) AS BIGINT) AS n_tokens
+              |FROM st WHERE start = 0 OR start + 32 - 24 < len(w)
+              |ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 
   /** DuckDB mirror of [[ClusterOps.kmeansAssign]]: the same quantize →

@@ -204,6 +204,36 @@ object TextOps {
         expr("array_join(transform(sort_array(collect_list(pos)), p -> cast(p as string)), ',') as positions"))
       .orderBy("token", "doc_id")
 
+  /** Sliding-window document chunking — the context-window packing step
+    * between curation and tokenization: each document explodes into
+    * `size`-token windows advancing by `stride` tokens (overlap =
+    * size − stride preserves cross-boundary context). The final window is
+    * the possibly-shorter tail; documents shorter than `size` yield one
+    * whole-doc chunk. Pure per-row generator (tokenize → sequence →
+    * explode → slice), map-only, no shuffle — scales linearly at any
+    * corpus size.
+    */
+  def chunk(docs: DataFrame, size: Int = 32, stride: Int = 24): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    docs
+      .selectExpr("doc_id", s"${wordsExpr("text")} as w")
+      // chunk start positions: 0, stride, 2·stride, … while start < len(w);
+      // a start whose window would be a strict subset of the previous one
+      // (start + size > len and start > 0 and previous covered the tail)
+      // still emits — the tail chunk — except when the PREVIOUS chunk
+      // already reached the end (start >= len(w) never enters sequence).
+      .selectExpr("doc_id", "w",
+        s"explode(sequence(0, greatest(cast(size(w) as int) - 1, 0), $stride)) as start")
+      .filter(s"start = 0 or start + $size - $stride < size(w)") // drop fully-covered tails
+      .selectExpr(
+        "doc_id",
+        s"cast(start div $stride as bigint) as chunk_idx",
+        s"array_join(slice(w, start + 1, $size), ' ') as chunk_text",
+        s"cast(least(size(w) - start, $size) as bigint) as n_tokens")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** The BM25-style term weight shared verbatim by [[bm25TopK]] and its
     * oracle — ONE template string so both engines execute the identical
     * IEEE expression tree (literals and parenthesization included).

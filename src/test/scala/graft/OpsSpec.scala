@@ -721,6 +721,22 @@ class OpsSpec extends SparkSpecBase {
     assert(out.toSeq === repart.toSeq)
   }
 
+  test("chunking: overlap, short-doc, exact-fit and covered-tail cases") {
+    def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val d = Seq(
+      (1L, toks(5)),    // shorter than size → one whole chunk
+      (2L, toks(8)),    // exact fit (size 8) → one chunk, no redundant tail
+      (3L, toks(14))    // [0,8) + tail [6,14) with stride 6
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.chunk(d, size = 8, stride = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, toks(5), 5L),
+      (2L, 0L, toks(8), 8L),
+      (3L, 0L, toks(8), 8L),
+      (3L, 1L, (7 to 14).map(i => s"t$i").mkString(" "), 8L)))
+  }
+
   test("curate pipeline: quality-drops, decontaminates, scrubs and dedups in one pass") {
     val filler = (1 to 30).map(i => s"f$i").mkString(" ")
     val passage = (1 to 10).map(i => s"bench$i").mkString(" ")
