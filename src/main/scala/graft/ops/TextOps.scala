@@ -37,6 +37,23 @@ object TextOps {
        |    end),
        |  x -> x is not null))""".stripMargin
 
+  /** The English stop set used by the quality battery (and langId's en
+    * signal) — one literal shared by every consumer. */
+  private[graft] val stopList = "('the','a','of','and','to','in','is','it')"
+
+  /** The composite quality score as ONE self-contained expression over a
+    * text column — the same arithmetic [[textStats]] computes through its
+    * intermediate columns ((1−stopword_ratio)·(1−punct_ratio)·min(n/100,1),
+    * identical operation tree → identical doubles). Exists so stateless
+    * consumers (the streaming curation gate) can score without the
+    * multi-column projection. */
+  private[graft] def qualityScoreExpr(t: String): String = {
+    val w = wordsExpr(t)
+    s"((1.0 - cast(size(filter($w, x -> x in $stopList)) as double) / size($w))" +
+      s" * (1.0 - cast(length(regexp_replace(lower($t), '[a-z0-9\\\\s]', '')) as double) / length($t)))" +
+      s" * least(cast(size($w) as double) / 100.0, 1.0)"
+  }
+
   /** Quality / statistics battery: token counts (whitespace + BPE-ish
     * regex), char counts, stopword + punctuation ratios and a composite
     * quality score in [0,1]. One row in, one row out.
@@ -52,7 +69,7 @@ object TextOps {
         // BPE-ish pre-tokenization: letter runs, digit runs, single symbols.
         "cast(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) as bigint) as n_tokens_bpe",
         "cast(aggregate(w, 0L, (a, x) -> a + length(x)) as double) / size(w) as avg_word_len",
-        "cast(size(filter(w, x -> x in ('the','a','of','and','to','in','is','it'))) as double) / size(w) as stopword_ratio",
+        s"cast(size(filter(w, x -> x in $stopList)) as double) / size(w) as stopword_ratio",
         "cast(length(regexp_replace(lower(text), '[a-z0-9\\\\s]', '')) as double) / length(text) as punct_ratio")
       .selectExpr(
         "doc_id", "n_words", "n_distinct_words", "n_chars", "n_tokens_bpe",

@@ -299,4 +299,20 @@ object StreamingOps {
       .toDF("doc_id", "keep_id", "is_dup")
       .as[(Long, Long, Int)]
   }
+
+  /** Stateless streaming curation gate: PII scrub + quality score + keep
+    * flag on a document stream — the per-record front half of
+    * [[graft.ops.PipelineOps.curate]] expressed stream-side. No state, no
+    * watermark, no shuffle: one codegen map stage, so the streaming plan
+    * is identical to the batch plan and throughput is source-bound. (The
+    * stateful back half — cross-document dedup — is [[dedupExactStreamTtl]];
+    * decontamination joins the static benchmark set like [[enrich]].)
+    */
+  def curateStream(docs: DataFrame, minQuality: Double = 0.25): DataFrame =
+    graft.ops.TextOps.piiScrub(docs)
+      .selectExpr("doc_id", "n_email + n_ip + n_phone as n_pii", "clean_text as text")
+      .selectExpr("doc_id", "n_pii", "text",
+        graft.ops.TextOps.qualityScoreExpr("text") + " as quality_score")
+      .selectExpr("doc_id", "text as clean_text", "n_pii", "quality_score",
+        s"cast(quality_score >= $minQuality as int) as keep")
 }

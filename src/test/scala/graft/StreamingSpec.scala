@@ -250,6 +250,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === batch && streamed.nonEmpty)
   }
 
+  test("streaming curation gate equals the batch scrub+score, stateless across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.load(spark, sfDir, "documents")
+      .selectExpr("doc_id",
+        "concat(text, case when doc_id % 2 = 0 then ' mail x@y.org' else '' end) as text")
+      .orderBy("doc_id").limit(200)
+    val rows = docs.as[(Long, String)].collect()
+    val stream = MemoryStream[(Long, String)]
+    // two deliveries: a stateless gate must score each record identically
+    // regardless of batch boundaries
+    stream.addData(rows.take(100).toSeq)
+    stream.addData(rows.drop(100).toSeq)
+    val q = StreamingOps.curateStream(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curate_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("curate_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toSet
+    val batch = StreamingOps.curateStream(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toSet
+    assert(streamed === batch && streamed.nonEmpty)
+    assert(streamed.exists(_._3 > 0) && streamed.exists(_._5 == 0),
+      "fixture should exercise both PII hits and quality drops")
+  }
+
   test("incremental delivery across batches yields the same closed sessions") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rows = Tables.load(spark, sfDir, "events")
