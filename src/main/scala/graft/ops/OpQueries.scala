@@ -755,7 +755,26 @@ object OpQueries {
               |       array_to_string(w[start + 1 : start + 32], ' ') AS chunk_text,
               |       CAST(least(len(w) - start, 32) AS BIGINT) AS n_tokens
               |FROM st WHERE start = 0 OR start + 32 - 24 < len(w)
-              |ORDER BY doc_id, chunk_idx""".stripMargin))
+              |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Token packing: chunks laid end-to-end per language, 256-token bins
+    // assigned by exclusive prefix sum — all-integer, fully hash-gated.
+    QueryDef("op_pack_bins",
+      (s, d) => TextOps.packBins(docs(s, d), size = 32, stride = 24, budget = 256),
+      Some(s"""WITH w0 AS (SELECT doc_id, lang, $dkWords AS w FROM documents),
+              |st AS (SELECT doc_id, lang, w,
+              |         unnest(range(0, greatest(len(w), 1), 24)) AS start FROM w0),
+              |ch AS (SELECT doc_id, lang, CAST(start // 24 AS BIGINT) AS chunk_idx,
+              |         CAST(least(len(w) - start, 32) AS BIGINT) AS n_tokens
+              |       FROM st WHERE start = 0 OR start + 32 - 24 < len(w)),
+              |o AS (SELECT lang, doc_id, chunk_idx, n_tokens,
+              |        COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY lang
+              |          ORDER BY doc_id, chunk_idx
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off
+              |      FROM ch)
+              |SELECT lang, doc_id, chunk_idx, n_tokens, off,
+              |       CAST(off // 256 AS BIGINT) AS bin
+              |FROM o ORDER BY lang, doc_id, chunk_idx""".stripMargin))
   )
 
   /** DuckDB mirror of [[ClusterOps.kmeansAssign]]: the same quantize →

@@ -251,6 +251,37 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Token-stream packing — the step after [[chunk]] that assembles
+    * fixed-budget training batches: chunks are laid end-to-end per
+    * language stream (deterministic (doc_id, chunk_idx) order) and the
+    * running token offset assigns each chunk to the `budget`-token bin
+    * its first token lands in — GPT-style concatenate-and-split packing,
+    * expressed as one exclusive-prefix-sum window. All-integer arithmetic,
+    * so the full (bin, offset) assignment is exactly reproducible.
+    *
+    * Scale shape: the window partitions by `lang`, so each language
+    * stream packs independently (parallelism = number of streams; for a
+    * single giant stream, pre-split by a coarse shard key first). One
+    * hash exchange + sort per run — the same cost as any keyed window.
+    */
+  def packBins(docs: DataFrame, size: Int = 32, stride: Int = 24,
+               budget: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{coalesce, col, floor, lit, sum}
+    require(budget > 0, s"budget must be positive, got $budget")
+    val chunks = chunk(docs, size, stride)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"), col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunks
+      .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integer division (off is non-negative): exact at any magnitude,
+      // no double round-trip
+      .withColumn("bin", expr(s"cast(off div $budget as bigint)"))
+      .select("lang", "doc_id", "chunk_idx", "n_tokens", "off", "bin")
+      .orderBy("lang", "doc_id", "chunk_idx")
+  }
+
   /** The BM25-style term weight shared verbatim by [[bm25TopK]] and its
     * oracle — ONE template string so both engines execute the identical
     * IEEE expression tree (literals and parenthesization included).

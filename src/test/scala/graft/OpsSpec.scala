@@ -721,6 +721,23 @@ class OpsSpec extends SparkSpecBase {
     assert(out.toSeq === repart.toSeq)
   }
 
+  test("packing: per-lang exclusive prefix offsets and budget-boundary bins") {
+    def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val d = Seq(
+      (1L, toks(6), "en"),   // en stream: 6 + 6 tokens, budget 8
+      (2L, toks(6), "en"),   //   → offsets 0, 6; bins 0, 0 (6 < 8 ≤ 12)
+      (3L, toks(9), "en"),   //   → offset 12, bin 1
+      (4L, toks(5), "fr")    // fr stream packs independently from 0
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.ops.TextOps.packBins(d, size = 16, stride = 16, budget = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      ("en", 1L, 6L, 0L, 0L),
+      ("en", 2L, 6L, 6L, 0L),
+      ("en", 3L, 9L, 12L, 1L),
+      ("fr", 4L, 5L, 0L, 0L)))
+  }
+
   test("chunking: overlap, short-doc, exact-fit and covered-tail cases") {
     def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
     val d = Seq(
