@@ -774,7 +774,19 @@ object OpQueries {
               |      FROM ch)
               |SELECT lang, doc_id, chunk_idx, n_tokens, off,
               |       CAST(off // 256 AS BIGINT) AS bin
-              |FROM o ORDER BY lang, doc_id, chunk_idx""".stripMargin))
+              |FROM o ORDER BY lang, doc_id, chunk_idx""".stripMargin)),
+
+    // Heavy hitters: Misra-Gries candidates (bounded memory) + exact
+    // rescore — the sketch can only over-admit, so the final answer is
+    // EXACT and hash-gates against a direct GROUP BY … HAVING oracle.
+    QueryDef("op_heavy_hitters",
+      (s, d) => SketchOps.heavyHitters(docs(s, d), minCount = 40L, k = 1024),
+      Some(s"""WITH w0 AS (SELECT $dkWords AS w FROM documents),
+              |t AS (SELECT unnest(w) AS token FROM w0)
+              |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+              |FROM t WHERE token <> ''
+              |GROUP BY token HAVING COUNT(*) >= 40
+              |ORDER BY token""".stripMargin))
   )
 
   /** DuckDB mirror of [[ClusterOps.kmeansAssign]]: the same quantize →

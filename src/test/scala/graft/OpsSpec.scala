@@ -721,6 +721,27 @@ class OpsSpec extends SparkSpecBase {
     assert(out.toSeq === repart.toSeq)
   }
 
+  test("heavy hitters: exact despite MG pruning, partitioning-invariant, capacity-guarded") {
+    // 100 distinct noise tokens force eviction churn in a k=10 summary;
+    // the rescore pass must still return the exact ≥25 set
+    val noise = (1 to 100).map(i => s"n$i")
+    val heavy = Seq.fill(50)("h1") ++ Seq.fill(40)("h2") ++ Seq.fill(30)("h3")
+    val text = new scala.util.Random(42).shuffle(noise ++ heavy).mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val out = graft.ops.SketchOps.heavyHitters(d, minCount = 25L, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("h1", 50L), ("h2", 40L), ("h3", 30L)))
+    val repart = graft.ops.SketchOps
+      .heavyHitters(d.selectExpr("doc_id", "explode(split(text, ' ')) as text")
+        .repartition(13), minCount = 25L, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(repart.toSeq === out.toSeq)
+    // under-capacity must raise, not silently under-report
+    intercept[IllegalArgumentException] {
+      graft.ops.SketchOps.heavyHitters(d, minCount = 2L, k = 10).collect()
+    }
+  }
+
   test("packing: per-lang exclusive prefix offsets and budget-boundary bins") {
     def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
     val d = Seq(
