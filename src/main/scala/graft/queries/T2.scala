@@ -1080,6 +1080,85 @@ object T2 {
              |  date_diff('minute', TIMESTAMP '2024-01-01 00:00:00',
              |            CAST(ts AS TIMESTAMP)) AS mins,
              |  epoch_us(CAST(ts AS TIMESTAMP) + INTERVAL 2 DAY) AS plus2d_us
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // 37. Ordered funnel analysis (view → click → purchase): per user, the
+    //     first view, the first click strictly AFTER it, the first
+    //     purchase strictly after that — conditional-min aggregations
+    //     chained through per-user equi joins (each side is one row per
+    //     user: broadcast/shuffle-cheap at any scale), never a sequence
+    //     scan over raw history.
+    QueryDef(
+      "q37_funnel",
+      (s, d) => {
+        val e = t(s, d, "events").select("user_id", "event_type", "ts")
+        val users = e.select("user_id").distinct()
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, Seq("user_id")).filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id")).filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        users.join(v, Seq("user_id"), "left")
+          .join(c.select("user_id", "t2"), Seq("user_id"), "left")
+          .join(p.select("user_id", "t3"), Seq("user_id"), "left")
+          .selectExpr("user_id",
+            """cast(case when t3 is not null then 3
+              |          when t2 is not null then 2
+              |          when t1 is not null then 1
+              |          else 0 end as bigint) as stage""".stripMargin,
+            "unix_micros(t1) as t1_us", "unix_micros(t2) as t2_us",
+            "unix_micros(t3) as t3_us")
+          .orderBy("user_id")
+      },
+      Some("""WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+             |           WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, MIN(e.ts) AS t2
+             |      FROM events e JOIN v ON v.user_id = e.user_id
+             |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, MIN(e.ts) AS t3
+             |      FROM events e JOIN c ON c.user_id = e.user_id
+             |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+             |u AS (SELECT DISTINCT user_id FROM events)
+             |SELECT u.user_id,
+             |       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+             |                 WHEN t2 IS NOT NULL THEN 2
+             |                 WHEN t1 IS NOT NULL THEN 1
+             |                 ELSE 0 END AS BIGINT) AS stage,
+             |       epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us, epoch_us(t3) AS t3_us
+             |FROM u LEFT JOIN v ON v.user_id = u.user_id
+             |       LEFT JOIN c ON c.user_id = u.user_id
+             |       LEFT JOIN p ON p.user_id = u.user_id
+             |ORDER BY u.user_id""".stripMargin)),
+
+    // 38. Daily retention cohorts: cohort = day of a user's first event;
+    //     one row per (cohort day, day offset) with the distinct returning
+    //     users. Two keyed aggregations + one join — the classic warehouse
+    //     retention matrix, no self-join explosion.
+    QueryDef(
+      "q38_retention",
+      (s, d) => {
+        val e = t(s, d, "events").select("user_id", "ts")
+        val first = e.groupBy("user_id")
+          .agg(min("ts").as("ft"))
+          .selectExpr("user_id", "cast(ft as date) as cd")
+        val active = e.selectExpr("user_id", "cast(ts as date) as ad").distinct()
+        active.join(first, Seq("user_id"))
+          .selectExpr("cd", "cast(datediff(ad, cd) as bigint) as day_off", "user_id")
+          .groupBy("cd", "day_off")
+          .agg(count_distinct(col("user_id")).as("n_users"))
+          .orderBy("cd", "day_off")
+      },
+      Some("""WITH f AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cd
+             |           FROM events GROUP BY user_id),
+             |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS ad
+             |      FROM events)
+             |SELECT cd, CAST(ad - cd AS BIGINT) AS day_off,
+             |       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+             |FROM a JOIN f ON f.user_id = a.user_id
+             |GROUP BY cd, day_off
+             |ORDER BY cd, day_off""".stripMargin))
   )
 }
