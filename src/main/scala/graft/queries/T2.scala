@@ -1159,6 +1159,73 @@ object T2 {
              |       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
              |FROM a JOIN f ON f.user_id = a.user_id
              |GROUP BY cd, day_off
-             |ORDER BY cd, day_off""".stripMargin))
+             |ORDER BY cd, day_off""".stripMargin)),
+
+    // 39. Winsorization (robust-stats clamp): per-group p05/p95 through
+    //     the bounded-memory rank path (PercentileOps — no per-group
+    //     buffering), broadcast back, values clamped, decimal-exact sums.
+    //     The q18 gate already proves the rank-path percentiles are
+    //     bit-equal to DuckDB's QUANTILE_CONT, so the clamped sums gate.
+    QueryDef(
+      "q39_winsorize",
+      (s, d) => {
+        import graft.ops.PercentileOps
+        val l = t(s, d, "lineitem")
+        val pcts = PercentileOps.sortedPercentiles(l, "l_returnflag", Seq(
+          PercentileOps.PSpec("l_extendedprice", 0.05, "p05"),
+          PercentileOps.PSpec("l_extendedprice", 0.95, "p95")))
+          .select("l_returnflag", "p05", "p95")
+        l.join(broadcast(pcts), Seq("l_returnflag"))
+          .selectExpr("l_returnflag",
+            "least(greatest(l_extendedprice, p05), p95) as clipped",
+            "cast(l_extendedprice < p05 or l_extendedprice > p95 as int) as is_clip")
+          .groupBy(col("l_returnflag"))
+          .agg(dsum(col("clipped")).as("sum_winsor"),
+            sum(col("is_clip")).cast("long").as("n_clipped"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH p AS (SELECT l_returnflag,
+             |    QUANTILE_CONT(l_extendedprice, 0.05) AS p05,
+             |    QUANTILE_CONT(l_extendedprice, 0.95) AS p95
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l.l_returnflag,
+             |  CAST(SUM(CAST(least(greatest(l_extendedprice, p05), p95) AS DECIMAL(18,6))) AS DOUBLE) AS sum_winsor,
+             |  CAST(SUM(CASE WHEN l_extendedprice < p05 OR l_extendedprice > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem l JOIN p ON p.l_returnflag = l.l_returnflag
+             |GROUP BY l.l_returnflag
+             |ORDER BY l.l_returnflag""".stripMargin)),
+
+    // 40. Calendar gap-filling: per user, a complete daily spine from
+    //     first to last activity (explode(sequence(date, date)) — a
+    //     generator, not a driver loop), zeros on silent days, running
+    //     cumulative. The standard time-series densification Redshift
+    //     does with a calendar table join.
+    QueryDef(
+      "q40_gapfill",
+      (s, d) => {
+        val e = t(s, d, "events").selectExpr("user_id", "cast(ts as date) as dt")
+        val perDay = e.groupBy("user_id", "dt").agg(count(lit(1)).as("n0"))
+        val spine = e.groupBy(col("user_id"))
+          .agg(min(col("dt")).as("d0"), max(col("dt")).as("d1"))
+          .selectExpr("user_id", "explode(sequence(d0, d1)) as dt")
+        val w = Window.partitionBy(col("user_id")).orderBy(col("dt"))
+        spine.join(perDay, Seq("user_id", "dt"), "left")
+          .selectExpr("user_id", "dt", "cast(coalesce(n0, 0) as bigint) as n_events")
+          .withColumn("cum_events", sum(col("n_events")).over(w))
+          .orderBy(col("user_id"), col("dt"))
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS dt FROM events),
+             |pd AS (SELECT user_id, dt, COUNT(*) AS n0 FROM e GROUP BY user_id, dt),
+             |sp AS (SELECT user_id,
+             |         CAST(unnest(generate_series(MIN(dt), MAX(dt), INTERVAL 1 DAY)) AS DATE) AS dt
+             |       FROM e GROUP BY user_id)
+             |SELECT sp.user_id, sp.dt,
+             |       CAST(COALESCE(pd.n0, 0) AS BIGINT) AS n_events,
+             |       CAST(SUM(COALESCE(pd.n0, 0)) OVER (PARTITION BY sp.user_id
+             |         ORDER BY sp.dt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events
+             |FROM sp LEFT JOIN pd ON pd.user_id = sp.user_id AND pd.dt = sp.dt
+             |ORDER BY sp.user_id, sp.dt""".stripMargin))
   )
 }
