@@ -1226,6 +1226,53 @@ object T2 {
              |       CAST(SUM(COALESCE(pd.n0, 0)) OVER (PARTITION BY sp.user_id
              |         ORDER BY sp.dt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events
              |FROM sp LEFT JOIN pd ON pd.user_id = sp.user_id AND pd.dt = sp.dt
-             |ORDER BY sp.user_id, sp.dt""".stripMargin))
+             |ORDER BY sp.user_id, sp.dt""".stripMargin)),
+
+    // 41. Market-basket co-occurrence: part pairs appearing in the same
+    //     order, min support 3. The self-join is keyed on l_orderkey and
+    //     bounded by the per-order item count (TPC-H ≈ 4), so the pair
+    //     blow-up is per-key quadratic in a SMALL constant — never a
+    //     corpus cartesian; support counting is a keyed two-phase agg.
+    QueryDef(
+      "q41_basket_pairs",
+      (s, d) => {
+        val l = t(s, d, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        val a = l.toDF("o", "pa")
+        val b = l.toDF("o", "pb")
+        a.join(b, Seq("o")).filter(col("pa") < col("pb"))
+          .groupBy(col("pa"), col("pb"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 3)
+          .orderBy(col("pa"), col("pb"))
+      },
+      Some("""WITH i AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+             |SELECT a.p AS pa, b.p AS pb, COUNT(*) AS support
+             |FROM i a JOIN i b ON a.o = b.o AND a.p < b.p
+             |GROUP BY a.p, b.p HAVING COUNT(*) >= 3
+             |ORDER BY pa, pb""".stripMargin)),
+
+    // 42. Clickstream transition bigrams: (previous event_type → next)
+    //     counts per user stream in timestamp order — LAG over the
+    //     (user_id)-keyed window (one shuffle), then a keyed count.
+    //     event_id breaks timestamp ties deterministically in both engines.
+    QueryDef(
+      "q42_event_paths",
+      (s, d) => {
+        val e = t(s, d, "events").select("user_id", "event_type", "ts", "event_id")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        e.withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type").as("next"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("prev"), col("next"))
+      },
+      Some("""WITH g AS (SELECT user_id, event_type,
+             |    LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events)
+             |SELECT prev, event_type AS next, COUNT(*) AS n
+             |FROM g WHERE prev IS NOT NULL
+             |GROUP BY prev, next
+             |ORDER BY prev, next""".stripMargin))
   )
 }
