@@ -1273,6 +1273,30 @@ object T2 {
              |SELECT prev, event_type AS next, COUNT(*) AS n
              |FROM g WHERE prev IS NOT NULL
              |GROUP BY prev, next
-             |ORDER BY prev, next""".stripMargin))
+             |ORDER BY prev, next""".stripMargin)),
+
+    // 43. IGNORE NULLS window modifier (LOCF carry-forward): value is
+    //     NULLed on error events, then last-observation-carried-forward
+    //     per user stream — LAST_VALUE … IGNORE NULLS over the running
+    //     frame, the one window modifier not covered by q09/q10/q29/q30.
+    //     Same SQL text runs in both engines.
+    QueryDef(
+      "q43_locf",
+      (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("events")
+        s.sql(
+          """SELECT user_id, event_id,
+            |  LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END) IGNORE NULLS
+            |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+            |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+            |FROM events
+            |ORDER BY user_id, event_id""".stripMargin)
+      },
+      Some("""SELECT user_id, event_id,
+             |  LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+             |FROM events
+             |ORDER BY user_id, event_id""".stripMargin))
   )
 }
