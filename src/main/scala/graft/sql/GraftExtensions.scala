@@ -44,8 +44,12 @@ import graft.sql.expressions.{ArrayDot, Checksum, FeatureHash, FnvHash, MinHashS
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach(ext.injectFunction)
+    // plain-SQL range joins → bucketed equi joins, opt-in via
+    // spark.graft.rangeJoin.bucketWidth (see graft.plans.RangeJoinRule)
+    ext.injectOptimizerRule(graft.plans.RangeJoinRule.apply)
+  }
 }
 
 object GraftExtensions {

@@ -1560,6 +1560,35 @@ class DialectSpec extends SparkSpecBase {
     }
   }
 
+  test("range-join rule: plain SQL BETWEEN join goes bucketed-equi, results unchanged") {
+    Tables.registerAll(spark, sfDir)
+    val sql =
+      """SELECT o_orderkey, COUNT(*) AS n
+        |FROM orders o JOIN lineitem l
+        |  ON l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 7 DAYS
+        |WHERE o.o_totalprice > 450000
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+    val off = spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(off.nonEmpty)
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", (7L * 86400).toString)
+    try {
+      val df = spark.sql(sql)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"rule did not rescue the range join:\n$p")
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+      val on = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(on.toSeq === off.toSeq)
+      // an equi join keeps its SMJ/SHJ shape — the rule must not touch it
+      val equi = spark.sql(
+        "SELECT COUNT(*) FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey")
+      assert(!equi.queryExecution.optimizedPlan.toString.contains("__graft_bkt"))
+    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+    // rule disabled (conf unset): identical results, nested loop allowed
+    val off2 = spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(off2.toSeq === off.toSeq)
+  }
+
   test("rewriter is the identity on already-valid Spark SQL") {
     val valid = Seq(
       "SELECT a, b FROM t WHERE a > 1 ORDER BY b LIMIT 10",
