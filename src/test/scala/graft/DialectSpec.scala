@@ -1589,6 +1589,36 @@ class DialectSpec extends SparkSpecBase {
     assert(off2.toSeq === off.toSeq)
   }
 
+  test("range-join rule: integer and DATE domains, negatives and inverted intervals") {
+    import spark.implicits._
+    Seq(-9L, -7L, 0L, 3L, 7L, 15L, 100L).toDF("v")
+      .createOrReplaceTempView("rj_probe")
+    Seq((1L, -10L, -8L), (2L, 0L, 7L), (3L, 14L, 2L), (4L, -5L, 40L))
+      .toDF("iid", "lo", "hi").createOrReplaceTempView("rj_build")
+    val sql = """SELECT iid, v FROM rj_build b JOIN rj_probe p
+                 ON p.v BETWEEN b.lo AND b.hi ORDER BY iid, v"""
+    val off = spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1)))
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", "7")
+    try {
+      val df = spark.sql(sql)
+      assert(!df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === off.toSeq)
+      // DATE domain: bucket units are days
+      spark.sql("SELECT CAST('2024-01-01' AS DATE) + CAST(v + 9 AS INT) AS d FROM rj_probe")
+        .createOrReplaceTempView("rj_pd")
+      spark.sql("""SELECT iid, CAST('2024-01-01' AS DATE) + CAST(lo + 10 AS INT) AS dlo,
+                          CAST('2024-01-01' AS DATE) + CAST(hi + 10 AS INT) AS dhi
+                   FROM rj_build""").createOrReplaceTempView("rj_bd")
+      val dsql = "SELECT iid, d FROM rj_bd b JOIN rj_pd p ON p.d BETWEEN b.dlo AND b.dhi ORDER BY iid, d"
+      val dOn = spark.sql(dsql)
+      assert(!dOn.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      val got = dOn.collect().map(r => (r.getLong(0), r.getDate(1).toString))
+      spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+      val want = spark.sql(dsql).collect().map(r => (r.getLong(0), r.getDate(1).toString))
+      assert(got.toSeq === want.toSeq && got.nonEmpty)
+    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+  }
+
   test("rewriter is the identity on already-valid Spark SQL") {
     val valid = Seq(
       "SELECT a, b FROM t WHERE a > 1 ORDER BY b LIMIT 10",
