@@ -72,6 +72,7 @@ object RedshiftSql {
     toks = rewriteTop(toks)
     toks = rewriteQualify(toks)
     toks = rewriteApproximate(toks)
+    toks = rewriteApproxPctDisc(toks)
     toks = rewriteRatioToReport(toks)
     toks = rewriteSimilarTo(toks)
     toks = rewritePosixRegex(toks)
@@ -523,6 +524,47 @@ object RedshiftSql {
         val replaced = toks.patch(i, Vector(Tok(Word, "approx_count_distinct"), Tok(Sym, "(")),
           afterDistinct - i)
         rewriteApproximate(replaced)
+    }
+  }
+
+  // APPROXIMATE PERCENTILE_DISC(p) WITHIN GROUP (ORDER BY col)
+  //   → approx_percentile(col, p)
+  // (plain PERCENTILE_DISC WITHIN GROUP is native in Spark 3.4+; only the
+  // APPROXIMATE form needs surgery — Redshift's quantile-sketch variant
+  // maps onto Spark's approx_percentile.)
+  private def rewriteApproxPctDisc(toks: Vector[Tok]): Vector[Tok] = {
+    val hit = toks.indices.find { i =>
+      toks(i).isWord("approximate") && {
+        val c = nextCode(toks, i + 1)
+        c < toks.length && toks(c).isWord("percentile_disc")
+      }
+    }
+    hit match {
+      case None => toks
+      case Some(i) =>
+        val c = nextCode(toks, i + 1)            // percentile_disc
+        val p0 = nextCode(toks, c + 1)           // (
+        require(p0 < toks.length && toks(p0).text == "(",
+          "APPROXIMATE PERCENTILE_DISC: expected '(' after the function name")
+        val pe = matchParen(toks, p0)            // ) of the fraction
+        val pct = toks.slice(p0 + 1, pe)
+        val wi = nextCode(toks, pe + 1)
+        val gr = if (wi < toks.length && toks(wi).isWord("within"))
+          nextCode(toks, wi + 1) else -1
+        require(gr > 0 && toks(gr).isWord("group"),
+          "APPROXIMATE PERCENTILE_DISC: expected WITHIN GROUP (ORDER BY …)")
+        val g0 = nextCode(toks, gr + 1)          // (
+        val ge = matchParen(toks, g0)            // )
+        val ob = nextCode(toks, g0 + 1)          // ORDER
+        val by = nextCode(toks, ob + 1)          // BY
+        require(toks(ob).isWord("order") && toks(by).isWord("by"),
+          "APPROXIMATE PERCENTILE_DISC: expected ORDER BY inside WITHIN GROUP")
+        val sortExpr = toks.slice(nextCode(toks, by + 1), ge)
+        val replaced = toks.patch(i,
+          Vector(Tok(Word, "approx_percentile"), Tok(Sym, "(")) ++
+            sortExpr ++ Vector(Tok(Sym, ",")) ++ pct ++ Vector(Tok(Sym, ")")),
+          ge + 1 - i)
+        rewriteApproxPctDisc(replaced)
     }
   }
 

@@ -1589,6 +1589,22 @@ class DialectSpec extends SparkSpecBase {
     assert(off2.toSeq === off.toSeq)
   }
 
+  test("APPROXIMATE PERCENTILE_DISC rewrites to approx_percentile and executes") {
+    Tables.registerAll(spark, sfDir)
+    val sql = """SELECT l_returnflag,
+                 APPROXIMATE PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY l_quantity) AS med
+                 FROM lineitem GROUP BY l_returnflag"""
+    val rows = spark.sql(graft.sql.RedshiftSql.rewrite(sql))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = spark.sql(
+      """SELECT l_returnflag, PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY l_quantity) AS med
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.keySet === exact.keySet && rows.nonEmpty)
+    // the sketch is exact at this cardinality
+    rows.foreach { case (k, v) => assert(math.abs(v - exact(k)) <= 1.0, s"$k: $v vs ${exact(k)}") }
+  }
+
   test("range-join rule: integer and DATE domains, negatives and inverted intervals") {
     import spark.implicits._
     Seq(-9L, -7L, 0L, 3L, 7L, 15L, 100L).toDF("v")
