@@ -79,11 +79,101 @@ object ExecuteSql {
           }
         }
         stmts += render(toks.slice(start, toks.length)).trim
-        stmts.result().filter(_.nonEmpty).foreach(runOne(spark, _))
+        // Redshift TEMP tables are session-scoped: one CLI invocation is
+        // one session, so tables created TEMP here are visible to every
+        // later statement of this script and dropped when the run ends
+        // (success or failure) — the next invocation never sees them.
+        try stmts.result().filter(_.nonEmpty).foreach(runOne(spark, _))
+        finally {
+          tempTables.forEach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+          tempTables.clear()
+          preparedStmts.clear()
+        }
     }
 
+  /** Tables created via CREATE TEMP TABLE in the current run. */
+  private val tempTables = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** PREPARE name → raw (un-rewritten) statement text with $n params. */
+  private val preparedStmts = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Strip [LOCAL] TEMP|TEMPORARY out of CREATE … TABLE and remember the
+    * table name for end-of-run cleanup. Returns the statement unchanged
+    * when it is not a temp-table DDL. */
+  private def stripTemp(spark: SparkSession, stmt: String): String = {
+    import graft.sql.SqlTokens._
+    val toks = tokenize(stmt)
+    val c = nextCode(toks, 0)
+    if (c >= toks.length || !toks(c).isWord("create")) return stmt
+    var i = nextCode(toks, c + 1)
+    val dropIdx = Vector.newBuilder[Int]
+    if (i < toks.length && toks(i).isWord("local")) { dropIdx += i; i = nextCode(toks, i + 1) }
+    if (i < toks.length && (toks(i).isWord("temp") || toks(i).isWord("temporary"))) {
+      dropIdx += i; i = nextCode(toks, i + 1)
+    } else return stmt
+    if (i >= toks.length || !toks(i).isWord("table")) return stmt
+    val (name, _) = qualifiedName(toks, nextCode(toks, i + 1))
+    tempTables.add(name)
+    val drops = dropIdx.result().toSet
+    render(toks.zipWithIndex.collect { case (t, j) if !drops.contains(j) => t })
+  }
+
+  /** PREPARE / EXECUTE / DEALLOCATE — Redshift's server-side prepared
+    * statements, emulated session-side: PREPARE stores the raw text,
+    * EXECUTE substitutes `$n` literals positionally and re-enters the
+    * normal pipeline, DEALLOCATE forgets. Returns true when handled. */
+  private def runPrepared(spark: SparkSession, stmt: String): Boolean = {
+    import graft.sql.SqlTokens._
+    val toks = tokenize(stmt)
+    val f = nextCode(toks, 0)
+    if (f >= toks.length || toks(f).kind != Word) return false
+    toks(f).text.toLowerCase match {
+      case "prepare" =>
+        var i = nextCode(toks, f + 1)
+        val (name, after) = qualifiedName(toks, i)
+        i = nextCode(toks, after)
+        // optional parenthesized parameter-type list — parsed and ignored
+        // (types are inferred from the substituted literals)
+        if (i < toks.length && toks(i).kind == Sym && toks(i).text == "(")
+          i = nextCode(toks, matchParen(toks, i) + 1)
+        require(i < toks.length && toks(i).isWord("as"),
+          s"PREPARE $name: expected AS <statement>")
+        preparedStmts.put(name.toLowerCase, render(toks.slice(i + 1, toks.length)).trim)
+        true
+      case "execute" =>
+        val (name, after) = qualifiedName(toks, nextCode(toks, f + 1))
+        val body = Option(preparedStmts.get(name.toLowerCase)).getOrElse(
+          throw new IllegalArgumentException(s"EXECUTE $name: no such prepared statement"))
+        val i = nextCode(toks, after)
+        val args: Seq[String] =
+          if (i < toks.length && toks(i).kind == Sym && toks(i).text == "(") {
+            val close = matchParen(toks, i)
+            val cuts = topCommas(toks, i, close)
+            val bounds = (i +: cuts.toVector) :+ close
+            bounds.sliding(2).map { case Seq(a, b) =>
+              render(toks.slice(a + 1, b)).trim
+            }.toSeq
+          } else Seq.empty
+        // substitute $n descending so $12 is never clobbered by $1
+        val substituted = args.zipWithIndex.sortBy(-_._2).foldLeft(body) {
+          case (acc, (arg, idx)) => acc.replace("$" + (idx + 1), s"($arg)")
+        }
+        require(!substituted.matches("""(?s).*\$\d+.*"""),
+          s"EXECUTE $name: unbound parameter remains (got ${args.length} arguments)")
+        runOne(spark, substituted)
+        true
+      case "deallocate" =>
+        var i = nextCode(toks, f + 1)
+        if (i < toks.length && toks(i).isWord("prepare")) i = nextCode(toks, i + 1)
+        if (i < toks.length && toks(i).isWord("all")) preparedStmts.clear()
+        else preparedStmts.remove(qualifiedName(toks, i)._1.toLowerCase)
+        true
+      case _ => false
+    }
+  }
+
   private def runOne(spark: SparkSession, stmt: String): Unit = {
-    val rewritten = RedshiftSql.rewrite(stmt)
+    if (runPrepared(spark, stmt)) return
+    val rewritten = RedshiftSql.rewrite(stripTemp(spark, stmt))
     // EXPLAIN over a locally-EMULATED statement (DML/COPY/MV/APPEND)
     // has no Spark plan to show — fail with the reason instead of the
     // opaque ParseException spark.sql would raise on e.g. UPDATE

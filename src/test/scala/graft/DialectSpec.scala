@@ -1589,6 +1589,50 @@ class DialectSpec extends SparkSpecBase {
     assert(off2.toSeq === off.toSeq)
   }
 
+  test("CREATE TEMP TABLE lives for the script, dies with the run") {
+    Tables.registerAll(spark, sfDir)
+    spark.sql("DROP TABLE IF EXISTS temp_out")
+    spark.sql("CREATE TABLE temp_out (n BIGINT)")
+    // one run = one session: the temp table feeds a later statement …
+    graft.cli.ExecuteSql.run(spark,
+      """CREATE TEMP TABLE big_orders AS SELECT * FROM orders WHERE o_totalprice > 400000;
+        |INSERT INTO temp_out SELECT COUNT(*) FROM big_orders""".stripMargin, None)
+    val n = spark.table("temp_out").head().getLong(0)
+    assert(n > 0)
+    // … and is gone once the run ends
+    assert(!spark.catalog.tableExists("big_orders"))
+    // plain column-list form too
+    graft.cli.ExecuteSql.run(spark, "CREATE TEMPORARY TABLE tt2 (a INT)", None)
+    assert(!spark.catalog.tableExists("tt2"))
+  }
+
+  test("PREPARE / EXECUTE / DEALLOCATE substitute positional parameters") {
+    Tables.registerAll(spark, sfDir)
+    spark.sql("DROP TABLE IF EXISTS prep_out")
+    spark.sql("CREATE TABLE prep_out (k BIGINT, n BIGINT)")
+    graft.cli.ExecuteSql.run(spark,
+      """PREPARE cnt (int, int) AS
+        |  INSERT INTO prep_out SELECT $2, COUNT(*) FROM region WHERE r_regionkey > $1;
+        |EXECUTE cnt(1, 10);
+        |EXECUTE cnt(3, 20);
+        |DEALLOCATE cnt""".stripMargin, None)
+    val rows = spark.table("prep_out").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows(0)._1 === 10L && rows(1)._1 === 20L)
+    assert(rows(0)._2 === rows(1)._2 + 2) // two more regions clear key > 1 than > 3
+    // after DEALLOCATE (and at the start of any new run) the name is gone
+    val e = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark, "EXECUTE cnt(0, 0)", None)
+    }
+    assert(e.getMessage.contains("no such prepared statement"))
+    // an unbound parameter is an error, not silently-broken SQL
+    val e2 = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark,
+        "PREPARE p2 AS SELECT $1 + $2; EXECUTE p2(5)", None)
+    }
+    assert(e2.getMessage.contains("unbound parameter"))
+  }
+
   test("APPROXIMATE PERCENTILE_DISC rewrites to approx_percentile and executes") {
     Tables.registerAll(spark, sfDir)
     val sql = """SELECT l_returnflag,
