@@ -189,6 +189,54 @@ object RedshiftSql {
         colDefTokens = 0; currentCol = null; out += t; i += 1
       } else if (inColList && depth == 1 && colDefTokens >= 2 && t.isWord("encode")) {
         i = nextCode(toks, i + 1) + 1 // drop ENCODE + codec name
+      } else if (inColList && depth == 1 && colDefTokens >= 2 &&
+          (t.isWord("identity") || t.isWord("generated"))) {
+        // IDENTITY(seed, step) / GENERATED BY DEFAULT AS IDENTITY(seed, step):
+        // Spark tables have no auto-generated columns — the column becomes a
+        // plain one; loads supply explicit values (the COPY EXPLICIT_IDS path)
+        var j = i
+        if (t.isWord("generated")) {
+          while (j < toks.length && !toks(j).isWord("identity")) j += 1
+        }
+        val p = nextCode(toks, j + 1)
+        i = if (p < toks.length && toks(p).text == "(") matchParen(toks, p) + 1
+            else j + 1
+      } else if (inColList && depth == 1 && colDefTokens >= 2 && t.isWord("primary")) {
+        i = nextCode(toks, i + 1) + 1 // PRIMARY KEY: informational only in Redshift
+      } else if (inColList && depth == 1 && colDefTokens >= 2 && t.isWord("unique")) {
+        i += 1 // informational only
+      } else if (inColList && depth == 1 && colDefTokens >= 2 && t.isWord("references")) {
+        // REFERENCES tbl[(col)]: informational only
+        val (_, after) = qualifiedName(toks, nextCode(toks, i + 1))
+        val p = nextCode(toks, after)
+        i = if (p < toks.length && toks(p).text == "(") matchParen(toks, p) + 1
+            else after
+      } else if (inColList && depth == 1 && colDefTokens == 0 && t.kind == Word &&
+          Set("primary", "unique", "foreign", "constraint")
+            .contains(t.text.toLowerCase)) {
+        // table-level constraint list item — Redshift documents PK/FK/UNIQUE
+        // as informational-only (never enforced), so dropping them preserves
+        // Redshift behavior exactly. Swallow the item and one comma.
+        var j = i
+        var d2 = 0
+        var stop = false
+        while (j < toks.length && !stop) {
+          val tj = toks(j)
+          if (tj.kind == Sym && tj.text == "(") d2 += 1
+          else if (tj.kind == Sym && tj.text == ")") {
+            if (d2 == 0) stop = true else d2 -= 1
+          } else if (d2 == 0 && tj.kind == Sym && tj.text == ",") stop = true
+          if (!stop) j += 1
+        }
+        if (j < toks.length && toks(j).kind == Sym && toks(j).text == ",") i = j + 1
+        else {
+          // last item: also drop the comma that preceded it
+          while (out.nonEmpty && (out.last.kind == Ws || out.last.kind == Comment))
+            out.remove(out.length - 1)
+          if (out.nonEmpty && out.last.kind == Sym && out.last.text == ",")
+            out.remove(out.length - 1)
+          i = j
+        }
       } else if (inColList && depth == 1 && colDefTokens >= 2 && t.isWord("distkey")) {
         dk = Option(currentCol); i += 1
       } else if (inColList && depth == 1 && colDefTokens >= 2 && t.isWord("sortkey")) {

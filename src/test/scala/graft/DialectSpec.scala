@@ -1589,6 +1589,27 @@ class DialectSpec extends SparkSpecBase {
     assert(off2.toSeq === off.toSeq)
   }
 
+  test("IDENTITY and informational constraints strip out of CREATE TABLE") {
+    spark.sql("DROP TABLE IF EXISTS ddl_idt")
+    // column-level IDENTITY + PRIMARY KEY + REFERENCES + UNIQUE, and a
+    // trailing table-level constraint item — Redshift never enforces any
+    // of these, so the stripped table must accept ordinary inserts
+    graft.cli.ExecuteSql.run(spark,
+      """CREATE TABLE ddl_idt (
+        |  id BIGINT IDENTITY(0, 1) PRIMARY KEY,
+        |  gid BIGINT GENERATED BY DEFAULT AS IDENTITY(1, 2),
+        |  ref BIGINT REFERENCES ddl_idt (id),
+        |  u VARCHAR(10) UNIQUE,
+        |  PRIMARY KEY (id),
+        |  UNIQUE (u, ref),
+        |  FOREIGN KEY (ref) REFERENCES ddl_idt (id)
+        |);
+        |INSERT INTO ddl_idt VALUES (1, 2, 1, 'x'), (2, 4, 1, 'x')""".stripMargin, None)
+    val rows = spark.table("ddl_idt").orderBy("id").collect()
+    assert(rows.length === 2 && rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(spark.table("ddl_idt").schema.fieldNames.toSeq === Seq("id", "gid", "ref", "u"))
+  }
+
   test("CREATE TEMP TABLE lives for the script, dies with the run") {
     Tables.registerAll(spark, sfDir)
     spark.sql("DROP TABLE IF EXISTS temp_out")
