@@ -779,13 +779,17 @@ object OpQueries {
     // Heavy hitters: Misra-Gries candidates (bounded memory) + exact
     // rescore — the sketch can only over-admit, so the final answer is
     // EXACT and hash-gates against a direct GROUP BY … HAVING oracle.
+    // The threshold is a SHARE of total occurrences (scale-free capacity
+    // guarantee); both engines derive ⌈share·N⌉ with identical arithmetic.
     QueryDef("op_heavy_hitters",
-      (s, d) => SketchOps.heavyHitters(docs(s, d), minCount = 40L, k = 1024),
+      (s, d) => SketchOps.heavyHitters(docs(s, d), minShare = 0.0015),
       Some(s"""WITH w0 AS (SELECT $dkWords AS w FROM documents),
-              |t AS (SELECT unnest(w) AS token FROM w0)
+              |tk AS (SELECT tok AS token FROM (SELECT unnest(w) AS tok FROM w0)
+              |       WHERE tok <> ''),
+              |tot AS (SELECT CEIL(0.0015 * COUNT(*)) AS mc FROM tk)
               |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
-              |FROM t WHERE token <> ''
-              |GROUP BY token HAVING COUNT(*) >= 40
+              |FROM tk, tot
+              |GROUP BY token, tot.mc HAVING COUNT(*) >= tot.mc
               |ORDER BY token""".stripMargin))
   )
 

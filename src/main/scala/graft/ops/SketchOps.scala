@@ -57,19 +57,25 @@ object SketchOps {
     def outputEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
   }
 
-  /** Exact tokens with corpus frequency ≥ `minCount`, found through a
-    * capacity-`k` Misra-Gries candidate pass. Caller must keep
-    * k ≥ N/minCount (N = total token count) for the no-miss guarantee —
-    * asserted here against the observed N so a silent under-capacity
-    * can't produce a silently-incomplete answer. */
-  def heavyHitters(docs: DataFrame, minCount: Long, k: Int = 1024): DataFrame = {
+  /** Exact tokens whose corpus frequency is ≥ `minShare` of all token
+    * occurrences (⌈minShare·N⌉), found through a capacity-`k` Misra-Gries
+    * candidate pass. A SHARE threshold makes the capacity requirement
+    * scale-free: MG undercounts by at most N/(k+1), so k+1 > 1/minShare
+    * guarantees no miss at ANY corpus size — the same `k` that works at
+    * sf0.01 works at 100 TB (an absolute count threshold would need k to
+    * grow with the data; the r8 bench caught exactly that). The default
+    * capacity is the smallest that satisfies the guarantee. */
+  def heavyHitters(docs: DataFrame, minShare: Double, k0: Int = 0): DataFrame = {
+    require(minShare > 0 && minShare < 1, s"minShare in (0,1), got $minShare")
+    val k = if (k0 > 0) k0 else math.ceil(1.0 / minShare).toInt
+    require(k + 1 > 1.0 / minShare,
+      s"MG capacity $k cannot guarantee share $minShare (need k+1 > 1/share)")
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = docs.selectExpr(s"explode(${TextOps.wordsExpr("text")}) as token")
       .filter("token <> ''")
     val n = toks.count()
-    require(k >= n / minCount,
-      s"MG capacity $k < N/minCount = ${n / minCount}: heavy hitters could be missed")
+    val minCount = math.ceil(minShare * n).toLong
     val summary = toks.as[String].select(new MisraGries(k).toColumn).head()
     val cands = summary.keys.toSeq.toDF("token")
     toks.join(broadcast(cands), Seq("token"), "left_semi")

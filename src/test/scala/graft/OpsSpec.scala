@@ -728,17 +728,18 @@ class OpsSpec extends SparkSpecBase {
     val heavy = Seq.fill(50)("h1") ++ Seq.fill(40)("h2") ++ Seq.fill(30)("h3")
     val text = new scala.util.Random(42).shuffle(noise ++ heavy).mkString(" ")
     val d = Seq((1L, text)).toDF("doc_id", "text")
-    val out = graft.ops.SketchOps.heavyHitters(d, minCount = 25L, k = 10)
+    // N = 220, share 0.11 → threshold ⌈24.2⌉ = 25; default k = ⌈1/0.11⌉ = 10
+    val out = graft.ops.SketchOps.heavyHitters(d, minShare = 0.11)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(out.toSeq === Seq(("h1", 50L), ("h2", 40L), ("h3", 30L)))
     val repart = graft.ops.SketchOps
       .heavyHitters(d.selectExpr("doc_id", "explode(split(text, ' ')) as text")
-        .repartition(13), minCount = 25L, k = 10)
+        .repartition(13), minShare = 0.11)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(repart.toSeq === out.toSeq)
-    // under-capacity must raise, not silently under-report
+    // an explicit under-capacity k must raise, not silently under-report
     intercept[IllegalArgumentException] {
-      graft.ops.SketchOps.heavyHitters(d, minCount = 2L, k = 10).collect()
+      graft.ops.SketchOps.heavyHitters(d, minShare = 0.11, k0 = 5).collect()
     }
   }
 
