@@ -99,7 +99,7 @@ object ExecuteSql {
   /** Strip [LOCAL] TEMP|TEMPORARY out of CREATE … TABLE and remember the
     * table name for end-of-run cleanup. Returns the statement unchanged
     * when it is not a temp-table DDL. */
-  private def stripTemp(spark: SparkSession, stmt: String): String = {
+  private def stripTemp(stmt: String): String = {
     import graft.sql.SqlTokens._
     val toks = tokenize(stmt)
     val c = nextCode(toks, 0)
@@ -173,7 +173,7 @@ object ExecuteSql {
 
   private def runOne(spark: SparkSession, stmt: String): Unit = {
     if (runPrepared(spark, stmt)) return
-    val rewritten = RedshiftSql.rewrite(stripTemp(spark, stmt))
+    val rewritten = RedshiftSql.rewrite(stripTemp(stmt))
     // EXPLAIN over a locally-EMULATED statement (DML/COPY/MV/APPEND)
     // has no Spark plan to show — fail with the reason instead of the
     // opaque ParseException spark.sql would raise on e.g. UPDATE

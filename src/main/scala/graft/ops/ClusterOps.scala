@@ -89,4 +89,31 @@ object ClusterOps {
       .selectExpr("vec_id", "cluster")
       .orderBy("vec_id")
   }
+
+  /** Semantic near-duplicate pairs (the SemDeDup recipe, Abbas et al.
+    * 2023, public): cluster the corpus with [[kmeansAssign]], then compare
+    * cosine similarity ONLY within each cluster — the pair space shrinks
+    * from O(N²) to Σ|cluster|², which is the entire point at 100 TB (the
+    * exact all-pairs tier is op_dedup_embedding; this is its sub-quadratic
+    * semantic sibling). Cosine runs over the same quantized-exact vectors
+    * the clustering used, with the fixed-order array_dot fold, so every
+    * pair AND its cosine hash-gate cross-engine.
+    */
+  def semanticPairs(emb: DataFrame, k: Int = 8, iters: Int = 2,
+                    threshold: Double = 0.95): DataFrame = {
+    val assigned = kmeansAssign(emb, k, iters)
+    val q = emb.selectExpr("vec_id",
+        s"transform(embedding, x -> cast(floor(cast(x as double) * $SCALE) as bigint)) as xq")
+      .selectExpr("vec_id", "transform(xq, v -> cast(v as double)) as xd")
+      .selectExpr("vec_id", "xd", "array_dot(xd, xd) as nn")
+      .join(assigned, Seq("vec_id"))
+    val a = q.selectExpr("cluster", "vec_id as va", "xd as xa", "nn as na")
+    val b = q.selectExpr("cluster", "vec_id as vb", "xd as xb", "nn as nb")
+    a.join(b, Seq("cluster"))
+      .filter(col("va") < col("vb"))
+      .selectExpr("cluster", "va", "vb",
+        "array_dot(xa, xb) / (sqrt(na) * sqrt(nb)) as cosine")
+      .filter(col("cosine") >= threshold)
+      .orderBy("va", "vb")
+  }
 }

@@ -607,6 +607,14 @@ object OpQueries {
       (s, d) => ClusterOps.kmeansAssign(emb(s, d), k = 8, iters = 2),
       Some(dkKmeansOracle(k = 8, iters = 2))),
 
+    // Semantic dedup (SemDeDup): cosine near-dup pairs WITHIN k-means
+    // clusters — the sub-quadratic sibling of op_dedup_embedding's exact
+    // all-pairs tier. Pairs AND their cosines hash-gate (clustering and
+    // cosine are both exact cross-engine).
+    QueryDef("op_dedup_semantic",
+      (s, d) => ClusterOps.semanticPairs(emb(s, d), k = 8, iters = 2, threshold = 0.45),
+      Some(dkSemanticPairsOracle(k = 8, iters = 2, thr = 0.45))),
+
     // PII redaction: the fixture text carries no PII, so both engines
     // plant the same deterministic emails / dotted quads / phone numbers
     // (varying per doc_id so counts differ row to row), then scrub. The
@@ -797,8 +805,14 @@ object OpQueries {
     * seed → (assign → exact-sum update)ⁿ → final-assign pipeline as an
     * unrolled CTE chain. Every arithmetic step matches the Spark side
     * bit-for-bit (see ClusterOps scaladoc), so the assignment hash-gates.
+    * `finalSelect` runs against the CTEs (`qd` = quantized vectors, `asg`
+    * = the final (vec_id, cluster) assignment).
     */
-  private def dkKmeansOracle(k: Int, iters: Int): String = {
+  private def dkKmeansOracle(k: Int, iters: Int): String =
+    dkKmeansSql(k, iters,
+      "SELECT vec_id, cluster FROM asg ORDER BY vec_id")
+
+  private def dkKmeansSql(k: Int, iters: Int, finalSelect: String): String = {
     def dot(a: String, b: String) =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |  list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
@@ -830,12 +844,30 @@ object OpQueries {
       s""",
          |df AS (SELECT p.vec_id, c.cid,
          |         p.xx - 2 * ${dot("p.xd", "c.m")} + ${dot("c.m", "c.m")} AS dist
-         |       FROM qx p CROSS JOIN c$iters c)
-         |SELECT vec_id, cid AS cluster FROM (
+         |       FROM qx p CROSS JOIN c$iters c),
+         |asg AS (SELECT vec_id, cid AS cluster FROM (
          |  SELECT vec_id, cid,
          |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |  FROM df) WHERE rn = 1
-         |ORDER BY vec_id""".stripMargin
+         |  FROM df) WHERE rn = 1)
+         |$finalSelect""".stripMargin
     head + rounds + fin
+  }
+
+  /** The within-cluster cosine fold for [[dkSemanticPairsOracle]] — the
+    * same x·y / (√(x·x)·√(y·y)) tree as the Spark side's array_dot form. */
+  private def dkSemanticPairsOracle(k: Int, iters: Int, thr: Double): String = {
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+    dkKmeansSql(k, iters,
+      s"""SELECT cluster, va, vb, cosine FROM (
+         |  SELECT a.cluster, a.vec_id AS va, b.vec_id AS vb,
+         |         ${dot("a.xd", "b.xd")}
+         |           / (sqrt(${dot("a.xd", "a.xd")}) * sqrt(${dot("b.xd", "b.xd")})) AS cosine
+         |  FROM (SELECT qd.vec_id, qd.xd, asg.cluster FROM qd JOIN asg USING (vec_id)) a
+         |  JOIN (SELECT qd.vec_id, qd.xd, asg.cluster FROM qd JOIN asg USING (vec_id)) b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         |WHERE cosine >= $thr
+         |ORDER BY va, vb""".stripMargin)
   }
 }

@@ -697,6 +697,22 @@ class OpsSpec extends SparkSpecBase {
     assert(want.nonEmpty && got.toSeq === want.toSeq)
   }
 
+  test("semantic dedup finds a subset of the exact all-pairs near-dups, same cosines") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val exact = graft.ops.VectorOps.cosineNearDup(emb, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sem = graft.ops.ClusterOps.semanticPairs(emb, k = 4, iters = 2, threshold = 0.45)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+    assert(sem.nonEmpty, "fixture's planted near-dups should survive clustering")
+    // within-cluster pairs are a SUBSET of all-pairs; cosines agree up to
+    // the 2^-20 quantization (semanticPairs scores the quantized vectors —
+    // that is what makes its gate exact cross-engine)
+    sem.foreach { case (pair, cos) =>
+      assert(exact.contains(pair), s"pair $pair not in the exact tier")
+      assert(math.abs(exact(pair) - cos) < 1e-4, s"cosine drift for $pair")
+    }
+  }
+
   test("kmeans recovers planted well-separated clusters, invariant to partitioning") {
     // 3 centers far apart, small deterministic jitter; vec_ids 0,1,2 land
     // in different centers so the lowest-vec_id seed spans all three
