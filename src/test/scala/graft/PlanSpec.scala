@@ -65,9 +65,12 @@ class PlanSpec extends SparkSpecBase {
     // the documented all-pairs oracle tier (scale path = _lsh); kmeans
     // broadcasts the ONE packed-centroid row to every task (map-only
     // assignment — the BNLJ here is a 1-row build side, not a pair blowup).
-    // (bm25 / profile BNLJs are likewise one-row stats broadcasts)
+    // (bm25 / profile BNLJs are likewise one-row stats broadcasts;
+    // op_dedup_semantic inherits kmeans' packed-centroid broadcast — its
+    // pair join itself is the cluster-keyed SMJ)
     val bnljAllowed = Set("op_sim_topk", "op_sim_topk_agg", "op_sim_topk_ivf",
-      "op_dedup_embedding", "op_embed_kmeans", "op_bm25_topk", "op_profile")
+      "op_dedup_embedding", "op_embed_kmeans", "op_bm25_topk", "op_profile",
+      "op_dedup_semantic")
     graft.ops.OpQueries.defs.foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"${q.name} went cartesian:\n$p")
