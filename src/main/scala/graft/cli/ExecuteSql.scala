@@ -173,7 +173,9 @@ object ExecuteSql {
 
   private def runOne(spark: SparkSession, stmt: String): Unit = {
     if (runPrepared(spark, stmt)) return
-    val rewritten = RedshiftSql.rewrite(stripTemp(stmt))
+    // rewrite first: SELECT … INTO [TEMP] t becomes CREATE [TEMP] TABLE t
+    // AS …, so the TEMP strip/tracking below sees every temp-table form
+    val rewritten = stripTemp(RedshiftSql.rewrite(stmt))
     // EXPLAIN over a locally-EMULATED statement (DML/COPY/MV/APPEND)
     // has no Spark plan to show — fail with the reason instead of the
     // opaque ParseException spark.sql would raise on e.g. UPDATE

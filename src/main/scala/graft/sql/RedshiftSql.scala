@@ -68,6 +68,7 @@ object RedshiftSql {
     var toks = tokenize(sql)
     toks = SpectrumDdl.rewriteExternalSchema(toks)
     toks = SpectrumDdl.rewriteExternalTable(toks)
+    toks = rewriteSelectInto(toks)
     toks = rewriteConnectBy(toks)
     toks = rewriteTop(toks)
     toks = rewriteQualify(toks)
@@ -573,6 +574,36 @@ object RedshiftSql {
           afterDistinct - i)
         rewriteApproximate(replaced)
     }
+  }
+
+  // SELECT <list> INTO [TEMP|TEMPORARY] [TABLE] <name> FROM …
+  //   → CREATE [TEMP] TABLE <name> AS SELECT <list> FROM …
+  // (the PG-inherited Redshift idiom; Spark has no SELECT INTO). Only a
+  // depth-0 INTO in a statement that BEGINS with SELECT qualifies —
+  // INSERT INTO and subquery INTOs never match.
+  private def rewriteSelectInto(toks: Vector[Tok]): Vector[Tok] = {
+    val first = nextCode(toks, 0)
+    if (first >= toks.length || !toks(first).isWord("select")) return toks
+    var depth = 0
+    var into = -1
+    var i = first
+    while (i < toks.length && into < 0) {
+      val t = toks(i)
+      if (t.kind == Sym && t.text == "(") depth += 1
+      else if (t.kind == Sym && t.text == ")") depth -= 1
+      else if (depth == 0 && t.isWord("into")) into = i
+      i += 1
+    }
+    if (into < 0) return toks
+    var j = nextCode(toks, into + 1)
+    val temp = j < toks.length &&
+      (toks(j).isWord("temp") || toks(j).isWord("temporary"))
+    if (temp) j = nextCode(toks, j + 1)
+    if (j < toks.length && toks(j).isWord("table")) j = nextCode(toks, j + 1)
+    val (name, afterName) = qualifiedName(toks, j)
+    val head = tokenize(
+      s"CREATE ${if (temp) "TEMP " else ""}TABLE $name AS ")
+    head ++ toks.slice(first, into) ++ toks.slice(afterName, toks.length)
   }
 
   // APPROXIMATE PERCENTILE_DISC(p) WITHIN GROUP (ORDER BY col)

@@ -1610,6 +1610,27 @@ class DialectSpec extends SparkSpecBase {
     assert(spark.table("ddl_idt").schema.fieldNames.toSeq === Seq("id", "gid", "ref", "u"))
   }
 
+  test("SELECT INTO rewrites to CTAS; the TEMP form dies with the run") {
+    Tables.registerAll(spark, sfDir)
+    spark.sql("DROP TABLE IF EXISTS sel_into")
+    graft.cli.ExecuteSql.run(spark,
+      "SELECT r_regionkey, r_name INTO sel_into FROM region WHERE r_regionkey < 3", None)
+    assert(spark.table("sel_into").count() === 3)
+    assert(spark.table("sel_into").schema.fieldNames.toSeq === Seq("r_regionkey", "r_name"))
+    spark.sql("DROP TABLE sel_into")
+    // TEMP form: usable later in the same script, gone after the run
+    spark.sql("DROP TABLE IF EXISTS sel_out")
+    spark.sql("CREATE TABLE sel_out (n BIGINT)")
+    graft.cli.ExecuteSql.run(spark,
+      """SELECT r_regionkey INTO TEMP TABLE sel_tmp FROM region;
+        |INSERT INTO sel_out SELECT COUNT(*) FROM sel_tmp""".stripMargin, None)
+    assert(spark.table("sel_out").head().getLong(0) === 5L)
+    assert(!spark.catalog.tableExists("sel_tmp"))
+    // INSERT INTO must never trip the rewrite
+    graft.cli.ExecuteSql.run(spark, "INSERT INTO sel_out SELECT 7", None)
+    assert(spark.table("sel_out").count() === 2)
+  }
+
   test("CREATE TEMP TABLE lives for the script, dies with the run") {
     Tables.registerAll(spark, sfDir)
     spark.sql("DROP TABLE IF EXISTS temp_out")
