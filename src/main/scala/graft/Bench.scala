@@ -1,6 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
-
 /** Per-round benchmark main. Emits ONE JSON line:
   * {"metric":"total","value":N,"unit":"sec","queries":{name:min_sec,...},
   *  "median":{name:median_sec,...},"samples":{name:actual_runs,...},
@@ -15,17 +13,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.get("graft-bench")
 
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
@@ -88,7 +76,15 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.count(_._5.isEmpty)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"median":$med,"samples":$cnt,"errors":$errs,"ok":$ok,"n":${results.size},"runs":$runs,"sf":${jstr(sfDir)}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"median":$med,"samples":$cnt,"errors":$errs,"ok":$ok,"n":${results.size},"runs":$runs,"sf":${jstr(sfDir)}}"""
+    println(line)
+    // The driver captures only a bounded tail of stdout, which truncates the
+    // per-query breakdown once the suite is large; the file is the durable
+    // copy of the same line.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_latest.json"))
+    Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

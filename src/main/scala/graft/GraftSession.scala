@@ -20,6 +20,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ANALYZE TABLE (LocalDml) populates catalog row/size stats; CBO +
+      // stats-based join reordering turn them into plan quality (SURVEY
+      // §4.2). Without stats Spark falls back to its default estimates, so
+      // these are safe to leave on unconditionally.
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       .config("spark.ui.enabled", "false")
 

@@ -153,13 +153,30 @@ object ExecuteSql {
               render(toks.slice(a + 1, b)).trim
             }.toSeq
           } else Seq.empty
-        // substitute $n descending so $12 is never clobbered by $1
-        val substituted = args.zipWithIndex.sortBy(-_._2).foldLeft(body) {
-          case (acc, (arg, idx)) => acc.replace("$" + (idx + 1), s"($arg)")
+        // substitute at the token level — a `$` Sym immediately followed by
+        // an integer Num — so a literal "$1" inside a string literal or
+        // quoted identifier of the PREPAREd body is never corrupted (the
+        // tokenizer exists precisely to avoid raw-text replacement)
+        val bodyToks = tokenize(body)
+        val out = Vector.newBuilder[Tok]
+        var unbound: Option[String] = None
+        var bi = 0
+        while (bi < bodyToks.length) {
+          val t = bodyToks(bi)
+          if (t.kind == Sym && t.text == "$" && bi + 1 < bodyToks.length &&
+              bodyToks(bi + 1).kind == Num &&
+              bodyToks(bi + 1).text.forall(_.isDigit)) {
+            val idx = bodyToks(bi + 1).text.toInt
+            if (idx >= 1 && idx <= args.length)
+              out ++= tokenize(s"(${args(idx - 1)})")
+            else unbound = unbound.orElse(Some("$" + idx))
+            bi += 2
+          } else { out += t; bi += 1 }
         }
-        require(!substituted.matches("""(?s).*\$\d+.*"""),
-          s"EXECUTE $name: unbound parameter remains (got ${args.length} arguments)")
-        runOne(spark, substituted)
+        require(unbound.isEmpty,
+          s"EXECUTE $name: unbound parameter ${unbound.getOrElse("")} " +
+            s"(got ${args.length} arguments)")
+        runOne(spark, render(out.result()))
         true
       case "deallocate" =>
         var i = nextCode(toks, f + 1)

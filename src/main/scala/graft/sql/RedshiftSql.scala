@@ -639,9 +639,32 @@ object RedshiftSql {
         require(toks(ob).isWord("order") && toks(by).isWord("by"),
           "APPROXIMATE PERCENTILE_DISC: expected ORDER BY inside WITHIN GROUP")
         val sortExpr = toks.slice(nextCode(toks, by + 1), ge)
+        // Trailing sort modifiers are valid Redshift here. ASC and NULLS
+        // FIRST/LAST are dropped (approx_percentile ignores nulls either
+        // way); DESC flips to the complementary fraction — the value p of
+        // the way down a descending order is the value 1-p of the way up.
+        val code = sortExpr.indices.filter { j =>
+          sortExpr(j).kind != Ws && sortExpr(j).kind != Comment
+        }
+        var cut = code.length
+        var desc = false
+        var scanning = true
+        while (scanning && cut > 0) {
+          val t = sortExpr(code(cut - 1))
+          if ((t.isWord("first") || t.isWord("last")) &&
+              cut > 1 && sortExpr(code(cut - 2)).isWord("nulls")) cut -= 2
+          else if (t.isWord("asc")) cut -= 1
+          else if (t.isWord("desc")) { desc = true; cut -= 1 }
+          else scanning = false
+        }
+        require(cut > 0,
+          "APPROXIMATE PERCENTILE_DISC: empty ORDER BY expression")
+        val valueExpr = sortExpr.take(code(cut - 1) + 1)
+        val pctOut =
+          if (desc) tokenize("(1 - (") ++ pct ++ tokenize("))") else pct
         val replaced = toks.patch(i,
           Vector(Tok(Word, "approx_percentile"), Tok(Sym, "(")) ++
-            sortExpr ++ Vector(Tok(Sym, ",")) ++ pct ++ Vector(Tok(Sym, ")")),
+            valueExpr ++ Vector(Tok(Sym, ",")) ++ pctOut ++ Vector(Tok(Sym, ")")),
           ge + 1 - i)
         rewriteApproxPctDisc(replaced)
     }
@@ -879,9 +902,13 @@ object RedshiftSql {
           val commas = topCommas(toks, p, pe)
           val a = render(toks.slice(commas(0) + 1, commas(1))).trim
           val b = render(toks.slice(commas(1) + 1, pe)).trim
+          // Re-tokenize the replacement (not one opaque Word token) so
+          // nested rewritable calls inside the operands — a 3-arg DATEADD,
+          // TO_CHAR, TO_DATE with PG formats — stay visible to this
+          // recursion and to the later rewrite passes.
           rewriteDateAddDiff(toks.patch(i,
-            Vector(Tok(Word,
-              s"timestampdiff($unit, date_trunc('$unit', $a), date_trunc('$unit', $b))")),
+            tokenize(
+              s"timestampdiff($unit, date_trunc('$unit', $a), date_trunc('$unit', $b))"),
             pe - i + 1))
         } else {
           val renamed = toks.updated(i, Tok(Word, name))
@@ -935,10 +962,21 @@ object RedshiftSql {
     * java format like 'yyyy-MM-dd HH:mm:ss' passes through untouched —
     * translating its HH (0-23) to hh (1-12) would silently corrupt it.
     */
-  private def hasPgTokens(fmt: String): Boolean =
-    Seq("HH24", "HH12", "MI", "MON", "MONTH", "DAY", "DY").exists(fmt.contains) ||
-      (fmt.exists(_.isUpper) && !fmt.exists(_.isLower) &&
-        hasDateTokens(fmt))
+  private def hasPgTokens(fmt: String): Boolean = {
+    val up = fmt.toUpperCase
+    // PG-only tokens, ANY case: java patterns have no MI/HH24/HH12, and
+    // mon/month/day/dy as java letter runs are nonsensical combinations —
+    // Redshift accepts lowercase spellings of all its format tokens.
+    Seq("HH24", "HH12", "MI", "MON", "MONTH", "DAY", "DY").exists(up.contains) ||
+      (fmt.exists(_.isUpper) && !fmt.exists(_.isLower) && hasDateTokens(fmt)) ||
+      // All-LOWERCASE date-shaped formats: Redshift reads 'yyyy-mm-dd' as
+      // year-month-day while a java pattern reads mm as minutes — passing
+      // it through silently yields corrupt dates. Formats with time context
+      // ('hh:mm') are left alone: there the java reading (minutes) is the
+      // plausible intent and the PG spelling would use MI anyway.
+      (fmt.exists(_.isLower) && !fmt.exists(_.isUpper) && !up.contains("HH") &&
+        (up.contains("YYYY") || (up.contains("MM") && up.contains("DD"))))
+  }
   private def rewriteToDateTs(toks: Vector[Tok]): Vector[Tok] = {
     val hit = toks.indices.find { i =>
       (toks(i).isWord("to_date") || toks(i).isWord("to_timestamp")) && {

@@ -133,6 +133,21 @@ class DialectSpec extends SparkSpecBase {
       .get(0).toString.startsWith("2024-01-15"))
   }
 
+  test("DATEDIFF boundary rewrite keeps nested rewritable calls visible") {
+    // the replacement is RE-TOKENIZED, so a 3-arg DATEADD nested inside a
+    // DATEDIFF operand is itself rewritten instead of surviving as
+    // untranslated text inside one opaque token
+    assert(sql1("SELECT DATEDIFF(day, DATEADD(day, -7, DATE '2024-01-10'), " +
+      "DATE '2024-01-10')").getLong(0) === 7L)
+    // …and a nested TO_DATE with a PG format is translated too
+    assert(sql1("SELECT DATEDIFF(day, TO_DATE('2024-01-01', 'YYYY-MM-DD'), " +
+      "DATE '2024-01-08')").getLong(0) === 7L)
+    // nested DATEDIFF inside DATEDIFF
+    assert(sql1("SELECT DATEDIFF(day, DATE '2024-01-01', DATEADD(day, " +
+      "DATEDIFF(day, DATE '2024-01-01', DATE '2024-01-04'), DATE '2024-01-01'))")
+      .getLong(0) === 3L)
+  }
+
   // ---- CONVERT_TIMEZONE ----
   test("CONVERT_TIMEZONE executes with Redshift argument order (2- and 3-arg)") {
     // 3-arg (source, target, ts): both engines share this order natively
@@ -1675,6 +1690,18 @@ class DialectSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("unbound parameter"))
   }
 
+  test("EXECUTE substitutes only real $n tokens, never inside string literals") {
+    spark.sql("DROP TABLE IF EXISTS prep_lit")
+    spark.sql("CREATE TABLE prep_lit (lit STRING, v INT)")
+    graft.cli.ExecuteSql.run(spark,
+      "PREPARE plit AS INSERT INTO prep_lit SELECT 'price is $1', $1; " +
+        "EXECUTE plit(42); DEALLOCATE plit", None)
+    val row = spark.table("prep_lit").collect()(0)
+    assert(row.getString(0) === "price is $1") // literal untouched
+    assert(row.getInt(1) === 42)               // parameter bound
+    spark.sql("DROP TABLE IF EXISTS prep_lit")
+  }
+
   test("APPROXIMATE PERCENTILE_DISC rewrites to approx_percentile and executes") {
     Tables.registerAll(spark, sfDir)
     val sql = """SELECT l_returnflag,
@@ -1689,6 +1716,37 @@ class DialectSpec extends SparkSpecBase {
     assert(rows.keySet === exact.keySet && rows.nonEmpty)
     // the sketch is exact at this cardinality
     rows.foreach { case (k, v) => assert(math.abs(v - exact(k)) <= 1.0, s"$k: $v vs ${exact(k)}") }
+  }
+
+  test("APPROXIMATE PERCENTILE_DISC: DESC flips the fraction, modifiers stripped") {
+    val r = rewrite("SELECT APPROXIMATE PERCENTILE_DISC(0.25) WITHIN GROUP " +
+      "(ORDER BY x DESC) FROM t")
+    assert(r.contains("approx_percentile(x") && r.contains("1 - (0.25)"), r)
+    // DESC p=0 is the maximum; ASC (with NULLS modifiers) p=0 is the minimum
+    assert(sql1("SELECT APPROXIMATE PERCENTILE_DISC(0) WITHIN GROUP " +
+      "(ORDER BY v DESC) FROM (SELECT explode(array(1, 5, 9)) AS v)").getInt(0) === 9)
+    assert(sql1("SELECT APPROXIMATE PERCENTILE_DISC(0) WITHIN GROUP " +
+      "(ORDER BY v ASC NULLS LAST) FROM (SELECT explode(array(1, 5, 9)) AS v)")
+      .getInt(0) === 1)
+    assert(sql1("SELECT APPROXIMATE PERCENTILE_DISC(0.5) WITHIN GROUP " +
+      "(ORDER BY v DESC NULLS FIRST) FROM (SELECT explode(array(1, 5, 9)) AS v)")
+      .getInt(0) === 5)
+  }
+
+  test("TO_DATE lowercase Redshift formats translate (mm is month, not minutes)") {
+    assert(rewrite("SELECT TO_DATE(s, 'yyyy-mm-dd') FROM t") ===
+      "SELECT TO_DATE(s, 'yyyy-MM-dd') FROM t")
+    assert(sql1("SELECT TO_DATE('2024-07-09', 'yyyy-mm-dd')")
+      .get(0).toString === "2024-07-09")
+    assert(sql1("SELECT TO_DATE('09/07/2024', 'dd/mm/yyyy')")
+      .get(0).toString === "2024-07-09")
+    // an all-lowercase java TIME pattern is left alone: there mm plausibly
+    // means minutes and the PG spelling would be MI
+    val q = "SELECT to_timestamp(s, 'hh:mm:ss') FROM t"
+    assert(rewrite(q) === q)
+    // mixed-case java patterns still pass through untouched
+    val q2 = "SELECT to_timestamp(s, 'yyyy-MM-dd HH:mm:ss') FROM t"
+    assert(rewrite(q2) === q2)
   }
 
   test("range-join rule: integer and DATE domains, negatives and inverted intervals") {

@@ -350,4 +350,38 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
       s"expected an equi join on the bucket key:\n$p")
   }
+
+  test("CBO: ANALYZE-fed stats reorder a 3-table join (SURVEY §4.2)") {
+    val s = spark
+    import s.implicits._
+    assert(s.conf.get("spark.sql.cbo.enabled") === "true")
+    assert(s.conf.get("spark.sql.cbo.joinReorder.enabled") === "true")
+    Seq("cbo_big", "cbo_mid", "cbo_tiny").foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq.tabulate(20000)(i => (i.toLong % 100, i.toLong))
+      .toDF("bg", "bv").write.saveAsTable("cbo_big")
+    Seq.tabulate(1000)(i => (i.toLong, i.toLong % 5))
+      .toDF("mk", "mg").write.saveAsTable("cbo_mid")
+    Seq.tabulate(5)(i => (i.toLong, s"g$i")).toDF("tk", "tn").write.saveAsTable("cbo_tiny")
+    // written join order is deliberately worst-first: big ⋈ mid, then tiny
+    val q = """SELECT count(*) AS c
+              |FROM cbo_big b
+              |JOIN cbo_mid m ON b.bg = m.mk
+              |JOIN cbo_tiny t ON m.mg = t.tk""".stripMargin
+    def leafOrder: Seq[String] = s.sql(q).queryExecution.optimizedPlan
+      .collectLeaves().map(_.toString)
+      .map(l => Seq("cbo_big", "cbo_mid", "cbo_tiny").find(l.contains).getOrElse("?"))
+    val before = leafOrder
+    // graft ANALYZE (LocalDml) with a column list → rowCount + column stats
+    graft.cli.ExecuteSql.run(s, "ANALYZE cbo_big (bg, bv)", None)
+    graft.cli.ExecuteSql.run(s, "ANALYZE cbo_mid (mk, mg)", None)
+    graft.cli.ExecuteSql.run(s, "ANALYZE cbo_tiny (tk, tn)", None)
+    val after = leafOrder
+    assert(after !== before,
+      s"stats did not change the join order: before=$before after=$after")
+    // and the result is still correct whichever order the optimizer picks:
+    // every big row matches exactly one mid row (mk is distinct, bg ∈ [0,100))
+    // and every mid row exactly one tiny row (mg ∈ [0,5))
+    assert(s.sql(q).collect()(0).getLong(0) === 20000L)
+    Seq("cbo_big", "cbo_mid", "cbo_tiny").foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
