@@ -90,6 +90,35 @@ object ClusterOps {
       .orderBy("vec_id")
   }
 
+  /** [[kmeansAssign]] plus a deterministic secondary split of oversized
+    * clusters: a cluster of n rows is divided into `⌈n/maxClusterSize⌉`
+    * sub-buckets by `vec_id % nsplits` (exact integer arithmetic in both
+    * engines, so the split itself hash-gates cross-engine). This is what
+    * makes the within-cluster pair join scale-safe: per join key the pair
+    * work is bounded by maxClusterSize², so total pair work is
+    * ≤ N·maxClusterSize regardless of how skewed the clustering comes out
+    * — without it one runaway cluster re-creates the O(N²) shuffle the
+    * clustering was supposed to kill. Cluster sizes are a tiny (≤ k rows)
+    * aggregate broadcast back onto the assignment, so the split adds no
+    * data-sized shuffle. Pairs that straddle two sub-buckets of the same
+    * cluster are not compared — the same recall-for-boundedness trade
+    * SemDeDup already makes at the cluster boundary, now with a hard
+    * per-key ceiling.
+    */
+  def cappedAssign(emb: DataFrame, k: Int, iters: Int,
+                   maxClusterSize: Long): DataFrame = {
+    val assigned = kmeansAssign(emb, k, iters)
+    if (maxClusterSize <= 0L || maxClusterSize == Long.MaxValue)
+      assigned.withColumn("sub", lit(0L))
+    else {
+      val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("cn"))
+      assigned.join(broadcast(sizes), Seq("cluster"))
+        .withColumn("sub",
+          expr(s"vec_id % ((cn + ${maxClusterSize - 1}) div $maxClusterSize)"))
+        .select("vec_id", "cluster", "sub")
+    }
+  }
+
   /** Semantic near-duplicate pairs (the SemDeDup recipe, Abbas et al.
     * 2023, public): cluster the corpus with [[kmeansAssign]], then compare
     * cosine similarity ONLY within each cluster — the pair space shrinks
@@ -98,22 +127,59 @@ object ClusterOps {
     * semantic sibling). Cosine runs over the same quantized-exact vectors
     * the clustering used, with the fixed-order array_dot fold, so every
     * pair AND its cosine hash-gate cross-engine.
+    *
+    * ==The k contract==
+    * SemDeDup's economics REQUIRE k to grow with the corpus: Σ|cluster|²
+    * ≈ N²/k only beats N² when k ≈ N/targetClusterSize (the paper runs
+    * tens of thousands of clusters over billions of docs). A constant k
+    * is a scale-killer twice over — the pair space stays quadratic AND
+    * the pair join shuffles the whole corpus onto k distinct keys. Use
+    * [[semanticPairsAuto]] (k derived from a corpus count) unless you
+    * have a principled k, and leave `maxClusterSize` finite so one
+    * runaway cluster can't blow past the budget: the [[cappedAssign]]
+    * split bounds per-key pair work at maxClusterSize² no matter what
+    * the clustering does. Assignment itself is O(k·dim) per row against
+    * the broadcast centroid array; past k ≈ 10⁴ swap the in-row argmin
+    * for a pruned path (centroid-norm / triangle-inequality bounds, or a
+    * coarse-quantizer prefilter) — `assign(pack(cells))` in
+    * [[kmeansAssign]] is the single swap point.
     */
   def semanticPairs(emb: DataFrame, k: Int = 8, iters: Int = 2,
-                    threshold: Double = 0.95): DataFrame = {
-    val assigned = kmeansAssign(emb, k, iters)
+                    threshold: Double = 0.95,
+                    maxClusterSize: Long = Long.MaxValue): DataFrame = {
+    val assigned = cappedAssign(emb, k, iters, maxClusterSize)
     val q = emb.selectExpr("vec_id",
         s"transform(embedding, x -> cast(floor(cast(x as double) * $SCALE) as bigint)) as xq")
       .selectExpr("vec_id", "transform(xq, v -> cast(v as double)) as xd")
       .selectExpr("vec_id", "xd", "array_dot(xd, xd) as nn")
       .join(assigned, Seq("vec_id"))
-    val a = q.selectExpr("cluster", "vec_id as va", "xd as xa", "nn as na")
-    val b = q.selectExpr("cluster", "vec_id as vb", "xd as xb", "nn as nb")
-    a.join(b, Seq("cluster"))
+    val a = q.selectExpr("cluster", "sub", "vec_id as va", "xd as xa", "nn as na")
+    val b = q.selectExpr("cluster", "sub", "vec_id as vb", "xd as xb", "nn as nb")
+    a.join(b, Seq("cluster", "sub"))
       .filter(col("va") < col("vb"))
       .selectExpr("cluster", "va", "vb",
         "array_dot(xa, xb) / (sqrt(na) * sqrt(nb)) as cosine")
       .filter(col("cosine") >= threshold)
       .orderBy("va", "vb")
+  }
+
+  /** [[semanticPairs]] with k derived from the corpus size —
+    * `k = ⌈N / targetClusterSize⌉` — so the expected cluster size (and
+    * with it the pair-join key cardinality N/targetClusterSize) stays
+    * constant as the corpus grows; this is the scale-safe entry point
+    * per the k contract above. Costs one `count()` over the input (a
+    * metadata-cheap scan), which is the honest price of sizing k to the
+    * data. The default cap of 4× the target keeps moderately oversized
+    * clusters intact while still hard-bounding per-key pair work.
+    */
+  def semanticPairsAuto(emb: DataFrame, targetClusterSize: Int = 1024,
+                        iters: Int = 2, threshold: Double = 0.95,
+                        maxClusterSize: Long = 0L): DataFrame = {
+    require(targetClusterSize > 0, s"need targetClusterSize > 0; got $targetClusterSize")
+    val n = emb.count()
+    val k = math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)
+    require(k <= Int.MaxValue, s"derived k=$k overflows")
+    val cap = if (maxClusterSize > 0L) maxClusterSize else 4L * targetClusterSize
+    semanticPairs(emb, k.toInt, iters, threshold, cap)
   }
 }

@@ -605,15 +605,33 @@ object OpQueries {
     // algorithm independently (unrolled CTE chain, generated below).
     QueryDef("op_embed_kmeans",
       (s, d) => ClusterOps.kmeansAssign(emb(s, d), k = 8, iters = 2),
-      Some(dkKmeansOracle(k = 8, iters = 2))),
+      Some(dkKmeansOracle(kExpr = "8", iters = 2))),
 
     // Semantic dedup (SemDeDup): cosine near-dup pairs WITHIN k-means
     // clusters — the sub-quadratic sibling of op_dedup_embedding's exact
     // all-pairs tier. Pairs AND their cosines hash-gate (clustering and
-    // cosine are both exact cross-engine).
+    // cosine are both exact cross-engine). The cap of 40 deliberately
+    // bites at verify scale (500 rows / k=8 → ~62-row clusters), so the
+    // oversized-cluster split is itself oracle-verified: both engines
+    // subdivide by vec_id % ⌈n/40⌉ with exact integer arithmetic.
     QueryDef("op_dedup_semantic",
-      (s, d) => ClusterOps.semanticPairs(emb(s, d), k = 8, iters = 2, threshold = 0.45),
-      Some(dkSemanticPairsOracle(k = 8, iters = 2, thr = 0.45))),
+      (s, d) => ClusterOps.semanticPairs(emb(s, d), k = 8, iters = 2,
+        threshold = 0.45, maxClusterSize = 40L),
+      Some(dkSemanticPairsOracle(kExpr = "8", iters = 2, thr = 0.45,
+        cap = Some(40L)))),
+
+    // Scale-safe entry point: k DERIVED from the corpus size
+    // (k = ⌈N/target⌉, here ⌈500/32⌉ = 16 at verify scale) so the
+    // pair-join key cardinality grows with N instead of staying constant
+    // — the second gated k value demanded by the SemDeDup k contract.
+    // DuckDB derives the same k with a scalar subquery over the same
+    // table, so the gate would catch a drifting k formula.
+    QueryDef("op_dedup_semantic_auto",
+      (s, d) => ClusterOps.semanticPairsAuto(emb(s, d), targetClusterSize = 32,
+        iters = 2, threshold = 0.45, maxClusterSize = 40L),
+      Some(dkSemanticPairsOracle(
+        kExpr = "(SELECT (COUNT(*) + 31) // 32 FROM embeddings)",
+        iters = 2, thr = 0.45, cap = Some(40L)))),
 
     // PII redaction: the fixture text carries no PII, so both engines
     // plant the same deterministic emails / dotted quads / phone numbers
@@ -808,11 +826,11 @@ object OpQueries {
     * `finalSelect` runs against the CTEs (`qd` = quantized vectors, `asg`
     * = the final (vec_id, cluster) assignment).
     */
-  private def dkKmeansOracle(k: Int, iters: Int): String =
-    dkKmeansSql(k, iters,
+  private def dkKmeansOracle(kExpr: String, iters: Int): String =
+    dkKmeansSql(kExpr, iters,
       "SELECT vec_id, cluster FROM asg ORDER BY vec_id")
 
-  private def dkKmeansSql(k: Int, iters: Int, finalSelect: String): String = {
+  private def dkKmeansSql(kExpr: String, iters: Int, finalSelect: String): String = {
     def dot(a: String, b: String) =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |  list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
@@ -837,8 +855,10 @@ object OpQueries {
          |  FROM embeddings),
          |qd AS (SELECT vec_id, xq, list_transform(xq, v -> CAST(v AS DOUBLE)) AS xd FROM q),
          |qx AS (SELECT vec_id, xq, xd, ${dot("xd", "xd")} AS xx FROM qd),
-         |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, xd AS m
-         |       FROM (SELECT vec_id, xd FROM qd ORDER BY vec_id LIMIT $k))""".stripMargin
+         |c0 AS (SELECT cid, m FROM (
+         |         SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         |                xd AS m FROM qd)
+         |       WHERE cid < ($kExpr))""".stripMargin
     val rounds = (1 to iters).map(t => round(t, s"c${t - 1}")).mkString
     val fin =
       s""",
@@ -854,19 +874,32 @@ object OpQueries {
   }
 
   /** The within-cluster cosine fold for [[dkSemanticPairsOracle]] — the
-    * same x·y / (√(x·x)·√(y·y)) tree as the Spark side's array_dot form. */
-  private def dkSemanticPairsOracle(k: Int, iters: Int, thr: Double): String = {
+    * same x·y / (√(x·x)·√(y·y)) tree as the Spark side's array_dot form.
+    * With `cap` set, oversized clusters are subdivided by
+    * `vec_id % ((n + cap-1) // cap)` — the identical exact-integer split
+    * [[graft.ops.ClusterOps.cappedAssign]] applies — and pairs join on
+    * (cluster, sub), so the scale-safety mechanism is itself hash-gated. */
+  private def dkSemanticPairsOracle(kExpr: String, iters: Int, thr: Double,
+                                    cap: Option[Long] = None): String = {
     def dot(a: String, b: String) =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |  list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
-    dkKmeansSql(k, iters,
-      s"""SELECT cluster, va, vb, cosine FROM (
+    val subExpr = cap match {
+      case Some(c) => s"asg.vec_id % ((csz.cn + ${c - 1}) // $c)"
+      case None    => "CAST(0 AS BIGINT)"
+    }
+    dkKmeansSql(kExpr, iters,
+      s""",
+         |csz AS (SELECT cluster, COUNT(*) AS cn FROM asg GROUP BY cluster),
+         |sp AS (SELECT asg.vec_id, asg.cluster, $subExpr AS sub
+         |       FROM asg JOIN csz USING (cluster))
+         |SELECT cluster, va, vb, cosine FROM (
          |  SELECT a.cluster, a.vec_id AS va, b.vec_id AS vb,
          |         ${dot("a.xd", "b.xd")}
          |           / (sqrt(${dot("a.xd", "a.xd")}) * sqrt(${dot("b.xd", "b.xd")})) AS cosine
-         |  FROM (SELECT qd.vec_id, qd.xd, asg.cluster FROM qd JOIN asg USING (vec_id)) a
-         |  JOIN (SELECT qd.vec_id, qd.xd, asg.cluster FROM qd JOIN asg USING (vec_id)) b
-         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         |  FROM (SELECT qd.vec_id, qd.xd, sp.cluster, sp.sub FROM qd JOIN sp USING (vec_id)) a
+         |  JOIN (SELECT qd.vec_id, qd.xd, sp.cluster, sp.sub FROM qd JOIN sp USING (vec_id)) b
+         |    ON a.cluster = b.cluster AND a.sub = b.sub AND a.vec_id < b.vec_id)
          |WHERE cosine >= $thr
          |ORDER BY va, vb""".stripMargin)
   }

@@ -737,6 +737,67 @@ class OpsSpec extends SparkSpecBase {
     assert(out.toSeq === repart.toSeq)
   }
 
+  test("semantic dedup cap bounds per-key pair work under a deliberately giant cluster") {
+    // 120 near-identical vectors (one giant cluster under k=2) + 3 far
+    // outliers — the skew that makes a constant-k SemDeDup quadratic
+    val pts = spark.range(123).selectExpr(
+      "id as vec_id",
+      """transform(sequence(0, 7), j -> cast(
+        |  case when id < 120 then 1.0 + cast(id as double) / 10000.0
+        |       else 500.0 * cast(id - 118 as double) * cast(j % 2 as double) end
+        |  as float)) as embedding""".stripMargin)
+    val cap = 16L
+    val sub = graft.ops.ClusterOps.cappedAssign(pts, k = 2, iters = 2, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sub.length === 123)
+    val bySize = sub.groupBy(t => (t._2, t._3)).map(_._2.length)
+    val byCluster = sub.groupBy(_._2).map { case (c, rows) =>
+      c -> (rows.length, rows.map(_._3).toSet.size) }
+    // the giant cluster must actually exist and get split into ⌈n/cap⌉
+    // sub-buckets; vec_id % nsplits over near-consecutive ids keeps every
+    // (cluster, sub) group at ≈ cap — per-key pair work ≤ cap² by design
+    val (gn, gsplits) = byCluster.values.maxBy(_._1)
+    assert(gn >= 100, s"expected a giant cluster, got $byCluster")
+    assert(gsplits === ((gn + cap - 1) / cap).toInt, s"splits: $byCluster")
+    assert(bySize.max <= cap + 4, s"a (cluster,sub) group exceeds the cap: ${bySize.max}")
+    // capped pairs are a subset of uncapped pairs with identical cosines,
+    // and a pair whose ends share a sub-bucket is retained
+    val capped = graft.ops.ClusterOps
+      .semanticPairs(pts, k = 2, iters = 2, threshold = 0.99, maxClusterSize = cap)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val full = graft.ops.ClusterOps
+      .semanticPairs(pts, k = 2, iters = 2, threshold = 0.99)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(capped.nonEmpty, "same-sub near-dup pairs must survive the split")
+    capped.foreach { case (pair, cos) =>
+      assert(full.get(pair).contains(cos), s"pair $pair drifted vs uncapped run")
+    }
+    val subOf = sub.map(t => t._1 -> (t._2, t._3)).toMap
+    full.keys.filter(p => subOf(p._1) == subOf(p._2)).foreach { p =>
+      assert(capped.contains(p), s"same-bucket pair $p lost by the capped run")
+    }
+  }
+
+  test("semanticPairsAuto derives k from the corpus size (k contract)") {
+    // 500 fixture rows / target 32 → k = 16 — the assignment must use 16
+    // distinct seeds, not the old constant default
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val k = graft.ops.ClusterOps.kmeansAssign(emb, k = 16, iters = 2)
+      .select("cluster").distinct().count()
+    assert(k > 8, s"16 seeds should yield > 8 populated clusters, got $k")
+    // thr 0.3: the sf0.001 fixture's near-dups land below 0.45 once k=16
+    // separates the planted pairs more finely than the old constant k
+    val auto = graft.ops.ClusterOps
+      .semanticPairsAuto(emb, targetClusterSize = 32, iters = 2,
+        threshold = 0.3, maxClusterSize = 40L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val explicit = graft.ops.ClusterOps
+      .semanticPairs(emb, k = 16, iters = 2, threshold = 0.3, maxClusterSize = 40L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(auto === explicit, "auto k=⌈500/32⌉ must equal explicit k=16")
+    assert(auto.nonEmpty)
+  }
+
   test("heavy hitters: exact despite MG pruning, partitioning-invariant, capacity-guarded") {
     // 100 distinct noise tokens force eviction churn in a k=10 summary;
     // the rescore pass must still return the exact ≥25 set

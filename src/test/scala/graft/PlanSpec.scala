@@ -70,7 +70,7 @@ class PlanSpec extends SparkSpecBase {
     // pair join itself is the cluster-keyed SMJ)
     val bnljAllowed = Set("op_sim_topk", "op_sim_topk_agg", "op_sim_topk_ivf",
       "op_dedup_embedding", "op_embed_kmeans", "op_bm25_topk", "op_profile",
-      "op_dedup_semantic")
+      "op_dedup_semantic", "op_dedup_semantic_auto")
     graft.ops.OpQueries.defs.foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"${q.name} went cartesian:\n$p")
@@ -93,6 +93,25 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), s"band join must be an equi-join:\n$p")
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("semantic pair join keys carry the split bucket (key cardinality grows with N)") {
+    // the pair join must be an equi-join on BOTH the cluster id and the
+    // oversized-cluster split bucket: with k = ⌈N/target⌉ and the cap
+    // splitting runaway clusters, the join-key cardinality is ≈ N/cap —
+    // it GROWS with the corpus instead of pinning all pair work onto a
+    // constant k reducers (the r8 scale-killer)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val p = graft.ops.ClusterOps
+      .semanticPairs(emb, k = 8, iters = 2, threshold = 0.45, maxClusterSize = 40L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    val joinLine = p.linesIterator.find(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("cluster"))
+    assert(joinLine.isDefined, s"no equi-join on cluster found:\n$p")
+    assert(joinLine.get.contains("sub"),
+      s"pair join must also key on the split bucket:\n${joinLine.get}")
   }
 
   test("simhash pair generation is a block-key equi-join, not all pairs") {
