@@ -26,10 +26,11 @@ import SqlTokens._
   *        [[FORMAT] [AS] CSV | PARQUET | ORC | JSON ['auto'|'auto ignorecase']]
   *        [DELIMITER [AS] '<d>'] [IGNOREHEADER [AS] n] [NULL [AS] '<s>']
   *        [DATEFORMAT [AS] '<fmt>'] [TIMEFORMAT [AS] '<fmt>'] [MANIFEST]
+  *        [GZIP | BZIP2]
   *   UNLOAD ('<query>') TO '<path>'
   *        [[FORMAT] [AS] CSV | PARQUET | JSON]
   *        [DELIMITER [AS] '<d>'] [HEADER] [ADDQUOTES] [NULL [AS] '<s>']
-  *        [GZIP | BZIP2 | ZSTD] [PARALLEL ON|OFF] [PARTITION BY (cols)]
+  *        [GZIP | BZIP2] [PARALLEL ON|OFF] [PARTITION BY (cols)]
   *        [ALLOWOVERWRITE | CLEANPATH] [MANIFEST [VERBOSE]]
   *
   * Semantics follow Redshift where they matter:
@@ -58,8 +59,12 @@ import SqlTokens._
   * Transport/credential options (IAM_ROLE, CREDENTIALS, REGION, …) are
   * skipped with their values — Spark's Hadoop FS layer owns transport; on a
   * real cluster an `s3a://` path reads exactly like the local paths used in
-  * tests. Compression words on COPY are skipped too: Hadoop decompresses by
-  * file extension. Perf hints (MAXFILESIZE, ROWGROUPSIZE, COMPROWS,
+  * tests. Codec words (GZIP/BZIP2) are validated, not skipped: Hadoop
+  * decompresses by file extension, so the COPY scan verifies every data
+  * file carries the matching suffix (and both statements reject codecs on
+  * columnar formats, whose compression is internal); ZSTD and LZOP raise
+  * loudly — Spark's text sources ship no codec for either here. Perf
+  * hints (MAXFILESIZE, ROWGROUPSIZE, COMPROWS,
   * MAXERROR, STATUPDATE, COMPUPDATE) parse and are ignored — Spark decides
   * file sizing and statistics. Everything else raises.
   */
@@ -177,6 +182,20 @@ object LocalCopy {
       case "encrypted" =>
         val k = nextCode(toks, j + 1)
         if (k < toks.length && toks(k).isWord("auto")) k else j
+      case "gzip" => o.compression = Some("gzip"); j
+      case "bzip2" => o.compression = Some("bzip2"); j
+      case "zstd" =>
+        // Spark's text sources ship no zstd codec (Hadoop's needs the
+        // native library); accepting the word would fail at write time on
+        // UNLOAD and read compressed bytes as rows on COPY
+        throw new IllegalArgumentException(
+          s"$stmt: ZSTD is not available for delimited text here " +
+            "(no Hadoop-native zstd codec; use GZIP or BZIP2)")
+      case "lzop" | "lzo" =>
+        // the one Redshift codec with no Hadoop-native counterpart —
+        // skipping the word would load compressed bytes as text
+        throw new IllegalArgumentException(
+          s"$stmt: LZOP has no Hadoop-native codec (use GZIP, BZIP2, or ZSTD)")
       case f if rejectedFormats.contains(f) =>
         throw new IllegalArgumentException(
           s"$stmt: format '${t.text}' is not supported (CSV/delimited text, PARQUET, ORC, JSON)")
@@ -193,7 +212,7 @@ object LocalCopy {
   private val copyFlagSkips = Set(
     "emptyasnull", "blanksasnull", "trimblanks", "truncatecolumns",
     "roundec", "explicit_ids", "acceptanydate", "ignoreblanklines",
-    "fillrecord", "removequotes", "gzip", "bzip2", "zstd")
+    "fillrecord", "removequotes")
 
   private def runCopy(spark: SparkSession, toks: Vector[Tok], at: Int): Unit = {
     val (table, afterTable) = qualifiedName(toks, at + 1)
@@ -269,6 +288,36 @@ object LocalCopy {
     val dataPaths: Seq[String] =
       if (manifest) manifestFiles(spark, path) else Seq(path)
     if (dataPaths.isEmpty) return
+    // A COPY codec word is a real load contract, not noise. Hadoop
+    // decompresses BY FILE EXTENSION, so (a) columnar formats reject it —
+    // their compression is internal, the option never applies — and (b)
+    // every text data file must actually carry the matching suffix;
+    // otherwise Spark would read compressed bytes as rows and append
+    // garbage to the table.
+    o.compression.foreach { c =>
+      require(o.format != "parquet" && o.format != "orc",
+        s"COPY: ${c.toUpperCase} does not apply to ${o.format.toUpperCase} " +
+          "(columnar compression is internal to the format)")
+      val ext = if (c == "gzip") ".gz" else ".bz2"
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val bad = dataPaths.flatMap { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(hconf)
+        if (fs.exists(hp) && fs.getFileStatus(hp).isDirectory) {
+          val it = fs.listFiles(hp, true)
+          val names = Seq.newBuilder[String]
+          while (it.hasNext) {
+            val f = it.next().getPath
+            if (!f.getName.startsWith("_") && !f.getName.startsWith("."))
+              names += f.toUri.toString
+          }
+          names.result()
+        } else Seq(p)
+      }.filterNot(_.endsWith(ext))
+      require(bad.isEmpty,
+        s"COPY ${c.toUpperCase}: file(s) without the '$ext' extension would " +
+          s"load as raw text: ${bad.take(3).mkString(", ")}")
+    }
     // Redshift's columnar-format rule (PARQUET and ORC alike): columns map
     // BY POSITION onto the target columns, so names may differ but order
     // and count must match
@@ -399,9 +448,6 @@ object LocalCopy {
         j = w match {
           case "header" => o.delimitedOnly("HEADER"); header = true; j
           case "addquotes" => o.delimitedOnly("ADDQUOTES"); addQuotes = true; j
-          case "gzip" => o.compression = Some("gzip"); j
-          case "bzip2" => o.compression = Some("bzip2"); j
-          case "zstd" => o.compression = Some("zstd"); j
           case "allowoverwrite" => allowOverwrite = true; j
           case "cleanpath" => cleanPath = true; j
           case "manifest" =>
@@ -454,8 +500,9 @@ object LocalCopy {
     o.validate("UNLOAD")
     require(o.format != "orc",
       "UNLOAD: ORC is not an UNLOAD format in Redshift (CSV/JSON/PARQUET)")
-    require(!(o.format == "parquet" && o.compression.contains("bzip2")),
-      "UNLOAD: BZIP2 does not apply to PARQUET")
+    require(!(o.format == "parquet" && o.compression.nonEmpty),
+      "UNLOAD: compression options do not apply to PARQUET " +
+        "(Redshift writes parquet with its internal codec)")
     val df = spark.sql(RedshiftSql.rewrite(query))
 
     // Redshift's default refuses to UNLOAD over existing files — a mistyped

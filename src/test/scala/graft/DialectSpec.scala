@@ -759,6 +759,76 @@ class DialectSpec extends SparkSpecBase {
       (0L until 6L).map(_ * 7).sum)
   }
 
+  test("UNLOAD GZIP round-trips through COPY GZIP; BZIP2 single-file too") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_gz_")
+    val out = dir.resolve("gz_out")
+    graft.cli.ExecuteSql.run(spark,
+      s"UNLOAD ('SELECT id, id * 3 AS v FROM range(50)') TO '$out' GZIP", None)
+    // the files really are gzip: Hadoop's extension contract
+    val parts = Files.list(out).iterator()
+    val names = Iterator.continually(parts).takeWhile(_.hasNext).map(_.next()
+      .getFileName.toString).filter(_.startsWith("part-")).toList
+    assert(names.nonEmpty && names.forall(_.endsWith(".gz")), names.toString)
+    spark.sql("DROP TABLE IF EXISTS gz_t")
+    spark.sql("CREATE TABLE gz_t (id BIGINT, v BIGINT)")
+    graft.cli.ExecuteSql.run(spark, s"COPY gz_t FROM '$out' GZIP", None)
+    val rows = spark.table("gz_t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq === (0L until 50L).map(i => (i, i * 3)))
+    // BZIP2 through the PARALLEL OFF single-file contract
+    val zout = dir.resolve("b.csv.bz2")
+    graft.cli.ExecuteSql.run(spark,
+      s"UNLOAD ('SELECT id FROM range(7)') TO '$zout' BZIP2 PARALLEL OFF", None)
+    assert(Files.exists(zout))
+    spark.sql("DROP TABLE IF EXISTS bz_t")
+    spark.sql("CREATE TABLE bz_t (id BIGINT)")
+    graft.cli.ExecuteSql.run(spark, s"COPY bz_t FROM '$zout' BZIP2", None)
+    assert(spark.table("bz_t").count() === 7L)
+  }
+
+  test("COPY codec contract: extension mismatch, columnar formats, LZOP all raise") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_gzbad_")
+    val plain = dir.resolve("plain.csv")
+    Files.write(plain, "1|2\n".getBytes("UTF-8"))
+    spark.sql("DROP TABLE IF EXISTS gzbad_t")
+    spark.sql("CREATE TABLE gzbad_t (id BIGINT, v BIGINT)")
+    // GZIP against a file without .gz would load compressed bytes as rows
+    val e1 = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark, s"COPY gzbad_t FROM '$plain' GZIP", None)
+    }
+    assert(e1.getMessage.contains(".gz"), e1.getMessage)
+    // columnar formats own their compression internally
+    val e2 = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark, s"COPY gzbad_t FROM '$plain' PARQUET GZIP", None)
+    }
+    assert(e2.getMessage.contains("PARQUET"), e2.getMessage)
+    // LZOP has no Hadoop-native codec — COPY and UNLOAD both refuse
+    val e3 = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark, s"COPY gzbad_t FROM '$plain' LZOP", None)
+    }
+    assert(e3.getMessage.contains("LZOP"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark,
+        s"UNLOAD ('SELECT 1') TO '${dir.resolve("lz")}' LZOP", None)
+    }
+    assert(e4.getMessage.contains("LZOP"), e4.getMessage)
+    // ZSTD: no text codec in Spark here — refuse instead of failing at
+    // write time (UNLOAD) or loading compressed bytes as rows (COPY)
+    val e5 = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark,
+        s"UNLOAD ('SELECT 1') TO '${dir.resolve("z")}' ZSTD", None)
+    }
+    assert(e5.getMessage.contains("ZSTD"), e5.getMessage)
+    // parquet + codec: compression is internal to the format (both verbs)
+    val e6 = intercept[IllegalArgumentException] {
+      graft.cli.ExecuteSql.run(spark,
+        s"UNLOAD ('SELECT 1') TO '${dir.resolve("p")}' PARQUET GZIP", None)
+    }
+    assert(e6.getMessage.contains("PARQUET"), e6.getMessage)
+  }
+
   test("COPY MANIFEST honors mandatory: missing mandatory raises, optional skips") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_copymfm_")
