@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, TypedColumn}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -15,47 +15,126 @@ import org.apache.spark.sql.functions._
   *      partial summaries merged with the count-offset rule (the
   *      mergeable-summaries construction of Agarwal et al., PODS'12,
   *      public) — producing a CANDIDATE set that provably contains every
-  *      token with true count > N/(k+1);
+  *      token with true count > N/(k+1); the same pass accumulates the
+  *      total token count, so the share threshold needs no separate
+  *      counting scan;
   *   2. an exact rescoring pass semi-joins the corpus against the
-  *      candidates and keeps those with exact count ≥ `minCount`.
+  *      candidates and keeps those with exact count ≥ `⌈minShare·N⌉`.
   *
-  * Because pass 1 can only over-admit (never miss, given k ≥ N/minCount),
+  * Because pass 1 can only over-admit (never miss, given k+1 > 1/share),
   * the final output equals the exact `HAVING count ≥ m` answer — the
   * sketch buys the bounded memory, the rescore buys back exactness, and
   * the whole op hash-gates against a direct DuckDB GROUP BY. At 100 TB
   * the candidate set (≤ k rows) broadcasts; both passes are map-side
   * partials over the token explode.
+  *
+  * The summary buffer is a mutable open-addressing hash (parallel
+  * key/count arrays, linear probing, power-of-two capacity) under a
+  * product encoder: typed aggregation keeps the buffer as a live JVM
+  * object within a partition, so the hot reduce path allocates nothing —
+  * the immutable-Map-under-Kryo predecessor paid one map copy per token.
+  * Decrement-all and the merge offset rule rebuild the table in place,
+  * O(k) per overflow event, amortized O(1) per stream element (each
+  * decrement is funded by a prior insert).
   */
 object SketchOps {
 
+  /** Open-addressing Misra-Gries state: `n` = total elements seen,
+    * `size` = occupied slots (≤ capacity k), parallel `keys`/`cnts` of
+    * power-of-two length ≥ 4k (load ≤ 0.5 even mid-merge, when two
+    * k-entry summaries briefly coexist). A case class so the buffer
+    * ships between stages under the codegen product encoder, not Kryo. */
+  final case class MGBuf(var n: Long, var size: Int,
+                         keys: Array[String], cnts: Array[Long])
+
   /** Misra-Gries summary of a string stream: at most `k` counters. */
   private final class MisraGries(k: Int)
-      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
-    def zero: Map[String, Long] = Map.empty
-    def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
-      if (b.contains(tok)) b.updated(tok, b(tok) + 1L)
-      else if (b.size < k) b.updated(tok, 1L)
-      else {
-        // decrement-all: every counter pays one; zeros drop out. Amortized
-        // O(1) per stream element (each decrement is funded by an insert).
-        b.flatMap { case (t, c) => if (c > 1L) Some(t -> (c - 1L)) else None }
+      extends Aggregator[String, MGBuf, MGBuf] {
+
+    private val cap = Integer.highestOneBit(math.max(16, 4 * k) * 2 - 1)
+
+    def zero: MGBuf = MGBuf(0L, 0, new Array[String](cap), new Array[Long](cap))
+
+    /** Slot of `tok`: its own if present, else the free slot to claim. */
+    private def slotOf(keys: Array[String], tok: String): Int = {
+      val mask = keys.length - 1
+      var i = tok.hashCode & mask
+      while (keys(i) != null && keys(i) != tok) i = (i + 1) & mask
+      i
+    }
+
+    private def put(b: MGBuf, tok: String, c: Long): Unit = {
+      val i = slotOf(b.keys, tok)
+      if (b.keys(i) != null) b.cnts(i) += c
+      else { b.keys(i) = tok; b.cnts(i) = c; b.size += 1 }
+    }
+
+    /** Clear the table and re-insert `w` survivors from `sk`/`sc` —
+      * deletion under linear probing must rebuild, or probe chains break. */
+    private def rebuild(b: MGBuf, sk: Array[String], sc: Array[Long], w: Int): Unit = {
+      java.util.Arrays.fill(b.keys.asInstanceOf[Array[AnyRef]], null)
+      java.util.Arrays.fill(b.cnts, 0L)
+      b.size = 0
+      var j = 0
+      while (j < w) { put(b, sk(j), sc(j)); j += 1 }
+    }
+
+    /** Subtract `d` from every counter, dropping the non-positive. */
+    private def offsetAll(b: MGBuf, d: Long): Unit = {
+      val sk = new Array[String](b.size)
+      val sc = new Array[Long](b.size)
+      var i = 0; var w = 0
+      while (i < b.keys.length) {
+        if (b.keys(i) != null && b.cnts(i) > d) {
+          sk(w) = b.keys(i); sc(w) = b.cnts(i) - d; w += 1
+        }
+        i += 1
       }
-    def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] = {
-      val sum = b2.foldLeft(b1) { case (acc, (t, c)) =>
-        acc.updated(t, acc.getOrElse(t, 0L) + c)
+      rebuild(b, sk, sc, w)
+    }
+
+    def reduce(b: MGBuf, tok: String): MGBuf = {
+      b.n += 1L
+      val i = slotOf(b.keys, tok)
+      if (b.keys(i) != null) b.cnts(i) += 1L
+      else if (b.size < k) { b.keys(i) = tok; b.cnts(i) = 1L; b.size += 1 }
+      else offsetAll(b, 1L) // decrement-all instead of inserting
+      b
+    }
+
+    def merge(b1: MGBuf, b2: MGBuf): MGBuf = {
+      b1.n += b2.n
+      var i = 0
+      while (i < b2.keys.length) {
+        if (b2.keys(i) != null) put(b1, b2.keys(i), b2.cnts(i))
+        i += 1
       }
-      if (sum.size <= k) sum
-      else {
+      if (b1.size > k) {
         // subtract the (k+1)-th largest count from all, drop non-positive —
         // the mergeable-MG offset rule; error stays ≤ N/(k+1)
-        val d = sum.valuesIterator.toSeq.sorted(Ordering[Long].reverse)(k)
-        sum.flatMap { case (t, c) => if (c > d) Some(t -> (c - d)) else None }
+        val occ = new Array[Long](b1.size)
+        var j = 0; var w = 0
+        while (j < b1.keys.length) {
+          if (b1.keys(j) != null) { occ(w) = b1.cnts(j); w += 1 }
+          j += 1
+        }
+        java.util.Arrays.sort(occ)
+        offsetAll(b1, occ(occ.length - 1 - k))
       }
+      b1
     }
-    def finish(r: Map[String, Long]): Map[String, Long] = r
-    def bufferEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
-    def outputEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
+
+    def finish(r: MGBuf): MGBuf = r
+    def bufferEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
+    def outputEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
   }
+
+  /** The Misra-Gries summary as a reusable TypedColumn — the mergeable
+    * state unit [[graft.streaming.StreamingOps.heavyHittersStream]]
+    * accumulates across micro-batches (MG partials merge with the same
+    * offset rule batch aggregation uses, so batch and stream share one
+    * error contract). */
+  def mgColumn(k: Int): TypedColumn[String, MGBuf] = new MisraGries(k).toColumn
 
   /** Exact tokens whose corpus frequency is ≥ `minShare` of all token
     * occurrences (⌈minShare·N⌉), found through a capacity-`k` Misra-Gries
@@ -74,10 +153,11 @@ object SketchOps {
     import spark.implicits._
     val toks = docs.selectExpr(s"explode(${TextOps.wordsExpr("text")}) as token")
       .filter("token <> ''")
-    val n = toks.count()
-    val minCount = math.ceil(minShare * n).toLong
+    // ONE scan yields both the candidate set and the total count N the
+    // share threshold needs (MGBuf.n) — no separate toks.count() pass
     val summary = toks.as[String].select(new MisraGries(k).toColumn).head()
-    val cands = summary.keys.toSeq.toDF("token")
+    val minCount = math.ceil(minShare * summary.n).toLong
+    val cands = summary.keys.filter(_ != null).toSeq.toDF("token")
     toks.join(broadcast(cands), Seq("token"), "left_semi")
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)

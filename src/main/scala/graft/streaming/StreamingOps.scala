@@ -315,4 +315,46 @@ object StreamingOps {
         graft.ops.TextOps.qualityScoreExpr("text") + " as quality_score")
       .selectExpr("doc_id", "text as clean_text", "n_pii", "quality_score",
         s"cast(quality_score >= $minQuality as int) as keep")
+
+  /** Streaming heavy hitters — the online half of
+    * [[graft.ops.SketchOps.heavyHitters]], same share-threshold contract:
+    * the capacity-k Misra-Gries summary runs as a streaming aggregation,
+    * so each micro-batch folds its tokens into map-side partial summaries
+    * that merge into the ONE state-store buffer with the PODS'12 offset
+    * rule — the state is O(k) forever, regardless of stream length, and
+    * the total token count `n` rides in the same buffer (no second
+    * pass, mirroring the batch op).
+    *
+    * What a stream CAN'T do is the batch op's exact rescore — that pass
+    * re-reads the corpus, and the stream's history is gone. The output is
+    * instead the guaranteed-candidate form every streaming HH system
+    * settles for: each emitted token carries its MG count `cnt_lo` and
+    * `cnt_hi = cnt_lo + ⌊n/(k+1)⌋` with true count ∈ [cnt_lo, cnt_hi],
+    * and the emitted set is a SUPERSET of the tokens with true share ≥
+    * `minShare` (k+1 > 1/share makes a miss impossible — the same
+    * capacity guarantee the batch op relies on for its candidate pass).
+    * Downstream exactness, where needed, is a batch rescore over the
+    * archived corpus — the lambda shape every production HH pipeline
+    * uses. Run with Complete/Update output (global aggregate).
+    */
+  def heavyHittersStream(docs: DataFrame, minShare: Double,
+                         k0: Int = 0): DataFrame = {
+    require(minShare > 0 && minShare < 1, s"minShare in (0,1), got $minShare")
+    val k = if (k0 > 0) k0 else math.ceil(1.0 / minShare).toInt
+    require(k + 1 > 1.0 / minShare,
+      s"MG capacity $k cannot guarantee share $minShare (need k+1 > 1/share)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .selectExpr(s"explode(${graft.ops.TextOps.wordsExpr("text")}) as token")
+      .filter("token <> ''")
+      .as[String]
+      .select(graft.ops.SketchOps.mgColumn(k))
+      .selectExpr("n as n_total", "arrays_zip(keys, cnts) as kc")
+      .selectExpr("n_total", "explode(kc) as e")
+      .where("e.keys IS NOT NULL")
+      .selectExpr("e.keys as token", "e.cnts as cnt_lo",
+        s"e.cnts + (n_total div ${k + 1}) as cnt_hi", "n_total")
+      .where(s"cnt_hi >= ceil($minShare * n_total)")
+  }
 }

@@ -275,6 +275,55 @@ class StreamingSpec extends SparkSpecBase {
       "fixture should exercise both PII hits and quality drops")
   }
 
+  test("streaming heavy hitters: candidate superset with valid bounds, merged across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val share = 0.0015
+    val k = math.ceil(1.0 / share).toInt
+    val docs = Tables.load(spark, sfDir, "documents")
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+    // true per-token counts and the exact heavy set on the FULL corpus —
+    // what the state must converge to after both deliveries merge
+    val trueCnt = docs
+      .selectExpr(s"explode(${graft.ops.TextOps.wordsExpr("text")}) as token")
+      .filter("token <> ''").groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = trueCnt.values.sum
+    val exactHeavy = graft.ops.SketchOps.heavyHitters(docs, share)
+      .collect().map(_.getString(0)).toSet
+    assert(exactHeavy.nonEmpty)
+
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.heavyHittersStream(
+        stream.toDF().toDF("doc_id", "text"), share)
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").start()
+    try {
+      // two deliveries: the second micro-batch's partials must MERGE into
+      // the first's state-store summary (the PODS'12 offset rule), not
+      // restart it — the bounds below only hold against full-corpus counts
+      val (a, b) = rows.splitAt(rows.length / 2)
+      stream.addData(a.toSeq)
+      q.processAllAvailable()
+      stream.addData(b.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("hh_stream").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(streamed.nonEmpty)
+    // the total count rode the state buffer across both batches
+    assert(streamed.values.head._3 === n)
+    // no miss: every exactly-heavy token is in the emitted candidate set
+    exactHeavy.foreach(t => assert(streamed.contains(t), s"missed heavy token $t"))
+    // bounds: cnt_lo <= true <= cnt_hi for every emission, with the
+    // documented width n/(k+1)
+    streamed.foreach { case (t, (lo, hi, _)) =>
+      val c = trueCnt(t)
+      assert(lo <= c && c <= hi, s"$t: true $c outside [$lo, $hi]")
+      assert(hi - lo === n / (k + 1))
+    }
+  }
+
   test("incremental delivery across batches yields the same closed sessions") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rows = Tables.load(spark, sfDir, "events")
