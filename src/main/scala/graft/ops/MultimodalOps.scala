@@ -13,12 +13,15 @@ import org.apache.spark.sql.types._
   * batches (the shape a real image/audio decoder needs — amortize codec
   * init per batch, bounded memory per task).
   *
-  * The decode itself is a STUB — this container has no image/audio codecs
-  * — implemented as a deterministic fake: metadata is derived from the md5
-  * of the payload bytes, so the pipeline is fully testable end-to-end and
-  * byte-for-byte reproducible. Swap [[decodeStub]] for a real codec call
-  * (JNI/ffmpeg/javax.imageio) without touching any of the surrounding
-  * plumbing: schema, batching, partitioning and encoders stay identical.
+  * The decode has two tiers: payloads carrying a real PNG/GIF/JPEG
+  * signature get their TRUE dimensions parsed straight from the header
+  * bytes ([[imageHeader]] — pure JVM, public format specs, no codec
+  * library); everything else falls to a deterministic fake whose metadata
+  * derives from the md5 of the payload bytes, so the pipeline is fully
+  * testable end-to-end and byte-for-byte reproducible. Swap the stub arm
+  * of [[decodeStub]] for a full codec call (JNI/ffmpeg/javax.imageio)
+  * without touching any of the surrounding plumbing: schema, batching,
+  * partitioning and encoders stay identical.
   *
   * Scale: `mapPartitions` keeps the decode distributed (no collect), the
   * batch iterator is lazy (one batch in memory per task), and upstream
@@ -35,19 +38,81 @@ object MultimodalOps {
     StructField("n_frames", LongType),
     StructField("codec", StringType)))
 
-  /** Deterministic fake decode: 60 bits of md5(payload) fan out into
-    * plausible media dimensions. Replace with a real codec at will. */
-  def decodeStub(docId: Long, payload: Array[Byte]): Row = {
-    val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest(payload).map("%02x".format(_)).mkString
-    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-    Row(docId,
-      payload.length.toLong,
-      64L + h % 1024L,
-      64L + (h >> 10) % 1024L,
-      1L + h % 30L,
-      (h % 3L) match { case 0 => "jpeg"; case 1 => "png"; case _ => "webp" })
+  private def be16(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 8) | (b(i + 1) & 0xffL)
+  private def le16(b: Array[Byte], i: Int): Long =
+    ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  /** REAL header decode for the image containers whose geometry sits at
+    * documented offsets of the byte stream (public file-format specs; no
+    * codec library needed):
+    *   - PNG: 8-byte signature, IHDR width/height as big-endian u32 at
+    *     offsets 16/20;
+    *   - GIF87a/89a: logical-screen width/height as little-endian u16 at
+    *     offsets 6/8;
+    *   - JPEG: FF D8, then marker segments scanned to the first SOFn
+    *     (C0–CF minus C4/C8/CC), whose payload is precision u8, height
+    *     u16, width u16 big-endian.
+    * Returns None when the bytes match no known signature — the caller
+    * falls back to the deterministic stub tier. */
+  def imageHeader(b: Array[Byte]): Option[(Long, Long, String)] = {
+    if (b.length >= 24 &&
+        (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some((be32(b, 16), be32(b, 20), "png"))
+    else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      Some((le16(b, 6), le16(b, 8), "gif"))
+    else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      // walk the marker chain; every non-SOF segment carries its length
+      var i = 2
+      while (i + 3 < b.length && (b(i) & 0xff) == 0xff) {
+        var j = i
+        while (j < b.length && (b(j) & 0xff) == 0xff) j += 1 // fill bytes
+        if (j >= b.length) return None
+        val marker = b(j) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (j + 7 < b.length) return Some((be16(b, j + 6), be16(b, j + 4), "jpeg"))
+          return None
+        } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+          i = j + 1 // standalone marker, no length field
+        } else if (marker == 0xd9 || marker == 0xda) {
+          return None // EOI / entropy-coded data reached without a SOF
+        } else {
+          if (j + 2 >= b.length) return None
+          i = j + 1 + be16(b, j + 1).toInt
+        }
+      }
+      None
+    } else None
   }
+
+  /** Decode one payload to metadata: a REAL header parse when the bytes
+    * carry a PNG/GIF/JPEG signature (see [[imageHeader]]), else the
+    * deterministic fake — 60 bits of md5(payload) fanned into plausible
+    * media dimensions — so non-image payloads (the text fixtures) stay
+    * byte-for-byte reproducible. Swap the stub arm for a full codec
+    * (JNI/ffmpeg/javax.imageio) at will. */
+  def decodeStub(docId: Long, payload: Array[Byte]): Row =
+    imageHeader(payload) match {
+      case Some((w, h, codec)) =>
+        Row(docId, payload.length.toLong, w, h, 1L, codec)
+      case None =>
+        val md = MessageDigest.getInstance("MD5")
+        val hex = md.digest(payload).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        Row(docId,
+          payload.length.toLong,
+          64L + h % 1024L,
+          64L + (h >> 10) % 1024L,
+          1L + h % 30L,
+          (h % 3L) match { case 0 => "jpeg"; case 1 => "png"; case _ => "webp" })
+    }
 
   /** documents → (doc_id, payload binary) → batched decode → typed
     * metadata. `batchSize` models the codec's vectorization width.

@@ -422,6 +422,41 @@ class OpsSpec extends SparkSpecBase {
     assert(codecs.subsetOf(Set("jpeg", "png", "webp")))
   }
 
+  test("image headers decode REAL dimensions from PNG/GIF/JPEG magic bytes") {
+    // hand-built PNG: signature + IHDR length/type + width 640 height 480
+    val png = Array[Int](
+      0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,   // signature
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',                // IHDR chunk header
+      0, 0, 0x02, 0x80,                               // width  640 (BE u32)
+      0, 0, 0x01, 0xe0,                               // height 480 (BE u32)
+      8, 2, 0, 0, 0).map(_.toByte)
+    assert(MultimodalOps.imageHeader(png) === Some((640L, 480L, "png")))
+    // GIF89a: logical screen 320 x 200, little-endian u16
+    val gif = Array[Int]('G', 'I', 'F', '8', '9', 'a',
+      0x40, 0x01,                                     // width  320 (LE u16)
+      0xc8, 0x00,                                     // height 200 (LE u16)
+      0x00, 0x00, 0x00).map(_.toByte)
+    assert(MultimodalOps.imageHeader(gif) === Some((320L, 200L, "gif")))
+    // JPEG: SOI, APP0 (skipped via its length field), SOF0 with
+    // precision 8, height 99, width 257
+    val jpg = Array[Int](
+      0xff, 0xd8,                                     // SOI
+      0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46,             // APP0, len 4
+      0xff, 0xc0, 0x00, 0x0b,                         // SOF0, len 11
+      0x08,                                           // precision
+      0x00, 0x63,                                     // height 99 (BE u16)
+      0x01, 0x01,                                     // width 257 (BE u16)
+      0x01, 0x01, 0x11, 0x00).map(_.toByte)
+    assert(MultimodalOps.imageHeader(jpg) === Some((257L, 99L, "jpeg")))
+    // non-image bytes fall through to the stub tier
+    assert(MultimodalOps.imageHeader("plain text".getBytes("UTF-8")) === None)
+    assert(MultimodalOps.imageHeader(Array.emptyByteArray) === None)
+    // and the decode surface reports the real geometry end-to-end
+    val row = MultimodalOps.decodeStub(7L, png)
+    assert(row.getLong(2) === 640L && row.getLong(3) === 480L)
+    assert(row.getString(5) === "png" && row.getLong(1) === png.length.toLong)
+  }
+
   test("sorted percentiles are BIT-identical to the buffering aggregate") {
     // q25_within_group_sorted (PercentileOps rank path, O(1) per-group
     // memory) vs q25_within_group (Spark's buffering percentile_cont/disc):
