@@ -90,6 +90,64 @@ object OpQueries {
       "CASE WHEN doc_id % 3 <> 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END || " +
       "CASE WHEN doc_id % 2 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END || " +
       "CASE WHEN doc_id % 5 = 0 THEN ' call +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+  /** Deterministic line structure planted identically in both engines for
+    * op_gopher_repetition (the single-line fixture would leave the line
+    * metrics degenerate): every ' part ' becomes a newline, and every
+    * third document gains the same trailer line twice — real duplicate
+    * lines for the dup-line signals. */
+  private val plantLinesSpark: String =
+    """concat(replace(text, ' part ', '\n'),
+      |  case when doc_id % 3 = 0
+      |       then '\nend of section\nend of section' else '' end)""".stripMargin
+  // (same stripMargin caveat as plantPiiDuck: no line starts with '|')
+  private val plantLinesDuck: String =
+    "replace(text, ' part ', chr(10)) || " +
+      "CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'end of section' || chr(10) || 'end of section' ELSE '' END"
+
+  /** DuckDB mirror of [[TextOps.gopherRepetition]] over the line-planted
+    * text: identical splits, integer aggregates and division trees, with
+    * the top-2-gram tie broken by (count DESC, gram ASC) — the same row
+    * the Spark side's struct-min picks. */
+  private def dkGopherOracle: String = {
+    val (maxDupLine, maxDupLineChar, maxTop2, maxDup5) = TextOps.gopherThresholds
+    s"""WITH d AS (SELECT doc_id, $plantLinesDuck AS text FROM documents),
+       |b AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars FROM d),
+       |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM b),
+       |lc AS (SELECT doc_id, line, COUNT(*) AS c FROM l GROUP BY 1, 2),
+       |ls AS (SELECT doc_id, SUM(c) AS n_lines, SUM(c - 1) AS dup_lines,
+       |         SUM((c - 1) * length(line)) AS dup_line_chars
+       |       FROM lc GROUP BY 1),
+       |w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM b),
+       |g2 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+       |       FROM w, unnest(range(1, len(w))) AS t(i)),
+       |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+       |t2 AS (SELECT doc_id, c * length(g) AS top2_chars FROM (
+       |         SELECT doc_id, g, c,
+       |                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+       |         FROM c2) WHERE rn = 1),
+       |g5 AS (SELECT doc_id,
+       |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g
+       |       FROM w, unnest(range(1, len(w) - 3)) AS t(i)),
+       |c5 AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2),
+       |d5 AS (SELECT doc_id, SUM(c) AS n5,
+       |         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup5
+       |       FROM c5 GROUP BY 1),
+       |f AS (SELECT b.doc_id, ls.n_lines,
+       |        CAST(ls.dup_lines AS DOUBLE) / ls.n_lines AS dup_line_frac,
+       |        CAST(ls.dup_line_chars AS DOUBLE) / b.n_chars AS dup_line_char_frac,
+       |        COALESCE(CAST(t2.top2_chars AS DOUBLE) / b.n_chars, 0.0) AS top_2gram_char_frac,
+       |        COALESCE(CAST(d5.dup5 AS DOUBLE) / d5.n5, 0.0) AS dup_5gram_frac
+       |      FROM b JOIN ls USING (doc_id)
+       |      LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id))
+       |SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+       |       top_2gram_char_frac, dup_5gram_frac,
+       |       CAST(dup_line_frac <= $maxDupLine
+       |            AND dup_line_char_frac <= $maxDupLineChar
+       |            AND top_2gram_char_frac <= $maxTop2
+       |            AND dup_5gram_frac <= $maxDup5 AS INT) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB mirror of [[TextOps.piiScrub]]'s sequential replacement. */
   private def dkScrub(c: String): String = {
     val Seq((_, ePat, eRep), (_, iPat, iRep), (_, pPat, pRep)) = TextOps.piiPatterns
@@ -807,6 +865,40 @@ object OpQueries {
     // EXACT and hash-gates against a direct GROUP BY … HAVING oracle.
     // The threshold is a SHARE of total occurrences (scale-free capacity
     // guarantee); both engines derive ⌈share·N⌉ with identical arithmetic.
+    // Gopher repetition filters (Rae et al. 2021, public): within-document
+    // duplicate-line fraction/char mass, top-2-gram char fraction,
+    // duplicated-5-gram occurrence mass, and the composite keep flag. The
+    // fixture is single-line, so BOTH engines plant the same line
+    // structure first (' part ' → newline; every third doc gains a twice-
+    // repeated trailer line), making every signal — including the line
+    // metrics — hash-gate non-trivially.
+    QueryDef("op_gopher_repetition",
+      (s, d) => TextOps.gopherRepetition(
+        docs(s, d).selectExpr("doc_id", s"$plantLinesSpark as text")),
+      Some(dkGopherOracle)),
+
+    // Language temperature-sampling weights (XLM-R/mT5 recipe, α = 1/2):
+    // p_l ∝ √(n_l/N), Σ over languages as a lang-ordered fold — sqrt is
+    // IEEE-correctly-rounded, so shares, probabilities AND boosts
+    // hash-gate exactly.
+    QueryDef("op_lang_sample_weights",
+      (s, d) => PipelineOps.langSampleWeights(docs(s, d)),
+      Some(s"""WITH per AS (SELECT lang, COUNT(*) AS n_docs,
+              |         CAST(SUM(len($dkWords)) AS BIGINT) AS n_tokens
+              |       FROM documents GROUP BY lang),
+              |tot0 AS (SELECT SUM(n_tokens) AS n_total FROM per),
+              |tot AS (SELECT n_total,
+              |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              |           list(sqrt(CAST(n_tokens AS DOUBLE) / n_total) ORDER BY lang)),
+              |           (a, x) -> a + x) AS sum_w
+              |       FROM per, tot0 GROUP BY n_total)
+              |SELECT lang, n_docs, n_tokens,
+              |       CAST(n_tokens AS DOUBLE) / n_total AS share,
+              |       sqrt(CAST(n_tokens AS DOUBLE) / n_total) / sum_w AS p_sample,
+              |       (sqrt(CAST(n_tokens AS DOUBLE) / n_total) / sum_w)
+              |         / (CAST(n_tokens AS DOUBLE) / n_total) AS boost
+              |FROM per, tot ORDER BY lang""".stripMargin)),
+
     QueryDef("op_heavy_hitters",
       (s, d) => SketchOps.heavyHitters(docs(s, d), minShare = 0.0015),
       Some(s"""WITH w0 AS (SELECT $dkWords AS w FROM documents),

@@ -105,4 +105,44 @@ object PipelineOps {
       .filter(col("rn") <= k)
       .select(sc ++ Seq(c(keyCol), col("rn").cast("long").as("rn")): _*)
   }
+
+  /** Per-language temperature-sampling weights — the multilingual
+    * balancing recipe every large multilingual LM uses (XLM-R, Conneau et
+    * al. 2020; mT5: sample language l with probability ∝ (n_l/N)^α, α<1,
+    * to up-weight low-resource languages). α is fixed at 1/2 so the only
+    * transcendental is `sqrt`, which IEEE 754 requires correctly rounded —
+    * the one non-rational function that is bit-identical cross-engine, so
+    * the whole output hash-gates.
+    *
+    * Output per language: document/token counts, the natural token share,
+    * the α=1/2 sampling probability `p_sample = √share / Σ_l √share`, and
+    * `boost = p_sample / share` (the up/down-sampling multiplier a data
+    * loader applies). The Σ over languages is a fold in lexicographic
+    * language order (the BM25/fold discipline), so the double sum is
+    * order-deterministic in any engine.
+    *
+    * Scale shape: one (lang)-keyed two-phase aggregation over a map-only
+    * token-count projection; the language table (a handful of rows)
+    * collapses to ONE packed row for the fold and broadcasts back — the
+    * corpus shuffles once on `lang`, and nothing else moves.
+    */
+  def langSampleWeights(docs: DataFrame): DataFrame = {
+    val per = docs
+      .selectExpr("lang",
+        s"cast(size(${TextOps.wordsExpr("text")}) as bigint) as nt")
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+    val tot = per
+      .agg(sum("n_tokens").as("n_total"),
+        expr("array_sort(collect_list(struct(lang, n_tokens))) as ls"))
+      .selectExpr("n_total",
+        """aggregate(ls, cast(0.0 as double),
+          |  (a, x) -> a + sqrt(cast(x.n_tokens as double) / n_total)) as sum_w""".stripMargin)
+    per.crossJoin(broadcast(tot))
+      .selectExpr("lang", "n_docs", "n_tokens",
+        "cast(n_tokens as double) / n_total as share",
+        "sqrt(cast(n_tokens as double) / n_total) / sum_w as p_sample")
+      .selectExpr("lang", "n_docs", "n_tokens", "share", "p_sample",
+        "p_sample / share as boost")
+      .orderBy("lang")
+  }
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{count, expr, lit, min, sum}
 
 /** Text-analysis operators over the `documents` table — the per-document
   * stage of a training-data pipeline (quality scoring, language ID, token
@@ -371,5 +371,81 @@ object TextOps {
       regexp_replace(c, pat, rep)
     }
     docs.select(col("doc_id") +: counts :+ cleaned.as("clean_text"): _*)
+  }
+
+  /** Gopher thresholds shared by the Spark op and the DuckDB oracle:
+    * (max dup_line_frac, max dup_line_char_frac, max top_2gram_char_frac,
+    * max dup_5gram_frac) per Rae et al. 2021 table A1. */
+  val gopherThresholds: (Double, Double, Double, Double) = (0.30, 0.20, 0.20, 0.15)
+
+  /** WITHIN-document repetition profile — the Gopher repetition filters
+    * (Rae et al. 2021 §A1.1, public; the same family Dolma/RedPajama
+    * cleaning applies): per document,
+    *   - `dup_line_frac`: fraction of line occurrences that are repeats
+    *     of an earlier identical line;
+    *   - `dup_line_char_frac`: characters inside those repeated line
+    *     occurrences, as a fraction of the document's characters;
+    *   - `top_2gram_char_frac`: characters covered by occurrences of the
+    *     single most frequent word-2-gram (count · gram length) over the
+    *     document's characters — ties broken toward the lexicographically
+    *     smallest gram so the answer is deterministic;
+    *   - `dup_5gram_frac`: fraction of word-5-gram occurrences whose gram
+    *     occurs more than once (occurrence mass — the paper's variant
+    *     measures character coverage without double-counting; this form
+    *     keeps the arithmetic exactly integer-ratio so it hash-gates);
+    *   - `keep`: 1 iff every signal passes [[gopherThresholds]].
+    *
+    * Scale shape: every signal is a (doc_id, unit)-keyed two-phase
+    * aggregation — map-side partials, no cross-document traffic, no
+    * windows — joined back on doc_id (co-partitioned, one shuffle key).
+    * Per-document cost is linear in the document length.
+    */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    val (maxDupLine, maxDupLineChar, maxTop2, maxDup5) = gopherThresholds
+    val base = docs.selectExpr("doc_id", "text",
+      "cast(length(text) as bigint) as n_chars")
+    val lineStats = base
+      .selectExpr("doc_id", "explode(split(text, '\\n')) as line")
+      .groupBy("doc_id", "line").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_lines"),
+        sum(expr("c - 1")).as("dup_lines"),
+        sum(expr("(c - 1) * length(line)")).as("dup_line_chars"))
+    def gramCounts(n: Int): DataFrame = {
+      val parts = (0 until n).map(j => s"element_at(w, i + $j)").mkString(", ")
+      base.selectExpr("doc_id", s"${wordsExpr("text")} as w")
+        .selectExpr("doc_id",
+          s"""explode(filter(transform(sequence(1, size(w)), i ->
+             |  case when i + ${n - 1} <= size(w)
+             |       then concat_ws(' ', $parts) end),
+             |  x -> x is not null)) as g""".stripMargin)
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    }
+    // struct-min = (highest count, then smallest gram): the same row
+    // ROW_NUMBER() OVER (ORDER BY c DESC, g) = 1 picks, as one map-side
+    // combinable aggregate instead of a per-doc sort window
+    val top2 = gramCounts(2).groupBy("doc_id")
+      .agg(min(expr("struct(-c as nc, g as tg)")).as("m"))
+      .selectExpr("doc_id", "(-m.nc) * length(m.tg) as top2_chars")
+    val dup5 = gramCounts(5).groupBy("doc_id").agg(
+      sum("c").as("n5"),
+      sum(expr("case when c > 1 then c else 0 end")).as("dup5"))
+    base.select("doc_id", "n_chars")
+      .join(lineStats, Seq("doc_id"))
+      .join(top2, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .selectExpr(
+        "doc_id", "n_lines",
+        "cast(dup_lines as double) / n_lines as dup_line_frac",
+        "cast(dup_line_chars as double) / n_chars as dup_line_char_frac",
+        "coalesce(cast(top2_chars as double) / n_chars, 0.0) as top_2gram_char_frac",
+        "coalesce(cast(dup5 as double) / n5, 0.0) as dup_5gram_frac")
+      .selectExpr("doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "top_2gram_char_frac", "dup_5gram_frac",
+        s"""cast(dup_line_frac <= $maxDupLine
+           |  and dup_line_char_frac <= $maxDupLineChar
+           |  and top_2gram_char_frac <= $maxTop2
+           |  and dup_5gram_frac <= $maxDup5 as int) as keep""".stripMargin)
+      .orderBy("doc_id")
   }
 }

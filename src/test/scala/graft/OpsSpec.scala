@@ -422,6 +422,48 @@ class OpsSpec extends SparkSpecBase {
     assert(codecs.subsetOf(Set("jpeg", "png", "webp")))
   }
 
+  test("gopher repetition: planted dup lines, 5-gram mass and the 2-gram tie-break") {
+    val d = docsDF(
+      1L -> "a b\nc d\na b",                  // one repeated line of three
+      2L -> "a b c a b c",                    // 2-gram tie: "a b" vs "b c"
+      3L -> ("x y z w v " * 4).trim)          // every 5-gram repeated
+    val out = TextOps.gopherRepetition(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) === 3L)                          // n_lines
+    assert(r1.getDouble(2) === 1.0 / 3)                   // dup_line_frac
+    assert(r1.getDouble(3) === 3.0 / 11)                  // dup_line_char_frac
+    val r2 = out(2L)
+    assert(r2.getDouble(2) === 0.0)
+    // "a b" and "b c" both occur twice; the lexicographically smaller gram
+    // wins the tie: 2 occurrences x 3 chars over 11 chars
+    assert(r2.getDouble(4) === 6.0 / 11)
+    assert(r2.getDouble(5) === 0.0)                       // no repeated 5-gram
+    val r3 = out(3L)
+    assert(r3.getDouble(5) === 1.0)                       // all 5-grams repeat
+    assert(r3.getInt(6) === 0, "saturated repetition must fail the keep gate")
+    assert(r1.getInt(6) === 0 && r2.getInt(6) === 0,
+      "dup_line_frac 1/3 and top2 6/11 both exceed their thresholds")
+  }
+
+  test("lang sample weights: probabilities sum to 1, α=1/2 compresses shares") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val out = graft.ops.PipelineOps.langSampleWeights(d).collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.length > 1)
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-12)
+    // p_l > s_l ⟺ s_l < 1/(Σ√s)² — the exact pivot temperature sampling
+    // compresses shares toward (α < 1 boosts below it, shrinks above it)
+    val pivot = 1.0 / math.pow(out.map(s => math.sqrt(s._2)).sum, 2)
+    out.foreach { case (lang, share, p, boost) =>
+      if (share > pivot + 1e-12) assert(p < share && boost < 1.0, s"$lang not downweighted")
+      if (share < pivot - 1e-12) assert(p > share && boost > 1.0, s"$lang not boosted")
+    }
+    val byShare = out.sortBy(_._2).map(_._1).toSeq
+    val byP = out.sortBy(_._3).map(_._1).toSeq
+    assert(byShare === byP, "α=1/2 must preserve the language ordering")
+  }
+
   test("image headers decode REAL dimensions from PNG/GIF/JPEG magic bytes") {
     // hand-built PNG: signature + IHDR length/type + width 640 height 480
     val png = Array[Int](
