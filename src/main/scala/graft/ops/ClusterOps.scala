@@ -39,14 +39,29 @@ object ClusterOps {
 
   /** (vec_id, cluster) after `iters` Lloyd update rounds from a
     * deterministic seed (the `k` lowest-vec_id vectors), distances against
-    * the final centroids. */
-  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    * the final centroids.
+    *
+    * `pruned` switches the per-row argmin from the dense form (an O(k·dim)
+    * transform + array_min) to a norm-bound fold: centroids whose
+    * lower bound `(‖x‖ − ‖m‖)² > best-so-far` are skipped WITHOUT
+    * computing the O(dim) dot product — the Cauchy-Schwarz bound
+    * `(‖x‖−‖m‖)² ≤ ‖x−m‖²`, checked in O(1) against the pre-broadcast
+    * centroid norms. The prune is STRICT (>), so a skipped centroid is
+    * strictly worse than the incumbent, ties included — the pruned argmin
+    * equals the dense one exactly (OpsSpec pins equality), it just visits
+    * fewer dot products. This is the swap the SemDeDup k contract calls
+    * for once k reaches ~10⁴ and dim is embedding-sized: the bound check
+    * is dim-free, so sorted-by-norm packing gives most rows a handful of
+    * full distance evaluations instead of k. */
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2,
+                   pruned: Boolean = false): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
     // quantized integer vector + its exact double image (reused everywhere)
     val q = emb.selectExpr("vec_id",
         s"transform(embedding, x -> cast(floor(cast(x as double) * $SCALE) as bigint)) as xq")
       .selectExpr("vec_id", "xq", "transform(xq, v -> cast(v as double)) as xd")
       .selectExpr("vec_id", "xq", "xd", "array_dot(xd, xd) as xx")
+      .selectExpr("vec_id", "xq", "xd", "xx", "sqrt(xx) as sx")
 
     // seed: the k lowest vec_ids, cid = 0..k-1 in vec_id order
     val seed = q.orderBy("vec_id").limit(k)
@@ -57,19 +72,31 @@ object ClusterOps {
       .select("cid", "m")
 
     // one row holding all centroids, sorted by cid — the broadcast unit
+    // (norms and their roots ride along so the pruned bound check is O(1))
     def pack(cells: DataFrame): DataFrame =
-      cells.selectExpr("struct(cid, m, array_dot(m, m) as mm) as c")
+      cells.selectExpr(
+          "struct(cid, m, array_dot(m, m) as mm, sqrt(array_dot(m, m)) as sm) as c")
         .agg(expr("array_sort(collect_list(c))").as("cs"))
 
     // map-only nearest-centroid assignment: in-row argmin over the packed
     // array; struct min = (min dist, then min cid) — the tie-break DuckDB's
     // ROW_NUMBER(ORDER BY dist, cid) applies
+    val argmin =
+      if (pruned)
+        """aggregate(cs,
+          |  struct(cast('Infinity' as double) as dist, cast(-1 as bigint) as cid),
+          |  (acc, cl) -> case
+          |    when (sx - cl.sm) * (sx - cl.sm) > acc.dist then acc
+          |    else least(acc,
+          |      struct(xx - 2 * array_dot(xd, cl.m) + cl.mm as dist,
+          |             cl.cid as cid)) end)""".stripMargin
+      else
+        """array_min(transform(cs, cl ->
+          |  struct(xx - 2 * array_dot(xd, cl.m) + cl.mm as dist,
+          |         cl.cid as cid)))""".stripMargin
     def assign(packed: DataFrame): DataFrame =
       q.crossJoin(broadcast(packed))
-        .withColumn("best", expr(
-          """array_min(transform(cs, cl ->
-            |  struct(xx - 2 * array_dot(xd, cl.m) + cl.mm as dist,
-            |         cl.cid as cid)))""".stripMargin))
+        .withColumn("best", expr(argmin))
         .selectExpr("vec_id", "xq", "best.cid as cluster")
 
     var cells = seed
@@ -139,10 +166,11 @@ object ClusterOps {
     * runaway cluster can't blow past the budget: the [[cappedAssign]]
     * split bounds per-key pair work at maxClusterSize² no matter what
     * the clustering does. Assignment itself is O(k·dim) per row against
-    * the broadcast centroid array; past k ≈ 10⁴ swap the in-row argmin
-    * for a pruned path (centroid-norm / triangle-inequality bounds, or a
-    * coarse-quantizer prefilter) — `assign(pack(cells))` in
-    * [[kmeansAssign]] is the single swap point.
+    * the broadcast centroid array in the dense form; past k ≈ 10⁴ pass
+    * `pruned = true` to [[kmeansAssign]] — the strict norm-bound fold
+    * skips the O(dim) dot product for centroids the O(1) Cauchy-Schwarz
+    * bound already rules out, with provably identical output
+    * (op_embed_kmeans_pruned gates it against the dense oracle).
     */
   def semanticPairs(emb: DataFrame, k: Int = 8, iters: Int = 2,
                     threshold: Double = 0.95,

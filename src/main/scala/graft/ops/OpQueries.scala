@@ -665,6 +665,16 @@ object OpQueries {
       (s, d) => ClusterOps.kmeansAssign(emb(s, d), k = 8, iters = 2),
       Some(dkKmeansOracle(kExpr = "8", iters = 2))),
 
+    // The norm-bound pruned argmin at a k where pruning matters (k=32):
+    // the strict Cauchy-Schwarz prune makes it mathematically identical to
+    // the dense argmin, so it gates against the SAME unrolled-CTE oracle —
+    // DuckDB runs the dense form, Spark the pruned one, and the hashes
+    // must still agree (OpsSpec additionally pins dense ≡ pruned in-engine).
+    QueryDef("op_embed_kmeans_pruned",
+      (s, d) => ClusterOps.kmeansAssign(emb(s, d), k = 32, iters = 2,
+        pruned = true),
+      Some(dkKmeansOracle(kExpr = "32", iters = 2))),
+
     // Semantic dedup (SemDeDup): cosine near-dup pairs WITHIN k-means
     // clusters — the sub-quadratic sibling of op_dedup_embedding's exact
     // all-pairs tier. Pairs AND their cosines hash-gate (clustering and

@@ -875,6 +875,34 @@ class OpsSpec extends SparkSpecBase {
     assert(auto.nonEmpty)
   }
 
+  test("pruned kmeans argmin equals the dense argmin exactly (strict norm bound)") {
+    // fixture embeddings + the planted-cluster geometry, several k values:
+    // the Cauchy-Schwarz prune is strict, so assignments must be
+    // IDENTICAL, ties included — not merely close
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    Seq(3, 16).foreach { k =>
+      val dense = graft.ops.ClusterOps.kmeansAssign(emb, k = k, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val pruned = graft.ops.ClusterOps.kmeansAssign(emb, k = k, iters = 2,
+          pruned = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(dense.toSeq === pruned.toSeq, s"pruned assignment drifted at k=$k")
+    }
+    // planted well-separated clusters: equality where pruning actually fires
+    // (inter-center distances dwarf intra-center ones, so most bound checks
+    // skip the dot product)
+    val pts = spark.range(90).selectExpr(
+      "id as vec_id",
+      """transform(sequence(0, 7), j -> cast(
+        |  100.0 * cast(id % 3 as double) * cast(j % 2 as double)
+        |  + cast(id as double) / 1000.0 as float)) as embedding""".stripMargin)
+    val d = graft.ops.ClusterOps.kmeansAssign(pts, k = 3, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val p = graft.ops.ClusterOps.kmeansAssign(pts, k = 3, iters = 2, pruned = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(d.toSeq === p.toSeq)
+  }
+
   test("heavy hitters: exact despite MG pruning, partitioning-invariant, capacity-guarded") {
     // 100 distinct noise tokens force eviction churn in a k=10 summary;
     // the rescore pass must still return the exact ≥25 set
