@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact, deterministic Lloyd k-means over the `embeddings` table — the
@@ -54,13 +55,30 @@ object ClusterOps {
     * is dim-free, so sorted-by-norm packing gives most rows a handful of
     * full distance evaluations instead of k. */
   def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2,
-                   pruned: Boolean = false): DataFrame = {
-    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
-    // quantized integer vector + its exact double image (reused everywhere)
-    val q = emb.selectExpr("vec_id",
+                   pruned: Boolean = false): DataFrame =
+    kmeansFit(emb, k, iters, pruned)._2
+      .selectExpr("vec_id", "cluster")
+      .orderBy("vec_id")
+
+  /** The quantize step shared by every exact embedding op: integer vector
+    * `xq = ⌊double(x)·2²⁰⌋`, its exact double image `xd`, and the
+    * fixed-order self-dot `xx`. */
+  private[ops] def quantized(emb: DataFrame): DataFrame =
+    emb.selectExpr("vec_id",
         s"transform(embedding, x -> cast(floor(cast(x as double) * $SCALE) as bigint)) as xq")
       .selectExpr("vec_id", "xq", "transform(xq, v -> cast(v as double)) as xd")
       .selectExpr("vec_id", "xq", "xd", "array_dot(xd, xd) as xx")
+
+  /** The full Lloyd run behind [[kmeansAssign]], exposing the fitted model:
+    * returns (centroids `(cid, m)` after `iters` rounds, assignment
+    * `(vec_id, xq, cluster)` against them). PQ needs the centroids
+    * themselves (its ADC lookup tables are query-to-centroid distances),
+    * not just the assignment. */
+  private[ops] def kmeansFit(emb: DataFrame, k: Int, iters: Int,
+                             pruned: Boolean = false): (DataFrame, DataFrame) = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    // quantized integer vector + its exact double image (reused everywhere)
+    val q = quantized(emb)
       .selectExpr("vec_id", "xq", "xd", "xx", "sqrt(xx) as sx")
 
     // seed: the k lowest vec_ids, cid = 0..k-1 in vec_id order
@@ -112,9 +130,7 @@ object ClusterOps {
       cells = cells.as("old").join(means.as("new"), Seq("cid"), "left")
         .selectExpr("cid", "coalesce(new.m, old.m) as m")
     }
-    assign(pack(cells))
-      .selectExpr("vec_id", "cluster")
-      .orderBy("vec_id")
+    (cells, assign(pack(cells)))
   }
 
   /** [[kmeansAssign]] plus a deterministic secondary split of oversized
@@ -209,5 +225,110 @@ object ClusterOps {
     require(k <= Int.MaxValue, s"derived k=$k overflows")
     val cap = if (maxClusterSize > 0L) maxClusterSize else 4L * targetClusterSize
     semanticPairs(emb, k.toInt, iters, threshold, cap)
+  }
+
+  /** Product-quantization codebook assignment (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 — public): the
+    * `dim`-dimensional embedding splits into `m` contiguous subspaces of
+    * dim/m dimensions, each clustered INDEPENDENTLY with the exact
+    * deterministic Lloyd recipe of [[kmeansAssign]] (`ksub` centroids per
+    * subspace). A vector's code is its per-subspace centroid ids — m small
+    * integers replacing dim floats, the compression that makes
+    * billion-vector ANN feasible: at dim=1024/m=64/ksub=256 the index is
+    * 64 bytes/vector instead of 4 KiB.
+    *
+    * Output: (vec_id, subspace, code), one row per vector per subspace.
+    * Every step inherits kmeansAssign's cross-engine exactness (integer
+    * quantization, exact BIGINT centroid sums, fixed-order double
+    * distances), so the FULL code table hash-gates against DuckDB running
+    * the same m chains independently.
+    *
+    * Scale shape: the m fits are independent map-only-assignment jobs over
+    * column slices (`slice` is in-row, no shuffle); per fit the only
+    * exchanges are the ≤ ksub·(dim/m) pre-combined centroid-update rows.
+    */
+  def pqCodes(emb: DataFrame, dim: Int = 64, m: Int = 4, ksub: Int = 8,
+              iters: Int = 2): DataFrame = {
+    require(m > 0 && dim % m == 0, s"need m dividing dim; got dim=$dim m=$m")
+    val d = dim / m
+    (0 until m).map { s =>
+      kmeansFit(emb.selectExpr("vec_id",
+          s"slice(embedding, ${s * d + 1}, $d) as embedding"), ksub, iters)._2
+        .selectExpr("vec_id", s"cast($s as bigint) as subspace",
+          "cluster as code")
+    }.reduce(_ unionAll _).orderBy("vec_id", "subspace")
+  }
+
+  /** PQ asymmetric-distance top-k (ADC): each query keeps its EXACT
+    * sub-vectors and scores a corpus vector by summing, over subspaces,
+    * the squared-L2 distance from the query sub-vector to the corpus
+    * vector's ASSIGNED CENTROID — the classic PQ search where only
+    * queries stay full-precision and the corpus is m codes per vector.
+    *
+    * Determinism: every per-subspace term is the same `x·x − 2·x·m + m·m`
+    * fixed-order tree the clustering uses, and the m terms sum in subspace
+    * order via one in-row left fold — so distances AND ranking hash-gate
+    * against an independent DuckDB implementation.
+    *
+    * Scale shape (the part that matters at 10⁹ vectors):
+    *  - the lookup tables (query × subspace × ksub term matrix) collapse
+    *    to ONE broadcast row — nQueries·m·ksub doubles, KBs;
+    *  - the corpus side reduces to its code tuple (one groupBy(vec_id) of
+    *    m-row groups, the only data-sized exchange), then scoring is
+    *    MAP-ONLY: explode the broadcast queries, index the table with the
+    *    row's own codes, fold — no join, no shuffle of scored pairs
+    *    before the final per-query top-k;
+    *  - the top-k window sees nQueries·N rows; swapping it for
+    *    [[VectorOps.TopKAgg]] bounds that too (same contract as
+    *    op_sim_topk vs op_sim_topk_agg).
+    */
+  def pqTopK(emb: DataFrame, dim: Int = 64, m: Int = 4, ksub: Int = 8,
+             iters: Int = 2, k: Int = 5, nQueries: Int = 20): DataFrame = {
+    require(m > 0 && dim % m == 0, s"need m dividing dim; got dim=$dim m=$m")
+    val d = dim / m
+    val parts = (0 until m).map { s =>
+      val sub = emb.selectExpr("vec_id",
+        s"slice(embedding, ${s * d + 1}, $d) as embedding")
+      val (cells, asg) = kmeansFit(sub, ksub, iters)
+      val codes = asg.selectExpr("vec_id",
+        s"cast($s as bigint) as subspace", "cluster as code")
+      // per-query distance to every centroid of this subspace: the ADC
+      // lookup table rows (nQueries · ksub of them — tiny)
+      val lut = quantized(sub).filter(col("vec_id") < nQueries)
+        .crossJoin(broadcast(
+          cells.selectExpr("cid", "m", "array_dot(m, m) as mm")))
+        .selectExpr("vec_id as qid", s"cast($s as bigint) as subspace",
+          "cid", "xx - 2 * array_dot(xd, m) + mm as term")
+      (codes, lut)
+    }
+    // corpus → one row per vector holding its m codes in subspace order
+    val codes = parts.map(_._1).reduce(_ unionAll _)
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(subspace, code)))," +
+        " t -> cast(t.code as int))").as("codes"))
+    // all lookup tables → ONE broadcast row: per query, an array (by
+    // subspace) of arrays (by centroid id) of distance terms
+    val luts = parts.map(_._2).reduce(_ unionAll _)
+      .groupBy("qid", "subspace")
+      .agg(expr("transform(array_sort(collect_list(struct(cid, term)))," +
+        " t -> t.term)").as("lt"))
+      .groupBy("qid")
+      .agg(expr("transform(array_sort(collect_list(struct(subspace, lt)))," +
+        " t -> t.lt)").as("luts"))
+      .agg(collect_list(struct(col("qid"), col("luts"))).as("qs"))
+    // map-only ADC scoring: fold the row's codes through the broadcast
+    // tables in subspace order (exact fixed-order IEEE sum)
+    val scored = codes.crossJoin(broadcast(luts))
+      .select(col("vec_id").as("nid"), col("codes"),
+        explode(col("qs")).as("q"))
+      .filter(expr("q.qid <> nid"))
+      .selectExpr("q.qid as qid", "nid",
+        s"""aggregate(sequence(0, ${m - 1}), cast(0 as double),
+           |  (a, s) -> a + q.luts[s][codes[s]]) as dist""".stripMargin)
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "dist")
+      .orderBy("qid", "rank")
   }
 }

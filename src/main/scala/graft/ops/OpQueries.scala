@@ -675,6 +675,24 @@ object OpQueries {
         pruned = true),
       Some(dkKmeansOracle(kExpr = "32", iters = 2))),
 
+    // Product quantization: m independent exact k-means fits over
+    // contiguous embedding slices — the whole (vec_id, subspace, code)
+    // table hash-gates against DuckDB running the same m unrolled chains
+    // (one CTE block per subspace, spliced into a single WITH).
+    QueryDef("op_embed_pq",
+      (s, d) => ClusterOps.pqCodes(emb(s, d), dim = 64, m = 4, ksub = 8,
+        iters = 2),
+      Some(dkPqCodesOracle(dim = 64, m = 4, ksub = 8, iters = 2))),
+
+    // PQ asymmetric-distance top-k: full-precision queries against the
+    // coded corpus. Distances are fixed-order IEEE sums of per-subspace
+    // query-to-centroid terms, so ranks AND raw distances hash-gate.
+    QueryDef("op_sim_topk_pq",
+      (s, d) => ClusterOps.pqTopK(emb(s, d), dim = 64, m = 4, ksub = 8,
+        iters = 2, k = 5, nQueries = 20),
+      Some(dkPqTopKOracle(dim = 64, m = 4, ksub = 8, iters = 2, k = 5,
+        nQueries = 20))),
+
     // Semantic dedup (SemDeDup): cosine near-dup pairs WITHIN k-means
     // clusters — the sub-quadratic sibling of op_dedup_embedding's exact
     // all-pairs tier. Pairs AND their cosines hash-gate (clustering and
@@ -932,47 +950,114 @@ object OpQueries {
     dkKmeansSql(kExpr, iters,
       "SELECT vec_id, cluster FROM asg ORDER BY vec_id")
 
-  private def dkKmeansSql(kExpr: String, iters: Int, finalSelect: String): String = {
+  private def dkKmeansSql(kExpr: String, iters: Int, finalSelect: String): String =
+    "WITH " + dkKmeansCtes(kExpr, iters) + "\n" + finalSelect
+
+  /** The CTE chain of the k-means oracle WITHOUT the leading WITH or a
+    * final select, so callers can splice several independent chains into
+    * one statement (the PQ oracle runs one chain per subspace). `sfx`
+    * suffixes every CTE name; `srcExpr` is the DuckDB expression yielding
+    * the (sub)vector to cluster — `embedding` for the full-vector oracles,
+    * a `embedding[a:b]` slice per PQ subspace. Exposed CTEs per suffix:
+    * `qd$sfx` (quantized vectors), `c$iters$sfx` (final centroids),
+    * `asg$sfx` (vec_id → cluster).
+    */
+  private def dkKmeansCtes(kExpr: String, iters: Int, sfx: String = "",
+                           srcExpr: String = "embedding"): String = {
     def dot(a: String, b: String) =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |  list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
     def round(t: Int, prev: String): String =
       s""",
-         |d$t AS (SELECT p.vec_id, p.xq, c.cid,
+         |d$t$sfx AS (SELECT p.vec_id, p.xq, c.cid,
          |          p.xx - 2 * ${dot("p.xd", "c.m")} + ${dot("c.m", "c.m")} AS dist
-         |        FROM qx p CROSS JOIN $prev c),
-         |a$t AS (SELECT vec_id, xq, cid FROM (
+         |        FROM qx$sfx p CROSS JOIN $prev c),
+         |a$t$sfx AS (SELECT vec_id, xq, cid FROM (
          |          SELECT vec_id, xq, cid,
          |                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |          FROM d$t) WHERE rn = 1),
-         |s$t AS (SELECT cid, t.i AS pos, SUM(xq[t.i]) AS s, COUNT(*) AS n
-         |        FROM a$t, unnest(range(1, len(xq) + 1)) AS t(i) GROUP BY cid, t.i),
-         |m$t AS (SELECT cid, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS m
-         |        FROM s$t GROUP BY cid),
-         |c$t AS (SELECT p.cid, COALESCE(m$t.m, p.m) AS m
-         |        FROM $prev p LEFT JOIN m$t ON m$t.cid = p.cid)""".stripMargin
+         |          FROM d$t$sfx) WHERE rn = 1),
+         |s$t$sfx AS (SELECT cid, t.i AS pos, SUM(xq[t.i]) AS s, COUNT(*) AS n
+         |        FROM a$t$sfx, unnest(range(1, len(xq) + 1)) AS t(i) GROUP BY cid, t.i),
+         |m$t$sfx AS (SELECT cid, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS m
+         |        FROM s$t$sfx GROUP BY cid),
+         |c$t$sfx AS (SELECT p.cid, COALESCE(m$t$sfx.m, p.m) AS m
+         |        FROM $prev p LEFT JOIN m$t$sfx ON m$t$sfx.cid = p.cid)""".stripMargin
     val head =
-      s"""WITH q AS (SELECT vec_id,
-         |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS xq
+      s"""q$sfx AS (SELECT vec_id,
+         |  list_transform($srcExpr, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS xq
          |  FROM embeddings),
-         |qd AS (SELECT vec_id, xq, list_transform(xq, v -> CAST(v AS DOUBLE)) AS xd FROM q),
-         |qx AS (SELECT vec_id, xq, xd, ${dot("xd", "xd")} AS xx FROM qd),
-         |c0 AS (SELECT cid, m FROM (
+         |qd$sfx AS (SELECT vec_id, xq, list_transform(xq, v -> CAST(v AS DOUBLE)) AS xd FROM q$sfx),
+         |qx$sfx AS (SELECT vec_id, xq, xd, ${dot("xd", "xd")} AS xx FROM qd$sfx),
+         |c0$sfx AS (SELECT cid, m FROM (
          |         SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
-         |                xd AS m FROM qd)
+         |                xd AS m FROM qd$sfx)
          |       WHERE cid < ($kExpr))""".stripMargin
-    val rounds = (1 to iters).map(t => round(t, s"c${t - 1}")).mkString
+    val rounds = (1 to iters).map(t => round(t, s"c${t - 1}$sfx")).mkString
     val fin =
       s""",
-         |df AS (SELECT p.vec_id, c.cid,
+         |df$sfx AS (SELECT p.vec_id, c.cid,
          |         p.xx - 2 * ${dot("p.xd", "c.m")} + ${dot("c.m", "c.m")} AS dist
-         |       FROM qx p CROSS JOIN c$iters c),
-         |asg AS (SELECT vec_id, cid AS cluster FROM (
+         |       FROM qx$sfx p CROSS JOIN c$iters$sfx c),
+         |asg$sfx AS (SELECT vec_id, cid AS cluster FROM (
          |  SELECT vec_id, cid,
          |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |  FROM df) WHERE rn = 1)
-         |$finalSelect""".stripMargin
+         |  FROM df$sfx) WHERE rn = 1)""".stripMargin
     head + rounds + fin
+  }
+
+  /** DuckDB mirror of [[ClusterOps.pqCodes]]: one [[dkKmeansCtes]] chain
+    * per subspace over the matching `embedding[a:b]` slice, finals
+    * unioned. Slice bounds are 1-based inclusive in DuckDB — the same
+    * elements as Spark's `slice(embedding, a, len)`. */
+  private def dkPqCodesOracle(dim: Int, m: Int, ksub: Int, iters: Int): String = {
+    val d = dim / m
+    val chains = (0 until m).map { s =>
+      dkKmeansCtes(ksub.toString, iters, sfx = s"_p$s",
+        srcExpr = s"embedding[${s * d + 1}:${(s + 1) * d}]")
+    }.mkString(",\n")
+    val finals = (0 until m).map { s =>
+      s"SELECT vec_id, CAST($s AS BIGINT) AS subspace, cluster AS code FROM asg_p$s"
+    }.mkString("\nUNION ALL\n")
+    s"WITH $chains\n$finals\nORDER BY vec_id, subspace"
+  }
+
+  /** DuckDB mirror of [[ClusterOps.pqTopK]]: the same m chains, then ADC —
+    * per-subspace query-to-centroid terms joined onto the corpus codes and
+    * summed in subspace order with a left fold (the identical IEEE tree as
+    * the Spark side's in-row `aggregate`). */
+  private def dkPqTopKOracle(dim: Int, m: Int, ksub: Int, iters: Int,
+                             k: Int, nQueries: Int): String = {
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+    val d = dim / m
+    val chains = (0 until m).map { s =>
+      dkKmeansCtes(ksub.toString, iters, sfx = s"_p$s",
+        srcExpr = s"embedding[${s * d + 1}:${(s + 1) * d}]")
+    }.mkString(",\n")
+    val terms = (0 until m).map { s =>
+      s"""SELECT q.vec_id AS qid, CAST($s AS BIGINT) AS sub, c.cid,
+         |       q.xx - 2 * ${dot("q.xd", "c.m")} + ${dot("c.m", "c.m")} AS term
+         |FROM qx_p$s q CROSS JOIN c${iters}_p$s c WHERE q.vec_id < $nQueries""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val codes = (0 until m).map { s =>
+      s"SELECT vec_id, CAST($s AS BIGINT) AS sub, cluster FROM asg_p$s"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $chains,
+       |terms AS ($terms),
+       |codes AS ($codes),
+       |pair AS (SELECT t.qid, c.vec_id AS nid, t.sub, t.term
+       |         FROM terms t JOIN codes c ON c.sub = t.sub AND c.cluster = t.cid
+       |         WHERE c.vec_id <> t.qid),
+       |dist AS (SELECT qid, nid,
+       |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |             list(term ORDER BY sub)), (a, b) -> a + b) AS dist
+       |         FROM pair GROUP BY qid, nid)
+       |SELECT qid, rank, nid, dist FROM (
+       |  SELECT qid, nid, dist,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rank
+       |  FROM dist) WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
   }
 
   /** The within-cluster cosine fold for [[dkSemanticPairsOracle]] — the

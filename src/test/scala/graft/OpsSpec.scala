@@ -903,6 +903,101 @@ class OpsSpec extends SparkSpecBase {
     assert(d.toSeq === p.toSeq)
   }
 
+  test("pq codes: complete per-vector code tuples; ADC distance matches reconstruction") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val (m, ksub) = (4, 8)
+    val codes = graft.ops.ClusterOps.pqCodes(emb, dim = 64, m = m, ksub = ksub,
+      iters = 1).collect()
+    val n = emb.count()
+    // exactly m codes per vector, each a valid centroid id of its subspace
+    assert(codes.length === n * m)
+    assert(codes.map(_.getLong(0)).distinct.length === n)
+    codes.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) < m)
+      assert(r.getLong(2) >= 0 && r.getLong(2) < ksub, s"code out of range: $r")
+    }
+
+    // ADC dist(q, v) must equal the squared L2 distance from the query's
+    // quantized vector to v's RECONSTRUCTION (its subspace centroids
+    // concatenated) — same math, different summation tree, so compare with
+    // a tolerance instead of bit equality
+    val topk = graft.ops.ClusterOps.pqTopK(emb, dim = 64, m = m, ksub = ksub,
+      iters = 1, k = 3, nQueries = 5).collect()
+    assert(topk.length === 5 * 3)
+    val scale = 1048576.0
+    val qv: Map[Long, Array[Double]] = emb.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * scale)).toArray
+    }.toMap
+    // centroid of (subspace, code) after 1 iteration, recomputed naively:
+    // seed = k lowest vec_ids' sub-vectors, one assign + mean round
+    val d = 64 / m
+    def sub(v: Array[Double], s: Int): Array[Double] = v.slice(s * d, (s + 1) * d)
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      // same x·x − 2·x·y + y·y decomposition and fold order as the engine
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+      dot(a, a) - 2 * dot(a, b) + dot(b, b)
+    }
+    val ids = qv.keys.toSeq.sorted
+    val cent: Map[(Int, Long), Array[Double]] = (0 until m).flatMap { s =>
+      var cells: Map[Long, Array[Double]] =
+        ids.take(ksub).zipWithIndex.map { case (id, c) => c.toLong -> sub(qv(id), s) }.toMap
+      val assign = ids.map { id =>
+        id -> cells.toSeq.map { case (c, mv) => (sq(sub(qv(id), s), mv), c) }.min._2
+      }
+      cells = cells.map { case (c, old) =>
+        val members = assign.filter(_._2 == c).map(_._1)
+        c -> (if (members.isEmpty) old
+              else {
+                // quantized values are integer-valued doubles, so the sum
+                // is exact and the single division matches the engine's
+                val sums = members.map(id => sub(qv(id), s)).transpose.map(_.sum)
+                sums.map(_ / members.size).toArray
+              })
+      }
+      cells.map { case (c, mv) => (s, c) -> mv }
+    }.toMap
+    val codeOf: Map[(Long, Int), Long] =
+      codes.map(r => (r.getLong(0), r.getLong(1).toInt) -> r.getLong(2)).toMap
+    topk.foreach { r =>
+      val (qid, nid, dist) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      val recon = (0 until m).map(s => sq(sub(qv(qid), s), cent((s, codeOf((nid, s)))))).sum
+      assert(math.abs(dist - recon) <= 1e-6 * math.max(1.0, math.abs(recon)),
+        s"ADC dist drifted from reconstruction: q=$qid n=$nid $dist vs $recon")
+    }
+  }
+
+  test("pq top-k: exact recall on planted well-separated clusters") {
+    // three orthogonal, widely-separated centers with per-vector jitter
+    // ≪ separation: PQ quantization error cannot reorder neighbors, so
+    // ADC top-k must equal brute-force top-k exactly
+    val pts = spark.range(120).selectExpr(
+      "id as vec_id",
+      """transform(sequence(0, 63), j -> cast(
+        |  case when cast(j as bigint) % 3 = id % 3 then 50.0 else 0.0 end
+        |  + cast(id as double) / 1000.0 as float)) as embedding""".stripMargin)
+    val pq = graft.ops.ClusterOps.pqTopK(pts, dim = 64, m = 4, ksub = 3,
+      iters = 2, k = 5, nQueries = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    // brute force in the same quantized space
+    val scale = 1048576.0
+    val all = pts.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * scale)).toArray
+    }
+    (0L until 6L).foreach { q =>
+      val qv = all.find(_._1 == q).get._2
+      def dd(a: Array[Double], b: Array[Double]) =
+        a.indices.foldLeft(0.0)((acc, i) => acc + (a(i) - b(i)) * (a(i) - b(i)))
+      val exact = all.filter(_._1 != q)
+        .map { case (id, v) => (dd(qv, v), id) }.sorted.take(5).map(_._2).toSet
+      val got = pq(q).map(_._2).toSet
+      // same-cluster neighbors win by a huge margin; PQ must find them all
+      assert(got === exact, s"query $q: pq=$got exact=$exact")
+    }
+  }
+
   test("heavy hitters: exact despite MG pruning, partitioning-invariant, capacity-guarded") {
     // 100 distinct noise tokens force eviction churn in a k=10 summary;
     // the rescore pass must still return the exact ≥25 set

@@ -69,7 +69,9 @@ class PlanSpec extends SparkSpecBase {
     // op_dedup_semantic inherits kmeans' packed-centroid broadcast — its
     // pair join itself is the cluster-keyed SMJ)
     val bnljAllowed = Set("op_sim_topk", "op_sim_topk_agg", "op_sim_topk_ivf",
-      "op_dedup_embedding", "op_embed_kmeans", "op_bm25_topk", "op_profile",
+      "op_dedup_embedding", "op_embed_kmeans", "op_embed_kmeans_pruned",
+      "op_embed_pq", "op_sim_topk_pq",
+      "op_bm25_topk", "op_profile", "op_lang_sample_weights",
       "op_dedup_semantic", "op_dedup_semantic_auto")
     graft.ops.OpQueries.defs.foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
