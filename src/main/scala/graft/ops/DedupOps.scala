@@ -326,7 +326,35 @@ object DedupOps {
     * case — benchmarks are MBs, corpora are TBs); counting is a two-phase
     * hash aggregate per doc. No pair join, nothing quadratic.
     */
-  def contamination(docs: DataFrame, reference: DataFrame, n: Int = 8): DataFrame = {
+  def contamination(docs: DataFrame, reference: DataFrame, n: Int = 8): DataFrame =
+    contaminationImpl(docs, reference, n, bloomFpp = None)
+
+  /** [[contamination]] with a Bloom pre-filter on the candidate side —
+    * the no-broadcast scale path. The plain variant's semi-join relies on
+    * the reference fingerprint set broadcasting (benchmarks are MBs); when
+    * the reference is itself large — deduplicating against a whole prior
+    * training corpus, not an eval suite — the semi-join becomes a
+    * full shuffle of EVERY corpus fingerprint. Here the reference
+    * collapses to a Bloom sketch (`-n·ln(fpp)/ln²2` BITS per distinct
+    * fingerprint ≈ 1.2 bytes each at 1% — KBs-to-MBs broadcast however
+    * big the corpus), every candidate fingerprint probes it map-side, and
+    * only probable matches (true matches + the fpp sliver) reach the
+    * exact semi-join. Output is IDENTICAL to [[contamination]] — the
+    * exact join kills the false positives — so the same oracle gates
+    * both; the sketch only bounds the join's input.
+    *
+    * The probe is Spark's own runtime-filter expression
+    * (BloomFilterMightContain over XxHash64), registered as
+    * `bloom_might_contain` — codegen'd, no UDF. Building the sketch costs
+    * one aggregation over the reference (`stat.bloomFilter`), the same
+    * pass the plain variant's `distinct` already does.
+    */
+  def contaminationBloom(docs: DataFrame, reference: DataFrame, n: Int = 8,
+                         fpp: Double = 0.01): DataFrame =
+    contaminationImpl(docs, reference, n, bloomFpp = Some(fpp))
+
+  private def contaminationImpl(docs: DataFrame, reference: DataFrame,
+                                n: Int, bloomFpp: Option[Double]): DataFrame = {
     require(n >= 2, s"shingle width must be ≥ 2 tokens, got $n")
     def fps(df: DataFrame): DataFrame = df
       .selectExpr("doc_id", s"${TextOps.wordsExpr("text")} as w")
@@ -338,7 +366,22 @@ object DedupOps {
       .selectExpr("doc_id", "cast(size(fps) as bigint) as n_sh", "fps")
       .persist()
     val refSet = fps(reference).selectExpr("explode(fps) as fp").distinct()
-    val matched = cand.selectExpr("doc_id", "explode(fps) as fp")
+    val candFps = cand.selectExpr("doc_id", "explode(fps) as fp")
+    val probed = bloomFpp match {
+      case None => candFps
+      case Some(p) =>
+        // size the sketch to the reference's distinct-fp count (one count
+        // over the small side — the honest price of sizing to the data),
+        // insert xxhash64(fp) so the probe's hashing matches
+        val hashed = refSet.selectExpr("xxhash64(fp) as h")
+        val nRef = math.max(1L, hashed.count())
+        val bf = hashed.stat.bloomFilter("h", nRef, p)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        candFps.filter(
+          call_function("bloom_might_contain", lit(bos.toByteArray), col("fp")))
+    }
+    val matched = probed
       .join(refSet, Seq("fp"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_matched"))

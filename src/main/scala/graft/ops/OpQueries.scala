@@ -348,26 +348,21 @@ object OpQueries {
           all.filter(col("doc_id") % 7 =!= 0),
           all.filter(col("doc_id") % 7 === 0), 8)
       },
-      Some(s"""WITH w0 AS (SELECT doc_id, $dkWords AS w FROM documents),
-              |f AS (SELECT doc_id,
-              |        CASE WHEN len(w) >= 8
-              |          THEN list_distinct(list_transform(range(1, len(w) - 6), i ->
-              |            ${dkH60("array_to_string(w[i:i+7], ' ')")}))
-              |          ELSE [] END AS fps
-              |      FROM w0),
-              |cand AS (SELECT * FROM f WHERE doc_id % 7 <> 0),
-              |refset AS (SELECT DISTINCT unnest(fps) AS fp FROM f WHERE doc_id % 7 = 0),
-              |m AS (SELECT u.doc_id, COUNT(*) AS c
-              |      FROM (SELECT doc_id, unnest(fps) AS fp FROM cand) u
-              |      SEMI JOIN refset USING (fp)
-              |      GROUP BY u.doc_id)
-              |SELECT cand.doc_id, CAST(len(cand.fps) AS BIGINT) AS n_sh,
-              |       CAST(COALESCE(m.c, 0) AS BIGINT) AS n_matched,
-              |       CASE WHEN len(cand.fps) > 0
-              |            THEN CAST(COALESCE(m.c, 0) AS DOUBLE) / len(cand.fps) END
-              |         AS contamination
-              |FROM cand LEFT JOIN m ON m.doc_id = cand.doc_id
-              |ORDER BY cand.doc_id""".stripMargin)),
+      Some(dkDecontaminateOracle)),
+
+    // The Bloom-prefiltered scale path: output is IDENTICAL to
+    // op_decontaminate (the exact semi-join kills the sketch's false
+    // positives), so the SAME oracle gates it — what the gate proves is
+    // that the pre-filter is output-invisible. The sketch bounds the
+    // semi-join's input when the reference is too big to broadcast.
+    QueryDef("op_decontaminate_bloom",
+      (s, d) => {
+        val all = docs(s, d)
+        DedupOps.contaminationBloom(
+          all.filter(col("doc_id") % 7 =!= 0),
+          all.filter(col("doc_id") % 7 === 0), 8, fpp = 0.01)
+      },
+      Some(dkDecontaminateOracle)),
 
     // Span-level decontamination: WHERE candidates (doc_id % 7 <> 0)
     // overlap the benchmark slice (doc_id % 7 = 0), as maximal token
@@ -1004,6 +999,31 @@ object OpQueries {
          |  FROM df$sfx) WHERE rn = 1)""".stripMargin
     head + rounds + fin
   }
+
+  /** The op_decontaminate oracle, shared verbatim by op_decontaminate_bloom:
+    * the bloom pre-filter must be output-invisible, so both gate against
+    * the one exact-membership implementation. */
+  private lazy val dkDecontaminateOracle: String =
+    s"""WITH w0 AS (SELECT doc_id, $dkWords AS w FROM documents),
+       |f AS (SELECT doc_id,
+       |        CASE WHEN len(w) >= 8
+       |          THEN list_distinct(list_transform(range(1, len(w) - 6), i ->
+       |            ${dkH60("array_to_string(w[i:i+7], ' ')")}))
+       |          ELSE [] END AS fps
+       |      FROM w0),
+       |cand AS (SELECT * FROM f WHERE doc_id % 7 <> 0),
+       |refset AS (SELECT DISTINCT unnest(fps) AS fp FROM f WHERE doc_id % 7 = 0),
+       |m AS (SELECT u.doc_id, COUNT(*) AS c
+       |      FROM (SELECT doc_id, unnest(fps) AS fp FROM cand) u
+       |      SEMI JOIN refset USING (fp)
+       |      GROUP BY u.doc_id)
+       |SELECT cand.doc_id, CAST(len(cand.fps) AS BIGINT) AS n_sh,
+       |       CAST(COALESCE(m.c, 0) AS BIGINT) AS n_matched,
+       |       CASE WHEN len(cand.fps) > 0
+       |            THEN CAST(COALESCE(m.c, 0) AS DOUBLE) / len(cand.fps) END
+       |         AS contamination
+       |FROM cand LEFT JOIN m ON m.doc_id = cand.doc_id
+       |ORDER BY cand.doc_id""".stripMargin
 
   /** DuckDB mirror of [[ClusterOps.pqCodes]]: one [[dkKmeansCtes]] chain
     * per subspace over the matching `embedding[a:b]` slice, finals

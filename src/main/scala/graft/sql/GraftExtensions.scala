@@ -3,13 +3,14 @@ package graft.sql
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
-  Add, And, CaseWhen, Cast, Concat, Conv, CurrentTimestamp, DateFormatClass,
+  Add, And, BloomFilterMightContain, CaseWhen, Cast, Concat, Conv,
+  CurrentTimestamp, DateFormatClass,
   Divide, EqualTo, Expression, ExpressionInfo,
   Base64, Exp, GetJsonObject, GreaterThan, Hex, HllSketchEstimate, If, In,
   IsNotNull, IsNull, Length, LengthOfJsonArray, LessThan, Literal, Log,
   Log10, Lower, Multiply, OctetLength, Or, Pow, RegExpExtract, Sha1, Size,
   Slice, SoundEx, StringLocate, StringRepeat, StringReplace, StringSplitSQL,
-  StringTrim, Substring, TruncDate, UnBase64, Unhex, Year}
+  StringTrim, Substring, TruncDate, UnBase64, Unhex, XxHash64, Year}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   HllSketchAgg, HllUnionAgg, HyperLogLogPlusPlus}
 import org.apache.spark.sql.catalyst.expressions.variant.ParseJson
@@ -109,6 +110,18 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"feature_hash: dim must be an integer literal, got $other")
       }),
+    // Membership probe against a serialized Spark BloomFilter sketch
+    // (org.apache.spark.util.sketch.BloomFilter.writeTo bytes). The value
+    // is hashed with XxHash64(seed 42) — the same wrapper the sketch
+    // builder applies before putLong — so `bloom_might_contain(bits, v)`
+    // is Spark's own runtime-filter probe exposed as a callable function
+    // (DedupOps.contaminationBloom pre-filters the corpus with it before
+    // the exact semi-join).
+    (FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain",
+        "bloom_might_contain(bits, v) - true if the serialized bloom filter may contain xxhash64(v)."),
+      (args: Seq[Expression]) =>
+        BloomFilterMightContain(args(0), XxHash64(Seq(args(1)), 42L))),
     // Redshift JSON surface (SURVEY §2.2 JSON 🔧) over Spark's JSON-path
     // machinery. Path elements compose into a `$.k1.k2` JSONPath — keys
     // containing '.' or quotes would need bracket syntax and are not

@@ -903,6 +903,27 @@ class OpsSpec extends SparkSpecBase {
     assert(d.toSeq === p.toSeq)
   }
 
+  test("bloom decontamination: prefilter is output-invisible, even at a sloppy fpp") {
+    val all = Tables.load(spark, sfDir, "documents")
+    val cand = all.filter(col("doc_id") % 7 =!= 0)
+    val ref = all.filter(col("doc_id") % 7 === 0)
+    val plain = graft.ops.DedupOps.contamination(cand, ref, 8)
+      .collect().map(_.toSeq).toSeq
+    val bloom = graft.ops.DedupOps.contaminationBloom(cand, ref, 8, fpp = 0.01)
+      .collect().map(_.toSeq).toSeq
+    assert(plain === bloom)
+    // fpp = 0.5 floods the probe with false positives; the exact semi-join
+    // must still kill every one of them
+    val sloppy = graft.ops.DedupOps.contaminationBloom(cand, ref, 8, fpp = 0.5)
+      .collect().map(_.toSeq).toSeq
+    assert(plain === sloppy)
+    // and the probe really is in the plan, as Spark's codegen'd
+    // runtime-filter expression (not a UDF)
+    val p = graft.ops.DedupOps.contaminationBloom(cand, ref, 8)
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("might_contain"), p)
+  }
+
   test("pq codes: complete per-vector code tuples; ADC distance matches reconstruction") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val (m, ksub) = (4, 8)
