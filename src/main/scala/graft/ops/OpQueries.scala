@@ -922,6 +922,21 @@ object OpQueries {
               |         / (CAST(n_tokens AS DOUBLE) / n_total) AS boost
               |FROM per, tot ORDER BY lang""".stripMargin)),
 
+    // Deterministic train/val/test split: md5-keyed range assignment,
+    // thresholds rendered as fixed-width hex so both engines compare
+    // strings (lexicographic == numeric for fixed-width hex). The full
+    // assignment hash-gates; the thresholds come from ONE Scala builder
+    // so Spark and the oracle cannot drift.
+    QueryDef("op_split_assign",
+      (s, d) => PipelineOps.splitAssign(docs(s, d)),
+      Some(s"""WITH h AS (SELECT doc_id,
+              |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+              |  FROM documents)
+              |SELECT doc_id,
+              |  CASE ${PipelineOps.splitAssignOracleCase(
+                   Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))} END AS split
+              |FROM h ORDER BY doc_id""".stripMargin)),
+
     QueryDef("op_heavy_hitters",
       (s, d) => SketchOps.heavyHitters(docs(s, d), minShare = 0.0015),
       Some(s"""WITH w0 AS (SELECT $dkWords AS w FROM documents),

@@ -126,6 +126,55 @@ object PipelineOps {
     * collapses to ONE packed row for the fold and broadcasts back — the
     * corpus shuffles once on `lang`, and nothing else moves.
     */
+  /** Deterministic train/validation/test split assignment — the last step
+    * of every dataset build. Each row hashes its key (md5, stable across
+    * engines, runs, and cluster layouts) and lands in the split whose
+    * cumulative ratio range covers the hash: the first 8 hex chars of the
+    * digest, compared as fixed-width strings against thresholds
+    * `⌊cum·16⁸⌋` rendered in hex — lexicographic compare of fixed-width
+    * lowercase hex IS numeric compare, so both engines can evaluate the
+    * identical CASE with no integer-parsing builtin required.
+    *
+    * Properties a pipeline needs from a splitter, all by construction:
+    * disjoint + exhaustive (CASE ranges tile [0,16⁸)); stable under
+    * re-runs, repartition, and corpus growth (a doc's split depends only
+    * on its own key); ratio-accurate to ~2⁻³² per row. Map-only: no
+    * shuffle, no state, embarrassingly parallel at any scale.
+    *
+    * `splits` maps name → weight (normalized internally); assignment
+    * follows the given order.
+    */
+  def splitAssign(docs: DataFrame, keyCol: String = "doc_id",
+                  splits: Seq[(String, Double)] =
+                    Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05)): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"need positive split weights, got $splits")
+    val total = splits.map(_._2).sum
+    val cums = splits.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+    val hexMax = 65536.0 * 65536.0 // 16^8
+    val cases = splits.init.zip(cums.init).map { case ((name, _), cum) =>
+      f"when h8 < '${math.min(hexMax - 1, cum * hexMax).toLong}%08x' then '$name'"
+    }.mkString(" ")
+    splitCaseSql(keyCol, cases, splits.last._1, docs)
+  }
+
+  private def splitCaseSql(keyCol: String, cases: String, last: String,
+                           docs: DataFrame): DataFrame =
+    docs.selectExpr(keyCol,
+        s"substring(md5(cast($keyCol as string)), 1, 8) as h8")
+      .selectExpr(keyCol, s"case $cases else '$last' end as split")
+      .orderBy(keyCol)
+
+  /** The `splitAssign` thresholds as a DuckDB CASE, for oracle reuse. */
+  def splitAssignOracleCase(splits: Seq[(String, Double)]): String = {
+    val total = splits.map(_._2).sum
+    val cums = splits.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+    val hexMax = 65536.0 * 65536.0
+    splits.init.zip(cums.init).map { case ((name, _), cum) =>
+      f"WHEN h8 < '${math.min(hexMax - 1, cum * hexMax).toLong}%08x' THEN '$name'"
+    }.mkString(" ") + s" ELSE '${splits.last._1}'"
+  }
+
   def langSampleWeights(docs: DataFrame): DataFrame = {
     val per = docs
       .selectExpr("lang",

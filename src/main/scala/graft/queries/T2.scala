@@ -1297,6 +1297,59 @@ object T2 {
              |    OVER (PARTITION BY user_id ORDER BY ts, event_id
              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
              |FROM events
-             |ORDER BY user_id, event_id""".stripMargin))
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // 44. Value-range window frame (RANGE BETWEEN INTERVAL): per-customer
+    //     rolling 30-day spend — the frame is defined by the ORDER BY
+    //     VALUE, not row offsets, so same-day peers always enter together
+    //     (the semantics ROWS cannot express). Sum accumulates in
+    //     DECIMAL, so the set-valued frame is order-independent and the
+    //     result exact cross-engine. Same SQL text runs in both engines.
+    QueryDef(
+      "q44_range_frame",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT o_custkey, o_orderkey,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+            |    PARTITION BY o_custkey ORDER BY o_orderdate
+            |    RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW)
+            |    AS DOUBLE) AS roll30
+            |FROM orders
+            |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate
+             |    RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW)
+             |    AS DOUBLE) AS roll30
+             |FROM orders
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // 45. BOOL_AND / BOOL_OR / BIT_AND / BIT_OR — the Redshift boolean
+    //     and bitwise aggregate battery (same names in Spark and DuckDB;
+    //     all exact integer/boolean arithmetic, so the gate is direct).
+    QueryDef(
+      "q45_bool_bit_aggs",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql(
+          """SELECT l_returnflag,
+            |  BOOL_AND(l_quantity > 1) AS all_multi,
+            |  BOOL_OR(l_discount > 0.09) AS any_deep_disc,
+            |  BIT_AND(CAST(l_linenumber AS BIGINT)) AS lines_band,
+            |  BIT_OR(CAST(l_linenumber AS BIGINT)) AS lines_bor
+            |FROM lineitem
+            |GROUP BY l_returnflag
+            |ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |  BOOL_AND(l_quantity > 1) AS all_multi,
+             |  BOOL_OR(l_discount > 0.09) AS any_deep_disc,
+             |  BIT_AND(CAST(l_linenumber AS BIGINT)) AS lines_band,
+             |  BIT_OR(CAST(l_linenumber AS BIGINT)) AS lines_bor
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   )
 }

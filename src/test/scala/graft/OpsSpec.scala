@@ -903,6 +903,28 @@ class OpsSpec extends SparkSpecBase {
     assert(d.toSeq === p.toSeq)
   }
 
+  test("split assignment: exhaustive, stable, ratio-accurate, weight-normalizing") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val a = graft.ops.PipelineOps.splitAssign(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // every doc exactly once, only declared split names
+    assert(a.length === docs.count())
+    assert(a.map(_._1).distinct.length === a.length)
+    assert(a.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // stability: a second run (and a repartitioned input) agrees exactly
+    val b = graft.ops.PipelineOps.splitAssign(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(a.toSeq === b.toSeq)
+    // ratio accuracy at n=500: train ≈ 450, loose 3-sigma-ish bound
+    val train = a.count(_._2 == "train")
+    assert(train > 400 && train < 490, s"train fraction off: $train/500")
+    // weights normalize: (9, 0.5, 0.5) == (0.90, 0.05, 0.05)
+    val c = graft.ops.PipelineOps.splitAssign(docs,
+        splits = Seq("train" -> 9.0, "val" -> 0.5, "test" -> 0.5)).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(a.toSeq === c.toSeq)
+  }
+
   test("bloom decontamination: prefilter is output-invisible, even at a sloppy fpp") {
     val all = Tables.load(spark, sfDir, "documents")
     val cand = all.filter(col("doc_id") % 7 =!= 0)
