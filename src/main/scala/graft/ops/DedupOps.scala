@@ -262,7 +262,7 @@ object DedupOps {
     * (element j, 1-based, = [[TextOps.h60]] of the n-gram starting at
     * 0-based token j−1). ONE definition so the Spark side cannot diverge
     * from itself — the paired DuckDB oracles mirror this exact formula. */
-  private def shingleFpsExpr(n: Int): String =
+  private[graft] def shingleFpsExpr(n: Int): String =
     s"""transform(sequence(1, size(w) - $n + 1), i ->
        |  ${TextOps.h60(s"concat_ws(' ', slice(w, i, $n))")})""".stripMargin
 
@@ -353,6 +353,39 @@ object DedupOps {
                          fpp: Double = 0.01): DataFrame =
     contaminationImpl(docs, reference, n, bloomFpp = Some(fpp))
 
+  /** Serialized Bloom sketch over a one-column `fp` DataFrame, sized to
+    * its distinct count (one count over the small side — the honest price
+    * of sizing to the data). Inserts `xxhash64(fp)` so the
+    * `bloom_might_contain` probe's hashing matches. */
+  private def fpBloom(fpSet: DataFrame, fpp: Double): Array[Byte] = {
+    val hashed = fpSet.selectExpr("xxhash64(fp) as h")
+    val nRef = math.max(1L, hashed.count())
+    val bf = hashed.stat.bloomFilter("h", nRef, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** The Bloom sketch of `reference`'s distinct word-`n`-gram shingle
+    * fingerprints — the compact membership surrogate
+    * [[contaminationBloom]] builds internally, exposed so a STREAMING
+    * gate can probe the same sketch statelessly
+    * ([[graft.streaming.StreamingOps.decontaminateGateStream]]): build
+    * once from the static benchmark, embed the bytes, and every incoming
+    * doc scores itself in-row. */
+  def referenceBloom(reference: DataFrame, n: Int = 8,
+                     fpp: Double = 0.01): Array[Byte] = {
+    require(n >= 2, s"shingle width must be ≥ 2 tokens, got $n")
+    val refSet = reference
+      .selectExpr("doc_id", s"${TextOps.wordsExpr("text")} as w")
+      .selectExpr(
+        s"""explode(case when size(w) >= $n
+           |  then array_distinct(${shingleFpsExpr(n)})
+           |  else array() end) as fp""".stripMargin)
+      .distinct()
+    fpBloom(refSet, fpp)
+  }
+
   private def contaminationImpl(docs: DataFrame, reference: DataFrame,
                                 n: Int, bloomFpp: Option[Double]): DataFrame = {
     require(n >= 2, s"shingle width must be ≥ 2 tokens, got $n")
@@ -370,16 +403,8 @@ object DedupOps {
     val probed = bloomFpp match {
       case None => candFps
       case Some(p) =>
-        // size the sketch to the reference's distinct-fp count (one count
-        // over the small side — the honest price of sizing to the data),
-        // insert xxhash64(fp) so the probe's hashing matches
-        val hashed = refSet.selectExpr("xxhash64(fp) as h")
-        val nRef = math.max(1L, hashed.count())
-        val bf = hashed.stat.bloomFilter("h", nRef, p)
-        val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos)
-        candFps.filter(
-          call_function("bloom_might_contain", lit(bos.toByteArray), col("fp")))
+        candFps.filter(call_function("bloom_might_contain",
+          lit(fpBloom(refSet, p)), col("fp")))
     }
     val matched = probed
       .join(refSet, Seq("fp"), "left_semi")

@@ -316,6 +316,53 @@ object StreamingOps {
       .selectExpr("doc_id", "text as clean_text", "n_pii", "quality_score",
         s"cast(quality_score >= $minQuality as int) as keep")
 
+  /** Stateless streaming decontamination gate — the online half of
+    * [[graft.ops.DedupOps.contaminationBloom]]: each incoming document
+    * scores its own contamination IN-ROW against a pre-built Bloom sketch
+    * of the static benchmark's shingle fingerprints
+    * ([[graft.ops.DedupOps.referenceBloom]]) and gates on a threshold. No
+    * state, no watermark, no stream-static join — the sketch rides into
+    * the plan as a constant-folded literal and the probe is Spark's
+    * codegen'd BloomFilterMightContain, so the streaming plan is one map
+    * stage and throughput is source-bound.
+    *
+    * One-sided exactness contract (what a GATE needs): the Bloom sketch
+    * has NO false negatives, so `n_matched` never undercounts and the
+    * streamed contamination never understates the exact batch score — a
+    * document the exact gate would DROP is always dropped here too.
+    * False positives (rate ≤ fpp of the sketch) can only drop extra
+    * borderline-clean docs, the conservative direction for eval-leakage
+    * protection. StreamingSpec pins keep-set ⊆ the exact gate's keep-set
+    * at a sloppy fpp and batch-equivalence at a tight one.
+    *
+    * Output: (doc_id, text, n_sh, n_matched, contamination, keep) —
+    * contamination NULL for docs shorter than `n` tokens ("too short to
+    * measure", kept: an unmeasurable doc is not evidence of leakage).
+    */
+  def decontaminateGateStream(docs: DataFrame, referenceBloom: Array[Byte],
+                              n: Int = 8,
+                              maxContamination: Double = 0.05): DataFrame = {
+    require(n >= 2, s"shingle width must be ≥ 2 tokens, got $n")
+    val b64 = java.util.Base64.getEncoder.encodeToString(referenceBloom)
+    docs
+      .selectExpr("doc_id", "text", s"${graft.ops.TextOps.wordsExpr("text")} as w")
+      .selectExpr("doc_id", "text",
+        s"""case when size(w) >= $n
+           |  then array_distinct(${graft.ops.DedupOps.shingleFpsExpr(n)})
+           |  else array() end as fps""".stripMargin)
+      .selectExpr("doc_id", "text",
+        "cast(size(fps) as bigint) as n_sh",
+        s"""cast(size(filter(fps, fp ->
+           |  bloom_might_contain(unbase64('$b64'), fp))) as bigint)
+           |  as n_matched""".stripMargin)
+      .selectExpr("doc_id", "text", "n_sh", "n_matched",
+        """case when n_sh > 0
+          |  then cast(n_matched as double) / n_sh end as contamination""".stripMargin,
+        s"""cast(n_sh = 0
+           |  or cast(n_matched as double) / n_sh <= $maxContamination
+           |  as int) as keep""".stripMargin)
+  }
+
   /** Streaming heavy hitters — the online half of
     * [[graft.ops.SketchOps.heavyHitters]], same share-threshold contract:
     * the capacity-k Misra-Gries summary runs as a streaming aggregation,

@@ -275,6 +275,48 @@ class StreamingSpec extends SparkSpecBase {
       "fixture should exercise both PII hits and quality drops")
   }
 
+  test("streaming decontamination gate: one-sided vs exact, batch-equal at tight fpp") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = Tables.load(spark, sfDir, "documents")
+    val cand = all.filter("doc_id % 7 <> 0").select("doc_id", "text")
+    val ref = all.filter("doc_id % 7 = 0")
+    val thr = 0.05
+    // the exact gate's verdicts, from the oracle-gated batch scorer
+    val exact = graft.ops.DedupOps.contamination(cand, ref, 8).collect()
+      .map(r => r.getLong(0) ->
+        (r.isNullAt(3) || r.getDouble(3) <= thr)).toMap
+
+    def streamKept(fpp: Double): Map[Long, Int] = {
+      val bloom = graft.ops.DedupOps.referenceBloom(ref, 8, fpp)
+      val rows = cand.orderBy("doc_id").as[(Long, String)].collect()
+      val stream = MemoryStream[(Long, String)]
+      // two deliveries: the gate is stateless, batch boundaries must not matter
+      stream.addData(rows.take(rows.length / 2).toSeq)
+      stream.addData(rows.drop(rows.length / 2).toSeq)
+      val name = s"decon_stream_${(fpp * 1e6).toLong}"
+      val q = StreamingOps.decontaminateGateStream(
+          stream.toDF().toDF("doc_id", "text"), bloom, 8, thr)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).collect()
+        .map(r => r.getLong(0) -> r.getInt(5)).toMap
+    }
+
+    // tight sketch: zero false positives on this corpus → exact agreement
+    val tight = streamKept(1e-8)
+    assert(tight.size === exact.size)
+    assert(tight.forall { case (id, k) => (k == 1) === exact(id) },
+      "tight-fpp stream gate must equal the exact gate")
+    assert(tight.values.exists(_ == 0) && tight.values.exists(_ == 1),
+      "fixture should exercise both verdicts")
+    // sloppy sketch: false positives may drop extra docs but NEVER keep a
+    // doc the exact gate drops (no false negatives in a Bloom filter)
+    val sloppy = streamKept(0.5)
+    assert(sloppy.forall { case (id, k) => k == 0 || exact(id) },
+      "stream gate kept a doc the exact gate drops")
+  }
+
   test("streaming heavy hitters: candidate superset with valid bounds, merged across batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val share = 0.0015
