@@ -398,7 +398,11 @@ object DedupOps {
     val cand = fps(docs)
       .selectExpr("doc_id", "cast(size(fps) as bigint) as n_sh", "fps")
       .persist()
-    val refSet = fps(reference).selectExpr("explode(fps) as fp").distinct()
+    // persisted in the bloom path: the sketch build reads it twice
+    // (count + filter aggregation) before the semi-join does — without the
+    // persist the reference tokenize+md5+distinct runs three times
+    val refSet0 = fps(reference).selectExpr("explode(fps) as fp").distinct()
+    val refSet = if (bloomFpp.isDefined) refSet0.persist() else refSet0
     val candFps = cand.selectExpr("doc_id", "explode(fps) as fp")
     val probed = bloomFpp match {
       case None => candFps

@@ -922,6 +922,37 @@ object OpQueries {
               |         / (CAST(n_tokens AS DOUBLE) / n_total) AS boost
               |FROM per, tot ORDER BY lang""".stripMargin)),
 
+    // Epoch materialization: the lang-weights boosts APPLIED — ⌊boost⌋
+    // copies per doc plus a hash-fraction extra, exploded. The oracle
+    // recomputes the full weight pipeline AND the copy arithmetic, so the
+    // materialized epoch (every (doc, copy) row) hash-gates end to end.
+    QueryDef("op_epoch_sample",
+      (s, d) => PipelineOps.epochMaterialize(docs(s, d)),
+      Some(s"""WITH per AS (SELECT lang, COUNT(*) AS n_docs,
+              |         CAST(SUM(len($dkWords)) AS BIGINT) AS n_tokens
+              |       FROM documents GROUP BY lang),
+              |tot0 AS (SELECT SUM(n_tokens) AS n_total FROM per),
+              |tot AS (SELECT n_total,
+              |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              |           list(sqrt(CAST(n_tokens AS DOUBLE) / n_total) ORDER BY lang)),
+              |           (a, x) -> a + x) AS sum_w
+              |       FROM per, tot0 GROUP BY n_total),
+              |w AS (SELECT lang,
+              |       (sqrt(CAST(n_tokens AS DOUBLE) / n_total) / sum_w)
+              |         / (CAST(n_tokens AS DOUBLE) / n_total) AS boost
+              |      FROM per, tot),
+              |nc AS (SELECT d.doc_id, d.lang,
+              |         CAST(floor(w.boost) AS BIGINT)
+              |           + CAST((${dkH60("CAST(d.doc_id AS VARCHAR)")} % 1048576)
+              |                    / 1048576.0 < w.boost - floor(w.boost) AS BIGINT)
+              |           AS n_copies
+              |       FROM documents d JOIN w USING (lang))
+              |SELECT doc_id, lang, copy FROM (
+              |  SELECT doc_id, lang,
+              |         unnest(generate_series(1, CAST(n_copies AS BIGINT))) AS copy
+              |  FROM nc WHERE n_copies > 0)
+              |ORDER BY doc_id, copy""".stripMargin)),
+
     // Deterministic train/val/test split: md5-keyed range assignment,
     // thresholds rendered as fixed-width hex so both engines compare
     // strings (lexicographic == numeric for fixed-width hex). The full

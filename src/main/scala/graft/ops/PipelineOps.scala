@@ -106,6 +106,38 @@ object PipelineOps {
       .select(sc ++ Seq(c(keyCol), col("rn").cast("long").as("rn")): _*)
   }
 
+  /** Epoch materialization under temperature sampling — the step that
+    * turns [[langSampleWeights]]' per-language boost into an actual
+    * training epoch: each document is emitted `⌊boost⌋` times plus one
+    * more with probability `frac(boost)`, decided by the document's own
+    * portable hash (u = h60(doc_id) mod 2²⁰ scaled to [0,1)) — so an
+    * up-weighted language's docs repeat and a down-weighted one's thin
+    * out, with E[copies] = boost exactly and ZERO randomness: the epoch
+    * is a pure function of the corpus, reproducible across engines, runs,
+    * and cluster layouts (the property that makes training runs
+    * repeatable and elastic).
+    *
+    * Scale shape: the boost table is a per-language aggregate broadcast
+    * back onto the corpus; copy counting and the explode are map-only —
+    * the epoch never shuffles. Every arithmetic step (integer hash mod,
+    * one division, IEEE floor/subtract/compare) is exact cross-engine, so
+    * the materialized epoch hash-gates row for row.
+    */
+  def epochMaterialize(docs: DataFrame): DataFrame = {
+    val w = langSampleWeights(docs).select("lang", "boost")
+    docs.select("doc_id", "lang")
+      .join(broadcast(w), Seq("lang"))
+      .selectExpr("doc_id", "lang",
+        s"""cast(floor(boost) as bigint)
+           |  + cast((${TextOps.h60("cast(doc_id as string)")} % 1048576)
+           |           / 1048576.0 < boost - floor(boost) as bigint)
+           |  as n_copies""".stripMargin)
+      .filter(col("n_copies") > 0)
+      .selectExpr("doc_id", "lang",
+        "explode(sequence(cast(1 as bigint), n_copies)) as copy")
+      .orderBy("doc_id", "copy")
+  }
+
   /** Per-language temperature-sampling weights — the multilingual
     * balancing recipe every large multilingual LM uses (XLM-R, Conneau et
     * al. 2020; mT5: sample language l with probability ∝ (n_l/N)^α, α<1,

@@ -903,6 +903,39 @@ class OpsSpec extends SparkSpecBase {
     assert(d.toSeq === p.toSeq)
   }
 
+  test("epoch materialization: copy counts follow the boosts, deterministic, map-only epoch") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val epoch = graft.ops.PipelineOps.epochMaterialize(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val boosts = graft.ops.PipelineOps.langSampleWeights(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    val nDocs = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // per-doc copies are contiguous 1..k and k ∈ {⌊boost⌋, ⌊boost⌋+1}
+    epoch.groupBy(t => (t._1, t._2)).foreach { case ((id, lang), rows) =>
+      val copies = rows.map(_._3).sorted.toSeq
+      assert(copies === (1L to copies.length).toSeq, s"copies not contiguous for $id")
+      val fl = math.floor(boosts(lang)).toLong
+      assert(copies.length == fl || copies.length == fl + 1,
+        s"doc $id of $lang got ${copies.length} copies for boost ${boosts(lang)}")
+    }
+    // per-language epoch size ≈ boost · n_docs (hash fraction averages out;
+    // 20% slack at fixture scale)
+    boosts.foreach { case (lang, b) =>
+      val got = epoch.count(_._2 == lang).toDouble
+      val want = b * nDocs(lang)
+      assert(math.abs(got - want) <= math.max(5.0, 0.2 * want),
+        s"$lang epoch size $got vs expected $want")
+    }
+    // the dominant language is down-sampled, the rarest up-sampled
+    assert(boosts("en") < 1.0 && boosts.values.max > 1.0)
+    // deterministic: a repartitioned rerun materializes the identical epoch
+    val again = graft.ops.PipelineOps.epochMaterialize(docs.repartition(11))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(epoch.toSeq === again.toSeq)
+  }
+
   test("split assignment: exhaustive, stable, ratio-accurate, weight-normalizing") {
     val docs = Tables.load(spark, sfDir, "documents")
     val a = graft.ops.PipelineOps.splitAssign(docs).collect()
