@@ -1350,6 +1350,58 @@ object T2 {
              |  BIT_OR(CAST(l_linenumber AS BIGINT)) AS lines_bor
              |FROM lineitem
              |GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // 46. Ranking-function battery: DENSE_RANK (over a low-cardinality
+    //     key, so ties are exercised), PERCENT_RANK and CUME_DIST (both
+    //     tie-stable rationals — one exact division each), and NTILE
+    //     (row-order-dependent, so its ORDER BY carries a unique
+    //     tiebreaker). Casts pin the integer ranks to BIGINT in both
+    //     engines. Same SQL text runs in both.
+    QueryDef(
+      "q46_rank_battery",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT o_custkey, o_orderkey,
+            |  CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS BIGINT) AS status_rank,
+            |  CAST(PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS DOUBLE) AS price_prank,
+            |  CAST(CUME_DIST() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS DOUBLE) AS price_cume,
+            |  CAST(NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS price_quartile
+            |FROM orders
+            |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS BIGINT) AS status_rank,
+             |  CAST(PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS DOUBLE) AS price_prank,
+             |  CAST(CUME_DIST() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS DOUBLE) AS price_cume,
+             |  CAST(NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS price_quartile
+             |FROM orders
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // 47. GROUPING() under ROLLUP — distinguishing "aggregated away"
+    //     from "genuinely NULL" is the whole point of the function, and
+    //     the NULLS LAST pins make the subtotal rows sort identically in
+    //     both engines (their ASC null defaults differ).
+    QueryDef(
+      "q47_grouping_fn",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT o_orderpriority, o_orderstatus,
+            |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+            |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+            |  COUNT(*) AS n
+            |FROM orders
+            |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+            |ORDER BY o_orderpriority NULLS LAST, o_orderstatus NULLS LAST""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus,
+             |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+             |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+             |  COUNT(*) AS n
+             |FROM orders
+             |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+             |ORDER BY o_orderpriority NULLS LAST, o_orderstatus NULLS LAST""".stripMargin))
   )
 }

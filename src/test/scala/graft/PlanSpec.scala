@@ -72,6 +72,7 @@ class PlanSpec extends SparkSpecBase {
       "op_dedup_embedding", "op_embed_kmeans", "op_embed_kmeans_pruned",
       "op_embed_pq", "op_sim_topk_pq",
       "op_bm25_topk", "op_profile", "op_lang_sample_weights",
+      "op_epoch_sample",
       "op_dedup_semantic", "op_dedup_semantic_auto")
     graft.ops.OpQueries.defs.foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
