@@ -331,4 +331,95 @@ object ClusterOps {
       .select("qid", "rank", "nid", "dist")
       .orderBy("qid", "rank")
   }
+
+  /** IVF-PQ search (the composite every billion-vector ANN system runs,
+    * Jégou et al. TPAMI 2011 §IV): a coarse quantizer (`kc` full-dim
+    * k-means cells) restricts each query to its `nprobe` nearest cells,
+    * and only vectors IN probed cells are ADC-scored against the PQ
+    * codes — the scan shrinks to ~nprobe/kc of the corpus ON TOP of PQ's
+    * per-vector compression. This variant codes the original vectors
+    * (IVFADC-without-residuals); residual coding is the next refinement
+    * and slots into the same structure (subtract the broadcast cell
+    * centroid before [[pqCodes]]' slices).
+    *
+    * Everything stays exact-deterministic (coarse assignment, probe
+    * sets, lookup tables, the subspace-order fold), so the whole result
+    * — including which (query, vector) pairs are scored at all —
+    * hash-gates against an independent DuckDB implementation.
+    *
+    * Scale shape, one step past [[pqTopK]]: the corpus row's cell id
+    * rides the SAME groupBy(vec_id) as its PQ codes (a subspace -1 entry
+    * — no extra join), probe sets ride the one-row query broadcast, and
+    * cell filtering is an in-row array_contains BEFORE any distance work
+    * — still zero shuffles between the code aggregation and the final
+    * per-query top-k.
+    */
+  def pqTopKIvf(emb: DataFrame, dim: Int = 64, m: Int = 4, ksub: Int = 8,
+                kc: Int = 8, nprobe: Int = 2, iters: Int = 2, k: Int = 5,
+                nQueries: Int = 20): DataFrame = {
+    require(m > 0 && dim % m == 0, s"need m dividing dim; got dim=$dim m=$m")
+    require(nprobe > 0 && nprobe <= kc, s"need 0 < nprobe <= kc; got $nprobe/$kc")
+    val d = dim / m
+
+    // coarse quantizer: full-dim cells; the corpus keeps (vec_id, cell)
+    val (cCells, cAsg) = kmeansFit(emb, kc, iters)
+    val cPacked = cCells.selectExpr("cid", "m", "array_dot(m, m) as mm")
+
+    // per-query probe set: the nprobe nearest cells under the same exact
+    // distance tree / (dist, cid) tie-break as assignment (nQ·kc rows)
+    val probe = quantized(emb).filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cPacked))
+      .selectExpr("vec_id as qid", "cid",
+        "xx - 2 * array_dot(xd, m) + mm as dist")
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist").asc, col("cid"))))
+      .filter(col("pr") <= nprobe)
+      .groupBy("qid").agg(expr("array_sort(collect_list(cid))").as("probe"))
+
+    // PQ codes + lookup tables per subspace (as in pqTopK)
+    val parts = (0 until m).map { s =>
+      val sub = emb.selectExpr("vec_id",
+        s"slice(embedding, ${s * d + 1}, $d) as embedding")
+      val (cells, asg) = kmeansFit(sub, ksub, iters)
+      val codes = asg.selectExpr("vec_id",
+        s"cast($s as bigint) as subspace", "cluster as code")
+      val lut = quantized(sub).filter(col("vec_id") < nQueries)
+        .crossJoin(broadcast(
+          cells.selectExpr("cid", "m", "array_dot(m, m) as mm")))
+        .selectExpr("vec_id as qid", s"cast($s as bigint) as subspace",
+          "cid", "xx - 2 * array_dot(xd, m) + mm as term")
+      (codes, lut)
+    }
+    // the cell id joins the code tuple as subspace -1 — sorted first, so
+    // codes[0] = cell and codes[i+1] = subspace-i code; ONE shuffle total
+    val codes = parts.map(_._1)
+      .reduce(_ unionAll _)
+      .unionAll(cAsg.selectExpr("vec_id",
+        "cast(-1 as bigint) as subspace", "cluster as code"))
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(subspace, code)))," +
+        " t -> cast(t.code as int))").as("codes"))
+    val luts = parts.map(_._2).reduce(_ unionAll _)
+      .groupBy("qid", "subspace")
+      .agg(expr("transform(array_sort(collect_list(struct(cid, term)))," +
+        " t -> t.term)").as("lt"))
+      .groupBy("qid")
+      .agg(expr("transform(array_sort(collect_list(struct(subspace, lt)))," +
+        " t -> t.lt)").as("luts"))
+      .join(probe, Seq("qid"))
+      .agg(collect_list(struct(col("qid"), col("luts"), col("probe"))).as("qs"))
+
+    val scored = codes.crossJoin(broadcast(luts))
+      .select(col("vec_id").as("nid"), col("codes"),
+        explode(col("qs")).as("q"))
+      .filter(expr("q.qid <> nid and array_contains(q.probe, cast(codes[0] as bigint))"))
+      .selectExpr("q.qid as qid", "nid",
+        s"""aggregate(sequence(0, ${m - 1}), cast(0 as double),
+           |  (a, s) -> a + q.luts[s][codes[s + 1]]) as dist""".stripMargin)
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "dist")
+      .orderBy("qid", "rank")
+  }
 }

@@ -688,6 +688,16 @@ object OpQueries {
       Some(dkPqTopKOracle(dim = 64, m = 4, ksub = 8, iters = 2, k = 5,
         nQueries = 20))),
 
+    // IVF-PQ: the composite — a full-dim coarse quantizer restricts each
+    // query to its nprobe nearest cells, ADC runs only on vectors in
+    // probed cells. Which pairs are scored AT ALL is part of the gate
+    // (probe sets + cell assignment + distances all hash-match).
+    QueryDef("op_sim_topk_ivfpq",
+      (s, d) => ClusterOps.pqTopKIvf(emb(s, d), dim = 64, m = 4, ksub = 8,
+        kc = 8, nprobe = 2, iters = 2, k = 5, nQueries = 20),
+      Some(dkPqTopKIvfOracle(dim = 64, m = 4, ksub = 8, kc = 8, nprobe = 2,
+        iters = 2, k = 5, nQueries = 20))),
+
     // Semantic dedup (SemDeDup): cosine near-dup pairs WITHIN k-means
     // clusters — the sub-quadratic sibling of op_dedup_embedding's exact
     // all-pairs tier. Pairs AND their cosines hash-gate (clustering and
@@ -1114,6 +1124,56 @@ object OpQueries {
        |codes AS ($codes),
        |pair AS (SELECT t.qid, c.vec_id AS nid, t.sub, t.term
        |         FROM terms t JOIN codes c ON c.sub = t.sub AND c.cluster = t.cid
+       |         WHERE c.vec_id <> t.qid),
+       |dist AS (SELECT qid, nid,
+       |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |             list(term ORDER BY sub)), (a, b) -> a + b) AS dist
+       |         FROM pair GROUP BY qid, nid)
+       |SELECT qid, rank, nid, dist FROM (
+       |  SELECT qid, nid, dist,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rank
+       |  FROM dist) WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  /** DuckDB mirror of [[ClusterOps.pqTopKIvf]]: the PQ chains plus a
+    * full-dim coarse chain (sfx `_c`); per query the `nprobe` nearest
+    * cells under the same (dist, cid) tie-break, and the ADC pair join
+    * additionally requires the corpus vector's coarse cell to be probed. */
+  private def dkPqTopKIvfOracle(dim: Int, m: Int, ksub: Int, kc: Int,
+                                nprobe: Int, iters: Int, k: Int,
+                                nQueries: Int): String = {
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+    val d = dim / m
+    val chains = (dkKmeansCtes(kc.toString, iters, sfx = "_c") +:
+      (0 until m).map { s =>
+        dkKmeansCtes(ksub.toString, iters, sfx = s"_p$s",
+          srcExpr = s"embedding[${s * d + 1}:${(s + 1) * d}]")
+      }).mkString(",\n")
+    val terms = (0 until m).map { s =>
+      s"""SELECT q.vec_id AS qid, CAST($s AS BIGINT) AS sub, c.cid,
+         |       q.xx - 2 * ${dot("q.xd", "c.m")} + ${dot("c.m", "c.m")} AS term
+         |FROM qx_p$s q CROSS JOIN c${iters}_p$s c WHERE q.vec_id < $nQueries""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val codes = (0 until m).map { s =>
+      s"SELECT vec_id, CAST($s AS BIGINT) AS sub, cluster FROM asg_p$s"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $chains,
+       |probe AS (SELECT qid, cid AS cell FROM (
+       |  SELECT q.vec_id AS qid, c.cid,
+       |         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |           q.xx - 2 * ${dot("q.xd", "c.m")} + ${dot("c.m", "c.m")}, c.cid) AS pr
+       |  FROM qx_c q CROSS JOIN c${iters}_c c WHERE q.vec_id < $nQueries)
+       |  WHERE pr <= $nprobe),
+       |terms AS ($terms),
+       |codes AS ($codes),
+       |pair AS (SELECT t.qid, c.vec_id AS nid, t.sub, t.term
+       |         FROM terms t
+       |         JOIN codes c ON c.sub = t.sub AND c.cluster = t.cid
+       |         JOIN asg_c ON asg_c.vec_id = c.vec_id
+       |         JOIN probe ON probe.qid = t.qid AND probe.cell = asg_c.cluster
        |         WHERE c.vec_id <> t.qid),
        |dist AS (SELECT qid, nid,
        |           list_reduce(list_prepend(CAST(0 AS DOUBLE),

@@ -1074,6 +1074,43 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("ivf-pq: probed-cell restriction holds; exact recall on planted clusters at nprobe=1") {
+    // structural: ranks contiguous from 1, ≤ k per query, on the fixture
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val res = graft.ops.ClusterOps.pqTopKIvf(emb, dim = 64, m = 4, ksub = 8,
+      kc = 8, nprobe = 2, iters = 1, k = 5, nQueries = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    res.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq,
+        s"ranks not contiguous for query $q")
+    }
+    // planted well-separated clusters, nprobe=1: the query's own cluster
+    // is always the probed cell and holds all true neighbors, so IVF-PQ
+    // must equal exact brute force
+    val pts = spark.range(120).selectExpr(
+      "id as vec_id",
+      """transform(sequence(0, 63), j -> cast(
+        |  case when cast(j as bigint) % 3 = id % 3 then 50.0 else 0.0 end
+        |  + cast(id as double) / 1000.0 as float)) as embedding""".stripMargin)
+    val ivfpq = graft.ops.ClusterOps.pqTopKIvf(pts, dim = 64, m = 4, ksub = 3,
+      kc = 3, nprobe = 1, iters = 2, k = 5, nQueries = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val scale = 1048576.0
+    val all = pts.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * scale)).toArray
+    }
+    (0L until 6L).foreach { q =>
+      val qv = all.find(_._1 == q).get._2
+      def dd(a: Array[Double], b: Array[Double]) =
+        a.indices.foldLeft(0.0)((acc, i) => acc + (a(i) - b(i)) * (a(i) - b(i)))
+      val exact = all.filter(_._1 != q)
+        .map { case (id, v) => (dd(qv, v), id) }.sorted.take(5).map(_._2).toSet
+      assert(ivfpq(q).map(_._2).toSet === exact, s"query $q recall < 1")
+    }
+  }
+
   test("heavy hitters: exact despite MG pruning, partitioning-invariant, capacity-guarded") {
     // 100 distinct noise tokens force eviction churn in a k=10 summary;
     // the rescore pass must still return the exact ≥25 set
