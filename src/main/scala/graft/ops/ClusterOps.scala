@@ -422,4 +422,118 @@ object ClusterOps {
       .select("qid", "rank", "nid", "dist")
       .orderBy("qid", "rank")
   }
+
+  /** Residual IVF-PQ — the full IVFADC of Jégou et al. TPAMI 2011 §IV:
+    * PQ codebooks are trained on RESIDUALS `x − c(cell)` rather than raw
+    * vectors, which is what makes the coarse+fine composite actually
+    * precise (residuals concentrate near 0, so ksub centroids cover them
+    * far more densely than they cover the raw space). The price is that
+    * ADC lookup tables become per-(query, probed cell): the query's
+    * residual differs per cell, so each probed cell gets its own m×ksub
+    * term table — still nQueries·nprobe·m·ksub doubles, KBs, one
+    * broadcast row.
+    *
+    * Exactness: residuals are computed in the quantized-double space
+    * (`(xd − m)/2²⁰` — subtraction and the power-of-two division are
+    * exact IEEE) and then re-enter the standard quantize→cluster→ADC
+    * pipeline, so corpus codes, probe sets, per-cell tables and the
+    * subspace-order fold all hash-gate against an independent DuckDB
+    * implementation, same as [[pqTopKIvf]].
+    *
+    * Scale shape is unchanged from [[pqTopKIvf]]: residual computation is
+    * a map-only zip_with against the broadcast (≤ kc-row) centroid table;
+    * the cell id rides the same groupBy(vec_id) as the codes; scoring is
+    * map-only against the one-row broadcast and a corpus row folds ONLY
+    * the table of its own cell (in-row filter, no join).
+    */
+  def pqTopKIvfRes(emb: DataFrame, dim: Int = 64, m: Int = 4, ksub: Int = 8,
+                   kc: Int = 8, nprobe: Int = 2, iters: Int = 2, k: Int = 5,
+                   nQueries: Int = 20): DataFrame = {
+    require(m > 0 && dim % m == 0, s"need m dividing dim; got dim=$dim m=$m")
+    require(nprobe > 0 && nprobe <= kc, s"need 0 < nprobe <= kc; got $nprobe/$kc")
+    val d = dim / m
+
+    val (cCells, cAsg) = kmeansFit(emb, kc, iters)
+    val cPacked = cCells.selectExpr("cid", "m", "array_dot(m, m) as mm")
+
+    // corpus residuals, back in original units: (xd − m)/2²⁰ — both ops
+    // exact in IEEE doubles, so both engines derive identical residuals
+    val res = cAsg
+      .join(broadcast(cCells.withColumnRenamed("cid", "cluster")), Seq("cluster"))
+      .selectExpr("vec_id", "cluster as cell",
+        s"zip_with(transform(xq, v -> cast(v as double)), m," +
+          s" (a, b) -> (a - b) / $SCALE) as embedding")
+
+    // probe set over the ORIGINAL vectors (the coarse index is unchanged)
+    val probePairs = quantized(emb).filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cPacked))
+      .selectExpr("vec_id as qid", "cid",
+        "xx - 2 * array_dot(xd, m) + mm as dist")
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist").asc, col("cid"))))
+      .filter(col("pr") <= nprobe)
+      .selectExpr("qid", "cid as cell")
+
+    // per-(query, probed cell) residual — one tiny row each
+    val qres = probePairs
+      .join(quantized(emb).selectExpr("vec_id as qid", "xd"), Seq("qid"))
+      .join(broadcast(cCells.withColumnRenamed("cid", "cell")), Seq("cell"))
+      .selectExpr("qid", "cell",
+        s"zip_with(xd, m, (a, b) -> (a - b) / $SCALE) as embedding")
+
+    // subspace chains over the residual corpus; tables per (qid, cell)
+    val parts = (0 until m).map { s =>
+      val sub = res.selectExpr("vec_id",
+        s"slice(embedding, ${s * d + 1}, $d) as embedding")
+      val (cells, asg) = kmeansFit(sub, ksub, iters)
+      val codes = asg.selectExpr("vec_id",
+        s"cast($s as bigint) as subspace", "cluster as code")
+      val lut = qres
+        .selectExpr("qid", "cell",
+          s"transform(slice(embedding, ${s * d + 1}, $d)," +
+            s" x -> cast(floor(cast(x as double) * $SCALE) as bigint)) as xq")
+        .selectExpr("qid", "cell", "transform(xq, v -> cast(v as double)) as xd")
+        .selectExpr("qid", "cell", "xd", "array_dot(xd, xd) as xx")
+        .crossJoin(broadcast(
+          cells.selectExpr("cid", "m", "array_dot(m, m) as mm")))
+        .selectExpr("qid", "cell", s"cast($s as bigint) as subspace",
+          "cid", "xx - 2 * array_dot(xd, m) + mm as term")
+      (codes, lut)
+    }
+    val codes = parts.map(_._1)
+      .reduce(_ unionAll _)
+      .unionAll(cAsg.selectExpr("vec_id",
+        "cast(-1 as bigint) as subspace", "cluster as code"))
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(subspace, code)))," +
+        " t -> cast(t.code as int))").as("codes"))
+    // broadcast unit: per query, an array of (cell, per-subspace tables)
+    val luts = parts.map(_._2).reduce(_ unionAll _)
+      .groupBy("qid", "cell", "subspace")
+      .agg(expr("transform(array_sort(collect_list(struct(cid, term)))," +
+        " t -> t.term)").as("lt"))
+      .groupBy("qid", "cell")
+      .agg(expr("transform(array_sort(collect_list(struct(subspace, lt)))," +
+        " t -> t.lt)").as("luts"))
+      .groupBy("qid")
+      .agg(expr("array_sort(collect_list(struct(cell, luts)))").as("cells"))
+      .agg(collect_list(struct(col("qid"), col("cells"))).as("qs"))
+
+    // map-only ADC: a corpus row folds the table of its OWN cell, if probed
+    val scored = codes.crossJoin(broadcast(luts))
+      .select(col("vec_id").as("nid"), col("codes"),
+        explode(col("qs")).as("q"))
+      .filter(expr("q.qid <> nid"))
+      .withColumn("e",
+        expr("filter(q.cells, e -> e.cell = cast(codes[0] as bigint))"))
+      .filter(size(col("e")) > 0)
+      .selectExpr("q.qid as qid", "nid",
+        s"""aggregate(sequence(0, ${m - 1}), cast(0 as double),
+           |  (a, s) -> a + e[0].luts[s][codes[s + 1]]) as dist""".stripMargin)
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "dist")
+      .orderBy("qid", "rank")
+  }
 }

@@ -698,6 +698,15 @@ object OpQueries {
       Some(dkPqTopKIvfOracle(dim = 64, m = 4, ksub = 8, kc = 8, nprobe = 2,
         iters = 2, k = 5, nQueries = 20))),
 
+    // Residual IVF-PQ (full IVFADC): PQ codebooks trained on x − c(cell),
+    // ADC tables per (query, probed cell). Probe sets, residuals, codes
+    // and distances all hash-gate against the independent DuckDB mirror.
+    QueryDef("op_sim_topk_ivfpq_res",
+      (s, d) => ClusterOps.pqTopKIvfRes(emb(s, d), dim = 64, m = 4, ksub = 8,
+        kc = 8, nprobe = 2, iters = 2, k = 5, nQueries = 20),
+      Some(dkPqTopKIvfResOracle(dim = 64, m = 4, ksub = 8, kc = 8, nprobe = 2,
+        iters = 2, k = 5, nQueries = 20))),
+
     // Semantic dedup (SemDeDup): cosine near-dup pairs WITHIN k-means
     // clusters — the sub-quadratic sibling of op_dedup_embedding's exact
     // all-pairs tier. Pairs AND their cosines hash-gate (clustering and
@@ -1009,12 +1018,15 @@ object OpQueries {
     * one statement (the PQ oracle runs one chain per subspace). `sfx`
     * suffixes every CTE name; `srcExpr` is the DuckDB expression yielding
     * the (sub)vector to cluster — `embedding` for the full-vector oracles,
-    * a `embedding[a:b]` slice per PQ subspace. Exposed CTEs per suffix:
+    * a `embedding[a:b]` slice per PQ subspace. `srcTable` lets a chain run
+    * over a derived relation (the residual-IVFPQ oracle clusters a CTE of
+    * residuals, not the base table). Exposed CTEs per suffix:
     * `qd$sfx` (quantized vectors), `c$iters$sfx` (final centroids),
     * `asg$sfx` (vec_id → cluster).
     */
   private def dkKmeansCtes(kExpr: String, iters: Int, sfx: String = "",
-                           srcExpr: String = "embedding"): String = {
+                           srcExpr: String = "embedding",
+                           srcTable: String = "embeddings"): String = {
     def dot(a: String, b: String) =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |  list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
@@ -1036,7 +1048,7 @@ object OpQueries {
     val head =
       s"""q$sfx AS (SELECT vec_id,
          |  list_transform($srcExpr, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS xq
-         |  FROM embeddings),
+         |  FROM $srcTable),
          |qd$sfx AS (SELECT vec_id, xq, list_transform(xq, v -> CAST(v AS DOUBLE)) AS xd FROM q$sfx),
          |qx$sfx AS (SELECT vec_id, xq, xd, ${dot("xd", "xd")} AS xx FROM qd$sfx),
          |c0$sfx AS (SELECT cid, m FROM (
@@ -1174,6 +1186,76 @@ object OpQueries {
        |         JOIN codes c ON c.sub = t.sub AND c.cluster = t.cid
        |         JOIN asg_c ON asg_c.vec_id = c.vec_id
        |         JOIN probe ON probe.qid = t.qid AND probe.cell = asg_c.cluster
+       |         WHERE c.vec_id <> t.qid),
+       |dist AS (SELECT qid, nid,
+       |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |             list(term ORDER BY sub)), (a, b) -> a + b) AS dist
+       |         FROM pair GROUP BY qid, nid)
+       |SELECT qid, rank, nid, dist FROM (
+       |  SELECT qid, nid, dist,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rank
+       |  FROM dist) WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  /** DuckDB mirror of [[ClusterOps.pqTopKIvfRes]]: the coarse chain, a
+    * `resid` CTE of per-vector residuals `(xd − m)/2²⁰`, subspace chains
+    * OVER the residual relation, per-(query, probed cell) residual tables,
+    * and an ADC pair join that additionally requires the corpus vector's
+    * coarse cell to equal the table's cell (which is the probe
+    * restriction, since tables exist only for probed cells). */
+  private def dkPqTopKIvfResOracle(dim: Int, m: Int, ksub: Int, kc: Int,
+                                   nprobe: Int, iters: Int, k: Int,
+                                   nQueries: Int): String = {
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+    val d = dim / m
+    val resid =
+      s"""resid AS (SELECT a.vec_id,
+         |  list_transform(range(1, len(q.xd) + 1), i -> (q.xd[i] - c.m[i]) / 1048576.0) AS embedding
+         |  FROM asg_c a JOIN qx_c q ON q.vec_id = a.vec_id
+         |  JOIN c${iters}_c c ON c.cid = a.cluster)""".stripMargin
+    val chains = (dkKmeansCtes(kc.toString, iters, sfx = "_c") +: resid +:
+      (0 until m).map { s =>
+        dkKmeansCtes(ksub.toString, iters, sfx = s"_p$s",
+          srcExpr = s"embedding[${s * d + 1}:${(s + 1) * d}]",
+          srcTable = "resid")
+      }).mkString(",\n")
+    val qsubs = (0 until m).map { s =>
+      s"""qq$s AS (SELECT qid, cell,
+         |  list_transform(r[${s * d + 1}:${(s + 1) * d}],
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS xq
+         |  FROM qres),
+         |qqd$s AS (SELECT qid, cell, list_transform(xq, v -> CAST(v AS DOUBLE)) AS xd FROM qq$s),
+         |qqx$s AS (SELECT qid, cell, xd, ${dot("xd", "xd")} AS xx FROM qqd$s)""".stripMargin
+    }.mkString(",\n")
+    val terms = (0 until m).map { s =>
+      s"""SELECT q.qid, q.cell, CAST($s AS BIGINT) AS sub, c.cid,
+         |       q.xx - 2 * ${dot("q.xd", "c.m")} + ${dot("c.m", "c.m")} AS term
+         |FROM qqx$s q CROSS JOIN c${iters}_p$s c""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val codes = (0 until m).map { s =>
+      s"SELECT vec_id, CAST($s AS BIGINT) AS sub, cluster FROM asg_p$s"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $chains,
+       |probe AS (SELECT qid, cid AS cell FROM (
+       |  SELECT q.vec_id AS qid, c.cid,
+       |         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |           q.xx - 2 * ${dot("q.xd", "c.m")} + ${dot("c.m", "c.m")}, c.cid) AS pr
+       |  FROM qx_c q CROSS JOIN c${iters}_c c WHERE q.vec_id < $nQueries)
+       |  WHERE pr <= $nprobe),
+       |qres AS (SELECT p.qid, p.cell,
+       |  list_transform(range(1, len(q.xd) + 1), i -> (q.xd[i] - c.m[i]) / 1048576.0) AS r
+       |  FROM probe p JOIN qx_c q ON q.vec_id = p.qid
+       |  JOIN c${iters}_c c ON c.cid = p.cell),
+       |$qsubs,
+       |terms AS ($terms),
+       |codes AS ($codes),
+       |pair AS (SELECT t.qid, c.vec_id AS nid, t.sub, t.term
+       |         FROM terms t
+       |         JOIN codes c ON c.sub = t.sub AND c.cluster = t.cid
+       |         JOIN asg_c ON asg_c.vec_id = c.vec_id AND asg_c.cluster = t.cell
        |         WHERE c.vec_id <> t.qid),
        |dist AS (SELECT qid, nid,
        |           list_reduce(list_prepend(CAST(0 AS DOUBLE),

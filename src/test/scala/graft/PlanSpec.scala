@@ -71,6 +71,7 @@ class PlanSpec extends SparkSpecBase {
     val bnljAllowed = Set("op_sim_topk", "op_sim_topk_agg", "op_sim_topk_ivf",
       "op_dedup_embedding", "op_embed_kmeans", "op_embed_kmeans_pruned",
       "op_embed_pq", "op_sim_topk_pq", "op_sim_topk_ivfpq",
+      "op_sim_topk_ivfpq_res",
       "op_bm25_topk", "op_profile", "op_lang_sample_weights",
       "op_epoch_sample",
       "op_dedup_semantic", "op_dedup_semantic_auto")
