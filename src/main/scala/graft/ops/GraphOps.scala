@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank over an edge list, in EXACT integer fixed-point
+  * arithmetic — the link-analysis primitive of web-corpus curation (page
+  * quality weighting à la Common Crawl ranking) and, over a word
+  * co-occurrence graph, TextRank keyword extraction (Mihalcea & Tarau,
+  * EMNLP 2004 — public). The reference reaches graph analytics only as
+  * SQL shipped to the warehouse (`execute_sql.py:64,77`); here it is a
+  * first-class distributed operator.
+  *
+  * ==Exactness==
+  * Ranks are BIGINT fixed-point at scale `S` (default 2⁴⁰); every update
+  * is integer arithmetic only — `contrib(u→v) = (r·w) div outw`,
+  * `r'(v) = (15·(S div n)) div 100 + (85·Σcontrib) div 100` — so the
+  * whole run is addition-order-independent and hash-gates against an
+  * independent DuckDB implementation (integer `div`/`//` agree for
+  * non-negative operands). Damping is the rational 85/100, never a
+  * double. Dangling mass (nodes with no out-edges) leaks — the standard
+  * "leaked PageRank" variant, identical in both engines.
+  *
+  * ==Scale shape==
+  * One iteration = one equi-join of the rank vector with the edge list on
+  * `src` plus one `dst`-keyed partial-aggregated sum — the canonical
+  * distributed PageRank round, node- and edge-partitioned, no broadcast
+  * of anything data-sized, no driver round-trip for the data path
+  * (iterations are a driver loop over PLANS, as in
+  * [[ClusterOps.kmeansFit]]). Edge/out-weight/node aggregates are
+  * persisted across rounds so the input is scanned once, not `iters`
+  * times. The one driver scalar is the node COUNT (sizes the uniform
+  * prior), the same metadata-cheap count [[ClusterOps.semanticPairsAuto]]
+  * pays to size k.
+  *
+  * Overflow bounds (documented contract): `r·w` must fit in BIGINT —
+  * ranks are bounded by S, so edge weights must stay below 2⁶³/S
+  * (≈ 8·10⁶ at the default S=2⁴⁰; pass a smaller S for corpora with
+  * heavier edges).
+  */
+object GraphOps {
+
+  /** (node, rank_fp) after `iters` damped rounds over `edges`
+    * (src: string, dst: string, w: bigint). rank_fp is fixed-point at
+    * scale `s`; callers wanting a double divide by s (a power of two —
+    * exact). */
+  def pageRank(edges: DataFrame, iters: Int = 10,
+               s: Long = 1L << 40): DataFrame = {
+    require(iters >= 0, s"need iters >= 0; got $iters")
+    require(s > 0, s"need a positive fixed-point scale; got $s")
+    val e = edges.selectExpr("src", "dst", "cast(w as bigint) as w").persist()
+    val outw = e.groupBy("src").agg(sum("w").as("outw")).persist()
+    val nodes = e.selectExpr("src as node")
+      .union(e.selectExpr("dst as node")).distinct().persist()
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty graph")
+
+    var ranks = nodes.selectExpr("node", s"($s div $n) as r")
+    for (_ <- 0 until iters) {
+      val contrib = ranks.join(e, ranks("node") === e("src"))
+        .join(outw, "src")
+        .selectExpr("dst as node", "(r * w) div outw as c")
+        .groupBy("node").agg(sum("c").as("sc"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .selectExpr("node",
+          s"(15 * ($s div $n)) div 100 + (85 * coalesce(sc, 0)) div 100 as r")
+    }
+    ranks.selectExpr("node", "r as rank_fp")
+  }
+
+  /** TextRank keyword extraction: PageRank over the word-adjacency graph
+    * of the corpus — nodes are tokens, edges connect ADJACENT tokens in
+    * both directions (the undirected co-occurrence window of size 2 from
+    * the paper), weighted by occurrence count. Returns the top `k` tokens
+    * by rank (ties broken by token), i.e. the corpus's keyword list.
+    *
+    * Edge construction is one map-only generator per document (in-row
+    * transform over the token array) followed by a (src, dst)-keyed
+    * count — partial-aggregated, so frequent bigrams never hot-key a
+    * reducer with raw pairs. The top-k is a TakeOrderedAndProject, never
+    * a global sort.
+    */
+  def textRank(docs: DataFrame, iters: Int = 10, k: Int = 50,
+               s: Long = 1L << 40): DataFrame = {
+    val words = docs.selectExpr(s"${TextOps.wordsExpr("text")} as w")
+    val adj = words
+      .selectExpr(
+        """explode(case when size(w) >= 2
+          |  then transform(sequence(0, size(w) - 2),
+          |                 i -> struct(w[i] as a, w[i + 1] as b))
+          |  else array() end) as p""".stripMargin)
+      .selectExpr("p.a as a", "p.b as b")
+      .filter("a <> '' and b <> '' and a <> b")
+    val edges = adj.selectExpr("a as src", "b as dst")
+      .union(adj.selectExpr("b as src", "a as dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    pageRank(edges, iters, s)
+      .orderBy(col("rank_fp").desc, col("node"))
+      .limit(k)
+      .selectExpr("node as token", "rank_fp")
+  }
+}

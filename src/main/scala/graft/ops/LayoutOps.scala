@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) data layout — the multi-dimensional clustering
+  * trick behind Delta/Iceberg `OPTIMIZE ZORDER BY`: interleaving the bits
+  * of two sort keys gives a single sort order under which ANY contiguous
+  * range of rows spans a small rectangle in (x, y) space, so min/max file
+  * statistics prune scans filtered on EITHER column — the 100 TB
+  * data-skipping story a plain lexicographic sort only gives the leading
+  * column. The reference reaches physical layout only as Redshift
+  * SORTKEY DDL shipped over the wire (`execute_sql.py:77`); our engine
+  * already maps that to bucketed/sorted DDL (SURVEY §2.2), and this op is
+  * the multi-column refinement of it.
+  *
+  * The z-value is pure integer bit arithmetic (shift/mask/or via
+  * addition of disjoint bits), so it hash-gates exactly cross-engine.
+  * Values are taken modulo 2^bits (high bits mask off — the same
+  * fixed-width truncation Delta's z-ordering applies after range-binning);
+  * callers whose domains exceed 2^bits normalize first (rank or
+  * min-max bin), as the gated query's natural-key inputs here do not.
+  */
+object LayoutOps {
+
+  /** The interleaved z-value of two non-negative integer columns, `bits`
+    * bits each (bit i of x lands at 2i, of y at 2i+1). Disjoint bits sum,
+    * so `+` IS the bitwise-or — and both engines fold in the same order.
+    */
+  def zValueExpr(x: String, y: String, bits: Int = 21): String = {
+    require(bits > 0 && bits <= 31, s"need 0 < bits <= 31; got $bits")
+    s"""aggregate(sequence(0, ${bits - 1}), cast(0 as bigint),
+       |  (acc, i) -> acc
+       |    + (((cast($x as bigint) >> i) & 1) << (2 * i))
+       |    + (((cast($y as bigint) >> i) & 1) << (2 * i + 1)))""".stripMargin
+  }
+
+  /** Re-layout `df` along the z-curve of (`xCol`, `yCol`): range-partition
+    * on the z-value (so partition = contiguous curve segment = small
+    * (x, y) rectangle) and sort within partitions (so row groups inside a
+    * file are rectangles too). Written as parquet, every partition's
+    * min/max on BOTH columns is tight — the skipping OpsSpec asserts the
+    * per-partition extents collapse on the dimension a single-column sort
+    * leaves unbounded.
+    *
+    * Each column is min-max normalized to `bitsPerDim` bits BEFORE
+    * interleaving (one all-partial 1-row aggregate, broadcast onto the
+    * scan): raw interleaving of unequal-width domains parks the narrow
+    * column's bits in the low positions, where no partition-sized curve
+    * segment ever constrains them — equalizing the budgets is what makes
+    * the curve prune on either column, and is exactly the range-binning
+    * Delta's OPTIMIZE ZORDER applies first. */
+  def zOrder(df: DataFrame, xCol: String, yCol: String, bitsPerDim: Int = 10,
+             numPartitions: Int = 32): DataFrame = {
+    require(bitsPerDim > 0 && bitsPerDim <= 31,
+      s"need 0 < bitsPerDim <= 31; got $bitsPerDim")
+    val hi = (1L << bitsPerDim) - 1
+    val stats = df.agg(
+      min(col(xCol)).cast("double").as("zo_xmn"),
+      max(col(xCol)).cast("double").as("zo_xmx"),
+      min(col(yCol)).cast("double").as("zo_ymn"),
+      max(col(yCol)).cast("double").as("zo_ymx"))
+    def norm(c: String, mn: String, mx: String) =
+      s"""case when $mx = $mn then cast(0 as bigint)
+         |     else cast(floor((cast($c as double) - $mn) / ($mx - $mn) * $hi) as bigint)
+         |end""".stripMargin
+    df.crossJoin(broadcast(stats))
+      .withColumn("zval", expr(zValueExpr(
+        norm(xCol, "zo_xmn", "zo_xmx"), norm(yCol, "zo_ymn", "zo_ymx"),
+        bitsPerDim)))
+      .drop("zo_xmn", "zo_xmx", "zo_ymn", "zo_ymx")
+      .repartitionByRange(numPartitions, col("zval"))
+      .sortWithinPartitions("zval")
+  }
+}

@@ -996,8 +996,104 @@ object OpQueries {
               |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
               |FROM tk, tot
               |GROUP BY token, tot.mc HAVING COUNT(*) >= tot.mc
-              |ORDER BY token""".stripMargin))
+              |ORDER BY token""".stripMargin)),
+
+    // Z-order layout: the Morton z-value of (l_partkey, l_suppkey) — pure
+    // integer bit interleaving, so the whole curve hash-gates. The layout
+    // itself (range-partition + sort on zval) is exercised in OpsSpec's
+    // data-skipping case; the gate pins the curve both layouts share.
+    QueryDef("op_zorder",
+      (s, d) => {
+        val l = Tables.load(s, d, "lineitem")
+        l.selectExpr("l_orderkey", "l_linenumber",
+          LayoutOps.zValueExpr("l_partkey", "l_suppkey", 21) + " as zval")
+          .orderBy("zval", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 21)), (acc, i) ->
+             |    acc + (((l_partkey >> i) & 1) << (2 * i))
+             |        + (((l_suppkey >> i) & 1) << (2 * i + 1))) AS zval
+             |FROM lineitem
+             |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin)),
+
+    // TextRank keyword extraction: integer fixed-point PageRank over the
+    // word-adjacency graph. Every update is integer arithmetic (rational
+    // 85/100 damping, div truncation), so ranks — not just rankings —
+    // hash-gate against ten unrolled iterations in DuckDB.
+    QueryDef("op_textrank",
+      (s, d) => GraphOps.textRank(docs(s, d), iters = 10, k = 50),
+      Some(dkTextRankOracle(iters = 10, k = 50))),
+
+    // Pairwise Spearman rank correlation: doubled average ranks (exact
+    // integers under ties), BIGINT moment sums, one shared IEEE rho
+    // formula — the profiling pass for monotone column associations.
+    QueryDef("op_corr_spearman",
+      (s, d) => ProfileOps.spearmanCorr(Tables.load(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+      Some(dkSpearmanOracle(
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))))
   )
+
+  /** DuckDB mirror of [[GraphOps.textRank]]: identical edge construction,
+    * `iters` unrolled integer fixed-point rounds (the kmeans-oracle
+    * pattern), `//` matching Spark's `div` on non-negative operands. */
+  private def dkTextRankOracle(iters: Int, k: Int): String = {
+    val S = s"CAST(${1L << 40} AS BIGINT)"
+    val rounds = (1 to iters).map { t =>
+      s""",
+         |c$t AS (SELECT e.dst AS node, CAST(SUM((r.r * e.w) // o.outw) AS BIGINT) AS sc
+         |       FROM r${t - 1} r JOIN edges e ON e.src = r.node
+         |       JOIN outw o ON o.src = e.src GROUP BY 1),
+         |r$t AS (SELECT nodes.node,
+         |         (15 * ($S // nn.n)) // 100 + (85 * COALESCE(c$t.sc, 0)) // 100 AS r
+         |       FROM nodes CROSS JOIN nn LEFT JOIN c$t ON c$t.node = nodes.node)""".stripMargin
+    }.mkString
+    s"""WITH w0 AS (SELECT $dkWords AS w FROM documents),
+       |ad AS (SELECT w[i] AS a, w[i + 1] AS b
+       |       FROM w0, unnest(range(1, len(w))) AS t(i)
+       |       WHERE w[i] <> '' AND w[i + 1] <> '' AND w[i] <> w[i + 1]),
+       |edges AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+       |            SELECT a AS src, b AS dst FROM ad
+       |            UNION ALL SELECT b AS src, a AS dst FROM ad) GROUP BY 1, 2),
+       |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM edges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT node FROM (
+       |            SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (SELECT node, ($S // nn.n) AS r FROM nodes CROSS JOIN nn)$rounds
+       |SELECT token, rank_fp FROM (
+       |  SELECT node AS token, r AS rank_fp,
+       |         ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rn FROM r$iters)
+       |WHERE rn <= $k
+       |ORDER BY rank_fp DESC, token""".stripMargin
+  }
+
+  /** DuckDB mirror of [[ProfileOps.spearmanCorr]] over lineitem: per
+    * column the same doubled-average-rank construction (2·cum − cnt + 1
+    * over distinct values), exact BIGINT moment sums, and the SAME
+    * [[ProfileOps.spearmanRho]] formula text. */
+  private def dkSpearmanOracle(cols: Seq[String]): String = {
+    val idx = cols.indices
+    val pairs = for (i <- idx; j <- idx if i < j) yield (i, j)
+    val rks = idx.map { i =>
+      s"""cnt$i AS (SELECT ${cols(i)} AS v, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+         |rk$i AS (SELECT v, 2 * SUM(cnt) OVER (ORDER BY v) - cnt + 1 AS d$i FROM cnt$i)""".stripMargin
+    }.mkString(",\n")
+    val joins = idx.map(i => s"JOIN rk$i ON rk$i.v = lineitem.${cols(i)}").mkString(" ")
+    val moments = (Seq("CAST(COUNT(*) AS BIGINT) AS n") ++
+      idx.flatMap(i => Seq(
+        s"CAST(SUM(d$i) AS BIGINT) AS s$i",
+        s"CAST(SUM(d$i * d$i) AS BIGINT) AS q$i")) ++
+      pairs.map { case (i, j) =>
+        s"CAST(SUM(d$i * d$j) AS BIGINT) AS p${i}_$j" }).mkString(", ")
+    val rows = pairs.map { case (i, j) =>
+      s"""SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b,
+         |  ${ProfileOps.spearmanRho("n", s"s$i", s"s$j", s"p${i}_$j", s"q$i", s"q$j")} AS rho FROM s""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $rks,
+       |j AS (SELECT ${idx.map(i => s"rk$i.d$i").mkString(", ")} FROM lineitem $joins),
+       |s AS (SELECT $moments FROM j)
+       |SELECT col_a, col_b, rho FROM ($rows) ORDER BY col_a, col_b""".stripMargin
+  }
 
   /** DuckDB mirror of [[ClusterOps.kmeansAssign]]: the same quantize →
     * seed → (assign → exact-sum update)ⁿ → final-assign pipeline as an

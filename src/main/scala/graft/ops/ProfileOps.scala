@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Column profiling — the ANALYZE-style data-quality pass a warehouse user
@@ -45,5 +46,63 @@ object ProfileOps {
         .selectExpr(s"'$c' as col_name", "bucket", "n",
           "n_rows", "n_null", "ndv", "col_min", "col_max")
     }.reduce(_.unionAll(_)).orderBy("col_name", "bucket")
+  }
+
+  /** Pairwise Spearman rank correlation over `cols` — the profiling
+    * pass that finds monotone associations (and near-duplicate columns)
+    * without Pearson's outlier sensitivity. Exact cross-engine: ranks are
+    * DOUBLED average ranks `2·cum − cnt + 1` (integers even under ties —
+    * average rank is a .5-grid value), all five moment sums per pair are
+    * exact BIGINT sums (order-independent), and the final rho is one
+    * fixed-order IEEE double formula over those sums ([[spearmanRho]],
+    * the identical text both engines evaluate). Spearman is invariant
+    * under the affine rank doubling, so the value is the textbook rho.
+    *
+    * Scale shape: per column, ranks come from a (value)-keyed count plus
+    * a prefix sum over DISTINCT values (V rows, V ≪ N for profiling-type
+    * columns — the same regime [[profile]]'s exact-NDV note covers), then
+    * broadcast-join back onto the rows; the moment pass is ONE all-partial
+    * aggregation producing a single row — no row-keyed shuffle anywhere.
+    * BIGINT moment sums hold to ~1.3M rows per profile scope (Σd² ≈ 4N³/3
+    * vs 2⁶³); beyond that, profile per partition/stratum or swap the
+    * moment accumulators to DECIMAL(38,0) — the formula is unchanged.
+    */
+  def spearmanCorr(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "spearmanCorr needs at least two columns")
+    val base = df.select(cols.map(col): _*)
+    val ranked = cols.zipWithIndex.foldLeft(base) { case (acc, (c, i)) =>
+      val counts = df.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      val rk = counts
+        .withColumn("cum", sum("cnt").over(Window.orderBy(col("v"))))
+        .selectExpr("v", s"2 * cum - cnt + 1 as d$i")
+      acc.join(broadcast(rk), acc(c) === rk("v")).drop("v")
+    }
+    val idx = cols.indices
+    val pairs = for (i <- idx; j <- idx if i < j) yield (i, j)
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      Seq(count(lit(1)).as("n")) ++
+        idx.flatMap(i => Seq(
+          sum(col(s"d$i")).as(s"s$i"),
+          sum(col(s"d$i") * col(s"d$i")).as(s"q$i"))) ++
+        pairs.map { case (i, j) =>
+          sum(col(s"d$i") * col(s"d$j")).as(s"p${i}_$j") }
+    val sums = ranked.agg(aggs.head, aggs.tail: _*)
+    pairs.map { case (i, j) =>
+      sums.selectExpr(
+        s"'${cols(i)}' as col_a", s"'${cols(j)}' as col_b",
+        spearmanRho("n", s"s$i", s"s$j", s"p${i}_$j", s"q$i", s"q$j") + " as rho")
+    }.reduce(_.unionAll(_)).orderBy("col_a", "col_b")
+  }
+
+  /** The rho formula over the five exact moment sums — one shared text
+    * (valid Spark SQL AND DuckDB SQL) so both engines evaluate the
+    * identical IEEE tree: rho = (n·Σxy − Σx·Σy) /
+    * (√(n·Σx² − Σx·Σx) · √(n·Σy² − Σy·Σy)). */
+  def spearmanRho(n: String, sx: String, sy: String, sxy: String,
+                  sxx: String, syy: String): String = {
+    def d(e: String) = s"CAST($e AS DOUBLE)"
+    s"""(${d(n)} * ${d(sxy)} - ${d(sx)} * ${d(sy)})
+       | / (sqrt(${d(n)} * ${d(sxx)} - ${d(sx)} * ${d(sx)})
+       |    * sqrt(${d(n)} * ${d(syy)} - ${d(sy)} * ${d(sy)}))""".stripMargin
   }
 }

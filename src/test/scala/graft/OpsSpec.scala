@@ -1140,6 +1140,71 @@ class OpsSpec extends SparkSpecBase {
     assert(raw.nonEmpty)
   }
 
+  test("z-order layout: partitions bound BOTH dimensions; a single-column sort bounds only one") {
+    val l = Tables.load(spark, sfDir, "lineitem").select("l_partkey", "l_suppkey")
+    // per-partition normalized extent of each dimension, averaged; the
+    // metric a min/max-pruned scan actually sees
+    def extents(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val r = df.selectExpr("spark_partition_id() as pid", "l_partkey", "l_suppkey")
+        .groupBy("pid")
+        .agg(org.apache.spark.sql.functions.expr("max(l_partkey) - min(l_partkey)").as("dx"),
+          org.apache.spark.sql.functions.expr("max(l_suppkey) - min(l_suppkey)").as("dy"))
+        .selectExpr("avg(cast(dx as double)) as ax", "avg(cast(dy as double)) as ay")
+        .collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val bounds = l.selectExpr("max(l_partkey) as mx", "max(l_suppkey) as my").collect()(0)
+    val (gx, gy) = (bounds.getLong(0).toDouble, bounds.getLong(1).toDouble)
+    val zed = graft.ops.LayoutOps.zOrder(l, "l_partkey", "l_suppkey",
+      bitsPerDim = 10, numPartitions = 32)
+    val xSorted = l.repartitionByRange(32, org.apache.spark.sql.functions.col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+    val (zx, zy) = extents(zed)
+    val (sx2, sy2) = extents(xSorted)
+    // the x-only sort leaves the y dimension unbounded in every partition…
+    assert(sy2 / gy > 0.9, s"x-sort should span y fully (got ${sy2 / gy})")
+    // …while the z-curve bounds both (worse on x than the pure sort, but
+    // bounded on y too — that's the either-column pruning win)
+    assert(zy / gy < 0.6, s"z-order should bound y (got ${zy / gy})")
+    assert(zx / gx < 0.6, s"z-order should keep x bounded too (got ${zx / gx})")
+    // and the re-layout is a permutation, not a transformation
+    assert(zed.count() === l.count())
+  }
+
+  test("textrank: hub token dominates a star graph; integer ranks are partitioning-invariant; mass conserved") {
+    val docs = spark.range(20).selectExpr("id as doc_id",
+      "concat('hub w', cast(id % 7 as string), ' hub w', cast(id % 5 as string)) as text")
+    val top = graft.ops.GraphOps.textRank(docs, iters = 10, k = 3).collect()
+    assert(top.head.getString(0) === "hub", s"star hub must rank first: ${top.toSeq}")
+    val again = graft.ops.GraphOps.textRank(docs.repartition(13), iters = 10, k = 3)
+      .collect()
+    assert(top.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      again.map(r => (r.getString(0), r.getLong(1))).toSeq,
+      "ranks changed under repartitioning")
+    // no dangling nodes in an undirected graph → only div-truncation leaks;
+    // total fixed-point mass stays within a few percent of the scale
+    val all = graft.ops.GraphOps.textRank(docs, iters = 10, k = 1000).collect()
+    val mass = all.map(_.getLong(1)).sum.toDouble
+    val s = (1L << 40).toDouble
+    assert(mass <= s && mass > 0.9 * s, s"rank mass ${mass / s} of scale")
+  }
+
+  test("spearman: exactly ±1 on monotone pairs; fixture rhos bounded") {
+    val df = spark.range(100).selectExpr("cast(id as double) as a",
+      "cast(id * id as double) as b", "cast(0 - id as double) as c")
+    val r = graft.ops.ProfileOps.spearmanCorr(df, Seq("a", "b", "c")).collect()
+      .map(x => ((x.getString(0), x.getString(1)), x.getDouble(2))).toMap
+    assert(math.abs(r(("a", "b")) - 1.0) < 1e-12)
+    assert(math.abs(r(("a", "c")) + 1.0) < 1e-12)
+    assert(math.abs(r(("b", "c")) + 1.0) < 1e-12)
+    val fixture = graft.ops.ProfileOps.spearmanCorr(
+      Tables.load(spark, sfDir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")).collect()
+    assert(fixture.length === 6)
+    fixture.foreach(x => assert(math.abs(x.getDouble(2)) <= 1.0 + 1e-12,
+      s"|rho| > 1 for ${x.getString(0)}/${x.getString(1)}"))
+  }
+
   test("heavy hitters: exact despite MG pruning, partitioning-invariant, capacity-guarded") {
     // 100 distinct noise tokens force eviction churn in a k=10 summary;
     // the rescore pass must still return the exact ≥25 set
