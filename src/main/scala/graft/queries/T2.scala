@@ -1402,6 +1402,78 @@ object T2 {
              |  COUNT(*) AS n
              |FROM orders
              |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
-             |ORDER BY o_orderpriority NULLS LAST, o_orderstatus NULLS LAST""".stripMargin))
+             |ORDER BY o_orderpriority NULLS LAST, o_orderstatus NULLS LAST""".stripMargin)),
+
+    // 48. Last-touch attribution: each purchase credits the most recent
+    //     PRECEDING non-purchase event of the same user (the marketing
+    //     warehouse query par excellence) — LAST_VALUE … IGNORE NULLS
+    //     over an UNBOUNDED..1 PRECEDING frame, i.e. q43's carry-forward
+    //     shifted to exclude the current row. Attributed value sums in
+    //     DECIMAL (order-independent), then one cast out. Purchases with
+    //     no prior touch (first event of a user) drop, as in the
+    //     standard attribution model. Spark puts IGNORE NULLS after the
+    //     call, DuckDB inside the parens — same semantics (gated by q43).
+    QueryDef(
+      "q48_attribution",
+      (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("events")
+        s.sql(
+          """WITH a AS (SELECT user_id, event_type, value,
+            |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END) IGNORE NULLS
+            |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+            |  FROM events)
+            |SELECT channel, COUNT(*) AS conversions,
+            |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+            |FROM a
+            |WHERE event_type = 'purchase' AND channel IS NOT NULL
+            |GROUP BY channel
+            |ORDER BY channel""".stripMargin)
+      },
+      Some("""WITH a AS (SELECT user_id, event_type, value,
+             |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+             |  FROM events)
+             |SELECT channel, COUNT(*) AS conversions,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+             |FROM a
+             |WHERE event_type = 'purchase' AND channel IS NOT NULL
+             |GROUP BY channel
+             |ORDER BY channel""".stripMargin)),
+
+    // 49. Welch's t over every event-type pair — the A/B-test readout.
+    //     Values quantize to 1/128 grid (floor — exact IEEE), moments are
+    //     exact BIGINT sums (order-independent, map-side combinable), and
+    //     mean/variance/t are ONE fixed-order double formula over those
+    //     sums, so the whole statistic hash-gates cross-engine (t is
+    //     invariant under the affine quantization up to the documented
+    //     1/128 grid). The pair join is a 5-row broadcast theta join.
+    //     Same SQL text runs in both engines.
+    QueryDef(
+      "q49_welch_ttest",
+      (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("events")
+        s.sql(welchSql)
+      },
+      Some(welchSql))
   )
+
+  private lazy val welchSql: String =
+    """WITH q AS (SELECT event_type, CAST(FLOOR(value * 128.0) AS BIGINT) AS v
+      |           FROM events),
+      |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |        CAST(SUM(v) AS BIGINT) AS s1, CAST(SUM(v * v) AS BIGINT) AS s2
+      |      FROM q GROUP BY event_type),
+      |m AS (SELECT event_type, n,
+      |        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 128.0 AS mean,
+      |        (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 16384.0 AS vr
+      |      FROM s)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+      |  (a.mean - b.mean)
+      |    / sqrt(a.vr / CAST(a.n AS DOUBLE) + b.vr / CAST(b.n AS DOUBLE)) AS welch_t
+      |FROM m a JOIN m b ON a.event_type < b.event_type
+      |ORDER BY type_a, type_b""".stripMargin
 }
