@@ -1024,6 +1024,34 @@ object OpQueries {
       (s, d) => GraphOps.textRank(docs(s, d), iters = 10, k = 50),
       Some(dkTextRankOracle(iters = 10, k = 50))),
 
+    // Bigram-LM fluency: mean add-one-smoothed conditional bigram
+    // probability under the corpus's own model — the log-free,
+    // exactly-gated stand-in for the KenLM-perplexity quality filter.
+    // Counts, smoothing, divisions and the position-ordered fold all
+    // hash-gate.
+    QueryDef("op_lm_score",
+      (s, d) => TextOps.lmScore(docs(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, $dkWords AS w FROM documents),
+              |bg AS (SELECT doc_id, i AS pos, w[i] AS a, w[i + 1] AS b
+              |       FROM t, unnest(range(1, len(w))) AS u(i)),
+              |big AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS bc FROM bg GROUP BY 1, 2),
+              |uni AS (SELECT a, CAST(SUM(bc) AS BIGINT) AS ac FROM big GROUP BY 1),
+              |voc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vc
+              |        FROM (SELECT unnest(w) AS tok FROM t)),
+              |sc AS (SELECT bg.doc_id,
+              |         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+              |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              |           list(CAST(big.bc AS DOUBLE) / CAST(uni.ac + voc.vc AS DOUBLE) ORDER BY bg.pos)),
+              |           (s, x) -> s + x) AS sp
+              |       FROM bg JOIN big ON big.a = bg.a AND big.b = bg.b
+              |            JOIN uni ON uni.a = bg.a
+              |            CROSS JOIN voc
+              |       GROUP BY bg.doc_id)
+              |SELECT d.doc_id, sc.n_bigrams,
+              |       sc.sp / CAST(sc.n_bigrams AS DOUBLE) AS lm_score
+              |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
+
     // Pairwise Spearman rank correlation: doubled average ranks (exact
     // integers under ties), BIGINT moment sums, one shared IEEE rho
     // formula — the profiling pass for monotone column associations.

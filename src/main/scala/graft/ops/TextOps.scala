@@ -132,6 +132,58 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM fluency score — the statistical language-model quality
+    * filter (the KenLM-perplexity slot of a curation pipeline, CCNet /
+    * Gopher style) in an exactly-gateable, log-free form: per document,
+    * the MEAN add-one-smoothed conditional bigram probability
+    * `avg_i c(w_{i−1} w_i) / (c(w_{i−1} ·) + V)` (V = corpus vocabulary
+    * size) under the corpus's own bigram model. Predictable, well-formed
+    * text scores high; gibberish and OCR noise score near zero. The
+    * Laplace smoothing is load-bearing, not cosmetic: the UNsmoothed
+    * conditional hands every singleton-prefix bigram a perfect 1.0 — a
+    * one-off gibberish line outscores fluent prose (the OpsSpec case
+    * that caught it) — while +V discounts exactly by prefix support.
+    * Log-free on purpose: perplexity's `exp/ln` have no cross-engine bit
+    * guarantee (the determinism contract above), while this mean is
+    * exact-integer counts, one exact division per position, and a
+    * position-ordered IEEE fold — the whole score hash-gates.
+    *
+    * Scale shape: bigram/prefix counts are gram-keyed two-phase
+    * aggregations (map-side partials; no broadcast sized by the
+    * vocabulary — the one broadcast is the 1-ROW vocab-size aggregate),
+    * the probability lookup is two keyed equi-joins, and the per-doc
+    * mean folds a collect_list bounded by document length. Documents
+    * with fewer than two tokens carry NULL (no bigrams), kept via the
+    * final left join.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val toks = docs.selectExpr("doc_id", s"${wordsExpr("text")} as w")
+    val pos = toks.where("size(w) >= 2")
+      .selectExpr("doc_id",
+        """posexplode(transform(sequence(0, size(w) - 2),
+          |  i -> struct(w[i] as a, w[i + 1] as b))) as (pos, p)""".stripMargin)
+      .selectExpr("doc_id", "pos", "p.a as a", "p.b as b")
+    val big = pos.groupBy("a", "b").agg(count(lit(1)).as("bc"))
+    // prefix totals over OBSERVED bigrams; +V Laplace mass joins below
+    val uni = big.groupBy("a").agg(sum("bc").as("ac"))
+    val vocab = toks.selectExpr("explode(w) as tk")
+      .agg(count_distinct(col("tk")).as("vc"))
+    val scored = pos.join(big, Seq("a", "b")).join(uni, Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        expr("""aggregate(
+          |  transform(array_sort(collect_list(struct(pos,
+          |    cast(bc as double) / cast(ac + vc as double) as p))), t -> t.p),
+          |  cast(0 as double), (s, x) -> s + x)""".stripMargin).as("sp"))
+      .selectExpr("doc_id", "n_bigrams",
+        "sp / cast(n_bigrams as double) as lm_score")
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .orderBy("doc_id")
+  }
+
   /** N-gram-heuristic language ID: score per language = number of tokens in
     * that language's closed stopword class; argmax with a fixed precedence
     * (en > fr > es > de > zh) for ties.

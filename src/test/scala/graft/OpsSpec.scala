@@ -1189,6 +1189,23 @@ class OpsSpec extends SparkSpecBase {
     assert(mass <= s && mass > 0.9 * s, s"rank mass ${mass / s} of scale")
   }
 
+  test("lm score: predictable text outscores gibberish; short docs carry NULL") {
+    // 20 docs share one phrasing (their bigrams dominate the model), one
+    // doc is unique gibberish, one has a single token (no bigrams)
+    val docs = spark.range(22).selectExpr("id as doc_id",
+      """case when id < 20 then 'the cat sat on the mat'
+        |     when id = 20 then 'zq xv qj vk wx kz'
+        |     else 'solo' end as text""".stripMargin)
+    val r = graft.ops.TextOps.lmScore(docs).collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(2)) None else Some(x.getDouble(2))))
+      .toMap
+    assert(r(0L).get > r(20L).get,
+      s"fluent ${r(0L)} should outscore gibberish ${r(20L)}")
+    assert(r(21L).isEmpty, "a one-token doc has no bigrams -> NULL score")
+    // every conditional is a probability -> the mean stays in (0, 1]
+    r.values.flatten.foreach(v => assert(v > 0.0 && v <= 1.0))
+  }
+
   test("spearman: exactly ±1 on monotone pairs; fixture rhos bounded") {
     val df = spark.range(100).selectExpr("cast(id as double) as a",
       "cast(id * id as double) as b", "cast(0 - id as double) as c")

@@ -73,6 +73,7 @@ class PlanSpec extends SparkSpecBase {
       "op_embed_pq", "op_sim_topk_pq", "op_sim_topk_ivfpq",
       "op_sim_topk_ivfpq_res",
       "op_bm25_topk", "op_profile", "op_lang_sample_weights",
+      "op_lm_score", // 1-row vocab-size broadcast, the op_profile pattern
       "op_epoch_sample",
       "op_dedup_semantic", "op_dedup_semantic_auto")
     graft.ops.OpQueries.defs.foreach { q =>
