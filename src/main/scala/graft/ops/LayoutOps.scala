@@ -24,10 +24,19 @@ import org.apache.spark.sql.functions._
 object LayoutOps {
 
   /** The interleaved z-value of two non-negative integer columns, `bits`
-    * bits each (bit i of x lands at 2i, of y at 2i+1). Disjoint bits sum,
-    * so `+` IS the bitwise-or — and both engines fold in the same order.
-    */
+    * bits each (bit i of x lands at 2i, of y at 2i+1) — the native
+    * codegen [[graft.sql.expressions.ZValue]] kernel (a higher-order
+    * `aggregate` fold would drop out of whole-stage codegen; the hot
+    * layout path must not — DialectSpec pins the two forms equal). */
   def zValueExpr(x: String, y: String, bits: Int = 21): String = {
+    require(bits > 0 && bits <= 31, s"need 0 < bits <= 31; got $bits")
+    s"zvalue(cast($x as bigint), cast($y as bigint), $bits)"
+  }
+
+  /** The same curve as a pure-SQL fold — the portable reference form the
+    * DuckDB oracle mirrors and DialectSpec checks the kernel against.
+    * Disjoint bits sum, so `+` IS the bitwise-or. */
+  def zValueFoldExpr(x: String, y: String, bits: Int = 21): String = {
     require(bits > 0 && bits <= 31, s"need 0 < bits <= 31; got $bits")
     s"""aggregate(sequence(0, ${bits - 1}), cast(0 as bigint),
        |  (acc, i) -> acc

@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.variant.ParseJson
 import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DateType,
   DoubleType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
 
-import graft.sql.expressions.{ArrayDot, Checksum, FeatureHash, FnvHash, MinHashSig, QuantizeI8, SimHash60, SimHashBits}
+import graft.sql.expressions.{ArrayDot, Checksum, FeatureHash, FnvHash, MinHashSig, QuantizeI8, SimHash60, SimHashBits, ZValue}
 
 /** Session extensions registering the Redshift function-name surface that
   * Spark's parser accepts but its registry lacks (SURVEY.md §2.2 🔧/🔴):
@@ -102,6 +102,14 @@ object GraftExtensions {
         case Literal(k: Int, IntegerType) => MinHashSig(Cast(args(0), ArrayType(LongType)), k)
         case other => throw new IllegalArgumentException(
           s"minhash_sig: k must be an integer literal, got $other")
+      }),
+    (FunctionIdentifier("zvalue"),
+      info("zvalue", "zvalue(x, y, bits) - Morton bit-interleave of two non-negative BIGINTs, bits bits each (the z-order layout curve); bits must be an integer literal in [1, 31]."),
+      (args: Seq[Expression]) => args(2) match {
+        case Literal(b: Int, IntegerType) if b >= 1 && b <= 31 =>
+          ZValue(Cast(args(0), LongType), Cast(args(1), LongType), b)
+        case other => throw new IllegalArgumentException(
+          s"zvalue: bits must be an integer literal in [1, 31], got $other")
       }),
     (FunctionIdentifier("feature_hash"),
       info("feature_hash", "feature_hash(hs, dim) - hashing-trick signed bucket counts over array<bigint>; dim must be an integer literal."),

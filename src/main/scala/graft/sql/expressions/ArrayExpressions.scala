@@ -17,6 +17,18 @@ import org.apache.spark.sql.types._
   * order — and therefore the DuckDB-oracle hash match — is unchanged.
   */
 object ArrayKernels {
+  /** Morton interleave: bit i of x → 2i, bit i of y → 2i+1, i < bits. */
+  def zInterleave(x: Long, y: Long, bits: Int): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < bits) {
+      acc |= ((x >> i) & 1L) << (2 * i)
+      acc |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    acc
+  }
+
   /** Sequential-order dot product of two double arrays (length = min). */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -262,4 +274,27 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
+}
+
+/** `zvalue(x, y, bits)` → BIGINT: Morton bit-interleave of two
+  * non-negative BIGINTs, `bits` bits each (x's bit i lands at 2i, y's at
+  * 2i+1; high bits beyond `bits` mask off). The z-order layout kernel —
+  * a tight shift/or loop with `doGenCode`, so curve computation stays
+  * inside whole-stage codegen instead of a per-row higher-order-function
+  * eval. `bits` must be a literal in [1, 31]. */
+case class ZValue(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zvalue"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayKernels.zInterleave(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.sql.expressions.ArrayKernels.zInterleave($a, $b, $bits)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZValue =
+    copy(left = newLeft, right = newRight)
 }

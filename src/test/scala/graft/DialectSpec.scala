@@ -201,6 +201,21 @@ class DialectSpec extends SparkSpecBase {
     assert(sql1("SELECT bpcharcmp('a', 'a')").getInt(0) === 0)
   }
 
+  test("zvalue kernel: hand vectors, codegen == pure-SQL fold on fixture keys") {
+    // interleave(0b11, 0b01) = bits x0@0, y0@1, x1@2 → 0b0111 = 7
+    assert(sql1("SELECT zvalue(3, 1, 4)").getLong(0) === 7L)
+    // y bits land odd: interleave(0, 0b11) = 0b1010 = 10
+    assert(sql1("SELECT zvalue(0, 3, 4)").getLong(0) === 10L)
+    // bits beyond the width mask off: only x0 survives width 1
+    assert(sql1("SELECT zvalue(5, 0, 1)").getLong(0) === 1L)
+    val mism = Tables.load(spark, sfDir, "lineitem")
+      .selectExpr(
+        graft.ops.LayoutOps.zValueExpr("l_partkey", "l_suppkey", 21) + " as a",
+        graft.ops.LayoutOps.zValueFoldExpr("l_partkey", "l_suppkey", 21) + " as b")
+      .filter("a <> b").count()
+    assert(mism === 0L, "native zvalue diverged from the SQL fold")
+  }
+
   test("r8 scalar sweep: to_hex, json_array_length, difference, cmp variants, octetindex") {
     assert(sql1("SELECT to_hex(2147676847)").getString(0) === "8002f2af")
     assert(sql1("SELECT to_hex(255)").getString(0) === "ff")
