@@ -77,9 +77,12 @@ object ClusterOps {
   private[ops] def kmeansFit(emb: DataFrame, k: Int, iters: Int,
                              pruned: Boolean = false): (DataFrame, DataFrame) = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
-    // quantized integer vector + its exact double image (reused everywhere)
+    // quantized integer vector + its exact double image (reused everywhere);
+    // persisted: every assign pass (iters + 1 of them) rescans it, and the
+    // composite indexes (PQ / IVF-PQ) run several fits over slices of it
     val q = quantized(emb)
       .selectExpr("vec_id", "xq", "xd", "xx", "sqrt(xx) as sx")
+      .persist()
 
     // seed: the k lowest vec_ids, cid = 0..k-1 in vec_id order
     val seed = q.orderBy("vec_id").limit(k)
@@ -127,11 +130,98 @@ object ClusterOps {
         .groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(pos, s, n))), " +
           "t -> cast(t.s as double) / t.n)").as("m"))
+      // persisted: cells_{i+1}'s plan references cells_i TWICE (the old side
+      // of the join and, through means→assign, the broadcast pack) — without
+      // the cut the plan doubles per round and every downstream consumer
+      // re-executes the whole Lloyd history; with it each round runs once
+      // and the model stays k rows of cached state, as a driver-side
+      // centroid loop would keep, just executor-resident
       cells = cells.as("old").join(means.as("new"), Seq("cid"), "left")
         .selectExpr("cid", "coalesce(new.m, old.m) as m")
+        .persist()
     }
     (cells, assign(pack(cells)))
   }
+
+  /** All of a product quantizer's per-subspace Lloyd runs as ONE keyed
+    * job chain — the batched twin of [[kmeansFit]] for inputs of shape
+    * `(vec_id, ss, embedding)` where `ss` tags the subspace. Each
+    * subspace's arithmetic is exactly the per-fit recipe (same quantize,
+    * same seed-by-lowest-vec_id, same integer mean sums, same fixed-order
+    * distance folds, same (dist, cid) tie-break), computed independently
+    * per `ss` — so results are bit-identical to m separate [[kmeansFit]]
+    * calls and the same DuckDB oracles gate them. What changes is the JOB
+    * STRUCTURE: one assignment pass and one mean-update shuffle cover all
+    * m subspaces per round, instead of m sequential driver-looped fits.
+    * At real PQ geometry (m = 8..64) the sequential form is m× the stage
+    * count, broadcast count, and codegen compilations for the same data
+    * volume — this keyed form is how the training runs at 100 TB, and the
+    * benches showed the fixed per-fit overhead dominating even at sf0.1.
+    *
+    * Returns (cells `(ss, cid, m)`, assignment `(vec_id, ss, xq, cluster)`).
+    * The centroid broadcast is m rows (one packed array per subspace) and
+    * assignment is a broadcast hash join on `ss` — still map-side only.
+    */
+  /** [[quantized]] for `(vec_id, ss, embedding)` subspace rows. */
+  private def quantizedKeyed(sub: DataFrame): DataFrame =
+    sub.selectExpr("vec_id", "ss",
+        s"transform(embedding, x -> cast(floor(cast(x as double) * $SCALE) as bigint)) as xq")
+      .selectExpr("vec_id", "ss", "xq", "transform(xq, v -> cast(v as double)) as xd")
+      .selectExpr("vec_id", "ss", "xq", "xd", "array_dot(xd, xd) as xx")
+
+  private[ops] def kmeansFitKeyed(sub: DataFrame, k: Int,
+                                  iters: Int): (DataFrame, DataFrame) = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    val q = quantizedKeyed(sub).persist()
+
+    // per-subspace seed: the k lowest vec_ids of that subspace
+    val seed = q
+      .withColumn("cid", row_number()
+        .over(Window.partitionBy("ss").orderBy("vec_id")).cast("long") - 1)
+      .filter(col("cid") < k)
+      .selectExpr("ss", "cid", "xd as m")
+
+    // one packed centroid array PER subspace — m tiny rows, broadcast
+    def pack(cells: DataFrame): DataFrame =
+      cells.selectExpr("ss",
+          "struct(cid, m, array_dot(m, m) as mm) as c")
+        .groupBy("ss").agg(expr("array_sort(collect_list(c))").as("cs"))
+
+    def assign(packed: DataFrame): DataFrame =
+      q.join(broadcast(packed), Seq("ss"))
+        .withColumn("best", expr(
+          """array_min(transform(cs, cl ->
+            |  struct(xx - 2 * array_dot(xd, cl.m) + cl.mm as dist,
+            |         cl.cid as cid)))""".stripMargin))
+        .selectExpr("vec_id", "ss", "xq", "best.cid as cluster")
+
+    var cells = seed
+    for (_ <- 0 until iters) {
+      val means = assign(pack(cells))
+        .selectExpr("ss", "cluster as cid", "posexplode(xq) as (pos, v)")
+        .groupBy("ss", "cid", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .groupBy("ss", "cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, s, n))), " +
+          "t -> cast(t.s as double) / t.n)").as("m"))
+      // same per-round lineage cut as kmeansFit — k·m rows of cached state
+      cells = cells.as("old").join(means.as("new"), Seq("ss", "cid"), "left")
+        .selectExpr("ss", "cid", "coalesce(new.m, old.m) as m")
+        .persist()
+    }
+    (cells, assign(pack(cells)))
+  }
+
+  /** `(vec_id, ss, embedding)` rows: each vector exploded into its m
+    * contiguous subspace slices. Slicing commutes with the elementwise
+    * quantization, so clustering these equals clustering per-subspace
+    * slices of the raw vectors. */
+  private def explodeSubs(emb: DataFrame, m: Int, d: Int): DataFrame =
+    emb.selectExpr("vec_id",
+        s"""explode(transform(sequence(0, ${m - 1}),
+           |  s -> struct(cast(s as bigint) as ss,
+           |              slice(embedding, cast(s * $d + 1 as int), $d) as e))) as p""".stripMargin)
+      .selectExpr("vec_id", "p.ss as ss", "p.e as embedding")
 
   /** [[kmeansAssign]] plus a deterministic secondary split of oversized
     * clusters: a cluster of n rows is divided into `⌈n/maxClusterSize⌉`
@@ -243,20 +333,19 @@ object ClusterOps {
     * distances), so the FULL code table hash-gates against DuckDB running
     * the same m chains independently.
     *
-    * Scale shape: the m fits are independent map-only-assignment jobs over
-    * column slices (`slice` is in-row, no shuffle); per fit the only
-    * exchanges are the ≤ ksub·(dim/m) pre-combined centroid-update rows.
+    * Scale shape: all m fits run as ONE subspace-keyed Lloyd chain
+    * ([[kmeansFitKeyed]]) — the subspace explode is in-row, assignment is
+    * a broadcast join against the m·ksub-row centroid table, and each
+    * round's only exchange is the ≤ m·ksub·(dim/m) pre-combined
+    * centroid-update rows. Stage count is independent of m, which is what
+    * real PQ geometry (m = 8..64) demands.
     */
   def pqCodes(emb: DataFrame, dim: Int = 64, m: Int = 4, ksub: Int = 8,
               iters: Int = 2): DataFrame = {
     require(m > 0 && dim % m == 0, s"need m dividing dim; got dim=$dim m=$m")
-    val d = dim / m
-    (0 until m).map { s =>
-      kmeansFit(emb.selectExpr("vec_id",
-          s"slice(embedding, ${s * d + 1}, $d) as embedding"), ksub, iters)._2
-        .selectExpr("vec_id", s"cast($s as bigint) as subspace",
-          "cluster as code")
-    }.reduce(_ unionAll _).orderBy("vec_id", "subspace")
+    kmeansFitKeyed(explodeSubs(emb, m, dim / m), ksub, iters)._2
+      .selectExpr("vec_id", "ss as subspace", "cluster as code")
+      .orderBy("vec_id", "subspace")
   }
 
   /** PQ asymmetric-distance top-k (ADC): each query keeps its EXACT
@@ -285,30 +374,24 @@ object ClusterOps {
   def pqTopK(emb: DataFrame, dim: Int = 64, m: Int = 4, ksub: Int = 8,
              iters: Int = 2, k: Int = 5, nQueries: Int = 20): DataFrame = {
     require(m > 0 && dim % m == 0, s"need m dividing dim; got dim=$dim m=$m")
-    val d = dim / m
-    val parts = (0 until m).map { s =>
-      val sub = emb.selectExpr("vec_id",
-        s"slice(embedding, ${s * d + 1}, $d) as embedding")
-      val (cells, asg) = kmeansFit(sub, ksub, iters)
-      val codes = asg.selectExpr("vec_id",
-        s"cast($s as bigint) as subspace", "cluster as code")
-      // per-query distance to every centroid of this subspace: the ADC
-      // lookup table rows (nQueries · ksub of them — tiny)
-      val lut = quantized(sub).filter(col("vec_id") < nQueries)
-        .crossJoin(broadcast(
-          cells.selectExpr("cid", "m", "array_dot(m, m) as mm")))
-        .selectExpr("vec_id as qid", s"cast($s as bigint) as subspace",
-          "cid", "xx - 2 * array_dot(xd, m) + mm as term")
-      (codes, lut)
-    }
+    // all m subspace fits as one keyed Lloyd chain (see kmeansFitKeyed)
+    val sub = explodeSubs(emb, m, dim / m)
+    val (cells, asg) = kmeansFitKeyed(sub, ksub, iters)
     // corpus → one row per vector holding its m codes in subspace order
-    val codes = parts.map(_._1).reduce(_ unionAll _)
+    val codes = asg.selectExpr("vec_id", "ss as subspace", "cluster as code")
       .groupBy("vec_id")
       .agg(expr("transform(array_sort(collect_list(struct(subspace, code)))," +
         " t -> cast(t.code as int))").as("codes"))
+    // per-query distance to every centroid of its subspace: the ADC lookup
+    // table rows (nQueries · m · ksub of them — tiny; the centroid side is
+    // an m·ksub-row broadcast joined on ss)
     // all lookup tables → ONE broadcast row: per query, an array (by
     // subspace) of arrays (by centroid id) of distance terms
-    val luts = parts.map(_._2).reduce(_ unionAll _)
+    val luts = quantizedKeyed(sub).filter(col("vec_id") < nQueries)
+      .join(broadcast(
+        cells.selectExpr("ss", "cid", "m", "array_dot(m, m) as mm")), Seq("ss"))
+      .selectExpr("vec_id as qid", "ss as subspace",
+        "cid", "xx - 2 * array_dot(xd, m) + mm as term")
       .groupBy("qid", "subspace")
       .agg(expr("transform(array_sort(collect_list(struct(cid, term)))," +
         " t -> t.term)").as("lt"))
@@ -376,30 +459,22 @@ object ClusterOps {
       .filter(col("pr") <= nprobe)
       .groupBy("qid").agg(expr("array_sort(collect_list(cid))").as("probe"))
 
-    // PQ codes + lookup tables per subspace (as in pqTopK)
-    val parts = (0 until m).map { s =>
-      val sub = emb.selectExpr("vec_id",
-        s"slice(embedding, ${s * d + 1}, $d) as embedding")
-      val (cells, asg) = kmeansFit(sub, ksub, iters)
-      val codes = asg.selectExpr("vec_id",
-        s"cast($s as bigint) as subspace", "cluster as code")
-      val lut = quantized(sub).filter(col("vec_id") < nQueries)
-        .crossJoin(broadcast(
-          cells.selectExpr("cid", "m", "array_dot(m, m) as mm")))
-        .selectExpr("vec_id as qid", s"cast($s as bigint) as subspace",
-          "cid", "xx - 2 * array_dot(xd, m) + mm as term")
-      (codes, lut)
-    }
+    // PQ codes + lookup tables, all subspaces in one keyed fit (as pqTopK)
+    val sub = explodeSubs(emb, m, d)
+    val (cells, asg) = kmeansFitKeyed(sub, ksub, iters)
     // the cell id joins the code tuple as subspace -1 — sorted first, so
     // codes[0] = cell and codes[i+1] = subspace-i code; ONE shuffle total
-    val codes = parts.map(_._1)
-      .reduce(_ unionAll _)
+    val codes = asg.selectExpr("vec_id", "ss as subspace", "cluster as code")
       .unionAll(cAsg.selectExpr("vec_id",
         "cast(-1 as bigint) as subspace", "cluster as code"))
       .groupBy("vec_id")
       .agg(expr("transform(array_sort(collect_list(struct(subspace, code)))," +
         " t -> cast(t.code as int))").as("codes"))
-    val luts = parts.map(_._2).reduce(_ unionAll _)
+    val luts = quantizedKeyed(sub).filter(col("vec_id") < nQueries)
+      .join(broadcast(
+        cells.selectExpr("ss", "cid", "m", "array_dot(m, m) as mm")), Seq("ss"))
+      .selectExpr("vec_id as qid", "ss as subspace",
+        "cid", "xx - 2 * array_dot(xd, m) + mm as term")
       .groupBy("qid", "subspace")
       .agg(expr("transform(array_sort(collect_list(struct(cid, term)))," +
         " t -> t.term)").as("lt"))
@@ -453,7 +528,8 @@ object ClusterOps {
     require(nprobe > 0 && nprobe <= kc, s"need 0 < nprobe <= kc; got $nprobe/$kc")
     val d = dim / m
 
-    val (cCells, cAsg) = kmeansFit(emb, kc, iters)
+    val (cCells, cAsg0) = kmeansFit(emb, kc, iters)
+    val cAsg = cAsg0.persist() // feeds the residuals AND the -1 code union
     val cPacked = cCells.selectExpr("cid", "m", "array_dot(m, m) as mm")
 
     // corpus residuals, back in original units: (xd − m)/2²⁰ — both ops
@@ -463,6 +539,7 @@ object ClusterOps {
       .selectExpr("vec_id", "cluster as cell",
         s"zip_with(transform(xq, v -> cast(v as double)), m," +
           s" (a, b) -> (a - b) / $SCALE) as embedding")
+      .persist() // each of the m subspace fits re-reads the residual corpus
 
     // probe set over the ORIGINAL vectors (the coarse index is unchanged)
     val probePairs = quantized(emb).filter(col("vec_id") < nQueries)
@@ -480,35 +557,31 @@ object ClusterOps {
       .join(broadcast(cCells.withColumnRenamed("cid", "cell")), Seq("cell"))
       .selectExpr("qid", "cell",
         s"zip_with(xd, m, (a, b) -> (a - b) / $SCALE) as embedding")
+      .persist() // nQueries·nprobe rows, read by every subspace LUT chain
 
-    // subspace chains over the residual corpus; tables per (qid, cell)
-    val parts = (0 until m).map { s =>
-      val sub = res.selectExpr("vec_id",
-        s"slice(embedding, ${s * d + 1}, $d) as embedding")
-      val (cells, asg) = kmeansFit(sub, ksub, iters)
-      val codes = asg.selectExpr("vec_id",
-        s"cast($s as bigint) as subspace", "cluster as code")
-      val lut = qres
-        .selectExpr("qid", "cell",
-          s"transform(slice(embedding, ${s * d + 1}, $d)," +
-            s" x -> cast(floor(cast(x as double) * $SCALE) as bigint)) as xq")
-        .selectExpr("qid", "cell", "transform(xq, v -> cast(v as double)) as xd")
-        .selectExpr("qid", "cell", "xd", "array_dot(xd, xd) as xx")
-        .crossJoin(broadcast(
-          cells.selectExpr("cid", "m", "array_dot(m, m) as mm")))
-        .selectExpr("qid", "cell", s"cast($s as bigint) as subspace",
-          "cid", "xx - 2 * array_dot(xd, m) + mm as term")
-      (codes, lut)
-    }
-    val codes = parts.map(_._1)
-      .reduce(_ unionAll _)
+    // subspace chains over the residual corpus, one keyed fit; ADC tables
+    // per (qid, probed cell) — the query residual differs per cell
+    val (cells, asg) = kmeansFitKeyed(explodeSubs(res, m, d), ksub, iters)
+    val codes = asg.selectExpr("vec_id", "ss as subspace", "cluster as code")
       .unionAll(cAsg.selectExpr("vec_id",
         "cast(-1 as bigint) as subspace", "cluster as code"))
       .groupBy("vec_id")
       .agg(expr("transform(array_sort(collect_list(struct(subspace, code)))," +
         " t -> cast(t.code as int))").as("codes"))
     // broadcast unit: per query, an array of (cell, per-subspace tables)
-    val luts = parts.map(_._2).reduce(_ unionAll _)
+    val luts = qres
+      .selectExpr("qid", "cell",
+        s"""explode(transform(sequence(0, ${m - 1}),
+           |  s -> struct(cast(s as bigint) as ss,
+           |              slice(embedding, cast(s * $d + 1 as int), $d) as e))) as p""".stripMargin)
+      .selectExpr("qid", "cell", "p.ss as ss",
+        s"transform(p.e, x -> cast(floor(cast(x as double) * $SCALE) as bigint)) as xq")
+      .selectExpr("qid", "cell", "ss", "transform(xq, v -> cast(v as double)) as xd")
+      .selectExpr("qid", "cell", "ss", "xd", "array_dot(xd, xd) as xx")
+      .join(broadcast(
+        cells.selectExpr("ss", "cid", "m", "array_dot(m, m) as mm")), Seq("ss"))
+      .selectExpr("qid", "cell", "ss as subspace",
+        "cid", "xx - 2 * array_dot(xd, m) + mm as term")
       .groupBy("qid", "cell", "subspace")
       .agg(expr("transform(array_sort(collect_list(struct(cid, term)))," +
         " t -> t.term)").as("lt"))
