@@ -562,6 +562,48 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Near-dup RESOLUTION — the decision step a curation pipeline actually
+    * ships: every doc labeled with its cluster ([[dedupGroups]]' keep_id
+    * as the stable group label) plus the cluster's CANONICAL survivor
+    * chosen by QUALITY — the member with the longest text (`n_chars`),
+    * ties to the smallest doc_id — and the resulting keep/drop bit.
+    * "Min doc_id survives" (what keep_id alone encodes) throws away the
+    * best copy whenever a truncated fragment happens to carry the
+    * smaller id; real dedup keeps the richest member (the Lee et al.
+    * ACL'22 dedup pipelines pick a canonical by length/quality, not id).
+    *
+    * Scale shape: the per-cluster argmax runs ONLY over members of
+    * non-trivial clusters — the keep_ids with an is_dup member, a set
+    * bounded by the pair-graph vertex count, orders of magnitude smaller
+    * than the corpus — via a semi-join and one (tiny) aggregation
+    * broadcast back. Singleton docs (the overwhelming majority) never
+    * enter a shuffle: their canonical is themselves, filled by the
+    * left-join coalesce. Cross-engine exactness: the argmax is
+    * `max(struct(n_chars, −doc_id))` — lexicographic struct max ==
+    * DuckDB `ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) = 1`
+    * (the argmin-tie recipe), all-integer, so the full table hash-gates.
+    */
+  def dedupResolve(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20,
+                   driverMaxPairs: Long = 1L << 20): DataFrame = {
+    val groups = dedupGroups(docs, pairs, maxIters, driverMaxPairs)
+    // group labels that actually have ≥ 2 members: exactly the keep_ids
+    // carried by some is_dup row (the root member's own row has is_dup=0)
+    val dupGroups = groups.filter(col("is_dup") === 1)
+      .select(col("keep_id")).distinct()
+    val canon = groups
+      .join(broadcast(dupGroups), Seq("keep_id"), "left_semi")
+      .join(docs.selectExpr("doc_id", "cast(n_chars as bigint) as n_chars"),
+        Seq("doc_id"))
+      .groupBy("keep_id")
+      .agg(expr("max(struct(n_chars, -doc_id as nd))").as("b"))
+      .selectExpr("keep_id", "-b.nd as canonical_id")
+    groups.join(broadcast(canon), Seq("keep_id"), "left")
+      .selectExpr("doc_id", "keep_id as group_id",
+        "coalesce(canonical_id, doc_id) as canonical_id",
+        "cast(doc_id = coalesce(canonical_id, doc_id) as int) as is_kept")
+      .orderBy("doc_id")
+  }
+
   private def broadcastIfSmall(df: DataFrame, small: Boolean): DataFrame =
     if (small) broadcast(df) else df
 

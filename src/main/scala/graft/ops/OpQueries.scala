@@ -313,6 +313,39 @@ object OpQueries {
               |SELECT doc_id, keep_id, CAST(doc_id <> keep_id AS INT) AS is_dup
               |FROM lab ORDER BY doc_id""".stripMargin)),
 
+    // Near-dup RESOLUTION: cluster label + quality-chosen canonical
+    // (longest member, ties to smallest doc_id) + the keep/drop bit —
+    // the decision table a pipeline consumes. The oracle extends the
+    // recursive-CTE components with a ROW_NUMBER(n_chars DESC, doc_id)
+    // canonical pick; the Spark side's lexicographic struct max is the
+    // same all-integer argmax, so the full table hash-gates.
+    QueryDef("op_dedup_resolve",
+      (s, d) => DedupOps.dedupResolve(docs(s, d), DedupOps.jaccardPairs(docs(s, d), 0.5)),
+      Some(s"""WITH RECURSIVE pr AS (${dkJaccard(0.5)}),
+              |edges AS (SELECT doc_a AS u, doc_b AS v FROM pr
+              |          UNION ALL SELECT doc_b AS u, doc_a AS v FROM pr),
+              |reach(u, v) AS (
+              |  SELECT u, v FROM edges
+              |  UNION
+              |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              |lab AS (SELECT d.doc_id,
+              |          LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS keep_id
+              |        FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+              |        GROUP BY d.doc_id),
+              |dupg AS (SELECT DISTINCT keep_id FROM lab WHERE doc_id <> keep_id),
+              |canon AS (SELECT keep_id, doc_id AS canonical_id FROM (
+              |    SELECT l.keep_id, l.doc_id,
+              |           ROW_NUMBER() OVER (PARTITION BY l.keep_id
+              |             ORDER BY CAST(d.n_chars AS BIGINT) DESC, l.doc_id ASC) AS rn
+              |    FROM lab l
+              |    JOIN dupg g ON g.keep_id = l.keep_id
+              |    JOIN documents d ON d.doc_id = l.doc_id) t WHERE rn = 1)
+              |SELECT l.doc_id, l.keep_id AS group_id,
+              |       COALESCE(c.canonical_id, l.doc_id) AS canonical_id,
+              |       CAST(l.doc_id = COALESCE(c.canonical_id, l.doc_id) AS INT) AS is_kept
+              |FROM lab l LEFT JOIN canon c ON c.keep_id = l.keep_id
+              |ORDER BY l.doc_id""".stripMargin)),
+
     // Substring-level dedup: maximal word-8-gram spans repeated across ≥2
     // distinct docs. The oracle recomputes the same spans from scratch —
     // positional shingles, cross-doc support, gaps-and-islands merge — so

@@ -82,6 +82,25 @@ class OpsSpec extends SparkSpecBase {
     assert(viaCluster === expected)
   }
 
+  test("dedup resolve: canonical is the longest member, one keeper per cluster") {
+    // cluster {1,2,3}: doc 3 is LONGEST -> canonical despite largest id;
+    // cluster {5,6}: tie on n_chars -> smallest id (5) wins; 4 is singleton
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "b", 25L), (3L, "c", 40L),
+      (4L, "d", 7L), (5L, "e", 12L), (6L, "f", 12L))
+      .toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = DedupOps.dedupResolve(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out === Array(
+      (1L, 1L, 3L, 0), (2L, 1L, 3L, 0), (3L, 1L, 3L, 1),
+      (4L, 4L, 4L, 1), (5L, 5L, 5L, 1), (6L, 5L, 5L, 0)))
+    // exactly one keeper per group, always — the invariant a downstream
+    // filter on is_kept relies on
+    val keepers = out.groupBy(_._2).view.mapValues(_.map(_._4).sum)
+    assert(keepers.values.forall(_ == 1))
+  }
+
   test("dedup groups: driver union-find equals brute-force closure on random graphs") {
     def lcg(seed: Long): Iterator[Long] =
       Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
