@@ -114,8 +114,9 @@ object OpQueries {
        |b AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars FROM d),
        |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM b),
        |lc AS (SELECT doc_id, line, COUNT(*) AS c FROM l GROUP BY 1, 2),
-       |ls AS (SELECT doc_id, SUM(c) AS n_lines, SUM(c - 1) AS dup_lines,
-       |         SUM((c - 1) * length(line)) AS dup_line_chars
+       |ls AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+       |         CAST(SUM(c - 1) AS BIGINT) AS dup_lines,
+       |         CAST(SUM((c - 1) * length(line)) AS BIGINT) AS dup_line_chars
        |       FROM lc GROUP BY 1),
        |w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM b),
        |g2 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
@@ -129,8 +130,8 @@ object OpQueries {
        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g
        |       FROM w, unnest(range(1, len(w) - 3)) AS t(i)),
        |c5 AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2),
-       |d5 AS (SELECT doc_id, SUM(c) AS n5,
-       |         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup5
+       |d5 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n5,
+       |         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup5
        |       FROM c5 GROUP BY 1),
        |f AS (SELECT b.doc_id, ls.n_lines,
        |        CAST(ls.dup_lines AS DOUBLE) / ls.n_lines AS dup_line_frac,

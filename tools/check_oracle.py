@@ -63,6 +63,15 @@ def compare(mine, ref):
             if (x is None) != (y is None) or xn != yn:
                 return False, f"col {c} row {i}: spark={x!r} oracle={y!r}"
             if isinstance(x, float) or isinstance(y, float):
+                # The driver hashes the rendered values, so an int64 on one
+                # side vs a float64 on the other ("3" vs "3.0") fails its
+                # gate even when numerically equal — r9's op_gopher oracle
+                # emitted a bare SUM(BIGINT) (-> HUGEINT -> pandas float64)
+                # and was the round's only hash mismatch. Mirror that here.
+                if isinstance(x, float) != isinstance(y, float):
+                    return False, (f"col {c} row {i}: int/float dtype split "
+                                   f"spark={x!r} oracle={y!r} (driver hash "
+                                   f"mismatch even if numerically equal)")
                 if float(x) != float(y):
                     return False, (f"col {c} row {i}: spark={x!r} oracle={y!r} "
                                    f"(diff={float(x)-float(y):.3e})")
