@@ -104,6 +104,98 @@ object OpQueries {
     "replace(text, ' part ', chr(10)) || " +
       "CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'end of section' || chr(10) || 'end of section' ELSE '' END"
 
+  /** Deterministic sentence/line structure planted identically in both
+    * engines for op_c4_filter (the raw fixture has no punctuation, so
+    * every C4 signal would be degenerate): the doc gains a final period,
+    * every ' part value ' becomes a sentence boundary + newline, every
+    * remaining ' part ' a bare newline (lines WITHOUT terminal
+    * punctuation — the ones C4's line filter drops), and two planted
+    * page-level blacklist trailers (boilerplate marker / code brace). */
+  private val plantC4Spark: String =
+    """concat(
+      |  replace(replace(replace(concat(text, '.'), ' table ', '. '), ' part ', '.\n'), ' row ', '\n'),
+      |  case when doc_id % 4 = 0
+      |       then '\nlorem ipsum dolor sit amet boilerplate trailer line.' else '' end,
+      |  case when doc_id % 7 = 0
+      |       then '\nconst data = { a: 1 }; this code line still has many words.' else '' end)""".stripMargin
+  // (same stripMargin caveat as plantPiiDuck: no line starts with '|')
+  private val plantC4Duck: String =
+    "replace(replace(replace(text || '.', ' table ', '. '), ' part ', '.' || chr(10)), ' row ', chr(10)) || " +
+      "CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet boilerplate trailer line.' ELSE '' END || " +
+      "CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'const data = { a: 1 }; this code line still has many words.' ELSE '' END"
+
+  /** DuckDB mirror of [[TextOps.c4Filter]] over the sentence-planted text:
+    * identical line filter (trim → word count + terminal punctuation),
+    * sentence counting via translate-stripping, blacklist check on the
+    * ORIGINAL text, and the same re-joined clean text. */
+  private def dkC4Oracle: String = {
+    val (minWords, minSentences) = TextOps.c4Thresholds
+    s"""WITH d AS (SELECT doc_id, $plantC4Duck AS text FROM documents),
+       |k AS (SELECT doc_id, text,
+       |        len(string_split(text, chr(10))) AS n_lines,
+       |        COALESCE(array_to_string(list_filter(string_split(text, chr(10)), l ->
+       |          len(regexp_split_to_array(trim(l), '\\s+')) >= $minWords
+       |          AND right(trim(l), 1) IN ('.', '!', '?')), chr(10)), '') AS clean_text
+       |      FROM d),
+       |f AS (SELECT doc_id, n_lines, clean_text,
+       |        CAST(length(clean_text) - length(translate(clean_text, '.!?', '')) AS BIGINT) AS n_sentences,
+       |        CAST(lower(text) LIKE '%lorem ipsum%' OR contains(text, '{') AS INT) AS has_blacklist
+       |      FROM k)
+       |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+       |  CAST(CASE WHEN clean_text = '' THEN 0
+       |            ELSE len(string_split(clean_text, chr(10))) END AS BIGINT) AS kept_lines,
+       |  n_sentences, has_blacklist,
+       |  CAST(n_sentences >= $minSentences AND has_blacklist = 0 AS INT) AS keep,
+       |  clean_text
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB mirror of [[TextOps.cdcChunks]]: the same boundary rule
+    * (md5-h60 of the trailing `w`-gram ≡ 0 mod `m`), bounds assembly and
+    * span slicing; the chunk ordinal re-derives via ROW_NUMBER over the
+    * span start — the order Spark's posexplode preserves. */
+  private def dkCdcOracle(w: Int, m: Int): String =
+    s"""WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |p AS (SELECT doc_id, text, n,
+       |        list_filter(list_transform(range($w, n + 1), i ->
+       |          CASE WHEN ${dkH60(s"substr(text, CAST(i - ${w - 1} AS INT), $w)")} % $m = 0
+       |               THEN i END),
+       |          x -> x IS NOT NULL) AS pos
+       |      FROM b),
+       |bd AS (SELECT doc_id, text,
+       |         list_concat(list_concat([CAST(0 AS BIGINT)], pos), [CAST(n AS BIGINT)]) AS bounds
+       |       FROM p),
+       |sp AS (SELECT doc_id, text, bounds[k] AS prev, bounds[k + 1] AS nxt
+       |       FROM bd, unnest(range(1, len(bounds))) AS t(k)
+       |       WHERE bounds[k + 1] > bounds[k]),
+       |c AS (SELECT doc_id, prev, nxt,
+       |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY prev) AS chunk_idx,
+       |        substr(text, CAST(prev + 1 AS INT), CAST(nxt - prev AS INT)) AS chunk_text
+       |      FROM sp)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(prev + 1 AS BIGINT) AS chunk_start,
+       |  CAST(nxt - prev AS BIGINT) AS chunk_len,
+       |  ${dkH60("chunk_text")} AS chunk_hash, chunk_text
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** DuckDB mirror of [[SketchOps.kmvDistinct]]: identical hash, rank
+    * filter, k-th-min extraction and the ONE-multiply-one-divide
+    * estimator tree. `valueDuck` must mirror the Spark-side valueExpr. */
+  private def dkKmvOracle(k: Int, valueDuck: String): String =
+    s"""WITH d AS (SELECT event_type AS grp,
+       |             ${dkH60(valueDuck)} AS h
+       |           FROM events GROUP BY 1, 2),
+       |r AS (SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM d),
+       |sk AS (SELECT grp, MAX(h) AS kth_hash, CAST(COUNT(*) AS BIGINT) AS n_kept
+       |       FROM r WHERE rn <= $k GROUP BY 1),
+       |x AS (SELECT event_type AS grp, CAST(COUNT(DISTINCT $valueDuck) AS BIGINT) AS n_exact
+       |      FROM events GROUP BY 1)
+       |SELECT grp, n_exact, n_kept, kth_hash,
+       |  CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
+       |       ELSE CAST(${k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+       |            / CAST(kth_hash AS DOUBLE) END AS est_distinct
+       |FROM sk JOIN x USING (grp) ORDER BY grp""".stripMargin
+
   /** DuckDB mirror of [[TextOps.gopherRepetition]] over the line-planted
     * text: identical splits, integer aggregates and division trees, with
     * the top-2-gram tie broken by (count DESC, gram ASC) — the same row

@@ -163,4 +163,53 @@ object SketchOps {
       .filter(col("cnt") >= minCount)
       .orderBy("token")
   }
+
+  /** KMV (k-minimum-values) distinct-count sketch per group (Bar-Yossef
+    * et al. RANDOM'02; the unbiased (k−1)-estimator of Beyer et al.
+    * SIGMOD'07, both public): keep the `k` smallest 60-bit hashes of the
+    * values; with hash space U = 2⁶⁰, the k-th smallest hash h₍ₖ₎
+    * estimates the distinct count as (k−1)·U / h₍ₖ₎. The hash is the
+    * portable md5-based [[TextOps.h60]] and the estimator is ONE
+    * multiply + divide over exactly-representable doubles (2⁶⁰ and k−1
+    * are powers-of-two/small ints), so sketch AND estimate hash-gate
+    * cross-engine bit-for-bit — the HLL entry (q21) can only rows-gate
+    * because its engine sketches differ; KMV is the deterministic
+    * mergeable alternative. Under-capacity groups (< k distinct hashes)
+    * return the exact count, as the estimator degenerates to.
+    *
+    * Emits (grp, n_exact, n_kept, kth_hash, est_distinct); `n_exact` is
+    * the true distinct count so the gate pins the estimator's input AND
+    * the error is visible in the output.
+    *
+    * Scale shape: distinct (group, hash) pairs aggregate with map-side
+    * partial dedup (one shuffle keyed by group∪hash — no hot group key),
+    * then the per-group k-smallest is a rank window Spark rewrites to
+    * WindowGroupLimit: each map task forwards at most k rows per group
+    * before the final per-group shuffle, so state is O(k) end to end.
+    * The k-min set is MERGEABLE (union, re-take-k) — partial sketches
+    * from 1000 executors combine without rescanning, the property that
+    * makes KMV a sketch rather than a sample.
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueExpr: String,
+                  k: Int = 16): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val hashes = df
+      .selectExpr(s"$groupCol as grp", s"${TextOps.h60(valueExpr)} as h")
+      .distinct()
+    val sketch = hashes
+      .withColumn("rn", row_number().over(Window.partitionBy("grp").orderBy("h")))
+      .filter(col("rn") <= k)
+      .groupBy("grp")
+      .agg(max("h").as("kth_hash"), count(lit(1)).as("n_kept"))
+    val exact = df
+      .selectExpr(s"$groupCol as grp", s"$valueExpr as v")
+      .groupBy("grp").agg(countDistinct(col("v")).as("n_exact"))
+    sketch.join(exact, Seq("grp"))
+      .selectExpr("grp", "n_exact", "n_kept", "kth_hash",
+        s"""case when n_kept < $k then cast(n_kept as double)
+           |  else cast(${k - 1} as double) * cast(1152921504606846976 as double)
+           |       / cast(kth_hash as double) end as est_distinct""".stripMargin)
+      .orderBy("grp")
+  }
 }

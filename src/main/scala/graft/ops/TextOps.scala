@@ -500,4 +500,99 @@ object TextOps {
            |  and dup_5gram_frac <= $maxDup5 as int) as keep""".stripMargin)
       .orderBy("doc_id")
   }
+
+  /** C4 thresholds (Raffel et al. 2020 §2.2, public): a line survives with
+    * ≥ 5 words and a terminal punctuation mark; a page survives with ≥ 3
+    * sentences and no blacklist hit. */
+  val c4Thresholds: (Int, Int) = (5, 3)
+
+  /** C4-style page cleaning (Raffel et al. 2020, "Colossal Clean Crawled
+    * Corpus", heuristics §2.2): line-level retention (terminal punctuation
+    * + minimum word count), page-level drop on a blacklist hit (code brace
+    * or boilerplate marker) or too few sentences, and the reconstructed
+    * clean text. Emits per doc:
+    *   - `n_lines` / `kept_lines`: lines before/after the line filter;
+    *   - `n_sentences`: terminal punctuation marks in the retained text
+    *     (the paper's ≥-3-sentence gate counts over the cleaned page);
+    *   - `has_blacklist`: 1 iff the ORIGINAL text contains `{` or the
+    *     boilerplate marker `lorem ipsum` (checked pre-filter, as C4 does);
+    *   - `keep`: the composite page gate;
+    *   - `clean_text`: retained lines re-joined — hash-gated verbatim.
+    *
+    * Scale shape: ONE whole-stage-codegen map over the scan — the line
+    * filter, sentence count and reconstruction are in-row higher-order
+    * functions (`filter`/`array_join` over `split`), no explode, no
+    * shuffle, no per-line rows ever materialize. At 100 TB this runs at
+    * scan speed with only (doc_id, text) read.
+    */
+  def c4Filter(docs: DataFrame): DataFrame = {
+    val (minWords, minSentences) = c4Thresholds
+    val keptLines =
+      s"""filter(split(text, '\\n'), l ->
+         |  size(split(trim(l), '\\\\s+')) >= $minWords
+         |  and right(trim(l), 1) in ('.', '!', '?'))""".stripMargin
+    docs.selectExpr("doc_id", "text",
+        "cast(size(split(text, '\\n')) as bigint) as n_lines",
+        s"array_join($keptLines, '\\n') as clean_text")
+      .selectExpr("doc_id", "n_lines",
+        "cast(size(split(clean_text, '\\n')) as bigint) as kept_lines_raw",
+        "clean_text",
+        "cast(length(clean_text) - length(translate(clean_text, '.!?', '')) as bigint) as n_sentences",
+        "cast(lower(text) like '%lorem ipsum%' or contains(text, '{') as int) as has_blacklist")
+      .selectExpr("doc_id", "n_lines",
+        // split('') yields [''] — an empty clean_text means zero kept lines
+        "case when clean_text = '' then cast(0 as bigint) else kept_lines_raw end as kept_lines",
+        "n_sentences", "has_blacklist",
+        s"cast(n_sentences >= $minSentences and has_blacklist = 0 as int) as keep",
+        "clean_text")
+      .orderBy("doc_id")
+  }
+
+  /** Content-defined chunking (CDC — the FastCDC/rolling-hash family used
+    * for blob and document dedup): a chunk boundary falls after position
+    * `i` whenever the hash of the trailing `window`-char gram divides
+    * `modulus` — so boundaries depend only on LOCAL content, and an edit
+    * near the head re-chunks O(1) chunks instead of shifting every
+    * fixed-size block (the property fixed-width chunking lacks; OpsSpec
+    * pins it by prepending a prefix and asserting interior chunk hashes
+    * survive). Emits (doc_id, chunk_idx, chunk_start, chunk_len,
+    * chunk_hash, chunk_text); `chunk_hash` is the dedup join key.
+    *
+    * The boundary hash here is the portable md5-based [[h60]] over the
+    * gram so the oracle gates bit-for-bit; a production deployment would
+    * swap in a Gear/Rabin rolling hash (O(1) per position instead of
+    * O(window)) — the chunk structure, boundary rule and dedup plumbing
+    * are identical.
+    *
+    * Scale shape: boundary detection, chunk slicing and hashing are all
+    * in-row higher-order functions — a pure map stage over the scan; the
+    * explode multiplies rows but never shuffles. Chunk-level dedup is then
+    * one exact groupBy on `chunk_hash` (the op_dedup_exact shape).
+    */
+  def cdcChunks(docs: DataFrame, window: Int = 8, modulus: Int = 32): DataFrame = {
+    val w = window
+    val gramHash = h60(s"substring(text, i - ${w - 1}, $w)")
+    docs.selectExpr("doc_id", "text", "length(text) as n")
+      .selectExpr("doc_id", "text",
+        s"""case when n >= $w
+           |  then filter(transform(sequence($w, n), i ->
+           |         case when $gramHash % $modulus = 0 then i end),
+           |       x -> x is not null)
+           |  else cast(array() as array<int>) end as pos""".stripMargin,
+        "n")
+      .selectExpr("doc_id", "text",
+        "concat(array(0), pos, array(n)) as bounds")
+      .selectExpr("doc_id", "text",
+        """filter(transform(sequence(1, size(bounds) - 1), k ->
+          |  struct(element_at(bounds, k) as prev, element_at(bounds, k + 1) as nxt)),
+          |  c -> c.nxt > c.prev) as spans""".stripMargin)
+      .selectExpr("doc_id", "text", "posexplode(spans) as (p, c)")
+      .selectExpr("doc_id",
+        "cast(p + 1 as bigint) as chunk_idx",
+        "cast(c.prev + 1 as bigint) as chunk_start",
+        "cast(c.nxt - c.prev as bigint) as chunk_len",
+        s"${h60("substring(text, c.prev + 1, c.nxt - c.prev)")} as chunk_hash",
+        "substring(text, c.prev + 1, c.nxt - c.prev) as chunk_text")
+      .orderBy("doc_id", "chunk_idx")
+  }
 }
