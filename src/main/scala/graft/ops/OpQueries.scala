@@ -1185,7 +1185,33 @@ object OpQueries {
       (s, d) => ProfileOps.spearmanCorr(Tables.load(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
       Some(dkSpearmanOracle(
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))))
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")))),
+
+    // C4 page cleaning (Raffel et al. 2020 §2.2) over sentence-planted
+    // text: line retention (≥5 words + terminal punctuation), the
+    // ≥3-sentence page gate, the blacklist check on the ORIGINAL text, and
+    // the reconstructed clean_text — all hash-gated verbatim.
+    QueryDef("op_c4_filter",
+      (s, d) => TextOps.c4Filter(
+        docs(s, d).selectExpr("doc_id", s"$plantC4Spark as text")),
+      Some(dkC4Oracle)),
+
+    // Content-defined chunking: md5-h60 boundary rule on the trailing
+    // 8-gram (mod 32), chunk spans sliced from the bounds array. Spans,
+    // lengths, hashes AND chunk text hash-gate; the edit-locality property
+    // (a head edit leaves interior chunk hashes intact) is OpsSpec-pinned.
+    QueryDef("op_cdc_chunks",
+      (s, d) => TextOps.cdcChunks(docs(s, d), window = 8, modulus = 32),
+      Some(dkCdcOracle(8, 32))),
+
+    // KMV distinct-count sketch per event type: k smallest md5-h60 hashes
+    // of the user key, (k−1)·U/h₍ₖ₎ estimator. Sketch contents AND the
+    // float estimate hash-gate (one multiply + divide over exactly-
+    // representable operands); n_exact pins the true error in-row.
+    QueryDef("op_kmv_distinct",
+      (s, d) => SketchOps.kmvDistinct(Tables.load(s, d, "events"),
+        "event_type", "cast(user_id as string)", k = 16),
+      Some(dkKmvOracle(16, "CAST(user_id AS VARCHAR)")))
   )
 
   /** DuckDB mirror of [[GraphOps.textRank]]: identical edge construction,

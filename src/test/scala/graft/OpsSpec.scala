@@ -1391,4 +1391,77 @@ class OpsSpec extends SparkSpecBase {
       graft.ops.PipelineOps.stratifiedSample(df, Seq("doc_id"), 1)
     }
   }
+
+  test("c4 filter: line retention, sentence gate, blacklist, empty-page edge") {
+    val d = Seq(
+      // two good lines + one short line (dropped) → 2 kept, 2 sentences → drop (needs 3)
+      (1L, "this line has five words.\nhi there.\nanother line with enough words!"),
+      // three good sentences on three lines → keep
+      (2L, "one two three four five.\nsix seven eight nine ten?\nmore words to make it pass!"),
+      // blacklisted page: enough sentences but contains a brace
+      (3L, "one two three four five.\nsix seven eight nine { ten.\nmore words to make it pass."),
+      // no line survives → clean_text empty, kept_lines 0
+      (4L, "short\nalso short\ntiny")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.c4Filter(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getString(6)))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 2L, 2L, 0, 0,
+        "this line has five words.\nanother line with enough words!"),
+      (2L, 3L, 3L, 3L, 0, 1,
+        "one two three four five.\nsix seven eight nine ten?\nmore words to make it pass!"),
+      (3L, 3L, 3L, 3L, 1, 0,
+        "one two three four five.\nsix seven eight nine { ten.\nmore words to make it pass."),
+      (4L, 3L, 0L, 0L, 0, 0, "")))
+  }
+
+  test("cdc chunks: lossless reconstruction; head edit leaves interior chunk hashes intact") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = graft.ops.TextOps.cdcChunks(docs, window = 8, modulus = 32)
+    // chunks tile the document exactly: concat in chunk_idx order == text
+    val rebuilt = out.groupBy("doc_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(chunk_idx, chunk_text))), c -> c.chunk_text), '')").as("rebuilt"))
+      .join(docs, "doc_id")
+      .filter(expr("rebuilt <> text"))
+    assert(rebuilt.count() === 0)
+    // edit locality: prepending a prefix re-chunks only the head — interior
+    // chunk hashes (all but first/last per doc) survive verbatim
+    val edited = graft.ops.TextOps.cdcChunks(
+      docs.selectExpr("doc_id", "concat('EDIT HEAD ', text) as text"),
+      window = 8, modulus = 32)
+    def interior(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("mx", max("chunk_idx").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .filter(col("chunk_idx") =!= 1 && col("chunk_idx") =!= col("mx"))
+      .select("doc_id", "chunk_hash")
+    val orig = interior(out.toDF()).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val after = interior(edited.toDF()).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(orig.nonEmpty)
+    val survived = orig.intersect(after).size.toDouble / orig.size
+    assert(survived > 0.9, s"only ${survived * 100}%% of interior chunks survived a head edit")
+  }
+
+  test("kmv sketch: exact under capacity, bounded error above it, mergeable") {
+    import graft.ops.SketchOps
+    // under capacity: 5 distinct values, k=16 → est == exact == 5
+    val small = spark.range(100).selectExpr("'g' as grp", "cast(id % 5 as string) as v")
+    val u = SketchOps.kmvDistinct(small, "grp", "v", k = 16).collect()(0)
+    assert(u.getLong(1) === 5L && u.getLong(2) === 5L && u.getDouble(4) === 5.0)
+    // above capacity: 2000 distinct, k=256 → relative error well inside 5σ (σ≈1/√(k−2))
+    val big = spark.range(6000).selectExpr("'g' as grp", "cast(id % 2000 as string) as v")
+    val b = SketchOps.kmvDistinct(big, "grp", "v", k = 256).collect()(0)
+    val rel = math.abs(b.getDouble(4) - 2000.0) / 2000.0
+    assert(rel < 5.0 / math.sqrt(254.0), s"KMV rel error $rel out of bounds")
+    // mergeable: union of two halves' k-min sets, re-take-k, equals the
+    // sketch of the union — the property that makes it a sketch
+    val h1 = spark.range(0, 3000).selectExpr("'g' as grp", "cast(id % 2000 as string) as v")
+    val h2 = spark.range(3000, 6000).selectExpr("'g' as grp", "cast(id % 2000 as string) as v")
+    def kmins(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr(s"${graft.ops.TextOps.h60("v")} as h").distinct()
+      .orderBy("h").limit(256).collect().map(_.getLong(0)).toSeq
+    val merged = (kmins(h1) ++ kmins(h2)).distinct.sorted.take(256)
+    assert(merged === kmins(big))
+    assert(merged.max === b.getLong(3))
+  }
 }
