@@ -17,23 +17,29 @@ object Tables {
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
   val all: Seq[String] = relational ++ Seq("events", "documents", "embeddings")
 
-  /** Load one fixture table.  `events.ts` is parquet TIMESTAMP(NANOS), which
-    * Spark 4 rejects at schema conversion unless read as a raw Long
-    * (`spark.sql.legacy.parquet.nanosAsLong`); we convert ns → µs with
-    * integer division (floor for positive epochs, matching DuckDB's
-    * TIMESTAMP_NS → TIMESTAMP truncation) and expose a proper timestamp.
-    */
+  /** Load one fixture table.  `events.ts` has shipped as two physical
+    * types across fixture generations, so the loader is schema-driven:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark 4 rejects it at schema conversion
+    *    unless read as a raw Long (`spark.sql.legacy.parquet.nanosAsLong`,
+    *    which GraftSession and every main set); ns → µs via integer
+    *    division (floor for positive epochs, matching DuckDB's
+    *    TIMESTAMP_NS → TIMESTAMP truncation).
+    *  - parquet TIMESTAMP(MICROS) without UTC adjustment: Spark reads
+    *    TIMESTAMP_NTZ; cast to session-zone TIMESTAMP (sessions here pin
+    *    UTC, so the wall clock is preserved and downstream date/window
+    *    arithmetic matches DuckDB reading the same file as TIMESTAMP).
+    *
+    * Either way callers see one canonical `ts: TIMESTAMP`. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
-      // nanosAsLong must already be set on the session (GraftSession and
-      // every main set it at build time; mutating conf here would leak a
-      // session-wide side effect into later parquet reads).
-      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-        "events.parquet is TIMESTAMP(NANOS): build the session with " +
-          "spark.sql.legacy.parquet.nanosAsLong=true (GraftSession does)")
-      spark.read
-        .parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     case _ => spark.read.parquet(s"$dir/$name.parquet")
   }
 

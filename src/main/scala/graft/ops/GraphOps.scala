@@ -99,4 +99,50 @@ object GraphOps {
       .limit(k)
       .selectExpr("node as token", "rank_fp")
   }
+
+  /** Exact triangle enumeration over an undirected edge list via
+    * degree-ordered orientation (Suri & Vassilvitskii, WWW 2011 — public).
+    *
+    * Every edge is directed from its lower-(degree, id) endpoint to the
+    * higher; a triangle {x, y, z} then materializes as exactly ONE wedge
+    * (two out-edges of its smallest vertex) closed by exactly one oriented
+    * edge — no triangle is found twice, none is missed. The payoff is the
+    * scale bound: oriented out-degree is O(√m) for ANY degree
+    * distribution, so the wedge self-join generates Σ C(outdeg⁺, 2) =
+    * O(m^1.5) rows even when a hub vertex has degree n (an id-ordered
+    * orientation would put C(hub, 2) wedges on one key).
+    *
+    * Input: `edges` with BIGINT columns (a, b), one row per undirected
+    * edge, a < b, no self-loops. Output: (v1, v2, v3) numerically sorted
+    * per triangle, ordered — the canonical form an independent naive
+    * 3-way-join oracle produces directly.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = edges.selectExpr("cast(a as bigint) as a", "cast(b as bigint) as b")
+    val deg = e.selectExpr("a as v").union(e.selectExpr("b as v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient: src = lower (degree, id) endpoint (spelled out, not a struct
+    // comparison, so the same text mirrors into the DuckDB oracle)
+    val oriented = e
+      .join(deg.selectExpr("v as a", "d as da"), "a")
+      .join(deg.selectExpr("v as b", "d as db"), "b")
+      .selectExpr(
+        "case when da < db or (da = db and a < b) then a else b end as src",
+        "case when da < db or (da = db and a < b) then b else a end as dst",
+        "case when da < db or (da = db and a < b) then da else db end as dsrc",
+        "case when da < db or (da = db and a < b) then db else da end as ddst")
+      .persist()
+    // wedges at the smallest vertex: two out-edges, legs ordered by the
+    // SAME (degree, id) order so the closing edge is oriented e1.dst→e2.dst
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        expr("""e1.src = e2.src and
+                |(e1.ddst < e2.ddst or (e1.ddst = e2.ddst and e1.dst < e2.dst))""".stripMargin))
+      .selectExpr("e1.src as u", "e1.dst as x", "e2.dst as y")
+      .join(oriented.as("e3"), expr("x = e3.src and y = e3.dst"), "leftsemi")
+      .selectExpr("array_sort(array(u, x, y)) as t")
+      .selectExpr("t[0] as v1", "t[1] as v2", "t[2] as v3")
+      .orderBy("v1", "v2", "v3")
+    tri
+  }
 }

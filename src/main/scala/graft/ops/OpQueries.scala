@@ -1211,8 +1211,146 @@ object OpQueries {
     QueryDef("op_kmv_distinct",
       (s, d) => SketchOps.kmvDistinct(Tables.load(s, d, "events"),
         "event_type", "cast(user_id as string)", k = 16),
-      Some(dkKmvOracle(16, "CAST(user_id AS VARCHAR)")))
+      Some(dkKmvOracle(16, "CAST(user_id AS VARCHAR)"))),
+
+    // BPE merge learning (Sennrich ACL'16): 10 rounds of weighted pair
+    // counting over the vocab-collapsed corpus, count-desc/pair-asc winner,
+    // literal-replace fusion. The merge table — pair identities, fusion
+    // order AND weighted counts — hash-gates against DuckDB running the
+    // identical unrolled rounds.
+    QueryDef("op_bpe_train",
+      (s, d) => TextOps.bpeTrain(docs(s, d), rounds = 10),
+      Some(dkBpeTrainOracle(10))),
+
+    // The tokenizer artifact those merges produce: every distinct word
+    // segmented under the learned merges, with corpus frequency and piece
+    // count — the word -> pieces broadcast table a pipeline ships.
+    QueryDef("op_bpe_encode",
+      (s, d) => TextOps.bpeEncode(docs(s, d), rounds = 10),
+      Some(dkBpeEncodeOracle(10))),
+
+    // Fuzzy vocabulary join over typo-planted text: FastSS deletion-
+    // neighborhood blocking + exact levenshtein verify. The planted
+    // families ('graftwordK' everywhere, its deletion 'grftwordK' on every
+    // third doc) guarantee dist-1 structure; any natural fixture pairs
+    // ride along identically in both engines.
+    QueryDef("op_fuzzy_words",
+      (s, d) => TextOps.fuzzyWords(
+        docs(s, d).selectExpr("doc_id", s"$plantFuzzySpark as text")),
+      Some(dkFuzzyOracle)),
+
+    // Exact triangle enumeration on the basket co-occurrence graph
+    // (support >= 2): Spark runs degree-ordered orientation (one wedge per
+    // triangle, O(m^1.5) bound); DuckDB runs the naive id-ordered 3-way
+    // join — two different algorithms, one hash.
+    QueryDef("op_graph_triangles",
+      (s, d) => GraphOps.triangles(basketEdges(s, d)),
+      Some(dkTrianglesOracle))
   )
+
+  /** Deterministic planted typo families for op_fuzzy_words. */
+  private def plantFuzzySpark: String =
+    """concat(text, ' graftword', cast(doc_id % 7 as string),
+      |  case when doc_id % 3 = 0
+      |       then concat(' grftword', cast(doc_id % 7 as string)) else '' end)""".stripMargin
+  // (same stripMargin caveat as plantPiiDuck: no line starts with '|')
+  private def plantFuzzyDuck: String =
+    "text || ' graftword' || CAST(doc_id % 7 AS VARCHAR) || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' grftword' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END"
+
+  /** DuckDB mirror of [[TextOps.fuzzyWords]] (minLen 4): same vocab
+    * collapse, deletion-variant keys, candidate self-join and exact
+    * levenshtein verify. */
+  private def dkFuzzyOracle: String =
+    s"""WITH d AS (SELECT doc_id, $plantFuzzyDuck AS text FROM documents),
+       |v AS (SELECT word, COUNT(*) AS c FROM (
+       |        SELECT unnest($dkWords) AS word FROM d)
+       |      WHERE len(word) >= 4 GROUP BY 1),
+       |k AS (SELECT word, c, unnest(list_distinct(list_transform(range(0, len(word) + 1), i ->
+       |        CASE WHEN i = 0 THEN word
+       |             ELSE substr(word, 1, i - 1) || substr(word, i + 1, len(word)) END))) AS kk
+       |      FROM v),
+       |cand AS (SELECT DISTINCT a.word AS word_a, b.word AS word_b, a.c AS c_a, b.c AS c_b
+       |         FROM k a JOIN k b ON a.kk = b.kk AND a.word < b.word)
+       |SELECT word_a, word_b, CAST(levenshtein(word_a, word_b) AS BIGINT) AS dist, c_a, c_b
+       |FROM cand WHERE levenshtein(word_a, word_b) <= 1
+       |ORDER BY word_a, word_b""".stripMargin
+
+  /** Basket co-occurrence edges (distinct same-order part pairs seen in
+    * >= 2 orders) — the q41 graph at a support that keeps it triangle-rich. */
+  private def basketEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val l = Tables.load(s, d, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    l.toDF("o", "pa").join(l.toDF("o", "pb"), Seq("o"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+      .selectExpr("pa as a", "pb as b")
+  }
+
+  /** Naive id-ordered 3-way-join triangle oracle over the same edges — an
+    * algorithm independent of the Spark side's degree orientation. */
+  private def dkTrianglesOracle: String =
+    """WITH i AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT a.p AS a, b.p AS b FROM i a JOIN i b ON a.o = b.o AND a.p < b.p
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+      |FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+      |ORDER BY v1, v2, v3""".stripMargin
+
+  /** DuckDB mirror of [[TextOps.bpeRun]]: the same corpus -> (word, count)
+    * collapse, double-space symbol states, weighted pair counts with the
+    * count-desc/pair-asc winner, and literal-replace merge application,
+    * unrolled `rounds` times (the kmeans-oracle pattern). SUM(BIGINT) is
+    * HUGEINT in DuckDB, so pair_count casts back to BIGINT. Every CTE is
+    * MATERIALIZED: DuckDB inlines CTEs by default, and each round
+    * references its predecessor several times (once directly, thrice via
+    * the winner's scalar subqueries) — inlining would re-expand the whole
+    * prefix exponentially (~4^rounds scans of `documents`; the sf0.01 run
+    * actually died on "Too many open files" before the fix). */
+  private def dkBpeCtes(rounds: Int): String = {
+    val init =
+      s"""w AS MATERIALIZED (SELECT word, COUNT(*) AS c FROM (
+         |       SELECT unnest($dkWords) AS word FROM documents)
+         |     WHERE word <> '' GROUP BY 1),
+         |s0 AS MATERIALIZED (SELECT word, c,
+         |         ' ' || array_to_string(list_transform(range(1, len(word) + 1),
+         |                  i -> substr(word, i, 1)), '  ') || ' ' AS st
+         |       FROM w)""".stripMargin
+    val steps = (1 to rounds).map { t =>
+      s""",
+         |p$t AS MATERIALIZED (SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+         |         SELECT c, unnest(list_transform(range(1, len(sy)),
+         |                  i -> sy[i] || ' ' || sy[i + 1])) AS pair
+         |         FROM (SELECT c, string_split(trim(st), '  ') AS sy FROM s${t - 1})
+         |         WHERE len(sy) >= 2) GROUP BY 1),
+         |m$t AS MATERIALIZED (SELECT CAST($t AS BIGINT) AS round,
+         |          string_split(pair, ' ')[1] AS lhs,
+         |          string_split(pair, ' ')[2] AS rhs,
+         |          string_split(pair, ' ')[1] || string_split(pair, ' ')[2] AS merged,
+         |          cnt AS pair_count
+         |        FROM p$t ORDER BY cnt DESC, pair LIMIT 1),
+         |s$t AS MATERIALIZED (SELECT word, c,
+         |          replace(st, ' ' || (SELECT lhs FROM m$t) || '  ' || (SELECT rhs FROM m$t) || ' ',
+         |                      ' ' || (SELECT merged FROM m$t) || ' ') AS st
+         |        FROM s${t - 1})""".stripMargin
+    }.mkString
+    "WITH " + init + steps
+  }
+
+  private def dkBpeTrainOracle(rounds: Int): String =
+    dkBpeCtes(rounds) + "\n" +
+      (1 to rounds)
+        .map(t => s"SELECT round, lhs, rhs, merged, pair_count FROM m$t")
+        .mkString("\nUNION ALL\n") +
+      "\nORDER BY round"
+
+  private def dkBpeEncodeOracle(rounds: Int): String =
+    dkBpeCtes(rounds) +
+      s"""
+         |SELECT word, c AS word_count,
+         |  CAST(len(string_split(trim(st), '  ')) AS BIGINT) AS n_pieces,
+         |  array_to_string(string_split(trim(st), '  '), ' ') AS pieces
+         |FROM s$rounds ORDER BY word""".stripMargin
 
   /** DuckDB mirror of [[GraphOps.textRank]]: identical edge construction,
     * `iters` unrolled integer fixed-point rounds (the kmeans-oracle

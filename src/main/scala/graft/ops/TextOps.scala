@@ -595,4 +595,147 @@ object TextOps {
         "substring(text, c.prev + 1, c.nxt - c.prev) as chunk_text")
       .orderBy("doc_id", "chunk_idx")
   }
+
+  /** One learned BPE merge: `lhs + rhs -> merged` at round `round`, chosen
+    * because the pair occurred `pair_count` times (weighted by word
+    * frequency) in the round's symbol states. */
+  final case class BpeMerge(round: Long, lhs: String, rhs: String,
+                            merged: String, pair_count: Long)
+
+  /** Byte-pair-encoding merge learning (Sennrich, Haddow & Birch, ACL 2016
+    * — public). The corpus first collapses to `(word, count)` — the
+    * standard BPE trick that makes every later round's cost a function of
+    * VOCABULARY size, not corpus size — then each round (a) counts
+    * adjacent symbol pairs weighted by word count, (b) picks the most
+    * frequent pair (ties broken by the pair string ascending — the single
+    * space separating the two symbols sorts below every symbol character,
+    * so string order equals (lhs, rhs) tuple order), and (c) rewrites
+    * every word state with the pair fused.
+    *
+    * A word's symbolization is a single string: symbols joined by TWO
+    * spaces, padded with one leading/trailing space (`" l  o  w "`).
+    * Applying a merge is then ONE literal `replace(st, " l  o ", " lo ")`:
+    * left-to-right non-overlapping replacement — exactly BPE's greedy
+    * one-pass merge ("aaa" -> [aa, a]) — and the double-space separator
+    * makes a symbol-boundary match unambiguous (pattern " a  b " can never
+    * match inside the symbol "xa") while consuming only HALF the gap
+    * between two back-to-back occurrences, so "abab" still fuses both
+    * ("a b a b" -> [ab, ab]; a single-space join would eat the separator
+    * the second match needs).
+    *
+    * Scale shape: pair counting is a vocab-bounded two-phase keyed
+    * aggregation; the winner is a one-row driver collect (the kmeans
+    * centroid pattern); the rewrite is a map-only literal replace. The
+    * `rounds` sequential rounds are inherent to BPE (merge t+1's counts
+    * depend on merge t having been applied) — every production trainer
+    * has the same serial structure. States are re-persisted per round and
+    * the previous round unpersisted, so lineage stays one projection deep.
+    */
+  def bpeRun(docs: DataFrame, rounds: Int): (Seq[BpeMerge], DataFrame) = {
+    import org.apache.spark.sql.functions.{col, replace => sreplace}
+    var states = docs
+      .selectExpr(s"explode(${wordsExpr("text")}) as word")
+      .where("word <> ''")
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .selectExpr("word", "c",
+        "concat(' ', array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), '  '), ' ') as st")
+      .persist()
+    val merges = Seq.newBuilder[BpeMerge]
+    var t = 1
+    var done = false
+    while (t <= rounds && !done) {
+      val win = states
+        .selectExpr("c", "split(trim(st), '  ') as sy")
+        .where("size(sy) >= 2")
+        .selectExpr("c",
+          "explode(transform(sequence(1, size(sy) - 1), i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))) as pair")
+        .groupBy("pair").agg(sum("c").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()
+      if (win.isEmpty) done = true
+      else {
+        val pair = win(0).getString(0)
+        val cnt = win(0).getLong(1)
+        val Array(l, r) = pair.split(" ", 2)
+        merges += BpeMerge(t.toLong, l, r, l + r, cnt)
+        val next = states
+          .withColumn("st",
+            sreplace(col("st"), lit(s" $l  $r "), lit(s" ${l + r} ")))
+          .persist()
+        next.count()
+        states.unpersist()
+        states = next
+        t += 1
+      }
+    }
+    (merges.result(), states)
+  }
+
+  /** Fuzzy vocabulary join: every pair of distinct corpus words within
+    * Levenshtein distance 1 — the typo/variant-mining primitive of a text
+    * curation pipeline (Bocek et al.'s FastSS deletion-neighborhood
+    * blocking, public).
+    *
+    * Blocking: each word of length >= `minLen` emits itself plus its
+    * single-character deletions; two words within edit distance 1 ALWAYS
+    * share a variant (substitution: delete the differing char from each;
+    * insertion/deletion: the longer word's deletion IS the shorter word),
+    * so the candidate join on variant keys is exhaustive — no length-band
+    * cartesian anywhere. The converse does not hold ("ab"/"ba" share the
+    * variant "a" at distance 2), so candidates pass through an exact
+    * `levenshtein` filter — the verify step that makes the blocking an
+    * optimization, not an approximation.
+    *
+    * Scale shape: a word emits <= len+1 keys, so the exploded key table is
+    * vocab-bounded; the self-join is keyed by variant string (bucket size
+    * = words per variant, small by construction); the DP filter runs only
+    * on candidates. Output: (word_a, word_b, dist, c_a, c_b) with
+    * word_a < word_b, both corpus frequencies attached.
+    */
+  def fuzzyWords(docs: DataFrame, minLen: Int = 4): DataFrame = {
+    val vocab = docs
+      .selectExpr(s"explode(${wordsExpr("text")}) as word")
+      .where(s"length(word) >= $minLen")
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val keyed = vocab.selectExpr("word", "c",
+      """explode(array_distinct(transform(sequence(0, length(word)), i ->
+        |  case when i = 0 then word
+        |       else concat(substring(word, 1, i - 1), substring(word, i + 1, length(word))) end))) as k""".stripMargin)
+    val cands = keyed.as("a")
+      .join(keyed.as("b"), expr("a.k = b.k and a.word < b.word"))
+      .selectExpr("a.word as word_a", "b.word as word_b",
+        "a.c as c_a", "b.c as c_b")
+      .distinct()
+    cands
+      .where("levenshtein(word_a, word_b) <= 1")
+      .selectExpr("word_a", "word_b",
+        "cast(levenshtein(word_a, word_b) as bigint) as dist", "c_a", "c_b")
+      .orderBy("word_a", "word_b")
+  }
+
+  /** The learned merge table of [[bpeRun]] as a DataFrame (op_bpe_train's
+    * gated output): `(round, lhs, rhs, merged, pair_count)`. */
+  def bpeTrain(docs: DataFrame, rounds: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, states) = bpeRun(docs, rounds)
+    states.unpersist()
+    merges.toDF().orderBy("round")
+  }
+
+  /** The vocabulary segmented under [[bpeRun]]'s learned merges
+    * (op_bpe_encode's gated output): one row per distinct word with its
+    * corpus frequency, piece count and space-joined pieces. Encoding a
+    * document is then a broadcast join word -> pieces; the table IS the
+    * tokenizer artifact a training pipeline ships. */
+  def bpeEncode(docs: DataFrame, rounds: Int = 10): DataFrame = {
+    val (_, states) = bpeRun(docs, rounds)
+    val out = states
+      .selectExpr("word", "c as word_count", "split(trim(st), '  ') as sy")
+      .selectExpr("word", "word_count",
+        "cast(size(sy) as bigint) as n_pieces",
+        "array_join(sy, ' ') as pieces")
+      .orderBy("word")
+    out
+  }
 }

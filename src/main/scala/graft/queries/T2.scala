@@ -1456,7 +1456,103 @@ object T2 {
         t(s, d, "events").createOrReplaceTempView("events")
         s.sql(welchSql)
       },
-      Some(welchSql))
+      Some(welchSql)),
+
+    // 50. Redshift date-function battery not covered by q14/q26/q35/q36:
+    //     ADD_MONTHS (end-of-month clamping), MONTHS_BETWEEN (the
+    //     31-day-month fractional rule, roundOff OFF so the IEEE value is
+    //     a single divide+add both engines reproduce exactly), LAST_DAY,
+    //     NEXT_DAY (strictly-later semantics), TRUNC to quarter, and the
+    //     dow/doy/iso-week extracts. DuckDB expresses each via its own
+    //     calendar primitives — two independent implementations of the
+    //     same published semantics.
+    QueryDef(
+      "q50_date_battery",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .withColumn("od", col("o_orderdate").cast("date"))
+        o.select(
+            col("o_orderkey"),
+            add_months(col("od"), 1).as("plus_month"),
+            add_months(col("od"), -3).as("minus_q"),
+            months_between(lit("1998-12-31").cast("date"),
+              col("od"), roundOff = false).as("mb"),
+            last_day(col("od")).as("eom"),
+            next_day(col("od"), "Friday").as("next_fri"),
+            trunc(col("od"), "quarter").as("q_start"),
+            dayofweek(col("od")).cast("long").as("dow1"),
+            dayofyear(col("od")).cast("long").as("doy"),
+            weekofyear(col("od")).cast("long").as("iso_week"),
+            quarter(col("od")).cast("long").as("qtr"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH d AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders)
+             |SELECT o_orderkey,
+             |  CAST(od + INTERVAL 1 MONTH AS DATE) AS plus_month,
+             |  CAST(od - INTERVAL 3 MONTH AS DATE) AS minus_q,
+             |  CASE WHEN day(DATE '1998-12-31') = day(od)
+             |         OR od = last_day(od)
+             |       THEN CAST(date_diff('month', od, DATE '1998-12-31') AS DOUBLE)
+             |       ELSE CAST(date_diff('month', od, DATE '1998-12-31') AS DOUBLE)
+             |            + (day(DATE '1998-12-31') - day(od)) / 31.0 END AS mb,
+             |  last_day(od) AS eom,
+             |  od + CAST(CASE WHEN (12 - dayofweek(od)) % 7 = 0
+             |         THEN 7 ELSE (12 - dayofweek(od)) % 7 END AS INT) AS next_fri,
+             |  CAST(date_trunc('quarter', od) AS DATE) AS q_start,
+             |  CAST(dayofweek(od) + 1 AS BIGINT) AS dow1,
+             |  CAST(dayofyear(od) AS BIGINT) AS doy,
+             |  CAST(weekofyear(od) AS BIGINT) AS iso_week,
+             |  CAST(quarter(od) AS BIGINT) AS qtr
+             |FROM d ORDER BY o_orderkey""".stripMargin)),
+
+    // 51. Redshift string-function battery beyond q14: TRANSLATE, REPEAT,
+    //     INITCAP (DuckDB mirrors Spark's space-delimited title rule
+    //     explicitly), REVERSE, CHARINDEX/STRPOS, BTRIM with a char set,
+    //     ASCII, CHR, CONCAT_WS, LEFT/RIGHT, OCTET_LENGTH, MD5,
+    //     REGEXP_COUNT, and STRTOL base-16 (conv vs hex-literal cast).
+    QueryDef(
+      "q51_string_battery2",
+      (s, d) => {
+        val doc = t(s, d, "documents")
+          .withColumn("sx", expr("substring(text, 1, 120)"))
+        doc.select(
+            col("doc_id"),
+            translate(col("sx"), "aeiou", "#####").as("xlate"),
+            repeat(col("lang"), 3).as("lang3"),
+            initcap(col("sx")).as("title"),
+            reverse(col("lang")).as("rev_lang"),
+            instr(col("sx"), "the").cast("long").as("pos_the"),
+            expr("btrim(sx, 'aeiou ')").as("trimmed"),
+            ascii(col("lang")).cast("long").as("lang_ascii"),
+            expr("chr(65 + doc_id % 26)").as("key_chr"),
+            concat_ws("|", col("lang"), col("source")).as("joined"),
+            expr("left(sx, 6)").as("head6"),
+            expr("right(sx, 6)").as("tail6"),
+            octet_length(col("sx")).cast("long").as("octets"),
+            md5(col("sx")).as("sig"),
+            expr("cast(regexp_count(sx, '[aeiou]') as bigint)").as("vowels"),
+            expr("cast(conv(substring(md5(sx), 1, 8), 16, 10) as bigint)").as("strtol16"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, source, substr(text, 1, 120) AS sx FROM documents)
+             |SELECT doc_id,
+             |  translate(sx, 'aeiou', '#####') AS xlate,
+             |  repeat(lang, 3) AS lang3,
+             |  array_to_string(list_transform(string_split(lower(sx), ' '),
+             |    w -> upper(substr(w, 1, 1)) || substr(w, 2, len(w))), ' ') AS title,
+             |  reverse(lang) AS rev_lang,
+             |  CAST(strpos(sx, 'the') AS BIGINT) AS pos_the,
+             |  trim(sx, 'aeiou ') AS trimmed,
+             |  CAST(ascii(lang) AS BIGINT) AS lang_ascii,
+             |  chr(CAST(65 + doc_id % 26 AS INT)) AS key_chr,
+             |  concat_ws('|', lang, source) AS joined,
+             |  left(sx, 6) AS head6,
+             |  right(sx, 6) AS tail6,
+             |  CAST(strlen(sx) AS BIGINT) AS octets,
+             |  md5(sx) AS sig,
+             |  CAST(len(regexp_extract_all(sx, '[aeiou]')) AS BIGINT) AS vowels,
+             |  CAST('0x' || substr(md5(sx), 1, 8) AS BIGINT) AS strtol16
+             |FROM d ORDER BY doc_id""".stripMargin))
   )
 
   private lazy val welchSql: String =

@@ -1464,4 +1464,86 @@ class OpsSpec extends SparkSpecBase {
     assert(merged === kmins(big))
     assert(merged.max === b.getLong(3))
   }
+
+  test("bpe train: hand-computed merge sequence on the Sennrich corpus shape") {
+    // low(2) lower(1) lowest(1): "l o" ties "o w" at 4 → lexicographic
+    // winner "l o"; then "lo w"(4), "low e"(2), and at all-ties-1 the
+    // lexicographically smallest pair "lowe r".
+    val d = docsDF(1L -> "low lower lowest low")
+    val m = TextOps.bpeTrain(d, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(m.toSeq === Seq(
+      (1L, "l", "o", "lo", 4L),
+      (2L, "lo", "w", "low", 4L),
+      (3L, "low", "e", "lowe", 2L),
+      (4L, "lowe", "r", "lower", 1L)))
+    val enc = TextOps.bpeEncode(d, rounds = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(enc === Seq(
+      ("low", 2L, 1L, "low"),
+      ("lower", 1L, 1L, "lower"),
+      ("lowest", 1L, 3L, "lowe s t")))
+  }
+
+  test("bpe merge application is greedy non-overlapping (aaa -> [aa, a])") {
+    val d = docsDF(1L -> "aaa abab")
+    // round 1: pairs "a a" (2 from aaa), "a b" (2 from abab), "b a" (1)
+    // → tie at 2, "a a" < "a b" wins; aaa fuses left-to-right to [aa, a].
+    val m1 = TextOps.bpeTrain(d, rounds = 1).collect()(0)
+    assert((m1.getString(1), m1.getString(2), m1.getLong(4)) === (("a", "a", 2L)))
+    val enc = TextOps.bpeEncode(d, rounds = 1).collect()
+      .map(r => (r.getString(0), r.getString(3))).toSeq
+    assert(enc === Seq(("aaa", "aa a"), ("abab", "a b a b")))
+    // round 2 on abab: "a b" (2) wins and BOTH occurrences fuse in one
+    // pass — the double-space join leaves the second match its separator.
+    val enc2 = TextOps.bpeEncode(d, rounds = 2).collect()
+      .map(r => (r.getString(0), r.getString(3))).toSeq
+    assert(enc2 === Seq(("aaa", "aa a"), ("abab", "ab ab")))
+  }
+
+  test("fuzzy words: deletion blocking finds insert/delete/substitute pairs, filter kills dist-2") {
+    val d = docsDF(1L -> "color colour colr colour")
+    val out = TextOps.fuzzyWords(d, minLen = 4).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out === Seq(
+      ("color", "colour", 1L, 1L, 2L),
+      ("color", "colr", 1L, 1L, 1L)))
+    // "ab"/"ba" share deletion variants but sit at distance 2 — the exact
+    // verify step must reject what the blocking admits
+    val falseCand = TextOps.fuzzyWords(docsDF(1L -> "ab ba"), minLen = 2).collect()
+    assert(falseCand.isEmpty)
+  }
+
+  test("triangles: degree-oriented enumeration equals the naive 3-way join") {
+    import graft.ops.GraphOps
+    // hand case: one triangle plus a dangling edge
+    val small = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(GraphOps.triangles(small).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq === Seq((1L, 2L, 3L)))
+    // deterministic pseudo-random graph incl. a hub: compare against an
+    // in-engine naive id-ordered 3-way join
+    val e = spark.range(400)
+      .selectExpr("id % 50 as a", "(id * id + 3 * id + 7) % 50 as b")
+      .union(spark.range(30).selectExpr("0 as a", "id + 1 as b")) // hub
+      .selectExpr("least(a, b) as a", "greatest(a, b) as b")
+      .where("a <> b").distinct()
+    e.createOrReplaceTempView("tri_e")
+    val naive = spark.sql(
+      """SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+        |FROM tri_e e1 JOIN tri_e e2 ON e2.a = e1.b
+        |JOIN tri_e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fast = GraphOps.triangles(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast === naive)
+    assert(naive.nonEmpty)
+  }
+
+  test("bpe: fixture corpus merges are stable under repartition") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(120)
+    val a = TextOps.bpeTrain(docs, rounds = 4).collect().toSeq
+    val b = TextOps.bpeTrain(docs.repartition(7), rounds = 4).collect().toSeq
+    assert(a === b)
+    assert(a.size === 4)
+  }
 }
