@@ -150,18 +150,31 @@ object OpQueries {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
-  /** DuckDB mirror of [[TextOps.cdcChunks]]: the same boundary rule
-    * (md5-h60 of the trailing `w`-gram ≡ 0 mod `m`), bounds assembly and
-    * span slicing; the chunk ordinal re-derives via ROW_NUMBER over the
-    * span start — the order Spark's posexplode preserves. */
-  private def dkCdcOracle(w: Int, m: Int): String =
-    s"""WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+  /** DuckDB mirror of [[TextOps.cdcChunks]]: the same boundary rule — the
+    * Gear hash of the trailing `w`-gram ≡ 0 mod `m`, with the 256-entry
+    * table re-DERIVED here from md5 of each byte value and the gram hash
+    * computed as a `list_reduce` fold of `(2·h + G[cp % 256]) % 2^60` over
+    * the gram's code points (exactly the fold the Spark `cdc_bounds`
+    * kernel computes with an O(1) rolling update) — then the same bounds
+    * assembly and span slicing; the chunk ordinal re-derives via
+    * ROW_NUMBER over the span start — the order Spark's posexplode
+    * preserves. */
+  private def dkCdcOracle(w: Int, m: Int): String = {
+    val gearFold =
+      s"""list_reduce(
+         |            list_prepend(CAST(0 AS BIGINT),
+         |              list_transform(range(i - ${w - 1}, i + 1), j ->
+         |                g[(unicode(substr(text, CAST(j AS INT), 1)) % 256) + 1])),
+         |            (a, x) -> (2 * a + x) % 1152921504606846976)""".stripMargin
+    s"""WITH gt AS (SELECT list_transform(range(0, 256), b ->
+       |              CAST('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 15) AS BIGINT)) AS g),
+       |b AS (SELECT doc_id, text, length(text) AS n FROM documents),
        |p AS (SELECT doc_id, text, n,
        |        list_filter(list_transform(range($w, n + 1), i ->
-       |          CASE WHEN ${dkH60(s"substr(text, CAST(i - ${w - 1} AS INT), $w)")} % $m = 0
+       |          CASE WHEN $gearFold % $m = 0
        |               THEN i END),
        |          x -> x IS NOT NULL) AS pos
-       |      FROM b),
+       |      FROM b, gt),
        |bd AS (SELECT doc_id, text,
        |         list_concat(list_concat([CAST(0 AS BIGINT)], pos), [CAST(n AS BIGINT)]) AS bounds
        |       FROM p),
@@ -177,6 +190,7 @@ object OpQueries {
        |  CAST(nxt - prev AS BIGINT) AS chunk_len,
        |  ${dkH60("chunk_text")} AS chunk_hash, chunk_text
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+  }
 
   /** DuckDB mirror of [[SketchOps.kmvDistinct]]: identical hash, rank
     * filter, k-th-min extraction and the ONE-multiply-one-divide
@@ -1196,8 +1210,10 @@ object OpQueries {
         docs(s, d).selectExpr("doc_id", s"$plantC4Spark as text")),
       Some(dkC4Oracle)),
 
-    // Content-defined chunking: md5-h60 boundary rule on the trailing
-    // 8-gram (mod 32), chunk spans sliced from the bounds array. Spans,
+    // Content-defined chunking: Gear rolling-hash boundary rule on the
+    // trailing 8-gram (mod 32) — the codegen'd cdc_bounds kernel, with the
+    // md5-derived 256-entry table re-derived by the oracle in SQL — chunk
+    // spans sliced from the bounds array. Spans,
     // lengths, hashes AND chunk text hash-gate; the edit-locality property
     // (a head edit leaves interior chunk hashes intact) is OpsSpec-pinned.
     QueryDef("op_cdc_chunks",

@@ -558,27 +558,29 @@ object TextOps {
     * survive). Emits (doc_id, chunk_idx, chunk_start, chunk_len,
     * chunk_hash, chunk_text); `chunk_hash` is the dedup join key.
     *
-    * The boundary hash here is the portable md5-based [[h60]] over the
-    * gram so the oracle gates bit-for-bit; a production deployment would
-    * swap in a Gear/Rabin rolling hash (O(1) per position instead of
-    * O(window)) — the chunk structure, boundary rule and dedup plumbing
-    * are identical.
+    * The boundary hash is a Gear rolling hash
+    * ([[graft.sql.expressions.ArrayKernels.cdcBounds]] — the codegen'd
+    * `cdc_bounds` kernel, one table lookup + shift/add/sub/mask per
+    * character): `h = (2·h + G[cp & 255]) mod 2^60` folded over the
+    * trailing `window`-gram, boundary where `h % modulus = 0`. The
+    * 256-entry table G derives from md5 of each byte value (the same
+    * 60-bit-from-md5 rule as [[h60]]), so the oracle re-derives the
+    * identical table in SQL and gates the chunk structure bit-for-bit via
+    * a `list_reduce` fold over the same gram — while the Spark side pays
+    * O(1) per position instead of the per-position md5 (substring + hex +
+    * radix-parse chain) that cost 42% of the r10 bench. KernelSpec pins
+    * kernel == composed `aggregate` fold over the SQL-derived table.
     *
     * Scale shape: boundary detection, chunk slicing and hashing are all
-    * in-row higher-order functions — a pure map stage over the scan; the
-    * explode multiplies rows but never shuffles. Chunk-level dedup is then
-    * one exact groupBy on `chunk_hash` (the op_dedup_exact shape).
+    * in-row (the kernel + higher-order functions) — a pure map stage over
+    * the scan; the explode multiplies rows but never shuffles. Chunk-level
+    * dedup is then one exact groupBy on `chunk_hash` (the op_dedup_exact
+    * shape).
     */
   def cdcChunks(docs: DataFrame, window: Int = 8, modulus: Int = 32): DataFrame = {
-    val w = window
-    val gramHash = h60(s"substring(text, i - ${w - 1}, $w)")
     docs.selectExpr("doc_id", "text", "length(text) as n")
       .selectExpr("doc_id", "text",
-        s"""case when n >= $w
-           |  then filter(transform(sequence($w, n), i ->
-           |         case when $gramHash % $modulus = 0 then i end),
-           |       x -> x is not null)
-           |  else cast(array() as array<int>) end as pos""".stripMargin,
+        s"cdc_bounds(text, $window, $modulus) as pos",
         "n")
       .selectExpr("doc_id", "text",
         "concat(array(0), pos, array(n)) as bounds")

@@ -99,4 +99,40 @@ class KernelSpec extends SparkSpecBase {
     val r = spark.sql("SELECT feature_hash(array(), 4) AS v").collect()(0)
     assert(r.getSeq[Long](0) === Seq(0L, 0L, 0L, 0L))
   }
+
+  test("cdc_bounds rolling kernel equals the composed per-gram aggregate fold on fixture documents") {
+    // The composed form derives the SAME 256-entry Gear table in SQL (md5
+    // of each byte value, first 15 hex chars base-16 — the h60 rule) and
+    // folds (2·h + G[cp % 256]) % 2^60 over each trailing 8-gram — the
+    // oracle-portable definition; the kernel must match it bit-for-bit
+    // while paying O(1) per position via the rolling update.
+    val (w, m) = (8, 32)
+    val composed =
+      s"""filter(transform(sequence($w, length(text)), i ->
+         |  case when aggregate(
+         |         transform(sequence(i - ${w - 1}, i),
+         |           j -> element_at(gt, (ascii(substring(text, j, 1)) % 256) + 1)),
+         |         0L, (a, x) -> (2L * a + x) % 1152921504606846976L) % $m = 0
+         |       then i end),
+         |  x -> x is not null) as composed""".stripMargin
+    val both = Tables.load(spark, sfDir, "documents")
+      .selectExpr("doc_id", "text",
+        "transform(sequence(0, 255), b -> cast(conv(substring(md5(cast(b as string)), 1, 15), 16, 10) as bigint)) as gt")
+      .selectExpr("doc_id", s"cdc_bounds(text, $w, $m) as kernel", composed)
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getSeq[Int](1).nonEmpty), "fixture produced no boundaries at all")
+    rows.foreach(r => assert(r.getSeq[Int](1) === r.getSeq[Int](2), s"doc ${r.get(0)}"))
+  }
+
+  test("cdc_bounds edge cases: short text has no boundaries; null is null") {
+    val r = spark.sql(
+      """SELECT cdc_bounds('abc', 8, 32) AS short,
+        |       cdc_bounds('', 8, 32) AS empty,
+        |       cdc_bounds(cast(null as string), 8, 32) AS n""".stripMargin)
+      .collect()(0)
+    assert(r.getSeq[Int](0) === Seq.empty)
+    assert(r.getSeq[Int](1) === Seq.empty)
+    assert(r.isNullAt(2))
+  }
 }
