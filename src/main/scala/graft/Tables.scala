@@ -33,11 +33,30 @@ object Tables {
     * Either way callers see one canonical `ts: TIMESTAMP`. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
-      val raw = spark.read.parquet(s"$dir/events.parquet")
+      // A NANOS fixture read without the legacy conf fails inside Spark's
+      // schema conversion with a bare "Illegal Parquet type" — translate
+      // it to the actionable message (ADVICE r10)
+      val raw =
+        try spark.read.parquet(s"$dir/events.parquet")
+        catch {
+          case e: Exception
+              if Option(e.getMessage).exists(_.contains("Illegal Parquet type")) =>
+            throw new IllegalArgumentException(
+              "events.parquet stores TIMESTAMP(NANOS); set " +
+                "spark.sql.legacy.parquet.nanosAsLong=true on the session " +
+                "(GraftSession and the graft mains do)", e)
+        }
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
         case _ =>
+          // NTZ → TIMESTAMP re-interprets the wall clock in the SESSION
+          // zone; any zone but UTC silently shifts every event vs DuckDB
+          // reading the same file (ADVICE r10) — fail loudly instead
+          val tz = spark.conf.get("spark.sql.session.timeZone")
+          require(tz == "UTC",
+            s"events.ts is TIMESTAMP_NTZ; casting to TIMESTAMP preserves wall clocks " +
+              s"only under spark.sql.session.timeZone=UTC (session has '$tz')")
           raw.withColumn("ts", col("ts").cast("timestamp"))
       }
     case _ => spark.read.parquet(s"$dir/$name.parquet")

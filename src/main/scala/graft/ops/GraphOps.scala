@@ -143,6 +143,11 @@ object GraphOps {
       .selectExpr("array_sort(array(u, x, y)) as t")
       .selectExpr("t[0] as v1", "t[1] as v2", "t[2] as v3")
       .orderBy("v1", "v2", "v3")
+      // materialize the triangle set (tiny next to the wedge-join
+      // intermediates it summarizes), then release the oriented edge
+      // cache — it had no unpersist path before (ADVICE r10)
+      .localCheckpoint()
+    oriented.unpersist()
     tri
   }
 }

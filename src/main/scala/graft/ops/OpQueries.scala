@@ -1322,7 +1322,14 @@ object OpQueries {
     * references its predecessor several times (once directly, thrice via
     * the winner's scalar subqueries) — inlining would re-expand the whole
     * prefix exponentially (~4^rounds scans of `documents`; the sf0.01 run
-    * actually died on "Too many open files" before the fix). */
+    * actually died on "Too many open files" before the fix).
+    *
+    * If merges dry up before `rounds` (m$t empty — not hit by the fixture
+    * corpus, but latent), the winner's scalar subqueries return NULL and a
+    * bare replace(st, NULL, …) would null every word state; the coalesce
+    * guards fall back to a pattern that can never match (st ‖ chr(1) is
+    * strictly longer than st), so dry rounds pass states through unchanged
+    * — exactly how the Spark side's bpeRun stops (ADVICE r10). */
   private def dkBpeCtes(rounds: Int): String = {
     val init =
       s"""w AS MATERIALIZED (SELECT word, COUNT(*) AS c FROM (
@@ -1346,8 +1353,10 @@ object OpQueries {
          |          cnt AS pair_count
          |        FROM p$t ORDER BY cnt DESC, pair LIMIT 1),
          |s$t AS MATERIALIZED (SELECT word, c,
-         |          replace(st, ' ' || (SELECT lhs FROM m$t) || '  ' || (SELECT rhs FROM m$t) || ' ',
-         |                      ' ' || (SELECT merged FROM m$t) || ' ') AS st
+         |          replace(st,
+         |                  coalesce(' ' || (SELECT lhs FROM m$t) || '  ' || (SELECT rhs FROM m$t) || ' ',
+         |                           st || chr(1)),
+         |                  coalesce(' ' || (SELECT merged FROM m$t) || ' ', '')) AS st
          |        FROM s${t - 1})""".stripMargin
     }.mkString
     "WITH " + init + steps

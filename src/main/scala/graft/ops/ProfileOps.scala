@@ -59,10 +59,16 @@ object ProfileOps {
     * under the affine rank doubling, so the value is the textbook rho.
     *
     * Scale shape: per column, ranks come from a (value)-keyed count plus
-    * a prefix sum over DISTINCT values (V rows, V ≪ N for profiling-type
-    * columns — the same regime [[profile]]'s exact-NDV note covers), then
-    * broadcast-join back onto the rows; the moment pass is ONE all-partial
-    * aggregation producing a single row — no row-keyed shuffle anywhere.
+    * a RANGE-PARTITIONED two-pass prefix sum over the distinct values —
+    * repartitionByRange(v) makes each partition a contiguous value range,
+    * the within-range running sum is a pid-partitioned window (never the
+    * single-partition WindowExec an unpartitioned ORDER BY window
+    * degenerates to — the r10 nit: a near-unique column has V ≈ N and
+    * would sort ALL of it on one task), and the cross-range offsets are a
+    * per-pid total aggregated into ONE broadcast row and folded in-row.
+    * Ranks then broadcast-join back onto the rows; the moment pass is ONE
+    * all-partial aggregation producing a single row — no row-keyed,
+    * single-reducer stage anywhere.
     * BIGINT moment sums hold to ~1.3M rows per profile scope (Σd² ≈ 4N³/3
     * vs 2⁶³); beyond that, profile per partition/stratum or swap the
     * moment accumulators to DECIMAL(38,0) — the formula is unchanged.
@@ -72,8 +78,21 @@ object ProfileOps {
     val base = df.select(cols.map(col): _*)
     val ranked = cols.zipWithIndex.foldLeft(base) { case (acc, (c, i)) =>
       val counts = df.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
-      val rk = counts
-        .withColumn("cum", sum("cnt").over(Window.orderBy(col("v"))))
+      // contiguous value ranges per partition; pid stamped BEFORE the
+      // window shuffle so the within-range prefix groups by range. The
+      // cumulative sums are exact integers, so the result is independent
+      // of where the (sampled) range bounds fall.
+      val inRange = counts.repartitionByRange(col("v"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("cum_in",
+          sum("cnt").over(Window.partitionBy("pid").orderBy(col("v"))))
+      // one tiny row: every range's total, folded in-row into the offset
+      // of each pid (sum of totals of strictly-lower ranges)
+      val totals = inRange.groupBy("pid").agg(sum("cnt").as("tot"))
+        .agg(expr("array_sort(collect_list(struct(pid, tot)))").as("ts"))
+      val rk = inRange.crossJoin(broadcast(totals))
+        .selectExpr("v", "cnt",
+          "cum_in + aggregate(filter(ts, t -> t.pid < pid), 0L, (a, t) -> a + t.tot) as cum")
         .selectExpr("v", s"2 * cum - cnt + 1 as d$i")
       acc.join(broadcast(rk), acc(c) === rk("v")).drop("v")
     }

@@ -660,11 +660,18 @@ object TextOps {
         val cnt = win(0).getLong(1)
         val Array(l, r) = pair.split(" ", 2)
         merges += BpeMerge(t.toLong, l, r, l + r, cnt)
+        // localCheckpoint, not persist: each round's states must become a
+        // FLAT scan. A persisted-but-unbroken plan chains one replace
+        // projection per round, and optimizing the next round's win query
+        // over that chain re-inlines it super-linearly — at 10 rounds the
+        // cost hides inside ~3 s, at 15 it was 31 s, by ~20 the driver
+        // OOMs (found by the r11 bench-only 100-round configuration).
+        // The checkpoint is eager, so it also replaces the old
+        // persist-then-count materialization.
         val next = states
           .withColumn("st",
             sreplace(col("st"), lit(s" $l  $r "), lit(s" ${l + r} ")))
-          .persist()
-        next.count()
+          .localCheckpoint()
         states.unpersist()
         states = next
         t += 1
@@ -732,12 +739,17 @@ object TextOps {
     * tokenizer artifact a training pipeline ships. */
   def bpeEncode(docs: DataFrame, rounds: Int = 10): DataFrame = {
     val (_, states) = bpeRun(docs, rounds)
+    // materialize the (vocab-sized) segmentation, then release the final
+    // round's cached states — without the cut each encode call leaked one
+    // persisted RDD for the session's lifetime (ADVICE r10)
     val out = states
       .selectExpr("word", "c as word_count", "split(trim(st), '  ') as sy")
       .selectExpr("word", "word_count",
         "cast(size(sy) as bigint) as n_pieces",
         "array_join(sy, ' ') as pieces")
       .orderBy("word")
+      .localCheckpoint()
+    states.unpersist()
     out
   }
 }

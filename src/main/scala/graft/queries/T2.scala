@@ -1519,7 +1519,10 @@ object T2 {
             col("doc_id"),
             translate(col("sx"), "aeiou", "#####").as("xlate"),
             repeat(col("lang"), 3).as("lang3"),
-            initcap(col("sx")).as("title"),
+            // whitespace normalized on BOTH sides first: Spark's initcap
+            // delimits on any whitespace, the DuckDB mirror splits on ' '
+            // only — a tab/newline in the slice would diverge (ADVICE r10)
+            initcap(regexp_replace(col("sx"), "\\s", " ")).as("title"),
             reverse(col("lang")).as("rev_lang"),
             instr(col("sx"), "the").cast("long").as("pos_the"),
             expr("btrim(sx, 'aeiou ')").as("trimmed"),
@@ -1538,7 +1541,8 @@ object T2 {
              |SELECT doc_id,
              |  translate(sx, 'aeiou', '#####') AS xlate,
              |  repeat(lang, 3) AS lang3,
-             |  array_to_string(list_transform(string_split(lower(sx), ' '),
+             |  array_to_string(list_transform(
+             |    string_split(lower(regexp_replace(sx, '\s', ' ', 'g')), ' '),
              |    w -> upper(substr(w, 1, 1)) || substr(w, 2, len(w))), ' ') AS title,
              |  reverse(lang) AS rev_lang,
              |  CAST(strpos(sx, 'the') AS BIGINT) AS pos_the,

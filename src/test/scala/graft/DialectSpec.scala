@@ -1506,6 +1506,20 @@ class DialectSpec extends SparkSpecBase {
     }
   }
 
+  test("events loader refuses a non-UTC session (NTZ wall clocks would shift silently)") {
+    // Tables.load casts the fixture's TIMESTAMP_NTZ ts into the SESSION
+    // zone; under any zone but UTC every event would shift vs DuckDB
+    // reading the same file — the loader must fail loudly (ADVICE r10).
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[IllegalArgumentException] {
+        Tables.load(spark, sfDir, "events")
+      }
+      assert(e.getMessage.contains("timeZone"), e.getMessage)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   // ---- column-level ALTER TABLE ----
   test("ALTER TABLE ADD COLUMN rewrites to native ADD COLUMNS with type normalization") {
     assert(rewrite("ALTER TABLE t ADD COLUMN c INT8") ===
