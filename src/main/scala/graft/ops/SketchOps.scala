@@ -136,6 +136,53 @@ object SketchOps {
     * error contract). */
   def mgColumn(k: Int): TypedColumn[String, MGBuf] = new MisraGries(k).toColumn
 
+  /** KMV bottom-k state: the `size` smallest DISTINCT hashes seen, sorted
+    * ascending in `hs` (capacity k). A case class so the buffer ships
+    * under the codegen product encoder, like [[MGBuf]]. */
+  final case class KMVBuf(var size: Int, hs: Array[Long])
+
+  /** Bottom-k of a hash stream — the mergeable half of [[kmvDistinct]]:
+    * union of two bottom-k sets re-take-k'd IS the bottom-k of the union
+    * (the KMV merge contract OpsSpec pins on the batch op), so partial
+    * buffers from any partitioning — or any micro-batch cut — combine
+    * into the same sketch a single pass would build. O(k) state, O(k)
+    * per insert worst case (one arraycopy), duplicates dropped by the
+    * binary-search membership check (KMV counts DISTINCT values). */
+  private final class KmvBottomK(k: Int) extends Aggregator[Long, KMVBuf, KMVBuf] {
+    def zero: KMVBuf = KMVBuf(0, new Array[Long](k))
+
+    private def insert(b: KMVBuf, h: Long): Unit = {
+      val idx = java.util.Arrays.binarySearch(b.hs, 0, b.size, h)
+      if (idx >= 0) return // present — a duplicate value, not new evidence
+      val ins = -idx - 1
+      if (b.size < k) {
+        System.arraycopy(b.hs, ins, b.hs, ins + 1, b.size - ins)
+        b.hs(ins) = h
+        b.size += 1
+      } else if (ins < k) { // smaller than the current k-th minimum
+        System.arraycopy(b.hs, ins, b.hs, ins + 1, k - ins - 1)
+        b.hs(ins) = h
+      }
+    }
+
+    def reduce(b: KMVBuf, h: Long): KMVBuf = { insert(b, h); b }
+
+    def merge(a: KMVBuf, b: KMVBuf): KMVBuf = {
+      var i = 0
+      while (i < b.size) { insert(a, b.hs(i)); i += 1 }
+      a
+    }
+
+    def finish(r: KMVBuf): KMVBuf = r
+    def bufferEncoder: Encoder[KMVBuf] = Encoders.product[KMVBuf]
+    def outputEncoder: Encoder[KMVBuf] = Encoders.product[KMVBuf]
+  }
+
+  /** The KMV bottom-k as a reusable TypedColumn — the per-group state
+    * unit [[graft.streaming.StreamingOps.kmvDistinctStream]] accumulates
+    * across micro-batches. */
+  def kmvColumn(k: Int): TypedColumn[Long, KMVBuf] = new KmvBottomK(k).toColumn
+
   /** Exact tokens whose corpus frequency is ≥ `minShare` of all token
     * occurrences (⌈minShare·N⌉), found through a capacity-`k` Misra-Gries
     * candidate pass. A SHARE threshold makes the capacity requirement

@@ -59,11 +59,14 @@ import SqlTokens._
   * Transport/credential options (IAM_ROLE, CREDENTIALS, REGION, …) are
   * skipped with their values — Spark's Hadoop FS layer owns transport; on a
   * real cluster an `s3a://` path reads exactly like the local paths used in
-  * tests. Codec words (GZIP/BZIP2) are validated, not skipped: Hadoop
+  * tests. Codec words (GZIP/BZIP2/ZSTD) are validated, not skipped: Hadoop
   * decompresses by file extension, so the COPY scan verifies every data
   * file carries the matching suffix (and both statements reject codecs on
-  * columnar formats, whose compression is internal); ZSTD and LZOP raise
-  * loudly — Spark's text sources ship no codec for either here. Perf
+  * columnar formats, whose compression is internal). ZSTD rides
+  * aircompressor's pure-Java Hadoop codec (on Spark's classpath for
+  * ORC/Parquet; registered into `io.compression.codecs` for the COPY read
+  * side); LZOP raises loudly — the one Redshift codec with no usable
+  * counterpart here. Perf
   * hints (MAXFILESIZE, ROWGROUPSIZE, COMPROWS,
   * MAXERROR, STATUPDATE, COMPUPDATE) parse and are ignored — Spark decides
   * file sizing and statistics. Everything else raises.
@@ -86,6 +89,21 @@ object LocalCopy {
 
   /** Formats whose data has no Spark-native reader/writer mapping here —
     * silently skipping the word would misparse the data as delimited text. */
+  /** aircompressor's pure-Java Hadoop zstd codec (writes/reads `.zst`). */
+  private val ZstdCodecClass = "io.airlift.compress.zstd.ZstdCodec"
+
+  /** Hadoop's CompressionCodecFactory resolves a file's codec from
+    * `io.compression.codecs` (falling back to its built-in set when the
+    * key is unset). The airlift codec isn't service-registered, so COPY of
+    * a `.zst` file needs it added — together with the stock codecs the
+    * fallback would otherwise have provided (gzip/bzip2 COPYs keep
+    * working). Idempotent; called when a ZSTD read is requested. */
+  private def registerZstdCodec(spark: SparkSession): Unit =
+    spark.sparkContext.hadoopConfiguration.set("io.compression.codecs",
+      "org.apache.hadoop.io.compress.DefaultCodec," +
+        "org.apache.hadoop.io.compress.GzipCodec," +
+        "org.apache.hadoop.io.compress.BZip2Codec," + ZstdCodecClass)
+
   private val rejectedFormats = Set("avro", "fixedwidth", "shapefile")
 
   /** Auth/transport words carrying a quoted (or `default`) value: skipped
@@ -185,12 +203,12 @@ object LocalCopy {
       case "gzip" => o.compression = Some("gzip"); j
       case "bzip2" => o.compression = Some("bzip2"); j
       case "zstd" =>
-        // Spark's text sources ship no zstd codec (Hadoop's needs the
-        // native library); accepting the word would fail at write time on
-        // UNLOAD and read compressed bytes as rows on COPY
-        throw new IllegalArgumentException(
-          s"$stmt: ZSTD is not available for delimited text here " +
-            "(no Hadoop-native zstd codec; use GZIP or BZIP2)")
+        // Hadoop's own ZStandardCodec needs the native library, but
+        // aircompressor (on Spark's classpath for ORC/Parquet) ships a
+        // pure-Java Hadoop CompressionCodec — pass its class name where
+        // Spark's short-name table has no zstd entry
+        // (CompressionCodecs.getCodecClassName resolves either form)
+        o.compression = Some(ZstdCodecClass); j
       case "lzop" | "lzo" =>
         // the one Redshift codec with no Hadoop-native counterpart —
         // skipping the word would load compressed bytes as text
@@ -295,10 +313,16 @@ object LocalCopy {
     // otherwise Spark would read compressed bytes as rows and append
     // garbage to the table.
     o.compression.foreach { c =>
+      val cname = if (c == ZstdCodecClass) "ZSTD" else c.toUpperCase
       require(o.format != "parquet" && o.format != "orc",
-        s"COPY: ${c.toUpperCase} does not apply to ${o.format.toUpperCase} " +
+        s"COPY: $cname does not apply to ${o.format.toUpperCase} " +
           "(columnar compression is internal to the format)")
-      val ext = if (c == "gzip") ".gz" else ".bz2"
+      val ext = c match {
+        case "gzip" => ".gz"
+        case "bzip2" => ".bz2"
+        case _ => ".zst"
+      }
+      if (c == ZstdCodecClass) registerZstdCodec(spark)
       val hconf = spark.sparkContext.hadoopConfiguration
       val bad = dataPaths.flatMap { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
@@ -315,7 +339,7 @@ object LocalCopy {
         } else Seq(p)
       }.filterNot(_.endsWith(ext))
       require(bad.isEmpty,
-        s"COPY ${c.toUpperCase}: file(s) without the '$ext' extension would " +
+        s"COPY $cname: file(s) without the '$ext' extension would " +
           s"load as raw text: ${bad.take(3).mkString(", ")}")
     }
     // Redshift's columnar-format rule (PARQUET and ORC alike): columns map

@@ -384,6 +384,44 @@ object StreamingOps {
     * archived corpus — the lambda shape every production HH pipeline
     * uses. Run with Complete/Update output (global aggregate).
     */
+  /** Streaming KMV distinct-count sketch — the online half of
+    * [[graft.ops.SketchOps.kmvDistinct]]: per group, the k smallest
+    * DISTINCT md5-h60 hashes of the value accumulate as a typed
+    * aggregation, each micro-batch's partial bottom-k merging into the
+    * state-store buffer by the KMV merge rule (union, re-take-k — the
+    * mergeability contract OpsSpec pins on the batch op; bottom-k of a
+    * union is the merge of bottom-k's, so the stream's sketch equals the
+    * batch sketch over the same rows regardless of how the batches cut).
+    * State is O(k) per group forever.
+    *
+    * What a stream can't carry is the batch op's exact `n_exact`
+    * companion column (that is a full COUNT DISTINCT — unbounded state);
+    * the estimator itself is the same (k−1)·U/h₍ₖ₎ expression tree, so
+    * the sketch columns (n_kept, kth_hash, est_distinct) are
+    * batch-equivalent, StreamingSpec-pinned. Run with Complete/Update
+    * output (global aggregate per group).
+    */
+  def kmvDistinctStream(df: DataFrame, groupCol: String, valueExpr: String,
+                        k: Int = 16): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df
+      .selectExpr(s"cast($groupCol as string) as grp",
+        s"${graft.ops.TextOps.h60(valueExpr)} as h")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.ops.SketchOps.kmvColumn(k).name("sk"))
+      .toDF("grp", "sk")
+      .selectExpr("grp",
+        "cast(sk.size as bigint) as n_kept",
+        "sk.hs[sk.size - 1] as kth_hash",
+        s"""case when sk.size < $k then cast(sk.size as double)
+           |  else cast(${k - 1} as double) * cast(1152921504606846976 as double)
+           |       / cast(sk.hs[sk.size - 1] as double) end as est_distinct""".stripMargin)
+  }
+
   def heavyHittersStream(docs: DataFrame, minShare: Double,
                          k0: Int = 0): DataFrame = {
     require(minShare > 0 && minShare < 1, s"minShare in (0,1), got $minShare")

@@ -802,6 +802,40 @@ class DialectSpec extends SparkSpecBase {
     assert(spark.table("bz_t").count() === 7L)
   }
 
+  test("UNLOAD ZSTD round-trips through COPY ZSTD (aircompressor codec, .zst files)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_zstd_")
+    val out = dir.resolve("zstd_out")
+    graft.cli.ExecuteSql.run(spark,
+      s"UNLOAD ('SELECT id, id * 7 AS v FROM range(50)') TO '$out' ZSTD", None)
+    // real zstd files: the Hadoop extension contract, like the GZIP case
+    val parts = Files.list(out).iterator()
+    val names = Iterator.continually(parts).takeWhile(_.hasNext).map(_.next()
+      .getFileName.toString).filter(_.startsWith("part-")).toList
+    assert(names.nonEmpty && names.forall(_.endsWith(".zst")), names.toString)
+    // the bytes really are zstd: 4-byte magic 0xFD2FB528 (little-endian)
+    val first = Files.list(out).iterator()
+    val p0 = Iterator.continually(first).takeWhile(_.hasNext).map(_.next())
+      .find(_.getFileName.toString.startsWith("part-")).get
+    val magic = Files.readAllBytes(p0).take(4).map(_ & 0xff)
+    assert(magic.toSeq === Seq(0x28, 0xb5, 0x2f, 0xfd), magic.mkString(","))
+    spark.sql("DROP TABLE IF EXISTS zst_t")
+    spark.sql("CREATE TABLE zst_t (id BIGINT, v BIGINT)")
+    graft.cli.ExecuteSql.run(spark, s"COPY zst_t FROM '$out' ZSTD", None)
+    val rows = spark.table("zst_t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq === (0L until 50L).map(i => (i, i * 7)))
+    // single-file contract too
+    val one = dir.resolve("z.csv.zst")
+    graft.cli.ExecuteSql.run(spark,
+      s"UNLOAD ('SELECT id FROM range(9)') TO '$one' ZSTD PARALLEL OFF", None)
+    assert(Files.exists(one))
+    spark.sql("DROP TABLE IF EXISTS zst1_t")
+    spark.sql("CREATE TABLE zst1_t (id BIGINT)")
+    graft.cli.ExecuteSql.run(spark, s"COPY zst1_t FROM '$one' ZSTD", None)
+    assert(spark.table("zst1_t").count() === 9L)
+  }
+
   test("COPY codec contract: extension mismatch, columnar formats, LZOP all raise") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_gzbad_")
@@ -829,13 +863,11 @@ class DialectSpec extends SparkSpecBase {
         s"UNLOAD ('SELECT 1') TO '${dir.resolve("lz")}' LZOP", None)
     }
     assert(e4.getMessage.contains("LZOP"), e4.getMessage)
-    // ZSTD: no text codec in Spark here — refuse instead of failing at
-    // write time (UNLOAD) or loading compressed bytes as rows (COPY)
+    // ZSTD against a file without .zst would load compressed bytes as rows
     val e5 = intercept[IllegalArgumentException] {
-      graft.cli.ExecuteSql.run(spark,
-        s"UNLOAD ('SELECT 1') TO '${dir.resolve("z")}' ZSTD", None)
+      graft.cli.ExecuteSql.run(spark, s"COPY gzbad_t FROM '$plain' ZSTD", None)
     }
-    assert(e5.getMessage.contains("ZSTD"), e5.getMessage)
+    assert(e5.getMessage.contains(".zst"), e5.getMessage)
     // parquet + codec: compression is internal to the format (both verbs)
     val e6 = intercept[IllegalArgumentException] {
       graft.cli.ExecuteSql.run(spark,

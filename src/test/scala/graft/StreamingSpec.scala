@@ -366,6 +366,47 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming KMV sketch equals the batch sketch, merged across batch cuts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val k = 16
+    val events = Tables.load(spark, sfDir, "events")
+      .select("event_type", "user_id").orderBy("user_id", "event_type")
+    // the batch op's sketch columns on the full fixture — what the
+    // streamed state must converge to after both deliveries merge
+    val batch = graft.ops.SketchOps
+      .kmvDistinct(events, "event_type", "cast(user_id as string)", k = k)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(batch.nonEmpty)
+
+    val rows = events.as[(String, Long)].collect()
+    val stream = MemoryStream[(String, Long)]
+    val q = StreamingOps.kmvDistinctStream(
+        stream.toDF().toDF("event_type", "user_id"),
+        "event_type", "cast(user_id as string)", k = k)
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      // two deliveries: the second micro-batch's bottom-k partials must
+      // MERGE into the state-store buffer (union, re-take-k), not restart
+      // it — only then does the stream equal the one-pass batch sketch
+      val (a, b) = rows.splitAt(rows.length / 2)
+      stream.addData(a.toSeq)
+      q.processAllAvailable()
+      stream.addData(b.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("kmv_stream").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (g, (nKept, kth, est)) =>
+      val (bN, bK, bE) = batch(g)
+      assert(nKept === bN && kth === bK, s"$g: sketch diverged from batch")
+      assert(java.lang.Double.doubleToLongBits(est) ===
+        java.lang.Double.doubleToLongBits(bE), s"$g: estimate diverged")
+    }
+  }
+
   test("incremental delivery across batches yields the same closed sessions") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rows = Tables.load(spark, sfDir, "events")
