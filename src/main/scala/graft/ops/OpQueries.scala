@@ -159,7 +159,7 @@ object OpQueries {
     * assembly and span slicing; the chunk ordinal re-derives via
     * ROW_NUMBER over the span start — the order Spark's posexplode
     * preserves. */
-  private def dkCdcOracle(w: Int, m: Int): String = {
+  private def dkCdcCtes(w: Int, m: Int, textDuck: String = "text"): String = {
     val gearFold =
       s"""list_reduce(
          |            list_prepend(CAST(0 AS BIGINT),
@@ -168,7 +168,8 @@ object OpQueries {
          |            (a, x) -> (2 * a + x) % 1152921504606846976)""".stripMargin
     s"""WITH gt AS (SELECT list_transform(range(0, 256), b ->
        |              CAST('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 15) AS BIGINT)) AS g),
-       |b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |b AS (SELECT doc_id, text, length(text) AS n FROM
+       |        (SELECT doc_id, $textDuck AS text FROM documents)),
        |p AS (SELECT doc_id, text, n,
        |        list_filter(list_transform(range($w, n + 1), i ->
        |          CASE WHEN $gearFold % $m = 0
@@ -184,13 +185,49 @@ object OpQueries {
        |c AS (SELECT doc_id, prev, nxt,
        |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY prev) AS chunk_idx,
        |        substr(text, CAST(prev + 1 AS INT), CAST(nxt - prev AS INT)) AS chunk_text
-       |      FROM sp)
+       |      FROM sp)""".stripMargin
+  }
+
+  private def dkCdcOracle(w: Int, m: Int): String =
+    s"""${dkCdcCtes(w, m)}
        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        |  CAST(prev + 1 AS BIGINT) AS chunk_start,
        |  CAST(nxt - prev AS BIGINT) AS chunk_len,
        |  ${dkH60("chunk_text")} AS chunk_hash, chunk_text
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
-  }
+
+  /** The shared-paragraph plant for op_cdc_dedup: every third document
+    * carries the same ~120-char trailer, so cross-document duplicate
+    * chunks provably exist and the dedup attribution path is exercised
+    * (the plantC4 pattern — identical expression in both engines). */
+  private val plantCdcSpark: String =
+    "concat(text, case when doc_id % 3 = 0 then" +
+      " ' the quick brown fox jumps over the lazy dog while the shared boilerplate" +
+      " trailer paragraph repeats verbatim across documents. ' else '' end)"
+  private val plantCdcDuck: String =
+    "text || CASE WHEN doc_id % 3 = 0 THEN" +
+      " ' the quick brown fox jumps over the lazy dog while the shared boilerplate" +
+      " trailer paragraph repeats verbatim across documents. ' ELSE '' END"
+
+  /** DuckDB mirror of [[TextOps.cdcDedup]]: same chunk chain over the
+    * trailer-planted text, canonical owner via ROW_NUMBER over
+    * (doc_id, chunk_idx) within a chunk hash — the order Spark's
+    * struct-min picks — then the per-doc integer rollup. */
+  private def dkCdcDedupOracle(w: Int, m: Int): String =
+    s"""${dkCdcCtes(w, m, plantCdcDuck)},
+       |ck AS (SELECT doc_id, chunk_idx,
+       |         CAST(nxt - prev AS BIGINT) AS chunk_len,
+       |         ${dkH60("chunk_text")} AS chunk_hash
+       |       FROM c),
+       |rn AS (SELECT doc_id, chunk_len,
+       |         ROW_NUMBER() OVER (PARTITION BY chunk_hash
+       |                            ORDER BY doc_id, chunk_idx) AS rn
+       |       FROM ck)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(chunk_len) AS BIGINT) AS total_len,
+       |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+       |  CAST(SUM(CASE WHEN rn > 1 THEN chunk_len ELSE 0 END) AS BIGINT) AS dup_len
+       |FROM rn GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of [[SketchOps.kmvDistinct]]: identical hash, rank
     * filter, k-th-min extraction and the ONE-multiply-one-divide
@@ -209,6 +246,19 @@ object OpQueries {
        |       ELSE CAST(${k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
        |            / CAST(kth_hash AS DOUBLE) END AS est_distinct
        |FROM sk JOIN x USING (grp) ORDER BY grp""".stripMargin
+
+  /** DuckDB mirror of [[SketchOps.amsF2]]: identical h60 signs, exact
+    * integer counters, the same mean-of-squares tree. */
+  private def dkAmsOracle(r: Int, valueDuck: String): String =
+    s"""WITH h AS (SELECT event_type AS grp, ${dkH60(valueDuck)} AS h FROM events),
+       |sg AS (SELECT grp, j, CAST(SUM(((h >> j) & 1) * 2 - 1) AS BIGINT) AS s
+       |       FROM h, unnest(range(0, $r)) AS t(j) GROUP BY 1, 2),
+       |e AS (SELECT grp, CAST(SUM(s * s) AS BIGINT) AS ss FROM sg GROUP BY 1),
+       |x AS (SELECT grp, CAST(SUM(c * c) AS BIGINT) AS f2_exact FROM
+       |        (SELECT event_type AS grp, $valueDuck AS v, COUNT(*) AS c
+       |         FROM events GROUP BY 1, 2) GROUP BY 1)
+       |SELECT grp, f2_exact, CAST(ss AS DOUBLE) / $r AS f2_est
+       |FROM x JOIN e USING (grp) ORDER BY grp""".stripMargin
 
   /** DuckDB mirror of [[TextOps.gopherRepetition]] over the line-planted
     * text: identical splits, integer aggregates and division trees, with
@@ -1220,6 +1270,18 @@ object OpQueries {
       (s, d) => TextOps.cdcChunks(docs(s, d), window = 8, modulus = 32),
       Some(dkCdcOracle(8, 32))),
 
+    // Chunk-level dedup over the CDC chunks (r11) — the purpose CDC
+    // exists for: identical spans anywhere in the corpus collapse onto
+    // equal chunk hashes; first occurrence in (doc_id, chunk_idx) order
+    // owns the chunk, later ones are duplicate bytes. A shared trailer
+    // planted on every third document guarantees cross-doc duplicates.
+    // Per-doc chunk/byte/dup counts are exact integers — full hash gate.
+    QueryDef("op_cdc_dedup",
+      (s, d) => TextOps.cdcDedup(
+        docs(s, d).selectExpr("doc_id", s"$plantCdcSpark as text"),
+        window = 8, modulus = 32),
+      Some(dkCdcDedupOracle(8, 32))),
+
     // KMV distinct-count sketch per event type: k smallest md5-h60 hashes
     // of the user key, (k−1)·U/h₍ₖ₎ estimator. Sketch contents AND the
     // float estimate hash-gate (one multiply + divide over exactly-
@@ -1228,6 +1290,17 @@ object OpQueries {
       (s, d) => SketchOps.kmvDistinct(Tables.load(s, d, "events"),
         "event_type", "cast(user_id as string)", k = 16),
       Some(dkKmvOracle(16, "CAST(user_id AS VARCHAR)"))),
+
+    // AMS F2 sketch per event type (r11): 16 ±1-sign counters with signs
+    // from md5-h60 bits, estimate = mean of squares — the self-join-size
+    // statistic, as a LINEAR (vector-addition-mergeable) sketch. Exact
+    // BIGINT counters + a power-of-two mean division, so the estimate
+    // AND the exact F2 companion hash-gate; sketch linearity is
+    // OpsSpec-pinned.
+    QueryDef("op_ams_f2",
+      (s, d) => SketchOps.amsF2(Tables.load(s, d, "events"),
+        "event_type", "cast(user_id as string)", r = 16),
+      Some(dkAmsOracle(16, "CAST(user_id AS VARCHAR)"))),
 
     // BPE merge learning (Sennrich ACL'16): 10 rounds of weighted pair
     // counting over the vocab-collapsed corpus, count-desc/pair-asc winner,

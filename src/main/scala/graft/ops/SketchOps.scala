@@ -259,4 +259,51 @@ object SketchOps {
            |       / cast(kth_hash as double) end as est_distinct""".stripMargin)
       .orderBy("grp")
   }
+
+  /** AMS second-frequency-moment sketch (Alon, Matias & Szegedy, STOC'96
+    * — public) per group: F₂ = Σ_x f(x)², the self-join size / repeat
+    * rate of a key column — the statistic a pipeline consults before
+    * committing to a join or a dedup pass. Each of `r` sketch rows keeps
+    * one counter S_j = Σ_x sign_j(x)·f(x) with deterministic ±1 signs
+    * from bit j of the portable md5-h60 hash (pairwise independence from
+    * the hash bits — fixed, so both engines derive identical signs);
+    * E[S_j²] = F₂, and the estimate is the mean of the r squares. All
+    * counters are exact BIGINT sums and r is a power of two, so the one
+    * closing division is exact IEEE — estimate AND exact F₂ hash-gate.
+    *
+    * The sketch is LINEAR (S_j of a union = sum of the parts' S_j —
+    * OpsSpec pins it), which is the 100 TB property: per-partition/day
+    * r-counter sketches combine by vector addition, never rescan. Scale
+    * shape: one map-side explode of r sign rows per input row, a
+    * (grp, j)-keyed partial agg, then an r-row-per-group rollup; the
+    * exact companion is the standard two-level keyed agg. At BIGINT
+    * range, |S_j| ≤ N — overflow-safe to 2⁶³ rows. */
+  /** The r-counter AMS sketch itself: one (grp, j, s) row per sketch
+    * counter — the vector-addition-mergeable state [[amsF2]] squares and
+    * averages (exposed so OpsSpec can pin linearity across a corpus
+    * split). */
+  private[graft] def amsSketch(df: DataFrame, groupCol: String,
+                               valueExpr: String, r: Int): DataFrame =
+    df.selectExpr(s"$groupCol as grp", s"${TextOps.h60(valueExpr)} as h")
+      .selectExpr("grp",
+        s"""explode(transform(sequence(0, ${r - 1}), j ->
+           |  struct(j, cast((shiftright(h, j) % 2) * 2 - 1 as bigint) as sg))) as e""".stripMargin)
+      .selectExpr("grp", "e.j as j", "e.sg as sg")
+      .groupBy("grp", "j").agg(sum("sg").as("s"))
+
+  def amsF2(df: DataFrame, groupCol: String, valueExpr: String,
+            r: Int = 16): DataFrame = {
+    require(r >= 1 && r <= 60 && Integer.bitCount(r) == 1,
+      s"AMS needs r a power of two in [1, 60] (exact mean division), got $r")
+    val sketch = amsSketch(df, groupCol, valueExpr, r)
+      .groupBy("grp").agg(expr("sum(s * s)").as("ss"))
+      .selectExpr("grp", s"cast(ss as double) / $r as f2_est")
+    val exact = df
+      .selectExpr(s"$groupCol as grp", s"$valueExpr as v")
+      .groupBy("grp", "v").agg(count(lit(1)).as("c"))
+      .groupBy("grp").agg(expr("sum(c * c)").as("f2_exact"))
+    exact.join(sketch, Seq("grp"))
+      .select("grp", "f2_exact", "f2_est")
+      .orderBy("grp")
+  }
 }

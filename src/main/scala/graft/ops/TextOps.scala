@@ -598,6 +598,40 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Chunk-level deduplication over [[cdcChunks]] — the purpose CDC
+    * exists for: identical spans ANYWHERE in the corpus (shifted,
+    * re-wrapped, prefixed — cases fixed-stride blocking misses) collapse
+    * onto equal chunk hashes, and storage/training-token savings are the
+    * duplicate bytes. A chunk's canonical owner is its first occurrence
+    * in (doc_id, chunk_idx) order; every later occurrence is a duplicate.
+    * Output per document: chunk count, total chunk bytes, duplicate
+    * chunk count and duplicate bytes (all exact integers — the full row
+    * hash-gates).
+    *
+    * Scale shape: the owner table is one hash-keyed aggregation (struct
+    * min) and the attribution is a hash-keyed equi-join — both shuffle on
+    * `chunk_hash`, cardinality = distinct chunks, no skew hot-spot (a
+    * popular chunk has many probe rows but ONE owner row; the join is
+    * build-small per key). The per-doc rollup is a second keyed agg. Same
+    * shape as op_dedup_exact, applied at sub-document granularity.
+    */
+  def cdcDedup(docs: DataFrame, window: Int = 8, modulus: Int = 32): DataFrame = {
+    val ch = cdcChunks(docs, window, modulus)
+      .select("doc_id", "chunk_idx", "chunk_len", "chunk_hash")
+    val owner = ch.groupBy("chunk_hash")
+      .agg(min(expr("struct(doc_id, chunk_idx)")).as("first"))
+    ch.join(owner, Seq("chunk_hash"))
+      .selectExpr("doc_id", "chunk_len",
+        "cast(first.doc_id <> doc_id or first.chunk_idx <> chunk_idx as bigint) as is_dup")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum("chunk_len").as("total_len"),
+        sum("is_dup").as("dup_chunks"),
+        sum(expr("chunk_len * is_dup")).as("dup_len"))
+      .orderBy("doc_id")
+  }
+
   /** One learned BPE merge: `lhs + rhs -> merged` at round `round`, chosen
     * because the pair occurred `pair_count` times (weighted by word
     * frequency) in the round's symbol states. */

@@ -1442,6 +1442,55 @@ class OpsSpec extends SparkSpecBase {
     assert(survived > 0.9, s"only ${survived * 100}%% of interior chunks survived a head edit")
   }
 
+  test("cdc dedup: an exact duplicate document is entirely duplicate bytes; the original is clean") {
+    import org.apache.spark.sql.functions.expr
+    // no repeated span INSIDE the doc (intra-doc repetition would be
+    // honest duplicate bytes too, but this test isolates cross-doc dup)
+    val base = (0 until 60).map(i => s"token$i").mkString(" ") + " "
+    val d = Seq(
+      (1L, base),
+      (2L, base), // verbatim duplicate of doc 1
+      (3L, "completely different text with no shared spans whatsoever here okay")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.cdcDedup(d, window = 8, modulus = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toList
+    val byDoc = out.map(t => t._1 -> t).toMap
+    // doc 1 owns every chunk (lowest doc_id): zero duplicates
+    assert(byDoc(1L)._4 === 0L && byDoc(1L)._5 === 0L)
+    // doc 2 re-chunks to identical hashes: ALL its bytes are duplicate
+    assert(byDoc(2L)._4 === byDoc(2L)._2, s"doc 2 should be all-dup: ${byDoc(2L)}")
+    assert(byDoc(2L)._5 === byDoc(2L)._3)
+    assert(byDoc(2L)._3 === base.length.toLong) // chunks tile the text
+    // doc 3 shares nothing
+    assert(byDoc(3L)._4 === 0L && byDoc(3L)._5 === 0L)
+  }
+
+  test("ams f2: exact on a single-value group; linear across a corpus split") {
+    import graft.ops.SketchOps
+    // one distinct value with frequency 100: every S_j = ±100, so the
+    // mean of squares is EXACTLY 100² = F2 — no estimator variance
+    val one = spark.range(100).selectExpr("'g' as grp", "'only' as v")
+    val o = SketchOps.amsF2(one, "grp", "v", r = 16).collect()(0)
+    assert(o.getLong(1) === 10000L && o.getDouble(2) === 10000.0)
+    // linearity: the r-counter sketch of a union is the vector SUM of the
+    // parts' sketches — the merge rule that lets per-partition sketches
+    // combine without rescanning
+    val a = spark.range(0, 500).selectExpr("'g' as grp", "cast(id % 37 as string) as v")
+    val b = spark.range(500, 1000).selectExpr("'g' as grp", "cast(id % 37 as string) as v")
+    val full = spark.range(0, 1000).selectExpr("'g' as grp", "cast(id % 37 as string) as v")
+    def vec(df: org.apache.spark.sql.DataFrame) = SketchOps.amsSketch(df, "grp", "v", 16)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    val (va, vb, vf) = (vec(a), vec(b), vec(full))
+    (0 until 16).foreach { j =>
+      assert(va(j) + vb(j) === vf(j), s"counter $j not additive")
+    }
+    // and the fixture estimate is a sane F2 estimate (within 5/sqrt(r) rel)
+    val ev = SketchOps.amsF2(full, "grp", "v", r = 16).collect()(0)
+    val rel = math.abs(ev.getDouble(2) - ev.getLong(1)) / ev.getLong(1)
+    assert(rel < 5.0 / math.sqrt(16.0), s"AMS rel error $rel out of bounds")
+  }
+
   test("kmv sketch: exact under capacity, bounded error above it, mergeable") {
     import graft.ops.SketchOps
     // under capacity: 5 distinct values, k=16 → est == exact == 5
