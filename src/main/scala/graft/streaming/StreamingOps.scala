@@ -422,6 +422,33 @@ object StreamingOps {
            |       / cast(sk.hs[sk.size - 1] as double) end as est_distinct""".stripMargin)
   }
 
+  /** Streaming AMS F₂ sketch — the online half of
+    * [[graft.ops.SketchOps.amsF2]], and the easiest possible streaming
+    * state: the sketch is LINEAR, so each (group, counter) S_j is a
+    * plain streaming SUM — micro-batch partials add into the state-store
+    * value by ordinary aggregation, no custom merge rule at all (OpsSpec
+    * pins the linearity on the batch op). O(r) state per group. The
+    * estimate is the same mean-of-squares over the r counters; the
+    * exact-F₂ companion needs unbounded state and stays batch-only,
+    * like KMV's n_exact. Run with Complete/Update output.
+    */
+  def amsF2Stream(df: DataFrame, groupCol: String, valueExpr: String,
+                  r: Int = 16): DataFrame = {
+    require(r >= 1 && r <= 60 && Integer.bitCount(r) == 1,
+      s"AMS needs r a power of two in [1, 60], got $r")
+    // ONE streaming aggregation with r sum columns (a chained
+    // (grp, j)-then-(grp) cascade would be two stacked streaming aggs —
+    // not streaming-legal); same sign rule and counter arithmetic as the
+    // batch op's amsSketch, so the estimates agree bit-for-bit
+    val sums = (0 until r).map(j =>
+      sum(expr(s"(shiftright(h, $j) % 2) * 2 - 1")).as(s"s$j"))
+    df.selectExpr(s"$groupCol as grp",
+        s"${graft.ops.TextOps.h60(valueExpr)} as h")
+      .groupBy("grp").agg(sums.head, sums.tail: _*)
+      .selectExpr("grp",
+        s"cast(${(0 until r).map(j => s"s$j * s$j").mkString(" + ")} as double) / $r as f2_est")
+  }
+
   def heavyHittersStream(docs: DataFrame, minShare: Double,
                          k0: Int = 0): DataFrame = {
     require(minShare > 0 && minShare < 1, s"minShare in (0,1), got $minShare")

@@ -407,6 +407,42 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming AMS F2 equals the batch estimate, summed across batch cuts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Tables.load(spark, sfDir, "events")
+      .select("event_type", "user_id").orderBy("user_id", "event_type")
+    val batch = graft.ops.SketchOps
+      .amsF2(events, "event_type", "cast(user_id as string)", r = 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(batch.nonEmpty)
+
+    val rows = events.as[(String, Long)].collect()
+    val stream = MemoryStream[(String, Long)]
+    val q = StreamingOps.amsF2Stream(
+        stream.toDF().toDF("event_type", "user_id"),
+        "event_type", "cast(user_id as string)", r = 16)
+      .writeStream.format("memory").queryName("ams_stream")
+      .outputMode("complete").start()
+    try {
+      // two deliveries: the counters are LINEAR, so the second batch's
+      // partial sums must ADD into the state — only then the estimate
+      // over the full corpus matches the one-pass batch value
+      val (a, b) = rows.splitAt(rows.length / 2)
+      stream.addData(a.toSeq)
+      q.processAllAvailable()
+      stream.addData(b.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("ams_stream").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (g, est) =>
+      assert(java.lang.Double.doubleToLongBits(est) ===
+        java.lang.Double.doubleToLongBits(batch(g)), s"$g: estimate diverged")
+    }
+  }
+
   test("incremental delivery across batches yields the same closed sessions") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rows = Tables.load(spark, sfDir, "events")
