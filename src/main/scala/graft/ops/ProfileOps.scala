@@ -82,19 +82,27 @@ object ProfileOps {
       // window shuffle so the within-range prefix groups by range. The
       // cumulative sums are exact integers, so the result is independent
       // of where the (sampled) range bounds fall.
-      val inRange = counts.repartitionByRange(col("v"))
+      val ranged = counts.repartitionByRange(col("v"))
         .withColumn("pid", spark_partition_id())
+      val inRange = ranged
         .withColumn("cum_in",
           sum("cnt").over(Window.partitionBy("pid").orderBy(col("v"))))
       // one tiny row: every range's total, folded in-row into the offset
-      // of each pid (sum of totals of strictly-lower ranges)
-      val totals = inRange.groupBy("pid").agg(sum("cnt").as("tot"))
+      // of each pid (sum of totals of strictly-lower ranges). Branches
+      // off `ranged` BEFORE the window — the totals don't need it, and
+      // both branches then share one range exchange (ReuseExchange)
+      // instead of running the count+shuffle chain twice.
+      val totals = ranged.groupBy("pid").agg(sum("cnt").as("tot"))
         .agg(expr("array_sort(collect_list(struct(pid, tot)))").as("ts"))
       val rk = inRange.crossJoin(broadcast(totals))
         .selectExpr("v", "cnt",
           "cum_in + aggregate(filter(ts, t -> t.pid < pid), 0L, (a, t) -> a + t.tot) as cum")
         .selectExpr("v", s"2 * cum - cnt + 1 as d$i")
-      acc.join(broadcast(rk), acc(c) === rk("v")).drop("v")
+      // no broadcast hint: a profiling-type column's rank table (V ≪ N)
+      // broadcasts on AQE's runtime size estimate anyway, while a
+      // near-unique column (V ≈ N — l_extendedprice-class) must NOT ship
+      // a corpus-sized build side to every task; AQE picks the join
+      acc.join(rk, acc(c) === rk("v")).drop("v")
     }
     val idx = cols.indices
     val pairs = for (i <- idx; j <- idx if i < j) yield (i, j)

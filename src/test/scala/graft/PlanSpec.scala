@@ -348,6 +348,13 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("WindowGroupLimit"), s"rank filter not pushed down:\n$p")
   }
 
+  test("cdc dedup attributes ownership via a hash-keyed equi-join, never a pair join") {
+    val p = plan("op_cdc_dedup")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"owner join must be an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("kmv sketch pushes the bottom-k rank below the exchange (WindowGroupLimit)") {
     // SketchOps.kmvDistinct's "O(k) state" claim rides Spark's
     // WindowGroupLimit rewrite of the rank filter: each map task forwards
