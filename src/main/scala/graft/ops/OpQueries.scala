@@ -260,6 +260,33 @@ object OpQueries {
        |SELECT grp, f2_exact, CAST(ss AS DOUBLE) / $r AS f2_est
        |FROM x JOIN e USING (grp) ORDER BY grp""".stripMargin
 
+  /** DuckDB mirror of [[SketchOps.quantileHist]]: identical clamp/floor
+    * bucket rule, per-group cumulative window, first-bucket-at-⌈q·n⌉
+    * selection and edge reconstruction. */
+  private def dkQuantileHistOracle(lo: Double, hi: Double, nb: Int,
+                                   qs: Seq[Double]): String = {
+    val loD = s"CAST($lo AS DOUBLE)"
+    val step = s"((CAST($hi AS DOUBLE)) - ($loD)) / $nb"
+    val bAggs = qs.zipWithIndex.map { case (q, i) =>
+      s"MIN(CASE WHEN cum >= ceil(CAST($q AS DOUBLE) * n) THEN bucket END) AS b$i" }.mkString(",\n       |        ")
+    val ests = qs.zipWithIndex.map { case (q, i) =>
+      s"($loD) + (b$i + 1) * ($step) AS p${(q * 100).round}_est" }.mkString(",\n       |  ")
+    s"""WITH h AS (SELECT event_type AS grp,
+       |             least(greatest(CAST(floor((value - ($loD)) / ($step)) AS BIGINT), 0), ${nb - 1}) AS bucket,
+       |             COUNT(*) AS c
+       |           FROM events GROUP BY 1, 2),
+       |cm AS (SELECT grp, bucket, c,
+       |         SUM(c) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+       |         SUM(c) OVER (PARTITION BY grp) AS n
+       |       FROM h),
+       |a AS (SELECT grp, CAST(MAX(n) AS BIGINT) AS n_rows,
+       |        $bAggs
+       |      FROM cm GROUP BY 1)
+       |SELECT grp, n_rows,
+       |  $ests
+       |FROM a ORDER BY grp""".stripMargin
+  }
+
   /** DuckDB mirror of [[TextOps.gopherRepetition]] over the line-planted
     * text: identical splits, integer aggregates and division trees, with
     * the top-2-gram tie broken by (count DESC, gram ASC) — the same row
@@ -1301,6 +1328,18 @@ object OpQueries {
       (s, d) => SketchOps.amsF2(Tables.load(s, d, "events"),
         "event_type", "cast(user_id as string)", r = 16),
       Some(dkAmsOracle(16, "CAST(user_id AS VARCHAR)"))),
+
+    // Fixed-grid histogram quantiles per event type (r11): 128 buckets
+    // over the declared [0, 512) range (step 4 — a power of two, so the
+    // bucket division and edge reconstruction are exact IEEE), estimate
+    // = upper edge of the first bucket reaching ceil(q·n). The mergeable
+    // single-pass quantile tier (histograms add bucket-wise — OpsSpec
+    // pins additivity and the ≤ one-step error vs the exact sort);
+    // every column hash-gates.
+    QueryDef("op_quantile_hist",
+      (s, d) => SketchOps.quantileHist(Tables.load(s, d, "events"),
+        "event_type", "value", lo = 0.0, hi = 512.0, nb = 128),
+      Some(dkQuantileHistOracle(0.0, 512.0, 128, Seq(0.5, 0.9, 0.99)))),
 
     // BPE merge learning (Sennrich ACL'16): 10 rounds of weighted pair
     // counting over the vocab-collapsed corpus, count-desc/pair-asc winner,

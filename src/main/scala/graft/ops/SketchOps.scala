@@ -278,6 +278,54 @@ object SketchOps {
     * (grp, j)-keyed partial agg, then an r-row-per-group rollup; the
     * exact companion is the standard two-level keyed agg. At BIGINT
     * range, |S_j| ≤ N — overflow-safe to 2⁶³ rows. */
+  /** Fixed-grid histogram quantiles per group — the single-pass,
+    * mergeable quantile tier next to the exact sort path (q18/q25) and
+    * engine-specific approx_percentile: values land in `nb` equal-width
+    * buckets over the DECLARED range [lo, hi) (outliers clamp to the edge
+    * buckets), and the q-quantile estimate is the upper edge of the first
+    * bucket whose cumulative count reaches ⌈q·n⌉ — error ≤ one bucket
+    * width by construction (OpsSpec pins it against the exact
+    * per-group sort). The grid is declared, not data-derived, which is
+    * what makes the sketch MERGEABLE: histograms over any partitioning
+    * add bucket-wise (OpsSpec pins additivity), so per-partition/day
+    * histograms combine without rescanning — O(nb) state, the
+    * 100 TB quantile path.
+    *
+    * Exactness contract: with lo/hi/nb chosen so the step is a power of
+    * two (e.g. [0, 512) / 128 → step 4), the bucket index division and
+    * the edge reconstruction are EXACT IEEE — every output column
+    * hash-gates cross-engine; ⌈q·n⌉ is one correctly-rounded multiply +
+    * ceil in both engines. */
+  def quantileHist(df: DataFrame, groupCol: String, valueExpr: String,
+                   lo: Double, hi: Double, nb: Int,
+                   qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(hi > lo && nb > 0 && qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantileHist needs hi > lo, nb > 0, qs in (0, 1]; got [$lo,$hi)/$nb $qs")
+    import org.apache.spark.sql.expressions.Window
+    // bare decimal literals parse as DECIMAL in both engines — every
+    // constant is cast to double explicitly so the whole estimate tree is
+    // IEEE double arithmetic (and hash-gates as such)
+    val loD = s"cast($lo as double)"
+    val step = s"((cast($hi as double)) - ($loD)) / $nb"
+    val h = df
+      .selectExpr(s"$groupCol as grp", s"cast($valueExpr as double) as v")
+      .selectExpr("grp",
+        s"least(greatest(cast(floor((v - ($loD)) / ($step)) as bigint), 0), ${nb - 1}) as bucket")
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("c"))
+    val cum = h
+      .withColumn("cum", sum("c").over(Window.partitionBy("grp").orderBy("bucket")))
+      .withColumn("n", sum("c").over(Window.partitionBy("grp")))
+    val aggs =
+      max(col("n")).as("n_rows") +:
+        qs.zipWithIndex.map { case (q, i) =>
+          min(expr(s"case when cum >= ceil(cast($q as double) * n) then bucket end")).as(s"b$i") }
+    val ests = qs.zipWithIndex.map { case (q, i) =>
+      s"($loD) + (b$i + 1) * ($step) as p${(q * 100).round}_est" }
+    cum.groupBy("grp").agg(aggs.head, aggs.tail: _*)
+      .selectExpr(("grp" +: "n_rows" +: ests): _*)
+      .orderBy("grp")
+  }
+
   /** The r-counter AMS sketch itself: one (grp, j, s) row per sketch
     * counter — the vector-addition-mergeable state [[amsF2]] squares and
     * averages (exposed so OpsSpec can pin linearity across a corpus

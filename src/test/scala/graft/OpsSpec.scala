@@ -1491,6 +1491,48 @@ class OpsSpec extends SparkSpecBase {
     assert(rel < 5.0 / math.sqrt(16.0), s"AMS rel error $rel out of bounds")
   }
 
+  test("quantile histogram: within one step of the exact sort; histograms add bucket-wise") {
+    import graft.ops.SketchOps
+    val events = Tables.load(spark, sfDir, "events").select("event_type", "value")
+    val (lo, hi, nb) = (0.0, 512.0, 128)
+    val step = (hi - lo) / nb
+    val est = SketchOps.quantileHist(events, "event_type", "value", lo, hi, nb)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // exact DISCRETE order statistics (the ⌈q·n⌉-th smallest — the value
+    // the histogram estimate brackets; the interpolated `percentile` can
+    // sit a sparse-tail jump away and is NOT the estimator's target)
+    val byGrp = events.collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def kth(vs: Array[Double], q: Double): Double =
+      vs(math.ceil(q * vs.length).toInt - 1)
+    val exact = byGrp.map { case (g, vs) =>
+      g -> (kth(vs, 0.5), kth(vs, 0.9), kth(vs, 0.99)) }.toMap
+    assert(est.nonEmpty && est.keySet === exact.keySet)
+    est.foreach { case (g, (e50, e90, e99)) =>
+      val (x50, x90, x99) = exact(g)
+      // the estimate is the covering bucket's upper edge: never below the
+      // true value, and at most one bucket width above it
+      assert(e50 >= x50 - 1e-9 && e50 - x50 <= step + 1e-9, s"$g p50: $e50 vs $x50")
+      assert(e90 >= x90 - 1e-9 && e90 - x90 <= step + 1e-9, s"$g p90: $e90 vs $x90")
+      assert(e99 >= x99 - 1e-9 && e99 - x99 <= step + 1e-9, s"$g p99: $e99 vs $x99")
+    }
+    // mergeability: bucket counts of a union are the SUM of the parts'
+    // bucket counts — the declared-grid property that lets per-partition
+    // histograms combine without rescanning
+    val a = events.filter("value < 100")
+    val b = events.filter("value >= 100")
+    def histMap(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("event_type as grp",
+        s"least(greatest(cast(floor((value - $lo) / $step) as bigint), 0), ${nb - 1}) as bucket")
+      .groupBy("grp", "bucket").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (ha, hb, hf) = (histMap(a), histMap(b), histMap(events))
+    hf.foreach { case (k, c) =>
+      assert(ha.getOrElse(k, 0L) + hb.getOrElse(k, 0L) === c, s"bucket $k not additive")
+    }
+  }
+
   test("kmv sketch: exact under capacity, bounded error above it, mergeable") {
     import graft.ops.SketchOps
     // under capacity: 5 distinct values, k=16 → est == exact == 5
