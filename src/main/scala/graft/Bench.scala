@@ -109,7 +109,12 @@ object Bench {
     // produced now). Committed each round, these files let any later judge
     // diff two rounds query by query. Subset runs (SPARK_GRAFT_BENCH_ONLY)
     // skip the round copy — a partial map must never shadow a full one.
-    if (only.isEmpty) {
+    // ... and sf0.001/sf0.01 smoke runs skip it too: the committed round
+    // artifact is the judge's sf0.1 regression set, and a local small-sf
+    // run silently overwriting it loses exactly the map it exists to keep
+    // (it cost this r11 file its sf0.1 contents once already).
+    if (only.isEmpty &&
+        (sys.env.contains("SPARK_GRAFT_ROUND") || sfDir.endsWith("sf0.1"))) {
       val round = sys.env.get("SPARK_GRAFT_ROUND").orElse {
         val rx = "CORRECTNESS_r(\\d+)\\.json".r
         Option(new java.io.File(".").listFiles()).map(_.toSeq.flatMap(f =>

@@ -611,7 +611,7 @@ object DedupOps {
     * MIN root + path compression): the root of every tree is provably the
     * minimum doc_id of its component — unions always re-root to the
     * smaller root, so the invariant holds inductively. */
-  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+  private[ops] def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
                               edges: DataFrame): DataFrame = {
     val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -660,7 +660,7 @@ object DedupOps {
     * silently mislabel. RAISES if `maxIters` rounds don't converge. Each
     * round's result is local-checkpointed: the loop would otherwise stack
     * an exponentially growing lineage. */
-  private def propagateLabels(base: DataFrame, maxIters: Int): DataFrame = {
+  private[ops] def propagateLabels(base: DataFrame, maxIters: Int): DataFrame = {
     var edges = base
       .selectExpr("greatest(u, v) as u", "least(u, v) as v")
       .filter(col("u") =!= col("v"))

@@ -56,16 +56,28 @@ object GraphOps {
     require(n > 0, "pageRank needs a non-empty graph")
 
     var ranks = nodes.selectExpr("node", s"($s div $n) as r")
+    var prev: DataFrame = null
     for (_ <- 0 until iters) {
       val contrib = ranks.join(e, ranks("node") === e("src"))
         .join(outw, "src")
         .selectExpr("dst as node", "(r * w) div outw as c")
         .groupBy("node").agg(sum("c").as("sc"))
+      // cut the plan each round: without the checkpoint the rank vector
+      // drags `iters` stacked join-agg rounds into ONE plan whose
+      // analysis/codegen cost grows superlinearly with the round count
+      // (the BPE round-lineage blowup, r10) — the data is one
+      // node-vector either way
       ranks = nodes.join(contrib, Seq("node"), "left")
         .selectExpr("node",
           s"(15 * ($s div $n)) div 100 + (85 * coalesce(sc, 0)) div 100 as r")
+        .localCheckpoint()
+      if (prev != null) prev.unpersist()
+      prev = ranks
     }
-    ranks.selectExpr("node", "r as rank_fp")
+    val out = ranks.selectExpr("node", "r as rank_fp").localCheckpoint()
+    if (prev != null) prev.unpersist()
+    e.unpersist(); outw.unpersist(); nodes.unpersist()
+    out
   }
 
   /** TextRank keyword extraction: PageRank over the word-adjacency graph
@@ -98,6 +110,109 @@ object GraphOps {
       .orderBy(col("rank_fp").desc, col("node"))
       .limit(k)
       .selectExpr("node as token", "rank_fp")
+  }
+
+  /** Connected components over an undirected edge list — the generic
+    * graph clustering primitive (the same machinery
+    * [[DedupOps.dedupGroups]] applies to near-dup pair graphs, exposed
+    * for arbitrary graphs): every node labeled with the MINIMUM node id
+    * of its component.
+    *
+    * Hybrid execution, as in dedupGroups: an edge list that fits on the
+    * driver (≤ `driverMaxEdges`, default 2²⁰ ≈ 16 MB) runs exact
+    * union-find there in milliseconds; anything larger runs the
+    * alternating large-star/small-star contraction (Kiveris et al.,
+    * SoCC'14) — O(log n) rounds in component size, never O(diameter),
+    * each round two keyed aggregations + joins, nothing data-sized on
+    * the driver. Both paths provably converge to the same min-label
+    * forest, so the output is path-independent and hash-gates against a
+    * DuckDB recursive-CTE min-label fixpoint (a different algorithm —
+    * transitive label closure — same labels).
+    *
+    * Input: (a, b) BIGINT-castable, one row per undirected edge.
+    * Output: (node, component) for every endpoint, ordered by node. */
+  def components(edges: DataFrame, maxIters: Int = 20,
+                 driverMaxEdges: Long = 1L << 20): DataFrame = {
+    val spark = edges.sparkSession
+    val base = edges
+      .selectExpr("cast(a as bigint) as u", "cast(b as bigint) as v")
+      .filter(col("u") =!= col("v"))
+      .persist()
+    val nEdges = base.count()
+    val labels: DataFrame =
+      if (nEdges <= driverMaxEdges) DedupOps.driverUnionFind(spark, base)
+      else DedupOps.propagateLabels(base, maxIters)
+    val out = base.selectExpr("u as node")
+      .union(base.selectExpr("v as node")).distinct()
+      .join(labels.selectExpr("doc_id as node", "label as component"),
+        Seq("node"), "left")
+      .selectExpr("node", "coalesce(component, node) as component")
+      .orderBy("node")
+      .localCheckpoint()
+    base.unpersist()
+    out
+  }
+
+  /** k-core extraction by iterative peeling (Seidman, Social Networks
+    * 1983; the distributed peel of Montresor et al. — public): delete
+    * every node of degree < k, recompute degrees, repeat — the fixpoint
+    * is the maximal subgraph where every node keeps ≥ k neighbors, the
+    * standard graph-density screen (spam/boilerplate link farms peel
+    * away; the dense core survives).
+    *
+    * Each round is one degree aggregation + two semi-joins — all keyed,
+    * nothing driver-sized; the round count is data-bounded (≤ rounds of
+    * actual change, capped at `maxRounds`), each round's survivor edge
+    * set localCheckpoint-ed so lineage stays flat (the BPE/PageRank
+    * round contract). Early exit when a round deletes nothing — a no-op
+    * round leaves the fixpoint unchanged, so a `maxRounds` cap ≥ the
+    * convergence round count yields the exact fixpoint; the run RAISES
+    * if the cap is hit while still deleting (a silently-partial peel
+    * would mislabel).
+    *
+    * Input: (a, b) BIGINT-castable undirected edges. Output: every
+    * k-core member with its core degree, ordered — all-integer, so the
+    * gate is exact (the oracle unrolls the same rounds in SQL).
+    */
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 20): DataFrame = {
+    require(k >= 1, s"kcore needs k >= 1, got $k")
+    var e = edges
+      .selectExpr("cast(a as bigint) as a", "cast(b as bigint) as b")
+      .filter(col("a") =!= col("b"))
+      .localCheckpoint()
+    var prev: DataFrame = null
+    var n = e.count()
+    var round = 0
+    var converged = n == 0L
+    while (!converged && round < maxRounds) {
+      val deg = e.selectExpr("a as v").union(e.selectExpr("b as v"))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("v")
+      val next = e
+        .join(keep.selectExpr("v as a"), Seq("a"), "left_semi")
+        .join(keep.selectExpr("v as b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+      val m = next.count()
+      converged = m == n
+      if (prev != null) prev.unpersist()
+      prev = e
+      e = next
+      n = m
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalArgumentException(
+        s"kcore still peeling after $maxRounds rounds — raise maxRounds " +
+          "(a partial peel is not a k-core)")
+    val out = e.selectExpr("a as v").union(e.selectExpr("b as v"))
+      .groupBy("v").agg(count(lit(1)).as("core_degree"))
+      .selectExpr("v as node", "core_degree")
+      .orderBy("node")
+      .localCheckpoint()
+    if (prev != null) prev.unpersist()
+    e.unpersist()
+    out
   }
 
   /** Exact triangle enumeration over an undirected edge list via

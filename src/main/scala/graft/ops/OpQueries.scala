@@ -1373,8 +1373,257 @@ object OpQueries {
     // join — two different algorithms, one hash.
     QueryDef("op_graph_triangles",
       (s, d) => GraphOps.triangles(basketEdges(s, d)),
-      Some(dkTrianglesOracle))
+      Some(dkTrianglesOracle)),
+
+    // Skyline / Pareto frontier over part (minimize price, maximize
+    // size): Spark runs the distributive two-phase form (per-partition
+    // running-max prune + exact broadcast verify over the surviving
+    // candidates); DuckDB runs the direct quadratic NOT EXISTS — two
+    // algorithms, one hash. All comparisons integer/decimal exact.
+    QueryDef("op_skyline",
+      (s, d) => SkylineOps.skyline(Tables.load(s, d, "part"),
+          "p_partkey", "p_retailprice", "p_size")
+        .selectExpr("id as p_partkey", "mn as p_retailprice", "mx as p_size")
+        .orderBy("p_partkey"),
+      Some(dkSkylineOracle)),
+
+    // PMI collocations: top-50 adjacent word pairs by the association
+    // ratio lift = p(a,b)/(p(a,·)·p(·,b)) over the bigram event space
+    // (log2 omitted — monotone, keeps the gate IEEE-exact). BIGINT
+    // counts, the identical two-division ratio tree in both engines.
+    QueryDef("op_pmi_collocations",
+      (s, d) => TextOps.pmiCollocations(docs(s, d), k = 50, minCount = 5),
+      Some(dkPmiOracle(50, 5))),
+
+    // Robust outlier profiling per event type: exact median, exact MAD,
+    // and the count beyond 3·MAD — medians through the bounded-memory
+    // rank-window path (bit-equal to MEDIAN, the q18 contract), one
+    // shared IEEE tree for deviation and cut.
+    QueryDef("op_mad_outliers",
+      (s, d) => ProfileOps.madOutliers(Tables.load(s, d, "events"),
+        "event_type", "value", cut = 3.0),
+      Some(dkMadOracle(3.0))),
+
+    // Connected components on the basket co-occurrence graph: Spark runs
+    // hybrid union-find / log-round star contraction; DuckDB runs a
+    // recursive-CTE min-label transitive closure — two algorithms, one
+    // min-label-per-node hash.
+    QueryDef("op_graph_components",
+      (s, d) => GraphOps.components(basketEdges(s, d)),
+      Some(dkComponentsOracle)),
+
+    // Count-Min point-frequency estimates for every distinct user key:
+    // 4×64 BIGINT counter table from md5-h60 row hashes, estimate =
+    // min over the 4 cells — one-sided (never under), OpsSpec pins the
+    // bound and cell-wise linearity; estimates AND exact counts
+    // hash-gate.
+    QueryDef("op_countmin",
+      (s, d) => SketchOps.countMin(Tables.load(s, d, "events"),
+        "cast(user_id as string)", depth = 4, width = 64),
+      Some(dkCountMinOracle(4, 64, "CAST(user_id AS VARCHAR)"))),
+
+    // k-core of the basket co-occurrence graph (k = 3): iterative
+    // peeling to the exact fixpoint (early-exit + loud cap); the oracle
+    // unrolls the identical rounds in SQL — all-integer degrees, full
+    // hash gate.
+    QueryDef("op_kcore",
+      (s, d) => GraphOps.kcore(basketEdges(s, d), k = 3, maxRounds = 16),
+      Some(dkKcoreOracle(3, 16))),
+
+    // Sparse TF-cosine similarity join in the df≤20 term space: the
+    // inverted-index candidate path with BIGINT dots/norms and one
+    // shared sqrt/divide tree — pairs, dot AND cosine hash-gate.
+    QueryDef("op_tf_cosine_pairs",
+      (s, d) => TextOps.tfCosinePairs(docs(s, d), minSim = 0.3, maxDf = 50),
+      Some(dkTfCosineOracle(0.3, 50))),
+
+    // Lexical diversity per document: type-token ratio + Gini–Simpson
+    // 1 − Σ(cᵢ/n)² — the log-free diversity index, rational in the
+    // counts, one shared (n²−Σc²)/n² tree — every value hash-gates.
+    QueryDef("op_lexical_diversity",
+      (s, d) => TextOps.lexicalDiversity(docs(s, d)),
+      Some(dkLexDiversityOracle)),
+
+    // Distribution drift between document sources: exact total-variation
+    // distance Σ|c₁n₂ − c₂n₁|/(2n₁n₂) per source pair — BIGINT
+    // abs-difference sum, one closing division; KL/JS need the logs the
+    // determinism contract bans.
+    QueryDef("op_dist_drift",
+      (s, d) => TextOps.distDrift(docs(s, d), "source"),
+      Some(dkDistDriftOracle))
   )
+
+  /** DuckDB mirror of [[TextOps.lexicalDiversity]]: identical token
+    * counts, moment sums and the (n²−Σc²)/n² tree. */
+  private def dkLexDiversityOracle: String =
+    s"""WITH t AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS c FROM (
+       |       SELECT doc_id, unnest($dkWords) AS tk FROM documents)
+       |     WHERE tk <> '' GROUP BY 1, 2),
+       |m AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |        CAST(COUNT(*) AS BIGINT) AS n_types,
+       |        CAST(SUM(c * c) AS BIGINT) AS sumsq
+       |      FROM t GROUP BY 1)
+       |SELECT d.doc_id, m.n_tokens, m.n_types,
+       |  CAST(m.n_types AS DOUBLE) / CAST(m.n_tokens AS DOUBLE) AS ttr,
+       |  CAST(m.n_tokens * m.n_tokens - m.sumsq AS DOUBLE)
+       |    / CAST(m.n_tokens * m.n_tokens AS DOUBLE) AS gini_simpson
+       |FROM documents d LEFT JOIN m USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** DuckDB mirror of [[TextOps.distDrift]] over source: identical
+    * slice counts, vocab-union expansion and the
+    * Σ|c₁n₂−c₂n₁|/(2n₁n₂) tree. */
+  private def dkDistDriftOracle: String =
+    s"""WITH c AS (SELECT source AS s, tk, CAST(COUNT(*) AS BIGINT) AS c FROM (
+       |       SELECT source, unnest($dkWords) AS tk FROM documents)
+       |     WHERE tk <> '' GROUP BY 1, 2),
+       |n AS (SELECT s, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+       |p AS (SELECT a.s AS s1, b.s AS s2, a.n AS n1, b.n AS n2
+       |      FROM n a JOIN n b ON a.s < b.s),
+       |v AS (SELECT DISTINCT tk FROM c),
+       |j AS (SELECT p.s1, p.s2, p.n1, p.n2,
+       |        COALESCE(c1.c, 0) AS c1, COALESCE(c2.c, 0) AS c2
+       |      FROM p CROSS JOIN v
+       |        LEFT JOIN c c1 ON c1.s = p.s1 AND c1.tk = v.tk
+       |        LEFT JOIN c c2 ON c2.s = p.s2 AND c2.tk = v.tk)
+       |SELECT s1, s2, n1, n2,
+       |  CAST(SUM(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS num,
+       |  CAST(SUM(ABS(c1 * n2 - c2 * n1)) AS DOUBLE)
+       |    / CAST(2 * n1 * n2 AS DOUBLE) AS tv_dist
+       |FROM j GROUP BY 1, 2, 3, 4
+       |ORDER BY s1, s2""".stripMargin
+
+  /** DuckDB mirror of [[GraphOps.kcore]] on the basket graph: the same
+    * peel unrolled `rounds` times (no-op rounds past the fixpoint leave
+    * it unchanged — the same contract the Spark side's early exit
+    * relies on). */
+  private def dkKcoreOracle(k: Int, rounds: Int): String = {
+    // every CTE MATERIALIZED: DuckDB inlines plain CTEs per reference, and
+    // each round reads the previous one 3× — unmaterialized, 16 rounds
+    // become 3¹⁶ scans of the base ("Too many open files", found at gate
+    // time). Materialized, the oracle is `rounds` linear passes.
+    val base =
+      """i AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.p AS a, b.p AS b FROM i a JOIN i b ON a.o = b.o AND a.p < b.p
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
+    val steps = (1 to rounds).map { t =>
+      s"""d$t AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM (
+         |  SELECT a AS v FROM e${t - 1} UNION ALL SELECT b FROM e${t - 1}) GROUP BY 1),
+         |k$t AS MATERIALIZED (SELECT v FROM d$t WHERE d >= $k),
+         |e$t AS MATERIALIZED (SELECT e.a, e.b FROM e${t - 1} e
+         |  JOIN k$t ka ON ka.v = e.a JOIN k$t kb ON kb.v = e.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,
+       |$steps
+       |SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+       |  SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** DuckDB mirror of [[TextOps.tfCosinePairs]]: identical tf/df
+    * tables, df cut, posting-list self-join and the same
+    * sqrt·sqrt-divide cosine tree. */
+  private def dkTfCosineOracle(minSim: Double, maxDf: Long): String =
+    s"""WITH tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+       |       SELECT doc_id, unnest($dkWords) AS tk FROM documents)
+       |     WHERE tk <> '' GROUP BY 1, 2),
+       |dfx AS (SELECT tk FROM tf GROUP BY tk HAVING COUNT(*) <= $maxDf),
+       |kept AS (SELECT tf.tk, doc_id, tf FROM tf JOIN dfx USING (tk)),
+       |nrm AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nrm2 FROM kept GROUP BY 1),
+       |dots AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |           CAST(SUM(l.tf * r.tf) AS BIGINT) AS dot
+       |         FROM kept l JOIN kept r ON l.tk = r.tk AND l.doc_id < r.doc_id
+       |         GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, dot,
+       |  CAST(dot AS DOUBLE)
+       |    / (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE))) AS cos_sim
+       |FROM dots JOIN nrm na ON na.doc_id = dots.doc_a
+       |          JOIN nrm nb ON nb.doc_id = dots.doc_b
+       |WHERE CAST(dot AS DOUBLE)
+       |    / (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE))) >= $minSim
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB mirror of [[SkylineOps.skyline]] on part — the direct
+    * quadratic dominance NOT EXISTS (a deliberately different algorithm
+    * from Spark's two-phase prune; same frontier). */
+  private def dkSkylineOracle: String =
+    """SELECT p_partkey, p_retailprice, p_size FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+      |ORDER BY p_partkey""".stripMargin
+
+  /** DuckDB mirror of [[TextOps.pmiCollocations]]: identical bigram
+    * table, marginals, the same (c_ab/c_a)·(N/c_b) division tree, same
+    * (lift DESC, a, b) top-k. */
+  private def dkPmiOracle(k: Int, minCount: Long): String =
+    s"""WITH w AS (SELECT $dkWords AS w FROM documents),
+       |bg AS (SELECT w[i] AS a, w[i + 1] AS b, CAST(COUNT(*) AS BIGINT) AS c_ab
+       |       FROM w, unnest(range(1, len(w))) AS t(i)
+       |       WHERE len(w) >= 2 GROUP BY 1, 2),
+       |la AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM bg GROUP BY 1),
+       |rb AS (SELECT b, CAST(SUM(c_ab) AS BIGINT) AS c_b FROM bg GROUP BY 1),
+       |n AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bigrams FROM bg)
+       |SELECT a, b, c_ab, c_a, c_b, n_bigrams,
+       |  (CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE))
+       |    * (CAST(n_bigrams AS DOUBLE) / CAST(c_b AS DOUBLE)) AS lift
+       |FROM bg JOIN la USING (a) JOIN rb USING (b) CROSS JOIN n
+       |WHERE c_ab >= $minCount
+       |ORDER BY lift DESC, a, b LIMIT $k""".stripMargin
+
+  /** DuckDB mirror of [[ProfileOps.madOutliers]] over events: MEDIAN
+    * twice (bit-equal to the rank-window path — the q18 contract) and
+    * the identical deviation/cut tree. */
+  private def dkMadOracle(cut: Double): String =
+    s"""WITH m AS (SELECT event_type, quantile_disc(CAST(value AS DOUBLE), 0.5) AS med
+       |           FROM events WHERE value IS NOT NULL GROUP BY 1),
+       |d AS (SELECT e.event_type, m.med,
+       |        abs(CAST(e.value AS DOUBLE) - m.med) AS adev
+       |      FROM events e JOIN m USING (event_type)
+       |      WHERE e.value IS NOT NULL),
+       |md AS (SELECT event_type, quantile_disc(adev, 0.5) AS mad FROM d GROUP BY 1)
+       |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |       MAX(d.med) AS med, MAX(md.mad) AS mad,
+       |       CAST(SUM(CASE WHEN d.adev > CAST($cut AS DOUBLE) * md.mad
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       |FROM d JOIN md USING (event_type)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** DuckDB mirror of [[GraphOps.components]] on the basket graph: a
+    * recursive-CTE min-label transitive closure (every node accumulates
+    * the labels of everything reachable; MIN per node = the component
+    * minimum — a different algorithm from Spark's union-find/star
+    * contraction, same labels). */
+  private def dkComponentsOracle: String =
+    """WITH RECURSIVE
+      |i AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e0 AS (SELECT a.p AS a, b.p AS b FROM i a JOIN i b ON a.o = b.o AND a.p < b.p
+      |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |e AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+      |r(node, lbl) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+      |  UNION
+      |  SELECT e.v, r.lbl FROM r JOIN e ON e.u = r.node WHERE r.lbl < e.v
+      |)
+      |SELECT node, CAST(MIN(lbl) AS BIGINT) AS component
+      |FROM r GROUP BY 1 ORDER BY node""".stripMargin
+
+  /** DuckDB mirror of [[SketchOps.countMin]]: identical md5-h60 row
+    * hashes and bucket arithmetic, the same min-over-cells estimate. */
+  private def dkCountMinOracle(depth: Int, width: Int, valueDuck: String): String =
+    s"""WITH v AS (SELECT CAST(($valueDuck) AS VARCHAR) AS v FROM events),
+       |cells AS (SELECT v, j,
+       |            ${dkH60(s"CAST(j AS VARCHAR) || ':' || v")} % $width AS b
+       |          FROM v, unnest(range(0, $depth)) AS t(j)),
+       |sk AS (SELECT j, b, CAST(COUNT(*) AS BIGINT) AS c FROM cells GROUP BY 1, 2),
+       |x AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM v GROUP BY 1),
+       |pv AS (SELECT DISTINCT x.v, exact_cnt, j,
+       |         ${dkH60(s"CAST(j AS VARCHAR) || ':' || x.v")} % $width AS b
+       |       FROM x, unnest(range(0, $depth)) AS t(j))
+       |SELECT pv.v, MAX(exact_cnt) AS exact_cnt, CAST(MIN(sk.c) AS BIGINT) AS cm_est
+       |FROM pv JOIN sk USING (j, b)
+       |GROUP BY 1 ORDER BY pv.v""".stripMargin
 
   /** Deterministic planted typo families for op_fuzzy_words. */
   private def plantFuzzySpark: String =

@@ -121,6 +121,48 @@ object ProfileOps {
     }.reduce(_.unionAll(_)).orderBy("col_a", "col_b")
   }
 
+  /** Robust per-group outlier profiling by median absolute deviation —
+    * the screen a curation pipeline runs before trusting a numeric field
+    * (MAD tolerates the very outliers a mean/stddev rule is corrupted
+    * by; Hampel '74, public). Per group: n, the exact median, the exact
+    * MAD = median(|x − med|), and how many rows sit beyond
+    * `cut`·MAD of the median.
+    *
+    * Exactness: both medians are DISCRETE (PERCENTILE_DISC 0.5 — actual
+    * order statistics, zero interpolation arithmetic) through
+    * [[PercentileOps.sortedPercentiles]]'s bounded-memory rank-window
+    * path, the deviation is one correctly-rounded subtract+abs, and the
+    * outlier predicate compares against one multiply `cut · mad` —
+    * every stage is the identical IEEE tree the oracle evaluates, so
+    * the full table hash-gates. (The robustness literature's n-even
+    * mid-averaging would add an interpolation tree for zero statistical
+    * gain at corpus scale; the disc form is also what Redshift's
+    * PERCENTILE_DISC ships.)
+    *
+    * Scale shape: two ranked passes per group (each a sort-based window
+    * with O(1) per-task state — no per-group buffering), the per-group
+    * median/MAD tables broadcast back onto the scan (group-cardinality-
+    * sized), and the final count is one all-partial aggregation. */
+  def madOutliers(df: DataFrame, key: String, valueCol: String,
+                  cut: Double = 3.0): DataFrame = {
+    import PercentileOps.{sortedPercentiles, PSpec}
+    val med = sortedPercentiles(df, key, Seq(PSpec(valueCol, 0.5, "med", disc = true)))
+      .select(col(key), col("med"))
+    val dev = df.filter(col(valueCol).isNotNull)
+      .join(broadcast(med), Seq(key))
+      .selectExpr(key, "med", s"abs(cast($valueCol as double) - med) as adev")
+    val mad = sortedPercentiles(dev, key, Seq(PSpec("adev", 0.5, "mad", disc = true)))
+      .select(col(key), col("mad"))
+    dev.join(broadcast(mad), Seq(key))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_rows"),
+        max("med").as("med"), // constant within the group
+        max("mad").as("mad"),
+        sum(when(col("adev") > lit(cut).cast("double") * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col(key))
+  }
+
   /** The rho formula over the five exact moment sums — one shared text
     * (valid Spark SQL AND DuckDB SQL) so both engines evaluate the
     * identical IEEE tree: rho = (n·Σxy − Σx·Σy) /

@@ -326,6 +326,59 @@ object SketchOps {
       .orderBy("grp")
   }
 
+  /** The d×w Count-Min counter table itself: one (j, b, c) row per
+    * occupied cell — the vector-addition-mergeable state [[countMin]]
+    * queries (exposed so OpsSpec can pin linearity across a corpus
+    * split and the streaming twin can accumulate the same cells).
+    * Row hashes are the portable md5-h60 of `j || ':' || value`, so
+    * both engines place every item in identical cells. */
+  private[graft] def cmSketch(df: DataFrame, valueExpr: String,
+                              depth: Int, width: Int): DataFrame =
+    df.selectExpr(s"cast(($valueExpr) as string) as v")
+      .selectExpr(s"""explode(transform(sequence(0, ${depth - 1}), j ->
+        |  struct(j, pmod(${TextOps.h60(s"concat(cast(j as string), ':', v)")}, $width) as b))) as e""".stripMargin)
+      .selectExpr("e.j as j", "e.b as b")
+      .groupBy("j", "b").agg(count(lit(1)).as("c"))
+
+  /** Count-Min frequency sketch (Cormode & Muthukrishnan, J.Alg'05 —
+    * public): a `depth`×`width` table of BIGINT counters; item x
+    * increments one cell per row at column h_j(x), and the point
+    * estimate is the MINIMUM over its `depth` cells — an OVERESTIMATE,
+    * never under (each cell holds x's true count plus whatever collided
+    * into it), with error ≤ N/width per row w.h.p. OpsSpec pins the
+    * one-sided bound; the companion exact count makes the realized
+    * error visible in-row, and everything is integer arithmetic, so
+    * estimates AND exact counts hash-gate cross-engine.
+    *
+    * The counter table is LINEAR — tables over any partitioning (or any
+    * micro-batch cut) add cell-wise, the property that makes CM the
+    * 100 TB frequency path: per-partition/day sketches combine by
+    * vector addition in O(d·w) without rescanning, while the exact
+    * companion pays a full value-keyed shuffle. Scale shape: the sketch
+    * is one map-side explode of `depth` cell rows per input row into a
+    * (j, b)-keyed partial aggregation over at most d·w keys; the probe
+    * side computes each distinct value's `depth` cells, joins the
+    * (tiny, broadcast) table, and takes min — map-only after the
+    * value dedup.
+    *
+    * Emits (v, exact_cnt, cm_est) for every distinct value, ordered. */
+  def countMin(df: DataFrame, valueExpr: String,
+               depth: Int = 4, width: Int = 64): DataFrame = {
+    require(depth >= 1 && width >= 2,
+      s"countMin needs depth >= 1, width >= 2; got $depth x $width")
+    val sketch = cmSketch(df, valueExpr, depth, width)
+    val vals = df.selectExpr(s"cast(($valueExpr) as string) as v")
+      .groupBy("v").agg(count(lit(1)).as("exact_cnt"))
+    vals
+      .selectExpr("v", "exact_cnt",
+        s"""explode(transform(sequence(0, ${depth - 1}), j ->
+           |  struct(j, pmod(${TextOps.h60(s"concat(cast(j as string), ':', v)")}, $width) as b))) as e""".stripMargin)
+      .selectExpr("v", "exact_cnt", "e.j as j", "e.b as b")
+      .join(broadcast(sketch), Seq("j", "b"))
+      .groupBy("v").agg(max("exact_cnt").as("exact_cnt"), min("c").as("cm_est"))
+      .orderBy("v")
+  }
+
   /** The r-counter AMS sketch itself: one (grp, j, s) row per sketch
     * counter — the vector-addition-mergeable state [[amsF2]] squares and
     * averages (exposed so OpsSpec can pin linearity across a corpus

@@ -786,4 +786,168 @@ object TextOps {
     states.unpersist()
     out
   }
+
+  /** Lexical-diversity scoring — the vocabulary-richness quality signal
+    * (templated/boilerplate text scores low, natural prose high): per
+    * document the type-token ratio and the Gini–Simpson index
+    * 1 − Σ(cᵢ/n)². Gini–Simpson is the LOG-FREE diversity measure —
+    * Shannon entropy needs transcendentals the determinism contract
+    * bans; Gini–Simpson is rational in the counts, computed as the one
+    * shared tree (n² − Σcᵢ²)/n² over BIGINT sums, so every value
+    * hash-gates. (Within-doc n² stays in BIGINT to n ≈ 3·10⁹ tokens per
+    * document — no real document is near that.)
+    *
+    * Scale shape: one (doc, token)-keyed partial count, one doc-keyed
+    * aggregation of the three moments, a left join back onto the corpus
+    * so empty documents surface as nulls rather than vanish. Map-only
+    * beyond those two keyed aggs.
+    */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val m = docs
+      .selectExpr("doc_id", s"explode(${wordsExpr("text")}) as tk")
+      .where("tk <> ''")
+      .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        expr("sum(c * c)").as("sumsq"))
+      .selectExpr("doc_id", "n_tokens", "n_types",
+        "cast(n_types as double) / cast(n_tokens as double) as ttr",
+        """cast(n_tokens * n_tokens - sumsq as double)
+          | / cast(n_tokens * n_tokens as double) as gini_simpson""".stripMargin)
+    docs.select("doc_id").join(m, Seq("doc_id"), "left").orderBy("doc_id")
+  }
+
+  /** Distribution drift between corpus slices — the screen a pipeline
+    * runs before mixing sources or trusting "same distribution as last
+    * month": TOTAL VARIATION distance between the token distributions
+    * of every slice pair. TV is the log-free divergence (KL/JS need
+    * transcendentals); with integer counts it is exactly
+    * Σ|c₁·n₂ − c₂·n₁| / (2·n₁·n₂) — an order-independent BIGINT
+    * absolute-difference sum and ONE closing division, so every pair's
+    * distance hash-gates. (The cross products hold in BIGINT to
+    * ~1.5·10⁹ tokens per slice; beyond that swap the accumulator to
+    * DECIMAL(38,0) — the spearmanCorr contract.)
+    *
+    * Scale shape: one (slice, token)-keyed count, slice totals (a
+    * slice-cardinality-sized table that broadcasts), and the
+    * union-of-vocab expansion as pairs × distinct-tokens — vocab- and
+    * pair-bounded, never corpus-sized — with two token-keyed joins
+    * pulling each side's count. No driver loop over pairs.
+    */
+  def distDrift(docs: DataFrame, sliceCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val c = docs
+      .selectExpr(s"$sliceCol as s", s"explode(${wordsExpr("text")}) as tk")
+      .where("tk <> ''")
+      .groupBy("s", "tk").agg(count(lit(1)).as("c"))
+      .persist()
+    val n = c.groupBy("s").agg(sum("c").as("n"))
+    val pairs = n.selectExpr("s as s1", "n as n1")
+      .join(n.selectExpr("s as s2", "n as n2"), col("s1") < col("s2"))
+    val vocab = c.select("tk").distinct()
+    val out = broadcast(pairs).crossJoin(vocab)
+      .join(c.selectExpr("s as s1", "tk", "c as c1"), Seq("s1", "tk"), "left")
+      .join(c.selectExpr("s as s2", "tk", "c as c2"), Seq("s2", "tk"), "left")
+      .groupBy("s1", "s2", "n1", "n2")
+      .agg(expr("sum(abs(coalesce(c1, 0L) * n2 - coalesce(c2, 0L) * n1))").as("num"))
+      .selectExpr("s1", "s2", "n1", "n2", "num",
+        "cast(num as double) / cast(2 * n1 * n2 as double) as tv_dist")
+      .orderBy("s1", "s2")
+      .localCheckpoint()
+    c.unpersist()
+    out
+  }
+
+  /** Sparse cosine similarity join over term-frequency vectors — the
+    * BoW complement to the set-based Jaccard tier
+    * ([[DedupOps.jaccardPairs]]) and the dense-embedding tier
+    * ([[VectorOps]]): document pairs whose cosine over raw tf vectors
+    * in the df-filtered term space reaches `minSim`. Terms with
+    * document frequency > `maxDf` are dropped from the space BEFORE
+    * vectors form (the standard stopword/df cut — they carry no
+    * discriminative signal and their posting lists are exactly the
+    * quadratic blowup), so "the vector" is well-defined in both
+    * engines: dot products AND norms use the same filtered space.
+    *
+    * Exact cross-engine: tf, df, dots and squared norms are BIGINT;
+    * cosine is one shared tree — sqrt (IEEE-correctly-rounded in both
+    * engines, the [[ProfileOps.spearmanRho]] precedent), one multiply,
+    * one division — so every emitted pair hash-gates.
+    *
+    * Scale shape: the candidate generator is the inverted-index
+    * (term-keyed) self-join, with per-term fanout capped at maxDf² by
+    * the df cut — the posting-list-join bound every sparse-similarity
+    * system rides (Bayardo et al., WWW'07); partial-aggregated
+    * (doc_a, doc_b) dot sums; norms are one doc-keyed agg joined back
+    * on the pair keys. No pair ever forms outside a shared term.
+    */
+  def tfCosinePairs(docs: DataFrame, minSim: Double = 0.5,
+                    maxDf: Long = 20): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tf = docs
+      .selectExpr("doc_id", s"explode(${wordsExpr("text")}) as tk")
+      .where("tk <> ''")
+      .groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("tk").agg(count(lit(1)).as("df"))
+    val kept = tf.join(dft.filter(col("df") <= maxDf), Seq("tk"))
+      .select("tk", "doc_id", "tf")
+    val norms = kept.groupBy("doc_id").agg(expr("sum(tf * tf)").as("nrm2"))
+    kept.selectExpr("tk", "doc_id as doc_a", "tf as tfa")
+      .join(kept.selectExpr("tk", "doc_id as doc_b", "tf as tfb"), Seq("tk"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(sum(expr("tfa * tfb")).as("dot"))
+      .join(norms.selectExpr("doc_id as doc_a", "nrm2 as na"), "doc_a")
+      .join(norms.selectExpr("doc_id as doc_b", "nrm2 as nb"), "doc_b")
+      .selectExpr("doc_a", "doc_b", "dot",
+        """cast(dot as double)
+          | / (sqrt(cast(na as double)) * sqrt(cast(nb as double))) as cos_sim""".stripMargin)
+      .where(col("cos_sim") >= minSim)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** PMI collocations (Church & Hanks, CL'90 — public): the top-`k`
+    * adjacent word pairs by pointwise mutual information over the
+    * bigram event space — marginals taken from the SAME bigram table
+    * (p(a,·) = Σ_b c_ab / N, p(·,b) = Σ_a c_ab / N), the standard
+    * association-ratio setup. The emitted score is the probability
+    * ratio itself, lift = p(a,b)/(p(a,·)·p(·,b)); PMI = log₂(lift) is
+    * monotone in it, so the ranking is identical and the gate stays
+    * IEEE-exact (the determinism contract bans transcendentals). The
+    * ratio is computed as (c_ab/c_a)·(N/c_b) — two correctly-rounded
+    * divisions and one multiply over BIGINT-exact counts, the same
+    * expression tree the oracle evaluates, and overflow-free at any
+    * corpus size (the single-division form c_ab·N/(c_a·c_b) overflows
+    * BIGINT past ~3·10⁹ bigrams).
+    *
+    * Scale shape: bigram explode is map-only; the pair count is one
+    * partial-aggregated groupBy; both marginal tables are vocab-bounded
+    * and re-join the pair table on its own keys; the final top-k is a
+    * TakeOrderedAndProject (per-partition heaps, never a global sort).
+    * `minCount` keeps rare-pair noise out — the textbook PMI failure
+    * mode where hapax pairs score highest.
+    */
+  def pmiCollocations(docs: DataFrame, k: Int = 50, minCount: Long = 5): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pairs = docs
+      .selectExpr(s"${wordsExpr("text")} as w")
+      .where("size(w) >= 2")
+      .selectExpr(
+        """explode(transform(sequence(0, size(w) - 2),
+          |  i -> struct(w[i] as a, w[i + 1] as b))) as p""".stripMargin)
+      .selectExpr("p.a as a", "p.b as b")
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val la = pairs.groupBy("a").agg(sum("c_ab").as("c_a"))
+    val rb = pairs.groupBy("b").agg(sum("c_ab").as("c_b"))
+    val n = pairs.agg(sum("c_ab").as("n_bigrams"))
+    pairs.where(col("c_ab") >= minCount)
+      .join(la, Seq("a")).join(rb, Seq("b"))
+      .crossJoin(broadcast(n))
+      .selectExpr("a", "b", "c_ab", "c_a", "c_b", "n_bigrams",
+        """(cast(c_ab as double) / cast(c_a as double))
+          | * (cast(n_bigrams as double) / cast(c_b as double)) as lift""".stripMargin)
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(k)
+  }
 }

@@ -449,6 +449,47 @@ object StreamingOps {
         s"cast(${(0 until r).map(j => s"s$j * s$j").mkString(" + ")} as double) / $r as f2_est")
   }
 
+  /** Streaming Count-Min counter table — the online half of
+    * [[graft.ops.SketchOps.countMin]]: the d×w table is LINEAR (cell-wise
+    * additive — OpsSpec pins it on the batch op), so each cell is a plain
+    * streaming COUNT keyed by (j, b); micro-batch partials add into the
+    * state-store value by ordinary aggregation. State is O(d·w) TOTAL —
+    * the only sketch here whose state does not even grow with group
+    * count. Point estimates (min over a value's d cells) are a read-side
+    * lookup against the emitted table, exactly as in the batch op; the
+    * exact-count companion needs unbounded state and stays batch-only.
+    * Run with Complete/Update output. */
+  def countMinStream(df: DataFrame, valueExpr: String,
+                     depth: Int = 4, width: Int = 64): DataFrame = {
+    require(depth >= 1 && width >= 2,
+      s"countMin needs depth >= 1, width >= 2; got $depth x $width")
+    df.selectExpr(s"cast(($valueExpr) as string) as v")
+      .selectExpr(s"""explode(transform(sequence(0, ${depth - 1}), j ->
+        |  struct(j, pmod(${graft.ops.TextOps.h60(s"concat(cast(j as string), ':', v)")}, $width) as b))) as e""".stripMargin)
+      .selectExpr("e.j as j", "e.b as b")
+      .groupBy("j", "b").agg(count(lit(1)).as("c"))
+  }
+
+  /** Streaming fixed-grid histogram — the online half of
+    * [[graft.ops.SketchOps.quantileHist]]: the declared [lo, hi)/nb grid
+    * makes bucket counts LINEAR (bucket-wise additive — OpsSpec pins it
+    * on the batch op), so the histogram is one plain streaming COUNT
+    * keyed by (grp, bucket): O(nb) state per group. The quantile
+    * extraction (a cumulative window over the buckets) is not a
+    * streaming-legal second aggregation and runs on the read side over
+    * the emitted table — the same split as the batch op's two stages.
+    * Run with Complete/Update output. */
+  def quantileHistStream(df: DataFrame, groupCol: String, valueExpr: String,
+                         lo: Double, hi: Double, nb: Int): DataFrame = {
+    require(hi > lo && nb > 0, s"quantileHist needs hi > lo, nb > 0; got [$lo,$hi)/$nb")
+    val loD = s"cast($lo as double)"
+    val step = s"((cast($hi as double)) - ($loD)) / $nb"
+    df.selectExpr(s"$groupCol as grp", s"cast($valueExpr as double) as v")
+      .selectExpr("grp",
+        s"least(greatest(cast(floor((v - ($loD)) / ($step)) as bigint), 0), ${nb - 1}) as bucket")
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("c"))
+  }
+
   def heavyHittersStream(docs: DataFrame, minShare: Double,
                          k0: Int = 0): DataFrame = {
     require(minShare > 0 && minShare < 1, s"minShare in (0,1), got $minShare")

@@ -1637,4 +1637,211 @@ class OpsSpec extends SparkSpecBase {
     assert(a === b)
     assert(a.size === 4)
   }
+
+  test("skyline: equals the quadratic dominance filter; distributive over partition skylines") {
+    import graft.ops.SkylineOps
+    // hand case with a duplicate frontier point and a same-price tie
+    val pts = Seq(
+      (1L, 10, 5), (2L, 10, 5),  // duplicates — both non-dominated
+      (3L, 10, 3),               // same price, smaller size → dominated
+      (4L, 5, 2), (5L, 20, 9),   // frontier
+      (6L, 21, 9),               // pricier, same size → dominated
+      (7L, 4, 1)                 // frontier (cheapest)
+    ).toDF("id", "price", "size")
+    val sky = SkylineOps.skyline(pts, "id", "price", "size")
+      .collect().map(_.getLong(0)).toSeq
+    assert(sky === Seq(1L, 2L, 4L, 5L, 7L))
+    // pseudo-random set under adversarial partitioning: equals the
+    // in-engine quadratic NOT EXISTS, and equals the skyline of unioned
+    // per-partition skylines (the divide-and-conquer contract)
+    val rnd = spark.range(2000).selectExpr("id",
+      "(id * 2654435761) % 997 as price", "(id * 40503) % 883 as size")
+    rnd.createOrReplaceTempView("sky_r")
+    val naive = spark.sql(
+      """SELECT id FROM sky_r p WHERE NOT EXISTS (
+        |  SELECT 1 FROM sky_r q
+        |  WHERE q.price <= p.price AND q.size >= p.size
+        |    AND (q.price < p.price OR q.size > p.size))""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    val fast = SkylineOps.skyline(rnd.repartition(13), "id", "price", "size")
+      .collect().map(_.getLong(0)).toSet
+    assert(fast === naive && naive.nonEmpty)
+    val parts = (0 until 4).map(i =>
+      SkylineOps.skyline(rnd.where(s"id % 4 = $i"), "id", "price", "size"))
+    val ofParts = SkylineOps.skyline(parts.reduce(_.unionAll(_)), "id", "mn", "mx")
+      .collect().map(_.getLong(0)).toSet
+    assert(ofParts === naive)
+  }
+
+  test("count-min: never underestimates, exact when collision-free, cell-wise linear") {
+    import graft.ops.SketchOps
+    // 2000 occurrences over 300 distinct keys into a 4x64 table: every
+    // estimate is >= the true count (the one-sided CM contract)
+    val df = spark.range(2000).selectExpr("cast(id % 300 as string) as v")
+    val rows = SketchOps.countMin(df, "v", depth = 4, width = 64).collect()
+    assert(rows.length === 300)
+    rows.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"CM underestimated ${r.getString(0)}: ${r.getLong(2)} < ${r.getLong(1)}"))
+    // width far above the key count → no row collides in all 4 rows;
+    // with 5 keys in 4x1024 cells a shared cell in EVERY row is
+    // (5·4/1024)⁴-improbable and the md5 hashes are fixed — deterministic
+    val tiny = spark.range(100).selectExpr("cast(id % 5 as string) as v")
+    SketchOps.countMin(tiny, "v", depth = 4, width = 1024).collect()
+      .foreach(r => assert(r.getLong(2) === r.getLong(1)))
+    // linearity: the counter table of a union is the cell-wise SUM of the
+    // parts' tables — the merge rule for per-partition/day sketches
+    val a = spark.range(0, 1000).selectExpr("cast(id % 300 as string) as v")
+    val b = spark.range(1000, 2000).selectExpr("cast(id % 300 as string) as v")
+    def cells(d: org.apache.spark.sql.DataFrame) =
+      SketchOps.cmSketch(d, "v", 4, 64).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (ca, cb, cf) = (cells(a), cells(b), cells(df))
+    cf.foreach { case (k, c) =>
+      assert(ca.getOrElse(k, 0L) + cb.getOrElse(k, 0L) === c, s"cell $k not additive")
+    }
+  }
+
+  test("pmi collocations: hand-computed lift on a planted corpus; rare pairs gated") {
+    import graft.ops.TextOps
+    // "a b" appears 6x, a and b appear only together; "x y" 5x but x also
+    // pairs with z, diluting its lift
+    val docs = Seq(
+      (1L, "a b a b a b x y x y"),
+      (2L, "a b a b a b x y x y x z"),
+      (3L, "x y") // bumps "x y" to 5
+    ).toDF("doc_id", "text")
+    val out = TextOps.pmiCollocations(docs, k = 10, minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(6)))
+    // bigram space: per doc adjacent pairs INCLUDING cross pairs (b a, y x…)
+    // lift(a,b) = (c_ab/c_a)·(N/c_b) with marginals from the bigram table
+    val pairs = out.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains(("a", "b")))
+    val ab = out.find(t => t._1 == "a" && t._2 == "b").get
+    assert(ab._3 === 6L)
+    // minCount gates: nothing with c_ab < 5 appears
+    assert(out.forall(_._3 >= 5L))
+    // ranking sanity: every lift positive and sorted descending
+    val lifts = out.map(_._4)
+    assert(lifts.forall(_ > 0) && lifts.sameElements(lifts.sortBy(-_)))
+  }
+
+  test("mad outliers: hand case — constant group has mad 0; a planted spike is flagged") {
+    import graft.ops.ProfileOps
+    val df = Seq(
+      // group c: constant → med 5, mad 0, the 1000 spike is > 3·0 away
+      ("c", 5.0), ("c", 5.0), ("c", 5.0), ("c", 5.0), ("c", 1000.0),
+      // group s: symmetric 1..7 → disc median 4, adevs {0,1,1,2,2,3,3} →
+      // disc mad (4th of 7) = 2; cut 3·2=6 → nothing beyond
+      ("s", 1.0), ("s", 2.0), ("s", 3.0), ("s", 4.0), ("s", 5.0), ("s", 6.0), ("s", 7.0)
+    ).toDF("g", "v")
+    val out = ProfileOps.madOutliers(df, "g", "v", cut = 3.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out("c") === ((5L, 5.0, 0.0, 1L)))
+    assert(out("s") === ((7L, 4.0, 2.0, 0L)))
+  }
+
+  test("kcore: pendant and chain peel away over rounds; the dense core survives exactly") {
+    import graft.ops.GraphOps
+    // 4-cycle with a 2-hop tail: k=2 peels the tail in TWO rounds (6
+    // first, which drops 5 below degree 2) — the iterative part — and
+    // keeps the cycle at degree 2 each
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val core2 = GraphOps.kcore(g, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+    // k=3: the cycle itself unravels — empty core, not an error
+    assert(GraphOps.kcore(g, k = 3).collect().isEmpty)
+    // triangle + pendant at k=2: one round, pendant gone
+    val t = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(GraphOps.kcore(t, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("tf-cosine pairs: hand-computed cosines; the df cut defines the space") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "alpha alpha beta"),
+      (2L, "alpha alpha beta"),   // identical vector → cos 1 with doc 1
+      (3L, "alpha beta beta"),    // (1,2)·(2,1)... vs (2,1): dot 4, norms 5,5 → 0.8
+      (4L, "gamma delta"),        // shares nothing
+      (5L, "alpha gamma")         // low overlap
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfCosinePairs(docs, minSim = 0.75, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // (2,1)·(2,1)=5 over norms √5·√5 — which is NOT exactly 5 in IEEE;
+    // the op's contract is the shared expression TREE, not algebraic 1.0
+    assert(out((1L, 2L))._1 === 5L)
+    assert(math.abs(out((1L, 2L))._2 - 1.0) < 1e-12)
+    assert(out((1L, 3L))._1 === 4L)                 // (2,1)·(1,2)=4
+    assert(math.abs(out((1L, 3L))._2 - 0.8) < 1e-12)
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // df cut: a term on EVERY doc is excluded from the space — docs that
+    // only shared it no longer pair
+    val noisy = docs.selectExpr("doc_id", "concat(text, ' common') as text")
+    val cut = TextOps.tfCosinePairs(noisy, minSim = 0.01, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cut.contains((1L, 4L)) && !cut.contains((3L, 4L)))
+    // without the cut the shared 'common' term pairs everything
+    val uncut = TextOps.tfCosinePairs(noisy, minSim = 0.01, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncut.contains((1L, 4L)))
+  }
+
+  test("lexical diversity: hand-computed ttr and gini-simpson; empty doc surfaces as nulls") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "a a b"),      // n=3 types=2 ttr=2/3 gini=(9-5)/9=4/9
+      (2L, "a a a a"),    // n=4 types=1 ttr=1/4 gini=0
+      (3L, "x y z"),      // all distinct: gini=(9-3)/9=2/3
+      (4L, "")            // no tokens → null metrics, row kept
+    ).toDF("doc_id", "text")
+    val out = TextOps.lexicalDiversity(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 4)
+    assert(out(1L).getLong(1) === 3L && out(1L).getLong(2) === 2L)
+    assert(math.abs(out(1L).getDouble(3) - 2.0 / 3) < 1e-15)
+    assert(math.abs(out(1L).getDouble(4) - 4.0 / 9) < 1e-15)
+    assert(out(2L).getDouble(4) === 0.0)
+    assert(math.abs(out(3L).getDouble(4) - 2.0 / 3) < 1e-15)
+    assert(out(4L).isNullAt(1) && out(4L).isNullAt(4))
+  }
+
+  test("dist drift: hand-computed TV distance; identical slices have distance 0") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "s1", "a a b"),
+      (2L, "s2", "a b b b"),
+      (3L, "s3", "a a b")  // same distribution as s1
+    ).toDF("doc_id", "src", "text")
+    val out = TextOps.distDrift(docs, "src").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // s1 vs s2: |2·4−1·3| + |1·4−3·3| = 10 over 2·3·4 = 24
+    assert(out(("s1", "s2")) === ((3L, 4L, 10L, 10.0 / 24)))
+    // identical distributions → TV 0
+    assert(out(("s1", "s3")) === ((3L, 3L, 0L, 0.0)))
+    // TV is symmetric in construction: (s2,s3) mirrors (s1,s2)'s distance
+    assert(out(("s2", "s3"))._4 === 10.0 / 24)
+  }
+
+  test("graph components: hand case + agreement between union-find and star contraction") {
+    import graft.ops.GraphOps
+    // two components and an isolated pair; labels are component minima
+    val e = Seq((2L, 1L), (2L, 3L), (7L, 9L), (9L, 8L), (5L, 6L)).toDF("a", "b")
+    val lab = GraphOps.components(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L, 5L -> 5L, 6L -> 5L))
+    // a long path — the diameter case star contraction must close in
+    // O(log n) rounds — labeled identically by both paths
+    val chain = spark.range(999).selectExpr("id as a", "id + 1 as b")
+    val viaUF = GraphOps.components(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaStars = GraphOps.components(chain, driverMaxEdges = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaUF === (0L to 999L).map(_ -> 0L).toSet)
+    assert(viaStars === viaUF)
+  }
 }

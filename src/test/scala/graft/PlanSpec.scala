@@ -76,8 +76,14 @@ class PlanSpec extends SparkSpecBase {
       "op_corr_spearman", // 1-row range-totals broadcast for the prefix-sum offsets
 
       "op_lm_score", // 1-row vocab-size broadcast, the op_profile pattern
+      "op_pmi_collocations", // 1-row bigram-total broadcast, same pattern
+      "op_dist_drift", // pair-table (≤ slices²) broadcast over the vocab
       "op_epoch_sample",
-      "op_dedup_semantic", "op_dedup_semantic_auto")
+      "op_dedup_semantic", "op_dedup_semantic_auto",
+      // skyline's phase 2 IS a broadcast dominance check over the tiny
+      // pruned candidate set — the dedicated PlanSpec case below pins
+      // that it stays the BROADCAST form
+      "op_skyline")
     graft.ops.OpQueries.defs.foreach { q =>
       val p = q.fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"${q.name} went cartesian:\n$p")
@@ -427,5 +433,23 @@ class PlanSpec extends SparkSpecBase {
     // and every mid row exactly one tiny row (mg ∈ [0,5))
     assert(s.sql(q).collect()(0).getLong(0) === 20000L)
     Seq("cbo_big", "cbo_mid", "cbo_tiny").foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("skyline verifies over a BROADCAST candidate set — the quadratic never touches the corpus") {
+    val p = plan("op_skyline")
+    // phase 2's inequality join is only allowed as a broadcast nested
+    // loop over the pruned candidates; a non-broadcast BNLJ or cartesian
+    // would mean the quadratic check runs corpus × corpus
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"dominance verify must be the broadcast form:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("count-min probes join the counter table as a broadcast, never a shuffle of the corpus") {
+    val p = plan("op_countmin")
+    // the d×w table (≤256 rows) must be the broadcast side of the probe
+    // join; the probe side stays partitioned by value
+    assert(p.contains("BroadcastHashJoin"), s"sketch table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 }

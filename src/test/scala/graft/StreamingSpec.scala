@@ -443,6 +443,72 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming Count-Min table equals the batch table, summed across batch cuts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Tables.load(spark, sfDir, "events")
+      .select("user_id").orderBy("user_id")
+    val batch = graft.ops.SketchOps
+      .cmSketch(events, "cast(user_id as string)", 4, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(batch.nonEmpty)
+
+    val rows = events.as[Long].collect()
+    val stream = MemoryStream[Long]
+    val q = StreamingOps.countMinStream(
+        stream.toDF().toDF("user_id"),
+        "cast(user_id as string)", depth = 4, width = 64)
+      .writeStream.format("memory").queryName("cm_stream")
+      .outputMode("complete").start()
+    try {
+      // two deliveries: cells are LINEAR, so the second batch's partial
+      // counts must ADD into the state-store value — only then the table
+      // equals the one-pass batch table
+      val (a, b) = rows.splitAt(rows.length / 2)
+      stream.addData(a.toSeq)
+      q.processAllAvailable()
+      stream.addData(b.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("cm_stream").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+  }
+
+  test("streaming histogram equals the batch histogram, added bucket-wise across cuts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (lo, hi, nb) = (0.0, 512.0, 128)
+    val events = Tables.load(spark, sfDir, "events")
+      .select("event_type", "value").orderBy("event_type", "value")
+    // the batch histogram: same grid expression as the streaming op
+    val step = (hi - lo) / nb
+    val batch = events
+      .selectExpr("event_type as grp",
+        s"least(greatest(cast(floor((cast(value as double) - $lo) / $step) as bigint), 0), ${nb - 1}) as bucket")
+      .groupBy("grp", "bucket").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(batch.nonEmpty)
+
+    val rows = events.as[(String, Double)].collect()
+    val stream = MemoryStream[(String, Double)]
+    val q = StreamingOps.quantileHistStream(
+        stream.toDF().toDF("event_type", "value"),
+        "event_type", "value", lo, hi, nb)
+      .writeStream.format("memory").queryName("hist_stream")
+      .outputMode("complete").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      stream.addData(a.toSeq)
+      q.processAllAvailable()
+      stream.addData(b.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("hist_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+  }
+
   test("incremental delivery across batches yields the same closed sessions") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rows = Tables.load(spark, sfDir, "events")
