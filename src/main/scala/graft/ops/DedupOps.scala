@@ -107,6 +107,57 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Directional shingle CONTAINMENT pairs — the asymmetric near-dup
+    * relation Jaccard cannot see: a short document fully quoted inside a
+    * long one has |A∩B|/|A| = 1 but Jaccard |A∩B|/|A∪B| near 0, so a
+    * symmetric threshold misses exactly the quote/excerpt/subset
+    * duplication a curation pipeline needs to find (the set-containment
+    * join of the data-discovery literature — JOSIE, SIGMOD'19). Emits
+    * (doc_a, doc_b) with C(A→B) = |A∩B|/|A| ≥ `threshold` — BOTH
+    * directions when both clear the bar (each direction is its own
+    * claim).
+    *
+    * Candidate generation is the containment form of the AllPairs
+    * prefix filter (Bayardo WWW'07): A must share ≥ ⌈t·|A|⌉ shingles
+    * with B, so under the fixed rarest-df-first global order one of
+    * A's first |A| − ⌈t·|A|⌉ + 1 shingles hits B's FULL set — the
+    * prefix joins the probe side only, and because prefixes hold the
+    * RAREST shingles, the join keys are the cold ones (the hot-shingle
+    * quadratic lands outside the prefix by construction). Verification
+    * is exact `array_intersect` on the candidate pair rows — no
+    * re-explosion, no false positives; integer intersection sizes and
+    * one division, so every pair hash-gates against the oracle's direct
+    * quadratic form.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val sets = shingled(docs).persist()
+    val ex = sets.selectExpr("doc_id", "n_sh", "explode(sh) as s")
+    val freq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val prefix = ex.join(freq, "s")
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(expr("sort_array(collect_list(struct(df, s)))").as("os"))
+      .selectExpr("doc_id",
+        s"transform(slice(os, 1, cast(n_sh - ceil($threshold * n_sh) + 1 as int)), x -> x.s) as ps")
+      .selectExpr("doc_id", "explode(ps) as s")
+    val cand = prefix.as("a")
+      .join(ex.select("doc_id", "s").as("b"),
+        expr("a.s = b.s and a.doc_id <> b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val out = cand
+      .join(sets.selectExpr("doc_id as doc_a", "sh as sha", "n_sh as na"), Seq("doc_a"))
+      .join(sets.selectExpr("doc_id as doc_b", "sh as shb"), Seq("doc_b"))
+      .selectExpr("doc_a", "doc_b",
+        "cast(size(array_intersect(sha, shb)) as bigint) as inter", "na")
+      .selectExpr("doc_a", "doc_b", "inter", "na",
+        "cast(inter as double) / cast(na as double) as containment")
+      .filter(col("containment") >= threshold)
+      .orderBy("doc_a", "doc_b")
+      .localCheckpoint()
+    sets.unpersist()
+    out
+  }
+
   /** MinHash signatures: sig_i = min over shingles of (a_i·h + b_i) mod P,
     * with fixed coefficients a_i = 1000003·(2i+1), b_i = 7919·i + 12345.
     * The K minima come from the native [[graft.sql.expressions.MinHashSig]]
@@ -585,7 +636,12 @@ object DedupOps {
     */
   def dedupResolve(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20,
                    driverMaxPairs: Long = 1L << 20): DataFrame = {
-    val groups = dedupGroups(docs, pairs, maxIters, driverMaxPairs)
+    // persisted: `groups` feeds the dup-label scan, the canonical argmax
+    // AND the final join — unpersisted, the whole CC pipeline (pair
+    // count, union-find/star rounds, label join) re-ran three times
+    // (op_dedup_resolve was 3× op_dedup_groups on the bench for exactly
+    // this reason)
+    val groups = dedupGroups(docs, pairs, maxIters, driverMaxPairs).persist()
     // group labels that actually have ≥ 2 members: exactly the keep_ids
     // carried by some is_dup row (the root member's own row has is_dup=0)
     val dupGroups = groups.filter(col("is_dup") === 1)
@@ -597,11 +653,14 @@ object DedupOps {
       .groupBy("keep_id")
       .agg(expr("max(struct(n_chars, -doc_id as nd))").as("b"))
       .selectExpr("keep_id", "-b.nd as canonical_id")
-    groups.join(broadcast(canon), Seq("keep_id"), "left")
+    val out = groups.join(broadcast(canon), Seq("keep_id"), "left")
       .selectExpr("doc_id", "keep_id as group_id",
         "coalesce(canonical_id, doc_id) as canonical_id",
         "cast(doc_id = coalesce(canonical_id, doc_id) as int) as is_kept")
       .orderBy("doc_id")
+      .localCheckpoint()
+    groups.unpersist()
+    out
   }
 
   private def broadcastIfSmall(df: DataFrame, small: Boolean): DataFrame =

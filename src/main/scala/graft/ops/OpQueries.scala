@@ -1450,8 +1450,66 @@ object OpQueries {
     // determinism contract bans.
     QueryDef("op_dist_drift",
       (s, d) => TextOps.distDrift(docs(s, d), "source"),
-      Some(dkDistDriftOracle))
+      Some(dkDistDriftOracle)),
+
+    // Directional shingle containment (quote/excerpt detection —
+    // |A∩B|/|A|, the relation Jaccard misses): Spark runs the
+    // containment prefix filter + exact array_intersect verify; the
+    // oracle runs the direct quadratic shingle join — two algorithms,
+    // one hash (integer intersections, one division).
+    QueryDef("op_containment_pairs",
+      (s, d) => DedupOps.containmentPairs(docs(s, d), threshold = 0.7),
+      Some(dkContainmentOracle(0.7))),
+
+    // Weighted discrete percentiles (quantity-weighted price quantiles
+    // per return flag): the quantile is a RATIONAL qNum/qDen and the
+    // selection predicate is all-BIGINT (cumw·qDen ≥ qNum·W) — zero
+    // IEEE arithmetic anywhere; result values are actual data points.
+    QueryDef("op_weighted_median",
+      (s, d) => {
+        import graft.ops.PercentileOps.{weightedDiscPercentiles, WSpec}
+        weightedDiscPercentiles(Tables.load(s, d, "lineitem"),
+          "l_returnflag", "l_extendedprice", "l_quantity",
+          Seq(WSpec(1, 2, "wmed_price"), WSpec(9, 10, "wp90_price")))
+          .orderBy("l_returnflag")
+      },
+      Some(dkWeightedMedianOracle))
   )
+
+  /** DuckDB mirror of [[graft.ops.PercentileOps.weightedDiscPercentiles]]
+    * on lineitem: the same (key, value) weight rollup, cumulative
+    * window and integer threshold predicates. */
+  private def dkWeightedMedianOracle: String =
+    """WITH g AS (SELECT l_returnflag AS k, l_extendedprice AS v,
+      |             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wv
+      |           FROM lineitem
+      |           WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+      |           GROUP BY 1, 2),
+      |c AS (SELECT k, v, wv,
+      |        SUM(wv) OVER (PARTITION BY k ORDER BY v) AS cumw,
+      |        SUM(wv) OVER (PARTITION BY k) AS tw
+      |      FROM g)
+      |SELECT k AS l_returnflag,
+      |  MIN(CASE WHEN cumw * 2 >= 1 * tw THEN v END) AS wmed_price,
+      |  MIN(CASE WHEN cumw * 10 >= 9 * tw THEN v END) AS wp90_price,
+      |  CAST(MAX(tw) AS BIGINT) AS total_weight
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** DuckDB mirror of [[DedupOps.containmentPairs]]: the direct
+    * quadratic form — shared-shingle counts both directions over the
+    * same md5-h60 shingle sets, the same |A∩B|/|A| division. */
+  private def dkContainmentOracle(thr: Double): String =
+    s"""WITH d AS (SELECT doc_id, $dkWords AS w FROM documents),
+       |s0 AS (SELECT doc_id, ${dkShingles("w")} AS sh_txt FROM d),
+       |sh AS (SELECT doc_id, unnest(list_transform(sh_txt, x -> ${dkH60("x")})) AS s FROM s0),
+       |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+       |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS c
+       |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, c AS inter, sa.n AS na,
+       |  CAST(c AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+       |FROM i JOIN sz sa ON sa.doc_id = doc_a
+       |WHERE CAST(c AS DOUBLE) / CAST(sa.n AS DOUBLE) >= $thr
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** DuckDB mirror of [[TextOps.lexicalDiversity]]: identical token
     * counts, moment sums and the (n²−Σc²)/n² tree. */

@@ -111,4 +111,46 @@ object PercentileOps {
     perCol.foldLeft(nRows)((acc, pc) => acc.join(pc, Seq(key), "left"))
       .select(col(key) +: specs.map(s => col(s.out)) :+ col("n_rows"): _*)
   }
+
+  /** One weighted discrete percentile: the smallest value whose
+    * cumulative weight reaches qNum/qDen of the group's total weight.
+    * The quantile is a RATIONAL, not a double — the selection predicate
+    * is `cumw·qDen ≥ qNum·W`, pure BIGINT, so there is no floating
+    * arithmetic anywhere in the operator. */
+  final case class WSpec(qNum: Long, qDen: Long, out: String) {
+    require(qNum > 0 && qDen > 0 && qNum <= qDen, s"need 0 < $qNum/$qDen <= 1")
+  }
+
+  /** Per-`key` WEIGHTED discrete percentiles — the quantile form a
+    * curation pipeline needs once rows carry sampling/mixture weights
+    * (epoch temperatures, language upsampling): the q-quantile of the
+    * weight-expanded distribution, computed without expanding anything.
+    * PERCENTILE_DISC semantics over integer weights: the result is an
+    * actual data value, selected by an all-BIGINT cumulative-weight
+    * predicate — every column hash-gates with zero IEEE involvement
+    * (the unweighted disc path degenerates to this with weight 1).
+    *
+    * Scale shape: one (key, value)-keyed weight aggregation (partial
+    * map-side), one per-group cumulative window over DISTINCT values,
+    * one filtering aggregation — the [[sortedPercentiles]] memory
+    * contract: nothing buffered per group beyond sort machinery. */
+  def weightedDiscPercentiles(df: DataFrame, key: String, valueCol: String,
+                              weightCol: String, specs: Seq[WSpec]): DataFrame = {
+    require(specs.nonEmpty, "weightedDiscPercentiles needs at least one spec")
+    require(specs.map(_.out).distinct.length == specs.length,
+      "duplicate output column names")
+    val byKey = Window.partitionBy(col(key))
+    val g = df
+      .filter(col(valueCol).isNotNull)
+      .selectExpr(key, s"$valueCol as __v", s"cast($weightCol as bigint) as __w")
+      .filter(col("__w") > 0)
+      .groupBy(col(key), col("__v")).agg(sum("__w").as("__wv"))
+      .withColumn("__cumw", sum("__wv").over(byKey.orderBy(col("__v"))))
+      .withColumn("__tw", sum("__wv").over(byKey))
+    val aggs = specs.map { s =>
+      min(when(col("__cumw") * lit(s.qDen) >= lit(s.qNum) * col("__tw"),
+        col("__v"))).as(s.out)
+    } :+ max(col("__tw")).as("total_weight")
+    g.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+  }
 }

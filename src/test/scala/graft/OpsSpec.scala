@@ -1789,6 +1789,62 @@ class OpsSpec extends SparkSpecBase {
     assert(uncut.contains((1L, 4L)))
   }
 
+  test("weighted percentiles: hand case + equals the unweighted disc over the expanded multiset") {
+    import graft.ops.PercentileOps.{weightedDiscPercentiles, sortedPercentiles, WSpec, PSpec}
+    val df = Seq(
+      ("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 3.0, 8L), // heavy tail value
+      ("b", 1.0, 1L), ("b", 2.0, 1L), ("b", 3.0, 1L), ("b", 4.0, 1L)
+    ).toDF("k", "v", "w")
+    val out = weightedDiscPercentiles(df, "k", "v", "w",
+        Seq(WSpec(1, 2, "med"), WSpec(9, 10, "p90")))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out("a") === ((3.0, 3.0, 10L))) // cumw {1,2,10}: first ≥5 and ≥9 is 3.0
+    assert(out("b") === ((2.0, 4.0, 4L)))  // uniform weights = plain disc
+    // semantics pin: the weighted quantile IS the unweighted disc quantile
+    // of the weight-expanded multiset (computed here by actually expanding)
+    val expanded = df.selectExpr("k", "explode(array_repeat(v, cast(w as int))) as v")
+    val plain = sortedPercentiles(expanded, "k", Seq(
+        PSpec("v", 0.5, "med", disc = true), PSpec("v", 0.9, "p90", disc = true)))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    out.foreach { case (k, (m, p, _)) =>
+      assert((m, p) === plain(k), s"group $k diverged from the expanded multiset")
+    }
+  }
+
+  test("containment pairs: quotes are directional; prefix filter equals the quadratic") {
+    import graft.ops.{DedupOps, TextOps}
+    // doc 1's two shingles both sit inside doc 2 → C(1→2)=1; the reverse
+    // is 2/4 = 0.5 and must NOT appear at t=0.7; doc 3 shares nothing
+    val docs = Seq(
+      (1L, "one two three four"),
+      (2L, "one two three four five six"),
+      (3L, "seven eight nine ten eleven")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.containmentPairs(docs, threshold = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.keySet === Set((1L, 2L)))
+    assert(out((1L, 2L)) === ((2L, 2L, 1.0)))
+    // pseudo-random overlapping corpus: the prefix-filtered op equals the
+    // in-engine direct quadratic form, both directions
+    val rnd = spark.range(40).selectExpr("id as doc_id",
+      """concat_ws(' ', transform(sequence(0, 8 + cast(id % 7 as int)),
+        |  i -> concat('w', cast((id * 5 + i * (1 + id % 3)) % 37 as string)))) as text""".stripMargin)
+    val fast = DedupOps.containmentPairs(rnd, threshold = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    rnd.createOrReplaceTempView("cont_docs")
+    val naive = spark.sql(
+      s"""WITH sh AS (SELECT doc_id, explode(${TextOps.shinglesExpr(TextOps.wordsExpr("text"))}) as s
+         |            FROM cont_docs),
+         |sz AS (SELECT doc_id, count(*) as n FROM sh GROUP BY doc_id),
+         |i AS (SELECT a.doc_id as doc_a, b.doc_id as doc_b, count(*) as c
+         |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, c FROM i JOIN sz ON sz.doc_id = doc_a
+         |WHERE cast(c as double) / cast(n as double) >= 0.6""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast === naive && naive.nonEmpty)
+  }
+
   test("lexical diversity: hand-computed ttr and gini-simpson; empty doc surfaces as nulls") {
     import graft.ops.TextOps
     val docs = Seq(
