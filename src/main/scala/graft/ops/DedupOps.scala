@@ -107,6 +107,50 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MinHash ESTIMATOR audit pairs — the op that makes the sketch's
+    * accuracy a first-class, gated output instead of spec-only folklore:
+    * for every LSH band-candidate pair, the signature-agreement Jaccard
+    * estimate (matching positions / K — the textbook unbiased MinHash
+    * estimator, Broder '97) NEXT TO the exact shingle Jaccard, so the
+    * realized estimator error is visible in-row and both columns
+    * hash-gate (match counts are integers; K = 16 is a power of two, so
+    * the estimate division is exact IEEE; the exact Jaccard is the same
+    * tree [[jaccardPairs]] gates). Docs with no shingles (< 3 words)
+    * have no signature and are excluded in both engines.
+    *
+    * Scale shape: identical to [[minhashPairs]] — one signature pass,
+    * band-key equi-join candidates, per-pair array ops on the joined
+    * rows; the estimate adds one zip over two K-arrays. */
+  def minhashEstPairs(docs: DataFrame): DataFrame = {
+    val r = K / B
+    val sig = signatures(docs).filter(col("n_sh") >= 1).persist()
+    val bands = sig.selectExpr("doc_id",
+      s"""explode(transform(sequence(0, ${B - 1}), b ->
+         |  concat_ws(':', b, element_at(sig, b * $r + 1), element_at(sig, b * $r + 2))))
+         |  as band_key""".stripMargin)
+    val cand = bands.as("a")
+      .join(bands.as("b"), expr("a.band_key = b.band_key and a.doc_id < b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val full = sig.selectExpr("doc_id", "sh", "n_sh", "sig")
+    val out = cand
+      .join(full.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(full.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .selectExpr("doc_a", "doc_b",
+        "cast(size(array_intersect(sa.sh, sb.sh)) as bigint) as inter",
+        "sa.n_sh as na", "sb.n_sh as nb",
+        """cast(aggregate(zip_with(sa.sig, sb.sig, (x, y) ->
+          |  case when x = y then 1 else 0 end), 0, (s, m) -> s + m) as bigint)
+          |  as sig_matches""".stripMargin)
+      .selectExpr("doc_a", "doc_b", "inter", "na", "nb", "sig_matches",
+        "cast(inter as double) / (na + nb - inter) as jaccard_exact",
+        s"cast(sig_matches as double) / $K as jaccard_est")
+      .orderBy("doc_a", "doc_b")
+      .localCheckpoint()
+    sig.unpersist()
+    out
+  }
+
   /** Directional shingle CONTAINMENT pairs — the asymmetric near-dup
     * relation Jaccard cannot see: a short document fully quoted inside a
     * long one has |A∩B|/|A| = 1 but Jaccard |A∩B|/|A∪B| near 0, so a

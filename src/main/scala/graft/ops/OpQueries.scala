@@ -1465,6 +1465,40 @@ object OpQueries {
     // per return flag): the quantile is a RATIONAL qNum/qDen and the
     // selection predicate is all-BIGINT (cumw·qDen ≥ qNum·W) — zero
     // IEEE arithmetic anywhere; result values are actual data points.
+    // Per-doc token budget under the learned BPE merges (the count
+    // packing/epoch sizing bills by): word stream × the broadcast
+    // tokenizer artifact, all-integer — counts hash-gate against the
+    // same unrolled rounds in SQL.
+    QueryDef("op_bpe_token_count",
+      (s, d) => TextOps.bpeTokenCount(docs(s, d), rounds = 10),
+      Some(dkBpeTokenCountOracle(10))),
+
+    // MinHash estimator audit: for every LSH band candidate, the
+    // signature-agreement Jaccard estimate (matches/16 — exact IEEE)
+    // next to the exact shingle Jaccard — the sketch's accuracy as a
+    // gated output; the oracle re-derives signatures, bands AND both
+    // trees in SQL.
+    QueryDef("op_minhash_est",
+      (s, d) => DedupOps.minhashEstPairs(docs(s, d)),
+      Some(dkMinhashEstOracle)),
+
+    // Radius similarity search: all corpus vectors within cosine ≥ 0.25
+    // of each query — map-only after the query broadcast (no rank
+    // stage at all); same codegen dot kernel and cosine tree as the
+    // top-k family, full hash gate.
+    QueryDef("op_sim_radius",
+      (s, d) => VectorOps.cosineRadius(emb(s, d), minCos = 0.25, nQueries = 20),
+      Some(dkRadiusOracle(0.25))),
+
+    // KMV set algebra per event-type pair: union/intersection distinct
+    // estimates from the bottom-k sketches alone (merged bottom-k +
+    // Jaccard fraction — Beyer SIGMOD'07), exact intersection companion
+    // in-row; sketch contents AND both float estimates hash-gate.
+    QueryDef("op_kmv_setops",
+      (s, d) => SketchOps.kmvSetOps(Tables.load(s, d, "events"),
+        "event_type", "cast(user_id as string)", k = 16),
+      Some(dkKmvSetOpsOracle(16, "CAST(user_id AS VARCHAR)"))),
+
     QueryDef("op_weighted_median",
       (s, d) => {
         import graft.ops.PercentileOps.{weightedDiscPercentiles, WSpec}
@@ -1475,6 +1509,95 @@ object OpQueries {
       },
       Some(dkWeightedMedianOracle))
   )
+
+  /** DuckDB mirror of [[TextOps.bpeTokenCount]]: the shared unrolled
+    * BPE rounds, then each doc's word stream joined to the vocab's
+    * piece counts. */
+  private def dkBpeTokenCountOracle(rounds: Int): String =
+    dkBpeCtes(rounds) +
+      s""",
+         |enc AS MATERIALIZED (SELECT word,
+         |         CAST(len(string_split(trim(st), '  ')) AS BIGINT) AS np
+         |       FROM s$rounds),
+         |dw AS (SELECT doc_id, word FROM (
+         |         SELECT doc_id, unnest($dkWords) AS word FROM documents)
+         |       WHERE word <> ''),
+         |m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |        CAST(SUM(np) AS BIGINT) AS n_bpe_tokens
+         |      FROM dw JOIN enc USING (word) GROUP BY 1)
+         |SELECT d.doc_id, m.n_words, m.n_bpe_tokens
+         |FROM documents d LEFT JOIN m USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+
+  /** DuckDB mirror of [[DedupOps.minhashEstPairs]]: re-derives the K=16
+    * affine minhash signatures ((1000003·(2i+1)·h + 7919·i + 12345) mod
+    * 2³¹−1 — the MinHashSig kernel's exact arithmetic), the B=8 band
+    * keys, the candidate join, and both estimate/exact trees. */
+  private def dkMinhashEstOracle: String =
+    s"""WITH d AS (SELECT doc_id, $dkWords AS w FROM documents),
+       |s0 AS (SELECT doc_id, ${dkShingles("w")} AS sh_txt FROM d),
+       |sl AS (SELECT doc_id, list_transform(sh_txt, x -> ${dkH60("x")}) AS sh FROM s0),
+       |sg AS MATERIALIZED (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n_sh,
+       |        list_transform(range(0, 16), i -> list_min(list_transform(sh, h ->
+       |          (1000003 * (2 * i + 1) * (h % 2147483647) + 7919 * i + 12345) % 2147483647))) AS sig
+       |      FROM sl WHERE len(sh) >= 1),
+       |bk AS (SELECT doc_id, unnest(list_transform(range(0, 8), b ->
+       |         b || ':' || sig[b * 2 + 1] || ':' || sig[b * 2 + 2])) AS band_key FROM sg),
+       |c AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |      FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |j AS (SELECT doc_a, doc_b,
+       |        CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+       |        sa.n_sh AS na, sb.n_sh AS nb,
+       |        CAST(list_reduce(list_prepend(0, list_transform(range(1, 17), i ->
+       |          CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)), (s, m) -> s + m) AS BIGINT) AS sig_matches
+       |      FROM c JOIN sg sa ON sa.doc_id = doc_a JOIN sg sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, inter, na, nb, sig_matches,
+       |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard_exact,
+       |  CAST(sig_matches AS DOUBLE) / 16 AS jaccard_est
+       |FROM j ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB mirror of [[VectorOps.cosineRadius]]: the same query set,
+    * dot/norm fold and cosine tree, threshold instead of rank. */
+  private def dkRadiusOracle(minCos: Double): String =
+    s"""WITH $dkNormed,
+       |p AS (SELECT q.vec_id AS qid, c.vec_id AS nid, ${dkDot("q", "c")} AS cosine
+       |      FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+       |SELECT qid, nid, cosine FROM p
+       |WHERE cosine >= $minCos ORDER BY qid, nid""".stripMargin
+
+  /** DuckDB mirror of [[SketchOps.kmvSetOps]] over events: identical
+    * per-group bottom-k, pair-merged bottom-k, membership counts and
+    * estimator trees. */
+  private def dkKmvSetOpsOracle(k: Int, valueDuck: String): String =
+    s"""WITH d AS (SELECT event_type AS grp, ${dkH60(valueDuck)} AS h
+       |           FROM events GROUP BY 1, 2),
+       |r AS (SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM d),
+       |sk AS (SELECT grp, h FROM r WHERE rn <= $k),
+       |g AS (SELECT DISTINCT grp FROM sk),
+       |u AS (SELECT s.grp AS g1, t.grp AS g2, s.h, 1 AS ia, 0 AS ib
+       |      FROM sk s JOIN g t ON s.grp < t.grp
+       |      UNION ALL
+       |      SELECT t.grp, s.grp, s.h, 0, 1
+       |      FROM sk s JOIN g t ON t.grp < s.grp),
+       |m0 AS (SELECT g1, g2, h, MAX(ia) AS ia, MAX(ib) AS ib
+       |       FROM u GROUP BY 1, 2, 3),
+       |mr AS (SELECT g1, g2, h, ia, ib,
+       |         ROW_NUMBER() OVER (PARTITION BY g1, g2 ORDER BY h) AS rn
+       |       FROM m0),
+       |mg AS (SELECT g1, g2, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |         MAX(h) AS kth, CAST(SUM(ia * ib) AS BIGINT) AS n_both
+       |       FROM mr WHERE rn <= $k GROUP BY 1, 2),
+       |x AS (SELECT a.grp AS g1, b.grp AS g2, CAST(COUNT(*) AS BIGINT) AS exact_inter
+       |      FROM d a JOIN d b ON a.h = b.h AND a.grp < b.grp GROUP BY 1, 2),
+       |e AS (SELECT mg.g1, mg.g2, n_kept, n_both,
+       |        CAST(COALESCE(exact_inter, 0) AS BIGINT) AS exact_inter,
+       |        CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
+       |             ELSE CAST(${k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+       |                  / CAST(kth AS DOUBLE) END AS est_union
+       |      FROM mg LEFT JOIN x ON x.g1 = mg.g1 AND x.g2 = mg.g2)
+       |SELECT g1, g2, n_kept, n_both, exact_inter, est_union,
+       |  (CAST(n_both AS DOUBLE) / CAST(n_kept AS DOUBLE)) * est_union AS est_inter
+       |FROM e ORDER BY g1, g2""".stripMargin
 
   /** DuckDB mirror of [[graft.ops.PercentileOps.weightedDiscPercentiles]]
     * on lineitem: the same (key, value) weight rollup, cumulative

@@ -379,6 +379,85 @@ object SketchOps {
       .orderBy("v")
   }
 
+  /** KMV SET-OPERATION estimates (Beyer et al., SIGMOD'07 — public):
+    * distinct-union and distinct-intersection cardinalities for every
+    * group pair, from the groups' bottom-k sketches alone — the set
+    * algebra that makes KMV more than a counter: the bottom-k of
+    * S_A ∪ S_B IS the sketch of A∪B (the mergeability contract), and
+    * the fraction ρ of that merged sketch present in both sides is an
+    * unbiased Jaccard estimate, so |A∩B| ≈ ρ · est|A∪B| — no rescan of
+    * either side. The exact intersection companion rides along so the
+    * realized error is visible in-row.
+    *
+    * Exact cross-engine: hashes are md5-h60, the merged bottom-k is a
+    * rank window, ρ and the estimators are the same
+    * multiply/divide trees over exactly-representable operands
+    * (U = 2⁶⁰, k−1; ρ's denominator is the kept count) — every column
+    * hash-gates.
+    *
+    * Scale shape: per-group sketches are O(k) via the
+    * [[kmvDistinct]] WindowGroupLimit path; the pair expansion is
+    * sketch-rows × groups (k·G² rows, group-cardinality-bounded, the
+    * tiny side broadcasts); the exact companion is one value-keyed
+    * self-join. At 100 TB the sketches are metadata — the whole pair
+    * matrix computes without touching the corpus again. */
+  def kmvSetOps(df: DataFrame, groupCol: String, valueExpr: String,
+                k: Int = 16): DataFrame = {
+    val (out, sk) = kmvSetOpsPlan(df, groupCol, valueExpr, k)
+    val mat = out.localCheckpoint()
+    sk.unpersist()
+    mat
+  }
+
+  /** The un-checkpointed [[kmvSetOps]] pipeline plus its persisted
+    * sketch handle — split out so PlanSpec can pin the physical plan
+    * (the public form localCheckpoints, which replaces the plan with a
+    * materialized scan) and the caller can release the cache. */
+  private[graft] def kmvSetOpsPlan(df: DataFrame, groupCol: String,
+                                   valueExpr: String, k: Int): (DataFrame, DataFrame) = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val hashes = df
+      .selectExpr(s"$groupCol as grp", s"${TextOps.h60(valueExpr)} as h")
+      .distinct()
+    val sk = hashes
+      .withColumn("rn", row_number().over(Window.partitionBy("grp").orderBy("h")))
+      .filter(col("rn") <= k)
+      .select("grp", "h")
+      .persist()
+    val groups = sk.select(col("grp")).distinct()
+    val sideA = sk.selectExpr("grp as g1", "h")
+      .join(broadcast(groups.selectExpr("grp as g2")), col("g1") < col("g2"))
+      .selectExpr("g1", "g2", "h", "1 as in_a", "0 as in_b")
+    val sideB = sk.selectExpr("grp as g2", "h")
+      .join(broadcast(groups.selectExpr("grp as g1")), col("g1") < col("g2"))
+      .selectExpr("g1", "g2", "h", "0 as in_a", "1 as in_b")
+    val merged = sideA.union(sideB)
+      .groupBy("g1", "g2", "h")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g1", "g2").orderBy("h")))
+      .filter(col("rn") <= k)
+      .groupBy("g1", "g2")
+      .agg(count(lit(1)).as("n_kept"), max("h").as("kth_hash"),
+        sum(expr("in_a * in_b")).as("n_both"))
+    val exact = hashes.selectExpr("grp as g1", "h")
+      .join(hashes.selectExpr("grp as g2", "h"), Seq("h"))
+      .where(col("g1") < col("g2"))
+      .groupBy("g1", "g2").agg(count(lit(1)).as("exact_inter"))
+    val out = merged
+      .join(exact, Seq("g1", "g2"), "left")
+      .selectExpr("g1", "g2", "n_kept", "n_both",
+        "coalesce(exact_inter, 0L) as exact_inter",
+        s"""case when n_kept < $k then cast(n_kept as double)
+           |  else cast(${k - 1} as double) * cast(1152921504606846976 as double)
+           |       / cast(kth_hash as double) end as est_union""".stripMargin)
+      .selectExpr("g1", "g2", "n_kept", "n_both", "exact_inter", "est_union",
+        "(cast(n_both as double) / cast(n_kept as double)) * est_union as est_inter")
+      .orderBy("g1", "g2")
+    (out, sk)
+  }
+
   /** The r-counter AMS sketch itself: one (grp, j, s) row per sketch
     * counter — the vector-addition-mergeable state [[amsF2]] squares and
     * averages (exposed so OpsSpec can pin linearity across a corpus

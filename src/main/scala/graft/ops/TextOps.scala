@@ -907,6 +907,29 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-document TOKEN BUDGET under the learned BPE merges — the count
+    * a training pipeline actually bills by (context-window packing,
+    * epoch sizing and mixture weights are all in BPE tokens, not
+    * words): each document's word stream joined against the
+    * [[bpeEncode]] tokenizer artifact, summing pieces per occurrence.
+    * The join IS the broadcast the artifact exists for — the
+    * vocab-sized word → n_pieces table ships to every task and the
+    * count is one map-side-partial aggregation over the corpus; the
+    * serial BPE rounds run ONCE, not per document. All-integer, so
+    * counts hash-gate against the oracle running the identical
+    * unrolled merge rounds. Empty documents surface as nulls. */
+  def bpeTokenCount(docs: DataFrame, rounds: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val enc = bpeEncode(docs, rounds).select("word", "n_pieces")
+    val m = docs
+      .selectExpr("doc_id", s"explode(${wordsExpr("text")}) as word")
+      .where("word <> ''")
+      .join(broadcast(enc), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_bpe_tokens"))
+    docs.select("doc_id").join(m, Seq("doc_id"), "left").orderBy("doc_id")
+  }
+
   /** PMI collocations (Church & Hanks, CL'90 — public): the top-`k`
     * adjacent word pairs by pointwise mutual information over the
     * bigram event space — marginals taken from the SAME bigram table

@@ -46,6 +46,26 @@ object VectorOps {
       .orderBy("qid", "rank")
   }
 
+  /** RADIUS (range) similarity search: every corpus vector within
+    * cosine ≥ `minCos` of each query — the fixed-threshold complement
+    * to top-k (dedup and retrieval pipelines ask "everything closer
+    * than τ", not "the 5 closest", when the answer size is unknown).
+    * Map-only after the query broadcast: the corpus streams once, the
+    * threshold filter runs inside the scan projection, and NO per-query
+    * sort or window exists at all — at 100 TB this is strictly cheaper
+    * than top-k (top-k pays a rank stage; radius pays nothing). Same
+    * codegen `array_dot` kernel and sqrt·sqrt/divide cosine tree as
+    * the top-k family, so every emitted pair hash-gates. */
+  def cosineRadius(emb: DataFrame, minCos: Double = 0.4,
+                   nQueries: Int = 20): DataFrame = {
+    val q = withNorm(emb.filter(col("vec_id") < nQueries), "qid", "qv")
+    val c = withNorm(emb, "nid", "nv")
+    c.join(broadcast(q), expr("qid <> nid"))
+      .selectExpr("qid", "nid", s"${cosExpr("qv", "nv", "norm_qv", "norm_nv")} as cosine")
+      .filter(col("cosine") >= minCos)
+      .orderBy("qid", "nid")
+  }
+
   /** Bounded-state exact top-k per (cos, id) pair — the 100 TB path.
     *
     * The window variant above shuffles ALL Q·N scored pairs to sort them;

@@ -1789,6 +1789,75 @@ class OpsSpec extends SparkSpecBase {
     assert(uncut.contains((1L, 4L)))
   }
 
+  test("minhash estimator: duplicates estimate exactly 1.0; near-dups never estimated low") {
+    import graft.ops.DedupOps
+    val base = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val dup = Seq((1L, base), (2L, base), (3L, "other words entirely here now"))
+      .toDF("doc_id", "text")
+    val d = DedupOps.minhashEstPairs(dup).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(6), r.getDouble(7))).toMap
+    // identical shingle sets → identical signatures → est exactly 1.0
+    assert(d(1L -> 2L) === ((1.0, 1.0)))
+    // fixture slice: estimates are valid probabilities, exact duplicates
+    // estimate exactly 1.0, and true near-dups (J ≥ 0.8) are never
+    // estimated low. NO tight per-pair bound is asserted: the affine
+    // family a_i·h+b_i is not positionwise-independent, so low-J band
+    // candidates can agree in many positions — the BIAS this audit op
+    // exists to make visible (its gated output shows est vs exact
+    // in-row; the production decision still runs on the exact verify).
+    val docs = Tables.load(spark, sfDir, "documents").limit(200)
+    val rows = DedupOps.minhashEstPairs(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ex, est) = (r.getDouble(6), r.getDouble(7))
+      assert(est >= 0.0 && est <= 1.0)
+      if (ex == 1.0) assert(est === 1.0, "exact duplicate must estimate 1.0")
+      if (ex >= 0.8) assert(est >= 0.5, s"true near-dup (J=$ex) estimated $est")
+    }
+  }
+
+  test("bpe token count: totals reconcile with the tokenizer artifact and the word stream") {
+    import graft.ops.TextOps
+    val docs = Tables.load(spark, sfDir, "documents").limit(150)
+    val tc = TextOps.bpeTokenCount(docs, rounds = 4).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
+    assert(tc.length === 150)
+    // Σ per-doc BPE tokens == Σ over the vocab of count·pieces (the
+    // artifact's own bill), and words ≥ tokens can never happen
+    val enc = TextOps.bpeEncode(docs, rounds = 4).collect()
+      .map(r => r.getLong(1) * r.getLong(2)).sum
+    assert(tc.map(_._3).sum === enc)
+    tc.foreach { case (id, w, t) => assert(t >= w, s"doc $id: fewer pieces than words") }
+  }
+
+  test("kmv set ops: exact under capacity; bounded error on a large overlap") {
+    import graft.ops.SketchOps
+    // under capacity (9 distinct hashes < k=16): the merged sketch IS the
+    // union, so est_union = 7 exactly and n_both = |A∩B| = 3
+    val small = spark.range(100).selectExpr(
+      "case when id % 2 = 0 then 'A' else 'B' end as grp",
+      "cast(case when id % 2 = 0 then id % 50 % 5 + 1 else id % 50 % 5 + 3 end as string) as v")
+    val s = SketchOps.kmvSetOps(small, "grp", "v", k = 16).collect()(0)
+    assert(s.getString(0) === "A" && s.getString(1) === "B")
+    assert(s.getLong(2) === 7L)   // n_kept = |A∪B|
+    assert(s.getLong(3) === 3L)   // n_both
+    assert(s.getLong(4) === 3L)   // exact_inter
+    assert(s.getDouble(5) === 7.0)
+    assert(math.abs(s.getDouble(6) - 3.0) < 1e-9)
+    // above capacity: A = 0..1999, B = 1000..2999 (1000 shared, 3000 union)
+    val big = spark.range(4000).selectExpr(
+      "case when id < 2000 then 'A' else 'B' end as grp",
+      "cast(case when id < 2000 then id else id - 1000 end as string) as v")
+    val b = SketchOps.kmvSetOps(big, "grp", "v", k = 256).collect()(0)
+    val relU = math.abs(b.getDouble(5) - 3000.0) / 3000.0
+    val relI = math.abs(b.getDouble(6) - 1000.0) / 1000.0
+    assert(b.getLong(4) === 1000L)
+    assert(relU < 5.0 / math.sqrt(254.0), s"union rel error $relU")
+    // intersection compounds union + Jaccard variance — allow 2x the bound
+    assert(relI < 10.0 / math.sqrt(254.0), s"intersection rel error $relI")
+  }
+
   test("weighted percentiles: hand case + equals the unweighted disc over the expanded multiset") {
     import graft.ops.PercentileOps.{weightedDiscPercentiles, sortedPercentiles, WSpec, PSpec}
     val df = Seq(

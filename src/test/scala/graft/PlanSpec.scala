@@ -78,6 +78,7 @@ class PlanSpec extends SparkSpecBase {
       "op_lm_score", // 1-row vocab-size broadcast, the op_profile pattern
       "op_pmi_collocations", // 1-row bigram-total broadcast, same pattern
       "op_dist_drift", // pair-table (≤ slices²) broadcast over the vocab
+      "op_sim_radius", // broadcast query side, corpus streams — the top-k family shape
       "op_epoch_sample",
       "op_dedup_semantic", "op_dedup_semantic_auto",
       // skyline's phase 2 IS a broadcast dominance check over the tiny
@@ -433,6 +434,28 @@ class PlanSpec extends SparkSpecBase {
     // and every mid row exactly one tiny row (mg ∈ [0,5))
     assert(s.sql(q).collect()(0).getLong(0) === 20000L)
     Seq("cbo_big", "cbo_mid", "cbo_tiny").foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("radius search has NO rank stage: broadcast queries, stream, filter — nothing else") {
+    val p = plan("op_sim_radius")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query side must broadcast:\n$p")
+    // no Window/rank anywhere (top-k pays one; radius must not) — the
+    // single Sort+Exchange of the output ORDER BY is fine
+    assert(!p.contains("Window"),
+      s"radius search must not pay a rank/window stage:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,20)]"),
+      s"query-side filter must reach the scan:\n$p")
+  }
+
+  test("kmv set ops push the per-group bottom-k below the exchange too") {
+    // the public op localCheckpoints (plan becomes a materialized scan),
+    // so pin the un-checkpointed pipeline
+    val events = Tables.load(spark, sfDir, "events")
+    val (out, sk) = graft.ops.SketchOps.kmvSetOpsPlan(
+      events, "event_type", "cast(user_id as string)", 16)
+    val p = out.queryExecution.executedPlan.toString
+    sk.unpersist()
+    assert(p.contains("WindowGroupLimit"), s"bottom-k rank not pushed down:\n$p")
   }
 
   test("skyline verifies over a BROADCAST candidate set — the quadratic never touches the corpus") {
