@@ -44,6 +44,44 @@ object LayoutOps {
        |    + (((cast($y as bigint) >> i) & 1) << (2 * i + 1)))""".stripMargin
   }
 
+  /** Hilbert-curve distance via the codegen
+    * [[graft.sql.expressions.HilbertValue]] kernel — the no-diagonal-
+    * jumps alternative to [[zValueExpr]]: consecutive curve positions
+    * are Manhattan-adjacent cells, so range partitions cover tighter
+    * (x, y) rectangles than the z-curve's corner-to-corner leaps
+    * (KernelSpec pins the adjacency property). Same layout machinery,
+    * strictly better min/max file bounds on skewed query boxes. */
+  def hValueExpr(x: String, y: String, bits: Int = 21): String = {
+    require(bits > 0 && bits <= 31, s"need 0 < bits <= 31; got $bits")
+    s"hvalue(cast($x as bigint), cast($y as bigint), $bits)"
+  }
+
+  /** The same Hilbert distance as a pure-SQL struct fold (bit levels
+    * high → low; the quadrant XOR spelled as the shared CASE
+    * `rx == 0 ? ry : 3 − ry`, and the rotate as two CASE coordinate
+    * rewrites) — the portable reference form the DuckDB oracle mirrors
+    * (as a recursive CTE — DuckDB's list_reduce cannot carry a struct
+    * accumulator over an integer list) and KernelSpec checks the
+    * kernel against. */
+  def hValueFoldExpr(x: String, y: String, bits: Int = 21): String = {
+    require(bits > 0 && bits <= 31, s"need 0 < bits <= 31; got $bits")
+    s"""aggregate(sequence(${bits - 1}, 0, -1),
+       |  struct(cast($x as bigint) as x, cast($y as bigint) as y, cast(0 as bigint) as d),
+       |  (acc, i) -> struct(
+       |    case when (shiftright(acc.y, i) & 1) = 0
+       |         then case when (shiftright(acc.x, i) & 1) = 1
+       |                   then shiftleft(1L, i) - 1 - acc.y else acc.y end
+       |         else acc.x end as x,
+       |    case when (shiftright(acc.y, i) & 1) = 0
+       |         then case when (shiftright(acc.x, i) & 1) = 1
+       |                   then shiftleft(1L, i) - 1 - acc.x else acc.x end
+       |         else acc.y end as y,
+       |    acc.d + shiftleft(1L, i) * shiftleft(1L, i) *
+       |      (case when (shiftright(acc.x, i) & 1) = 0 then (shiftright(acc.y, i) & 1)
+       |            else 3 - (shiftright(acc.y, i) & 1) end) as d),
+       |  acc -> acc.d)""".stripMargin
+  }
+
   /** Re-layout `df` along the z-curve of (`xCol`, `yCol`): range-partition
     * on the z-value (so partition = contiguous curve segment = small
     * (x, y) rectangle) and sort within partitions (so row groups inside a
@@ -60,7 +98,24 @@ object LayoutOps {
     * the curve prune on either column, and is exactly the range-binning
     * Delta's OPTIMIZE ZORDER applies first. */
   def zOrder(df: DataFrame, xCol: String, yCol: String, bitsPerDim: Int = 10,
-             numPartitions: Int = 32): DataFrame = {
+             numPartitions: Int = 32): DataFrame =
+    curveOrder(df, xCol, yCol, bitsPerDim, numPartitions, zValueExpr, "zval")
+
+  /** [[zOrder]] along the HILBERT curve instead: consecutive curve
+    * positions are Manhattan-adjacent cells (no corner-to-corner
+    * diagonal leaps), so contiguous curve segments — i.e. range
+    * partitions — cover tighter (x, y) rectangles and per-file min/max
+    * bounds prune harder on box queries. Same normalization and
+    * machinery; the skipping OpsSpec compares the two curves' extents
+    * head-to-head. */
+  def hilbertOrder(df: DataFrame, xCol: String, yCol: String, bitsPerDim: Int = 10,
+                   numPartitions: Int = 32): DataFrame =
+    curveOrder(df, xCol, yCol, bitsPerDim, numPartitions, hValueExpr, "hval")
+
+  private def curveOrder(df: DataFrame, xCol: String, yCol: String,
+                         bitsPerDim: Int, numPartitions: Int,
+                         curve: (String, String, Int) => String,
+                         out: String): DataFrame = {
     require(bitsPerDim > 0 && bitsPerDim <= 31,
       s"need 0 < bitsPerDim <= 31; got $bitsPerDim")
     val hi = (1L << bitsPerDim) - 1
@@ -74,11 +129,11 @@ object LayoutOps {
          |     else cast(floor((cast($c as double) - $mn) / ($mx - $mn) * $hi) as bigint)
          |end""".stripMargin
     df.crossJoin(broadcast(stats))
-      .withColumn("zval", expr(zValueExpr(
+      .withColumn(out, expr(curve(
         norm(xCol, "zo_xmn", "zo_xmx"), norm(yCol, "zo_ymn", "zo_ymx"),
         bitsPerDim)))
       .drop("zo_xmn", "zo_xmx", "zo_ymn", "zo_ymx")
-      .repartitionByRange(numPartitions, col("zval"))
-      .sortWithinPartitions("zval")
+      .repartitionByRange(numPartitions, col(out))
+      .sortWithinPartitions(out)
   }
 }

@@ -1465,6 +1465,30 @@ object OpQueries {
     // per return flag): the quantile is a RATIONAL qNum/qDen and the
     // selection predicate is all-BIGINT (cumw·qDen ≥ qNum·W) — zero
     // IEEE arithmetic anywhere; result values are actual data points.
+    // Per-group OLS trend over daily value totals: integer day index
+    // from the global min date, micro-unit integer daily sums (scale-0
+    // moments — a fractional DECIMAL double-rounds its double cast),
+    // one shared IEEE slope/intercept/R² formula text — every column
+    // hash-gates (the q49/Spearman moment pattern).
+    QueryDef("op_group_trend",
+      (s, d) => ProfileOps.groupTrend(Tables.load(s, d, "events"),
+        "event_type", "ts", "value"),
+      Some(dkGroupTrendOracle)),
+
+    // Hilbert-curve layout key (the no-diagonal-jumps companion to
+    // op_zorder): the codegen hvalue kernel vs a DuckDB recursive-CTE
+    // descent through the same quadrant arithmetic (spelled XOR-free so
+    // both engines share it) — the whole curve hash-gates; KernelSpec
+    // pins kernel == Spark fold AND the Manhattan-adjacency property.
+    QueryDef("op_hilbert",
+      (s, d) => {
+        val l = Tables.load(s, d, "lineitem")
+        l.selectExpr("l_orderkey", "l_linenumber",
+          LayoutOps.hValueExpr("l_partkey", "l_suppkey", 21) + " as hval")
+          .orderBy("hval", "l_orderkey", "l_linenumber")
+      },
+      Some(dkHilbertOracle(21))),
+
     // Per-doc token budget under the learned BPE merges (the count
     // packing/epoch sizing bills by): word stream × the broadcast
     // tokenizer artifact, all-integer — counts hash-gate against the
@@ -1509,6 +1533,57 @@ object OpQueries {
       },
       Some(dkWeightedMedianOracle))
   )
+
+  /** DuckDB mirror of [[ProfileOps.groupTrend]] over events: identical
+    * day index, DECIMAL daily sums, moment sums and the shared
+    * [[ProfileOps.olsExprs]] formula text. */
+  private def dkGroupTrendOracle: String = {
+    val (slope, intercept, r2) =
+      ProfileOps.olsExprs("n_days", "sx", "sxx", "sy", "sxy", "syy")
+    s"""WITH g0 AS (SELECT MIN(CAST(ts AS DATE)) AS g0 FROM events),
+       |daily AS (SELECT event_type AS grp,
+       |            CAST(date_diff('day', g0.g0, CAST(ts AS DATE)) AS BIGINT) AS x,
+       |            CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS ysum
+       |          FROM events CROSS JOIN g0 GROUP BY 1, 2),
+       |m AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |        CAST(SUM(x) AS BIGINT) AS sx,
+       |        CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |        SUM(CAST(ysum AS DECIMAL(28,0))) AS sy,
+       |        SUM(CAST(x AS DECIMAL(10,0)) * CAST(ysum AS DECIMAL(20,0))) AS sxy,
+       |        SUM(CAST(ysum AS DECIMAL(19,0)) * CAST(ysum AS DECIMAL(19,0))) AS syy
+       |      FROM daily GROUP BY 1)
+       |SELECT grp, n_days,
+       |  $slope AS slope, $intercept AS intercept, $r2 AS r2
+       |FROM m ORDER BY grp""".stripMargin
+  }
+
+  /** DuckDB mirror of [[graft.ops.LayoutOps.hValueExpr]]: the Hilbert
+    * descent as a recursive CTE, one bit level per step (DuckDB's
+    * list_reduce cannot carry a struct accumulator over an int list),
+    * identical CASE quadrant/rotate arithmetic. */
+  private def dkHilbertOracle(bits: Int): String =
+    s"""WITH RECURSIVE h AS (
+       |  SELECT l_orderkey, l_linenumber, ${bits - 1} AS i,
+       |         CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y,
+       |         CAST(0 AS BIGINT) AS d
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT l_orderkey, l_linenumber, i - 1,
+       |    CASE WHEN ((y >> i) & 1) = 0
+       |         THEN CASE WHEN ((x >> i) & 1) = 1
+       |                   THEN (CAST(1 AS BIGINT) << i) - 1 - y ELSE y END
+       |         ELSE x END,
+       |    CASE WHEN ((y >> i) & 1) = 0
+       |         THEN CASE WHEN ((x >> i) & 1) = 1
+       |                   THEN (CAST(1 AS BIGINT) << i) - 1 - x ELSE x END
+       |         ELSE y END,
+       |    d + (CAST(1 AS BIGINT) << i) * (CAST(1 AS BIGINT) << i) *
+       |      (CASE WHEN ((x >> i) & 1) = 0 THEN ((y >> i) & 1)
+       |            ELSE 3 - ((y >> i) & 1) END)
+       |  FROM h WHERE i >= 0
+       |)
+       |SELECT l_orderkey, l_linenumber, d AS hval FROM h WHERE i = -1
+       |ORDER BY hval, l_orderkey, l_linenumber""".stripMargin
 
   /** DuckDB mirror of [[TextOps.bpeTokenCount]]: the shared unrolled
     * BPE rounds, then each doc's word stream joined to the vocab's

@@ -163,6 +163,64 @@ object ProfileOps {
       .orderBy(col(key))
   }
 
+  /** Per-group ordinary-least-squares TREND over daily totals — the
+    * "is this segment growing" pass (slope, intercept, R²) a warehouse
+    * user runs per segment, and the regression companion to
+    * [[spearmanCorr]]'s rank association. Exact cross-engine: the
+    * daily x index is an integer datediff from the global min date (a
+    * 1-row broadcast), values are fixed-pointed to MICRO-UNITS
+    * (⌊value·10⁶⌋ — one shared floor tree) so every moment is an
+    * exact SCALE-0 integer (BIGINT / DECIMAL(·,0) sums; a scale-12
+    * DECIMAL here would double-round on the cast to double — DuckDB
+    * divides int128 by 10¹² where Spark rounds a BigDecimal once, and
+    * the first cut of this op lost R²'s last ulp exactly there), and
+    * slope/intercept/R² are one shared IEEE formula text over those
+    * moments ([[olsExprs]]) — so every output column hash-gates.
+    * Slope/intercept are in micro-units (and micro-units/day).
+    *
+    * Scale shape: one (grp, day)-keyed partial aggregation collapses
+    * the corpus to group×days rows; the moment pass is a second keyed
+    * aggregation over that; nothing is driver-sized and no window
+    * exists anywhere. DECIMAL bounds: daily totals to 10¹², x·y
+    * products to 10¹⁶ at scale 6 — inside DECIMAL(38,6) for any
+    * realistic corpus. */
+  def groupTrend(df: DataFrame, grp: String, tsCol: String,
+                 valueCol: String): DataFrame = {
+    val g0 = df.agg(min(col(tsCol).cast("date")).as("g0"))
+    val daily = df
+      .crossJoin(broadcast(g0))
+      .selectExpr(s"$grp as grp",
+        s"cast(datediff(cast($tsCol as date), g0) as bigint) as x",
+        s"cast(floor(cast($valueCol as double) * 1000000) as bigint) as yv")
+      .groupBy("grp", "x").agg(sum("yv").as("ysum"))
+    val m = daily.groupBy("grp").agg(
+      count(lit(1)).as("n_days"),
+      sum("x").as("sx"),
+      expr("sum(x * x)").as("sxx"),
+      expr("sum(cast(ysum as decimal(28,0)))").as("sy"),
+      expr("sum(cast(x as decimal(10,0)) * cast(ysum as decimal(20,0)))").as("sxy"),
+      expr("sum(cast(ysum as decimal(19,0)) * cast(ysum as decimal(19,0)))").as("syy"))
+    val (slope, intercept, r2) = olsExprs("n_days", "sx", "sxx", "sy", "sxy", "syy")
+    m.selectExpr("grp", "n_days",
+        s"$slope as slope", s"$intercept as intercept", s"$r2 as r2")
+      .orderBy("grp")
+  }
+
+  /** The OLS formulas over the six exact moment sums — one shared text
+    * (valid Spark SQL AND DuckDB SQL) so both engines evaluate the
+    * identical IEEE trees. Returns (slope, intercept, r²). */
+  def olsExprs(n: String, sx: String, sxx: String, sy: String,
+               sxy: String, syy: String): (String, String, String) = {
+    def d(e: String) = s"CAST($e AS DOUBLE)"
+    val num = s"(${d(n)} * ${d(sxy)} - ${d(sx)} * ${d(sy)})"
+    val denX = s"(${d(n)} * ${d(sxx)} - ${d(sx)} * ${d(sx)})"
+    val denY = s"(${d(n)} * ${d(syy)} - ${d(sy)} * ${d(sy)})"
+    val slope = s"($num / $denX)"
+    (slope,
+      s"((${d(sy)} - $slope * ${d(sx)}) / ${d(n)})",
+      s"(($num * $num) / ($denX * $denY))")
+  }
+
   /** The rho formula over the five exact moment sums — one shared text
     * (valid Spark SQL AND DuckDB SQL) so both engines evaluate the
     * identical IEEE tree: rho = (n·Σxy − Σx·Σy) /

@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.variant.ParseJson
 import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DateType,
   DoubleType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
 
-import graft.sql.expressions.{ArrayDot, CdcBounds, Checksum, FeatureHash, FnvHash, MinHashSig, QuantizeI8, SimHash60, SimHashBits, ZValue}
+import graft.sql.expressions.{ArrayDot, CdcBounds, Checksum, FeatureHash, FnvHash, HilbertValue, MinHashSig, QuantizeI8, SimHash60, SimHashBits, ZValue}
 
 /** Session extensions registering the Redshift function-name surface that
   * Spark's parser accepts but its registry lacks (SURVEY.md §2.2 🔧/🔴):
@@ -110,6 +110,14 @@ object GraftExtensions {
           ZValue(Cast(args(0), LongType), Cast(args(1), LongType), b)
         case other => throw new IllegalArgumentException(
           s"zvalue: bits must be an integer literal in [1, 31], got $other")
+      }),
+    (FunctionIdentifier("hvalue"),
+      info("hvalue", "hvalue(x, y, bits) - Hilbert-curve distance of cell (x, y) on the 2^bits grid (the no-diagonal-jumps layout curve); bits must be an integer literal in [1, 31]."),
+      (args: Seq[Expression]) => args(2) match {
+        case Literal(b: Int, IntegerType) if b >= 1 && b <= 31 =>
+          HilbertValue(Cast(args(0), LongType), Cast(args(1), LongType), b)
+        case other => throw new IllegalArgumentException(
+          s"hvalue: bits must be an integer literal in [1, 31], got $other")
       }),
     (FunctionIdentifier("cdc_bounds"),
       info("cdc_bounds", "cdc_bounds(text, w, mod) - 1-based content-defined chunk boundary positions (Gear rolling hash of the trailing w-gram ≡ 0 mod mod); w and mod must be integer literals."),

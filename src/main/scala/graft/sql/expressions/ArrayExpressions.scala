@@ -30,6 +30,35 @@ object ArrayKernels {
     acc
   }
 
+  /** Hilbert-curve distance of cell (x, y) on the 2^bits × 2^bits grid
+    * (the classic xy2d bit loop — public domain, e.g. Wikipedia
+    * "Hilbert curve"). Unlike the Morton z-value, consecutive Hilbert
+    * distances are always Manhattan-adjacent cells — no diagonal jumps
+    * across the grid — so range-partitioning on it yields strictly
+    * tighter per-file bounding boxes (KernelSpec pins the adjacency
+    * property). The quadrant XOR (3·rx)⊕ry is written as the CASE
+    * `rx == 0 ? ry : 3 − ry` so the SQL fold forms (Spark AND DuckDB,
+    * which has no BIGINT ^) share the identical arithmetic. */
+  def hilbertD(x0: Long, y0: Long, bits: Int): Long = {
+    var x = x0
+    var y = y0
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * (if (rx == 0) ry else 3 - ry)
+      if (ry == 0) { // rotate: flip (when rx=1) then transpose
+        val nx = if (rx == 1) s - 1 - y else y
+        val ny = if (rx == 1) s - 1 - x else x
+        x = nx
+        y = ny
+      }
+      s >>= 1
+    }
+    d
+  }
+
   /** Sequential-order dot product of two double arrays (length = min). */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -335,6 +364,29 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
+}
+
+/** `hvalue(x, y, bits)` → BIGINT: Hilbert-curve distance of cell
+  * (x, y) on the 2^bits × 2^bits grid — the layout curve with NO
+  * diagonal jumps (consecutive distances are Manhattan-adjacent
+  * cells), so range partitions are tighter rectangles than the
+  * z-curve's. Tight bit loop with `doGenCode`; `bits` must be a
+  * literal in [1, 31]. */
+case class HilbertValue(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hvalue"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayKernels.hilbertD(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.sql.expressions.ArrayKernels.hilbertD($a, $b, $bits)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertValue =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `zvalue(x, y, bits)` → BIGINT: Morton bit-interleave of two

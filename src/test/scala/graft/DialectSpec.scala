@@ -216,6 +216,34 @@ class DialectSpec extends SparkSpecBase {
     assert(mism === 0L, "native zvalue diverged from the SQL fold")
   }
 
+  test("hvalue kernel: hand U-curve, codegen == struct fold, Manhattan adjacency, bijection") {
+    // the 2×2 U: (0,0)=0, (0,1)=1, (1,1)=2, (1,0)=3
+    assert(sql1("SELECT hvalue(0, 0, 1)").getLong(0) === 0L)
+    assert(sql1("SELECT hvalue(0, 1, 1)").getLong(0) === 1L)
+    assert(sql1("SELECT hvalue(1, 1, 1)").getLong(0) === 2L)
+    assert(sql1("SELECT hvalue(1, 0, 1)").getLong(0) === 3L)
+    // kernel == the pure-SQL struct fold on fixture keys
+    val mism = Tables.load(spark, sfDir, "lineitem")
+      .selectExpr(
+        graft.ops.LayoutOps.hValueExpr("l_partkey", "l_suppkey", 21) + " as a",
+        graft.ops.LayoutOps.hValueFoldExpr("l_partkey", "l_suppkey", 21) + " as b")
+      .filter("a <> b").count()
+    assert(mism === 0L, "native hvalue diverged from the SQL fold")
+    // THE Hilbert property (what zvalue lacks): a bijection onto the
+    // 8×8 grid whose consecutive positions are Manhattan-adjacent —
+    // no diagonal corner-to-corner jumps, hence tighter file bounds
+    val cells = spark.range(64)
+      .selectExpr("id div 8 as x", "id % 8 as y")
+      .selectExpr("x", "y", "hvalue(x, y, 3) as d")
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    assert(cells.map(_._1).toSeq === (0L until 64L))
+    cells.sliding(2).foreach { case Array((_, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"non-adjacent step ($x1,$y1)→($x2,$y2)")
+    }
+  }
+
   test("r8 scalar sweep: to_hex, json_array_length, difference, cmp variants, octetindex") {
     assert(sql1("SELECT to_hex(2147676847)").getString(0) === "8002f2af")
     assert(sql1("SELECT to_hex(255)").getString(0) === "ff")

@@ -1188,6 +1188,18 @@ class OpsSpec extends SparkSpecBase {
     assert(zx / gx < 0.6, s"z-order should keep x bounded too (got ${zx / gx})")
     // and the re-layout is a permutation, not a transformation
     assert(zed.count() === l.count())
+    // the Hilbert layout bounds both dimensions at least as tightly in
+    // aggregate — its curve has no diagonal corner-to-corner jumps, so
+    // contiguous segments are tighter rectangles (10% slack: at a fixed
+    // partition count the two curves' cuts land differently per dim)
+    val hil = graft.ops.LayoutOps.hilbertOrder(l, "l_partkey", "l_suppkey",
+      bitsPerDim = 10, numPartitions = 32)
+    val (hx, hy) = extents(hil)
+    assert(hx / gx < 0.6 && hy / gy < 0.6,
+      s"hilbert must bound both dims (got ${hx / gx}, ${hy / gy})")
+    assert(hx + hy <= (zx + zy) * 1.1,
+      s"hilbert total extent ${hx + hy} should not exceed z-order ${zx + zy}")
+    assert(hil.count() === l.count())
   }
 
   test("textrank: hub token dominates a star graph; integer ranks are partitioning-invariant; mass conserved") {
@@ -1829,6 +1841,23 @@ class OpsSpec extends SparkSpecBase {
       .map(r => r.getLong(1) * r.getLong(2)).sum
     assert(tc.map(_._3).sum === enc)
     tc.foreach { case (id, w, t) => assert(t >= w, s"doc $id: fewer pieces than words") }
+  }
+
+  test("group trend: exact slope and r2 = 1.0 on planted linear data") {
+    import graft.ops.ProfileOps
+    // group "up": one event per day, value = 2·day + 3 → slope exactly
+    // 2·10⁶ micro-units/day, intercept 3·10⁶, r² exactly 1.0 (all
+    // moments are small exact integers and num² == denX·denY)
+    val rows = (0 until 5).map(i => ("up", s"2024-01-0${i + 1} 12:00:00", 2.0 * i + 3.0)) ++
+      Seq(("noisy", "2024-01-01 00:00:00", 1.0), ("noisy", "2024-01-02 00:00:00", 9.0),
+        ("noisy", "2024-01-03 00:00:00", 2.0))
+    val df = rows.toDF("g", "tss", "value")
+      .selectExpr("g", "cast(tss as timestamp) as ts", "value")
+    val out = ProfileOps.groupTrend(df, "g", "ts", "value").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("up") === ((5L, 2000000.0, 3000000.0, 1.0)))
+    val (nd, _, _, r2n) = out("noisy")
+    assert(nd === 3L && r2n >= 0.0 && r2n < 1.0)
   }
 
   test("kmv set ops: exact under capacity; bounded error on a large overlap") {
