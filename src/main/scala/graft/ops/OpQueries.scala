@@ -1465,6 +1465,22 @@ object OpQueries {
     // per return flag): the quantile is a RATIONAL qNum/qDen and the
     // selection predicate is all-BIGINT (cumw·qDen ≥ qNum·W) — zero
     // IEEE arithmetic anywhere; result values are actual data points.
+    // k-NN label classification over the embedding table: majority label
+    // of the 5 nearest neighbors by cosine, all-integer vote with
+    // smallest-label ties, true label + correctness in-row — the
+    // weak-supervision primitive, fully hash-gated.
+    QueryDef("op_knn_classify",
+      (s, d) => VectorOps.knnClassify(emb(s, d), k = 5, nQueries = 20),
+      Some(dkKnnOracle(5))),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences: exact counts + one division per cell under the total
+    // (ts, event_id) order — the funnel-diagnosis model, hash-gated.
+    QueryDef("op_event_transitions",
+      (s, d) => ProfileOps.eventTransitions(Tables.load(s, d, "events"),
+        "user_id", "ts", "event_type", "event_id"),
+      Some(dkTransitionsOracle)),
+
     // Per-group OLS trend over daily value totals: integer day index
     // from the global min date, micro-unit integer daily sums (scale-0
     // moments — a fractional DECIMAL double-rounds its double cast),
@@ -1533,6 +1549,47 @@ object OpQueries {
       },
       Some(dkWeightedMedianOracle))
   )
+
+  /** DuckDB mirror of [[VectorOps.knnClassify]]: the top-k oracle's
+    * rank window, a label join, and the same (cnt DESC, label ASC)
+    * majority vote. */
+  private def dkKnnOracle(k: Int): String =
+    s"""WITH $dkNormed,
+       |p AS (SELECT q.vec_id AS qid, c.vec_id AS nid, ${dkDot("q", "c")} AS cosine
+       |      FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+       |r AS (SELECT qid, nid,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+       |      FROM p),
+       |t AS (SELECT qid, nid FROM r WHERE rnk <= $k),
+       |v AS (SELECT t.qid, CAST(e2.label AS BIGINT) AS nlabel,
+       |        CAST(COUNT(*) AS BIGINT) AS cnt
+       |      FROM t JOIN embeddings e2 ON e2.vec_id = t.nid GROUP BY 1, 2),
+       |w AS (SELECT qid, nlabel, cnt,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cnt DESC, nlabel) AS rk,
+       |        CAST(SUM(cnt) OVER (PARTITION BY qid) AS BIGINT) AS kk
+       |      FROM v)
+       |SELECT w.qid, w.nlabel AS predicted, w.cnt AS votes, w.kk AS k_used,
+       |  CAST(e.label AS BIGINT) AS true_label,
+       |  CAST(w.nlabel = CAST(e.label AS BIGINT) AS INT) AS is_correct
+       |FROM w JOIN embeddings e ON e.vec_id = w.qid
+       |WHERE w.rk = 1 ORDER BY w.qid""".stripMargin
+
+  /** DuckDB mirror of [[ProfileOps.eventTransitions]]: the same
+    * (ts, event_id)-ordered LEAD, counts, marginals and division. */
+  private def dkTransitionsOracle: String =
+    """WITH s AS (SELECT user_id, event_type,
+      |             LEAD(event_type) OVER (PARTITION BY user_id
+      |               ORDER BY ts, event_id) AS next_type
+      |           FROM events),
+      |c AS (SELECT event_type AS from_type, next_type AS to_type,
+      |        CAST(COUNT(*) AS BIGINT) AS cnt
+      |      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, CAST(SUM(cnt) AS BIGINT) AS from_total
+      |      FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.cnt, t.from_total,
+      |  CAST(c.cnt AS DOUBLE) / CAST(t.from_total AS DOUBLE) AS p
+      |FROM c JOIN t USING (from_type)
+      |ORDER BY c.from_type, c.to_type""".stripMargin
 
   /** DuckDB mirror of [[ProfileOps.groupTrend]] over events: identical
     * day index, DECIMAL daily sums, moment sums and the shared

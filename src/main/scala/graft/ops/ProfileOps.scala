@@ -206,6 +206,35 @@ object ProfileOps {
       .orderBy("grp")
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the "what follows what" model behind funnel diagnosis
+    * and next-event prediction: each user's time-ordered event stream
+    * contributes (from → to) adjacent pairs; the matrix holds exact
+    * counts, row marginals and the conditional probability
+    * P(to | from) = cnt / from_total — integer counts and ONE division,
+    * so the whole matrix hash-gates. Sequence order is the total
+    * (ts, event_id) order, so ties cannot reorder across engines.
+    *
+    * Scale shape: one user-keyed window builds successors (each user's
+    * events sort within their partition group — the q17 sessionize
+    * exchange), then two type-keyed aggregations over the
+    * type²-bounded matrix. Nothing is user-cardinality-sized on any
+    * single task. */
+  def eventTransitions(df: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = df
+      .withColumn("next_type", lead(col(typeCol), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy("from_type").agg(sum("cnt").as("from_total"))
+    pairs.join(totals, Seq("from_type"))
+      .selectExpr("from_type", "to_type", "cnt", "from_total",
+        "cast(cnt as double) / cast(from_total as double) as p")
+      .orderBy("from_type", "to_type")
+  }
+
   /** The OLS formulas over the six exact moment sums — one shared text
     * (valid Spark SQL AND DuckDB SQL) so both engines evaluate the
     * identical IEEE trees. Returns (slope, intercept, r²). */

@@ -525,7 +525,13 @@ object TextOps {
     * shuffle, no per-line rows ever materialize. At 100 TB this runs at
     * scan speed with only (doc_id, text) read.
     */
-  def c4Filter(docs: DataFrame): DataFrame = {
+  def c4Filter(docs: DataFrame): DataFrame =
+    c4FilterUnordered(docs).orderBy("doc_id")
+
+  /** [[c4Filter]] without the batch-only output ORDER BY — the per-row
+    * pipeline itself, shared with the stateless streaming twin
+    * ([[graft.streaming.StreamingOps.c4FilterStream]]). */
+  private[graft] def c4FilterUnordered(docs: DataFrame): DataFrame = {
     val (minWords, minSentences) = c4Thresholds
     val keptLines =
       s"""filter(split(text, '\\n'), l ->
@@ -545,7 +551,6 @@ object TextOps {
         "n_sentences", "has_blacklist",
         s"cast(n_sentences >= $minSentences and has_blacklist = 0 as int) as keep",
         "clean_text")
-      .orderBy("doc_id")
   }
 
   /** Content-defined chunking (CDC — the FastCDC/rolling-hash family used
@@ -577,7 +582,14 @@ object TextOps {
     * dedup is then one exact groupBy on `chunk_hash` (the op_dedup_exact
     * shape).
     */
-  def cdcChunks(docs: DataFrame, window: Int = 8, modulus: Int = 32): DataFrame = {
+  def cdcChunks(docs: DataFrame, window: Int = 8, modulus: Int = 32): DataFrame =
+    cdcChunksUnordered(docs, window, modulus).orderBy("doc_id", "chunk_idx")
+
+  /** [[cdcChunks]] without the batch-only output ORDER BY — the per-row
+    * chunker itself, shared with the stateless streaming twin
+    * ([[graft.streaming.StreamingOps.cdcChunksStream]]). */
+  private[graft] def cdcChunksUnordered(docs: DataFrame, window: Int,
+                                        modulus: Int): DataFrame = {
     docs.selectExpr("doc_id", "text", "length(text) as n")
       .selectExpr("doc_id", "text",
         s"cdc_bounds(text, $window, $modulus) as pos",
@@ -595,7 +607,6 @@ object TextOps {
         "cast(c.nxt - c.prev as bigint) as chunk_len",
         s"${h60("substring(text, c.prev + 1, c.nxt - c.prev)")} as chunk_hash",
         "substring(text, c.prev + 1, c.nxt - c.prev) as chunk_text")
-      .orderBy("doc_id", "chunk_idx")
   }
 
   /** Chunk-level deduplication over [[cdcChunks]] — the purpose CDC

@@ -102,6 +102,36 @@ object VectorOps {
       .orderBy("qid", "rank")
   }
 
+  /** k-NN label classification (Fix & Hodges 1951; Cover & Hart 1967 —
+    * public): each query vector takes the MAJORITY label of its k
+    * nearest corpus neighbors by cosine — the label-propagation /
+    * weak-supervision primitive over the embedding table's `label`
+    * column. The vote is all-integer (counts per label among exactly
+    * the k deterministic neighbors, ties to the SMALLEST label — the
+    * argmax-tie recipe), so predictions hash-gate; the true label rides
+    * along so the gated output shows accuracy in-row.
+    *
+    * Scale shape: the neighbor set is [[cosineTopK]]'s (query broadcast,
+    * corpus streams, per-query rank window); the vote adds one
+    * (qid, label)-keyed count and one qid-keyed argmax — both
+    * query-cardinality-bounded. Swap in [[cosineTopKAgg]]'s bounded
+    * aggregator for the 100 TB path — identical neighbors, same vote. */
+  def knnClassify(emb: DataFrame, k: Int = 5, nQueries: Int = 20): DataFrame = {
+    val labels = emb.selectExpr("vec_id as nid", "cast(label as bigint) as nlabel")
+    val votes = cosineTopK(emb, k, nQueries)
+      .join(labels, Seq("nid"))
+      .groupBy("qid", "nlabel").agg(count(lit(1)).as("cnt"))
+      .groupBy("qid")
+      .agg(expr("max(struct(cnt, -nlabel as nl))").as("b"),
+        sum("cnt").as("kk"))
+      .selectExpr("qid", "-b.nl as predicted", "b.cnt as votes", "kk as k_used")
+    val truth = emb.selectExpr("vec_id as qid", "cast(label as bigint) as true_label")
+    votes.join(truth, Seq("qid"))
+      .selectExpr("qid", "predicted", "votes", "k_used", "true_label",
+        "cast(predicted = true_label as int) as is_correct")
+      .orderBy("qid")
+  }
+
   /** The centroid table collapsed to ONE row holding an array of
     * (cell_id, cv, norm_cv) structs, sorted by cell_id — tiny (nCells ≤
     * hundreds), broadcast everywhere an assignment or probe needs it.

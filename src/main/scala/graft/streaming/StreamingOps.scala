@@ -449,6 +449,27 @@ object StreamingOps {
         s"cast(${(0 until r).map(j => s"s$j * s$j").mkString(" + ")} as double) / $r as f2_est")
   }
 
+  /** Stateless streaming C4 page cleaning — the online form of
+    * [[graft.ops.TextOps.c4Filter]]: line retention, the sentence gate,
+    * the blacklist check and the rebuilt clean_text are all per-row
+    * expressions, so the streaming plan is the batch plan minus the
+    * output sort — no state, no watermark, no shuffle, source-bound
+    * throughput (StreamingSpec pins row-set equality with the batch
+    * op across batch cuts). */
+  def c4FilterStream(docs: DataFrame): DataFrame =
+    graft.ops.TextOps.c4FilterUnordered(docs)
+
+  /** Stateless streaming content-defined chunking — the online form of
+    * [[graft.ops.TextOps.cdcChunks]]: the codegen `cdc_bounds` Gear
+    * kernel and the span slicing are per-row, so documents chunk as
+    * they arrive; the chunk stream feeds [[dedupExactStreamTtl]]-style
+    * state keyed by chunk_hash for online chunk-level dedup. No state,
+    * no shuffle (StreamingSpec pins chunk-set equality with the batch
+    * op). */
+  def cdcChunksStream(docs: DataFrame, window: Int = 8,
+                      modulus: Int = 32): DataFrame =
+    graft.ops.TextOps.cdcChunksUnordered(docs, window, modulus)
+
   /** Streaming Count-Min counter table — the online half of
     * [[graft.ops.SketchOps.countMin]]: the d×w table is LINEAR (cell-wise
     * additive — OpsSpec pins it on the batch op), so each cell is a plain

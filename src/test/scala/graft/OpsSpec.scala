@@ -1843,6 +1843,54 @@ class OpsSpec extends SparkSpecBase {
     tc.foreach { case (id, w, t) => assert(t >= w, s"doc $id: fewer pieces than words") }
   }
 
+  test("knn classify: planted clusters recovered; vote ties break to the smallest label") {
+    import graft.ops.VectorOps
+    // 3 tight clusters along different axes, labels 0/1/2; queries are
+    // members, so 5-NN votes are unanimous within the cluster
+    val pts = spark.range(30).selectExpr("id as vec_id",
+      """transform(sequence(0, 11), j -> cast(
+        |  case when cast(j / 4 as int) = cast(id % 3 as int)
+        |       then 10.0 + (id % 7) * 0.01 else 0.05 end as float)) as embedding""".stripMargin,
+      "id % 3 as label")
+    val out = VectorOps.knnClassify(pts, k = 5, nQueries = 12).collect()
+    assert(out.length === 12)
+    out.foreach { r =>
+      assert(r.getLong(1) === r.getLong(4), s"query ${r.getLong(0)} misclassified")
+      assert(r.getInt(5) === 1)
+    }
+    // 2-2 vote tie at k = 4 → the smaller label wins by the argmax recipe
+    val tie = spark.range(9).selectExpr("id as vec_id",
+      """transform(sequence(0, 3), j -> cast(
+        |  case when id = 8 then 1.0
+        |       when cast(id % 2 as int) = 0 then (case when j < 2 then 1.0 else 0.9 end)
+        |       else (case when j < 2 then 0.9 else 1.0 end) end as float)) as embedding""".stripMargin,
+      "case when id = 8 then 9L else id % 2 end as label")
+    val t = VectorOps.knnClassify(tie, k = 4, nQueries = 9).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // query 8 is equidistant-ish from both families; its 4 neighbors split
+    // 2-2 whenever votes equal — whichever happens, predicted must be the
+    // smallest max-vote label, never the larger of a tied pair
+    val (pred8, votes8) = t(8L)
+    assert(votes8 >= 2L && (votes8 > 2L || pred8 === 0L))
+  }
+
+  test("event transitions: hand-built Markov matrix; probabilities normalize per row") {
+    import graft.ops.ProfileOps
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "A"), (2L, "2024-01-01 10:01:00", 1L, "B"),
+      (3L, "2024-01-01 10:02:00", 1L, "A"), (4L, "2024-01-01 10:03:00", 1L, "B"),
+      (5L, "2024-01-01 09:00:00", 2L, "A"), (6L, "2024-01-01 09:30:00", 2L, "C")
+    ).toDF("event_id", "tss", "user_id", "event_type")
+      .selectExpr("event_id", "cast(tss as timestamp) as ts", "user_id", "event_type")
+    val out = ProfileOps.eventTransitions(df, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(("A", "B")) === ((2L, 3L, 2.0 / 3)))
+    assert(out(("A", "C")) === ((1L, 3L, 1.0 / 3)))
+    assert(out(("B", "A")) === ((1L, 1L, 1.0)))
+    assert(out.size === 3)
+  }
+
   test("group trend: exact slope and r2 = 1.0 on planted linear data") {
     import graft.ops.ProfileOps
     // group "up": one event per day, value = 2·day + 3 → slope exactly

@@ -80,6 +80,7 @@ class PlanSpec extends SparkSpecBase {
       "op_dist_drift", // pair-table (≤ slices²) broadcast over the vocab
       "op_sim_radius", // broadcast query side, corpus streams — the top-k family shape
       "op_group_trend", // 1-row global-min-date broadcast, the op_profile pattern
+      "op_knn_classify", // inherits cosineTopK's broadcast query side
       "op_epoch_sample",
       "op_dedup_semantic", "op_dedup_semantic_auto",
       // skyline's phase 2 IS a broadcast dominance check over the tiny

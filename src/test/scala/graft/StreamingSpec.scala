@@ -275,6 +275,42 @@ class StreamingSpec extends SparkSpecBase {
       "fixture should exercise both PII hits and quality drops")
   }
 
+  test("streaming C4 cleaning and CDC chunking equal their batch ops across batch cuts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.load(spark, sfDir, "documents")
+      .selectExpr("doc_id",
+        """concat('Keep this sentence with enough words today.', '\n',
+          |  'frag', '\n', text) as text""".stripMargin)
+      .orderBy("doc_id").limit(120)
+    val rows = docs.as[(Long, String)].collect()
+
+    val s1 = MemoryStream[(Long, String)]
+    s1.addData(rows.take(60).toSeq)
+    s1.addData(rows.drop(60).toSeq)
+    val q1 = StreamingOps.c4FilterStream(s1.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("c4_stream")
+      .outputMode("append").start()
+    try q1.processAllAvailable() finally q1.stop()
+    val c4Streamed = spark.table("c4_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(5), r.getString(6))).toSet
+    val c4Batch = graft.ops.TextOps.c4Filter(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(5), r.getString(6))).toSet
+    assert(c4Streamed === c4Batch && c4Streamed.nonEmpty)
+
+    val s2 = MemoryStream[(Long, String)]
+    s2.addData(rows.take(60).toSeq)
+    s2.addData(rows.drop(60).toSeq)
+    val q2 = StreamingOps.cdcChunksStream(s2.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cdc_stream")
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val cdcStreamed = spark.table("cdc_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+    val cdcBatch = graft.ops.TextOps.cdcChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+    assert(cdcStreamed === cdcBatch && cdcStreamed.nonEmpty)
+  }
+
   test("streaming decontamination gate: one-sided vs exact, batch-equal at tight fpp") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val all = Tables.load(spark, sfDir, "documents")
