@@ -123,11 +123,20 @@ object DedupOps {
     * rows; the estimate adds one zip over two K-arrays. */
   def minhashEstPairs(docs: DataFrame): DataFrame = {
     val r = K / B
-    val sig = signatures(docs).filter(col("n_sh") >= 1).persist()
+    // shingle-less docs are excluded by emitting ZERO band rows (empty
+    // array explodes to nothing), NOT by a filter on the persisted
+    // signatures: a Filter node on top of the cached plan changes the
+    // plan shape every downstream branch must match, so Spark's cache
+    // lookup misses and the whole tokenize+md5+minhash pipeline
+    // recomputes per branch — first cut of this op was 12× slower at
+    // sf0.1 for exactly that (null sigs must not band anyway:
+    // concat_ws drops nulls and all empty docs would collide in one
+    // degenerate band).
+    val sig = signatures(docs).persist()
     val bands = sig.selectExpr("doc_id",
-      s"""explode(transform(sequence(0, ${B - 1}), b ->
-         |  concat_ws(':', b, element_at(sig, b * $r + 1), element_at(sig, b * $r + 2))))
-         |  as band_key""".stripMargin)
+      s"""explode(case when n_sh >= 1 then transform(sequence(0, ${B - 1}), b ->
+         |  concat_ws(':', b, element_at(sig, b * $r + 1), element_at(sig, b * $r + 2)))
+         |  else array() end) as band_key""".stripMargin)
     val cand = bands.as("a")
       .join(bands.as("b"), expr("a.band_key = b.band_key and a.doc_id < b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

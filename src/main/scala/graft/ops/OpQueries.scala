@@ -1465,6 +1465,38 @@ object OpQueries {
     // per return flag): the quantile is a RATIONAL qNum/qDen and the
     // selection predicate is all-BIGINT (cumw·qDen ≥ qNum·W) — zero
     // IEEE arithmetic anywhere; result values are actual data points.
+    // Salted fact-dim join (the fixed-layout hot-key path AQE can't
+    // reach): per-row salt on the big side, salt-replicated small side,
+    // (key, salt) equi-join — provably row-identical to the plain join
+    // for big-side-preserving types, so the rolled-up result hash-gates
+    // against the oracle's UNSALTED join.
+    QueryDef("op_salted_join",
+      (s, d) => {
+        val l = Tables.load(s, d, "lineitem")
+          .select("l_orderkey", "l_extendedprice")
+        val o = Tables.load(s, d, "orders")
+          .selectExpr("o_orderkey as l_orderkey", "o_orderstatus")
+        SkewOps.saltedJoin(l, o, "l_orderkey", salt = 8)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+            expr("cast(sum(cast(l_extendedprice as decimal(18,6))) as double)")
+              .as("revenue"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o.o_orderstatus,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Two-proportion z-test on purchase conversion between the
+    // user_id-parity variants: exact user/conversion counts, one shared
+    // divisions+sqrt tree — the A/B readout next to q49's Welch test.
+    QueryDef("op_ab_ztest",
+      (s, d) => ProfileOps.abConversionZ(Tables.load(s, d, "events"),
+        "user_id", "event_type", "value", "purchase", minValue = 150.0),
+      Some(dkAbZOracle("purchase", 150.0))),
+
     // k-NN label classification over the embedding table: majority label
     // of the 5 nearest neighbors by cosine, all-integer vote with
     // smallest-label ties, true label + correctness in-row — the
@@ -1549,6 +1581,27 @@ object OpQueries {
       },
       Some(dkWeightedMedianOracle))
   )
+
+  /** DuckDB mirror of [[ProfileOps.abConversionZ]] over events: same
+    * parity split, per-user conversion flag, and z tree. */
+  private def dkAbZOracle(convType: String, minValue: Double): String =
+    s"""WITH u AS (SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+       |             MAX(CAST(event_type = '$convType'
+       |                      AND CAST(value AS DOUBLE) > $minValue AS INT)) AS converted
+       |           FROM events GROUP BY 1, 2),
+       |v AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+       |        CAST(SUM(converted) AS BIGINT) AS conv
+       |      FROM u GROUP BY 1),
+       |j AS (SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b,
+       |        CAST(a.conv AS DOUBLE) / CAST(a.n AS DOUBLE) AS p_a,
+       |        CAST(b.conv AS DOUBLE) / CAST(b.n AS DOUBLE) AS p_b,
+       |        CAST(a.conv + b.conv AS DOUBLE) / CAST(a.n + b.n AS DOUBLE) AS p_pool
+       |      FROM (SELECT * FROM v WHERE variant = 0) a
+       |      CROSS JOIN (SELECT * FROM v WHERE variant = 1) b)
+       |SELECT n_a, conv_a, n_b, conv_b, p_a, p_b,
+       |  (p_a - p_b) / sqrt(p_pool * (1.0 - p_pool)
+       |    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z
+       |FROM j""".stripMargin
 
   /** DuckDB mirror of [[VectorOps.knnClassify]]: the top-k oracle's
     * rank window, a label join, and the same (cnt DESC, label ASC)

@@ -206,6 +206,41 @@ object ProfileOps {
       .orderBy("grp")
   }
 
+  /** Two-proportion z-test for A/B conversion lift — the experiment
+    * readout next to q49's Welch t-test on means: users split into
+    * variants by a deterministic rule, conversion = "did the user ever
+    * fire `convType` with value > `minValue`" (the value threshold
+    * keeps the fixture's conversion strictly inside (0, 1) — a 100%
+    * rate has zero pooled variance and the statistic is undefined,
+    * which ANSI mode correctly refuses to divide by), and the
+    * pooled-proportion z statistic
+    * z = (p_a − p_b) / √(p̄(1−p̄)(1/n_a + 1/n_b)). User/conversion
+    * counts are exact BIGINT; the statistic is one shared IEEE tree of
+    * divisions and the one sanctioned sqrt — every column hash-gates.
+    *
+    * Scale shape: one user-keyed aggregation (partial max over the
+    * conversion flag — the corpus collapses to one row per user), one
+    * 2-row variant rollup, one 1-row join — nothing driver-sized. */
+  def abConversionZ(df: DataFrame, userCol: String, typeCol: String,
+                    valueCol: String, convType: String,
+                    minValue: Double): DataFrame = {
+    val users = df
+      .selectExpr(s"$userCol as u", s"cast($userCol % 2 as int) as variant",
+        s"cast($typeCol = '$convType' and cast($valueCol as double) > $minValue as int) as is_conv")
+      .groupBy("u", "variant").agg(max("is_conv").as("converted"))
+    val v = users.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("converted").as("conv"))
+    v.filter(col("variant") === 0).selectExpr("n as n_a", "conv as conv_a")
+      .crossJoin(v.filter(col("variant") === 1).selectExpr("n as n_b", "conv as conv_b"))
+      .selectExpr("n_a", "conv_a", "n_b", "conv_b",
+        "cast(conv_a as double) / cast(n_a as double) as p_a",
+        "cast(conv_b as double) / cast(n_b as double) as p_b",
+        "cast(conv_a + conv_b as double) / cast(n_a + n_b as double) as p_pool")
+      .selectExpr("n_a", "conv_a", "n_b", "conv_b", "p_a", "p_b",
+        """(p_a - p_b) / sqrt(p_pool * (1.0 - p_pool)
+          | * (1.0 / cast(n_a as double) + 1.0 / cast(n_b as double))) as z""".stripMargin)
+  }
+
   /** First-order Markov transition matrix over per-user event
     * sequences — the "what follows what" model behind funnel diagnosis
     * and next-event prediction: each user's time-ordered event stream

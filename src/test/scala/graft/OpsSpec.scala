@@ -1874,6 +1874,22 @@ class OpsSpec extends SparkSpecBase {
     assert(votes8 >= 2L && (votes8 > 2L || pred8 === 0L))
   }
 
+  test("ab z-test: hand-computed z on planted conversions; user-level dedup of repeat events") {
+    import graft.ops.ProfileOps
+    // variant 0 (even users): u0 converts (twice — must count once), u2
+    // doesn't → p_a = 1/2; variant 1 (odd): u1, u3 both convert → p_b = 1
+    val df = Seq(
+      (0L, "purchase", 60.0), (0L, "purchase", 55.0), (0L, "view", 99.0), (2L, "view", 70.0),
+      (1L, "purchase", 80.0), (3L, "purchase", 75.0), (3L, "click", 90.0)
+    ).toDF("user_id", "event_type", "value")
+    val r = ProfileOps.abConversionZ(df, "user_id", "event_type", "value",
+      "purchase", minValue = 50.0).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === ((2L, 1L, 2L, 2L)))
+    assert(r.getDouble(4) === 0.5 && r.getDouble(5) === 1.0)
+    val expected = (0.5 - 1.0) / math.sqrt(0.75 * 0.25 * (0.5 + 0.5))
+    assert(math.abs(r.getDouble(6) - expected) < 1e-15)
+  }
+
   test("event transitions: hand-built Markov matrix; probabilities normalize per row") {
     import graft.ops.ProfileOps
     val df = Seq(

@@ -81,6 +81,7 @@ class PlanSpec extends SparkSpecBase {
       "op_sim_radius", // broadcast query side, corpus streams — the top-k family shape
       "op_group_trend", // 1-row global-min-date broadcast, the op_profile pattern
       "op_knn_classify", // inherits cosineTopK's broadcast query side
+      "op_ab_ztest", // 1-row-per-variant cross of two scalar rollups
       "op_epoch_sample",
       "op_dedup_semantic", "op_dedup_semantic_auto",
       // skyline's phase 2 IS a broadcast dominance check over the tiny
