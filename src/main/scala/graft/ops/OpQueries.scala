@@ -378,6 +378,37 @@ object OpQueries {
               |  END AS lang_pred
               |FROM s ORDER BY doc_id""".stripMargin)),
 
+    // Language-ID confusion matrix vs the labeled lang column: the
+    // classifier audit (per-cell counts, row totals, recall share) —
+    // all-integer + one division, hash-gated against the same scorer
+    // re-derived in SQL.
+    QueryDef("op_lang_confusion",
+      (s, d) => TextOps.langConfusion(docs(s, d)),
+      Some(s"""WITH w0 AS (SELECT doc_id, lang, $dkWords AS w FROM documents),
+              |s AS (SELECT doc_id, lang,
+              |  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','is'))) AS BIGINT) AS score_en,
+              |  CAST(len(list_filter(w, x -> x IN ('le','la','les','et','une','est'))) AS BIGINT) AS score_fr,
+              |  CAST(len(list_filter(w, x -> x IN ('el','los','las','y','que','es'))) AS BIGINT) AS score_es,
+              |  CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist','ein'))) AS BIGINT) AS score_de,
+              |  CAST(len(list_filter(w, x -> x IN ('的','是','了','在','我','有'))) AS BIGINT) AS score_zh
+              |FROM w0),
+              |p AS (SELECT doc_id, lang AS lang_true,
+              |  CASE
+              |    WHEN score_en >= score_fr AND score_en >= score_es AND score_en >= score_de AND score_en >= score_zh THEN 'en'
+              |    WHEN score_fr >= score_es AND score_fr >= score_de AND score_fr >= score_zh THEN 'fr'
+              |    WHEN score_es >= score_de AND score_es >= score_zh THEN 'es'
+              |    WHEN score_de >= score_zh THEN 'de'
+              |    ELSE 'zh'
+              |  END AS lang_pred
+              |FROM s),
+              |c AS (SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS cnt
+              |      FROM p GROUP BY 1, 2),
+              |t AS (SELECT lang_true, CAST(SUM(cnt) AS BIGINT) AS n_true FROM c GROUP BY 1)
+              |SELECT c.lang_true, c.lang_pred, c.cnt, t.n_true,
+              |  CAST(c.cnt AS DOUBLE) / CAST(t.n_true AS DOUBLE) AS share
+              |FROM c JOIN t USING (lang_true)
+              |ORDER BY c.lang_true, c.lang_pred""".stripMargin)),
+
     QueryDef("op_fingerprint",
       (s, d) => TextOps.fingerprint(docs(s, d)).orderBy("doc_id"),
       Some(s"""SELECT doc_id,

@@ -208,6 +208,26 @@ object TextOps {
           |  else 'zh'
           |end as lang_pred""".stripMargin)
 
+  /** Language-ID CONFUSION MATRIX — the evaluation harness for
+    * [[langId]] against the labeled `lang` column: per (true, predicted)
+    * cell, the count plus the true row's total and the cell's recall
+    * share (one division) — the classifier-audit table a pipeline reads
+    * before trusting the heuristic to route a corpus. All-integer
+    * counts — hash-gates; one lang²-bounded aggregation after the
+    * map-only scorer. */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cells = langId(docs)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy(col("lang").as("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = cells.groupBy("lang_true").agg(sum("cnt").as("n_true"))
+    cells.join(totals, Seq("lang_true"))
+      .selectExpr("lang_true", "lang_pred", "cnt", "n_true",
+        "cast(cnt as double) / cast(n_true as double) as share")
+      .orderBy("lang_true", "lang_pred")
+  }
+
   /** Rolling-hash document fingerprint: fold h = (31·h + hash(word)) mod
     * (2³¹−1) over the token stream. Order-sensitive by design (same bag of
     * words in a different order fingerprints differently).
