@@ -1496,6 +1496,28 @@ object OpQueries {
     // per return flag): the quantile is a RATIONAL qNum/qDen and the
     // selection predicate is all-BIGINT (cumw·qDen ≥ qNum·W) — zero
     // IEEE arithmetic anywhere; result values are actual data points.
+    // Per-group Gini concentration of order prices (the Lorenz
+    // inequality KPI): rank-form numerator over cent-fixed-point
+    // values, scale-0 DECIMAL moments, one shared closing tree —
+    // hash-gated.
+    QueryDef("op_gini",
+      (s, d) => ProfileOps.giniConcentration(
+        Tables.load(s, d, "lineitem"), "l_returnflag", "l_extendedprice"),
+      Some("""WITH v AS (SELECT l_returnflag AS k,
+             |            CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS x
+             |          FROM lineitem WHERE l_extendedprice IS NOT NULL),
+             |r AS (SELECT k, x,
+             |        ROW_NUMBER() OVER (PARTITION BY k ORDER BY x) AS rn,
+             |        COUNT(*) OVER (PARTITION BY k) AS n
+             |      FROM v),
+             |m AS (SELECT k, CAST(MAX(n) AS BIGINT) AS n_rows,
+             |        SUM(CAST(2 * rn - n - 1 AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS num,
+             |        SUM(CAST(x AS DECIMAL(28,0))) AS sx
+             |      FROM r GROUP BY 1)
+             |SELECT k AS l_returnflag, n_rows,
+             |  CAST(num AS DOUBLE) / (CAST(n_rows AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
+             |FROM m ORDER BY 1""".stripMargin)),
+
     // Salted fact-dim join (the fixed-layout hot-key path AQE can't
     // reach): per-row salt on the big side, salt-replicated small side,
     // (key, salt) equi-join — provably row-identical to the plain join

@@ -206,6 +206,36 @@ object ProfileOps {
       .orderBy("grp")
   }
 
+  /** Per-group GINI concentration of a value column — the Lorenz-curve
+    * inequality KPI ("how concentrated is revenue across orders") via
+    * the rank form G = Σᵢ(2i − n − 1)·xᵢ / (n·Σx) over ascending-sorted
+    * values. Exact cross-engine: values are fixed-pointed to ⌊x·100⌋
+    * cent units so both moment sums are SCALE-0 DECIMAL (single-rounded
+    * on the cast to double — the groupTrend lesson), rank coefficients
+    * are integers whose per-tie-block sum is order-independent (equal
+    * x ⇒ the block contributes x·Σcoeff regardless of intra-tie
+    * order), and the closing tree is two casts, one multiply, one
+    * division. Full hash gate.
+    *
+    * Scale shape: one per-group rank window (the sortedPercentiles
+    * memory contract — sort machinery only, no per-group buffering)
+    * and one keyed moment aggregation. */
+  def giniConcentration(df: DataFrame, key: String, valueCol: String): DataFrame = {
+    val byKey = Window.partitionBy(col(key))
+    df.filter(col(valueCol).isNotNull)
+      .selectExpr(key, s"cast(floor(cast($valueCol as double) * 100) as bigint) as x")
+      .withColumn("rn", row_number().over(byKey.orderBy(col("x"))))
+      .withColumn("n", count(lit(1)).over(byKey))
+      .groupBy(col(key))
+      .agg(max("n").as("n_rows"),
+        expr("sum(cast(2 * rn - n - 1 as decimal(19,0)) * cast(x as decimal(19,0)))").as("num"),
+        expr("sum(cast(x as decimal(28,0)))").as("sx"))
+      .selectExpr(key, "n_rows",
+        """cast(num as double)
+          | / (cast(n_rows as double) * cast(sx as double)) as gini""".stripMargin)
+      .orderBy(col(key))
+  }
+
   /** Two-proportion z-test for A/B conversion lift — the experiment
     * readout next to q49's Welch t-test on means: users split into
     * variants by a deterministic rule, conversion = "did the user ever

@@ -1874,6 +1874,27 @@ class OpsSpec extends SparkSpecBase {
     assert(votes8 >= 2L && (votes8 > 2L || pred8 === 0L))
   }
 
+  test("gini: 0 for perfectly equal values; hand case; invariant under value order/partitioning") {
+    import graft.ops.ProfileOps
+    val df = Seq(
+      // equal values → gini exactly 0 (num telescopes to 0)
+      ("eq", 5.0), ("eq", 5.0), ("eq", 5.0), ("eq", 5.0),
+      // one holder of everything among 4 → G = (n-1)/n = 0.75
+      ("one", 0.0), ("one", 0.0), ("one", 0.0), ("one", 8.0),
+      // hand case [1,2,3,4]: num = (-3·1 -1·2 +1·3 +3·4) = 10; den = 4·10 → 0.25
+      ("mid", 1.0), ("mid", 2.0), ("mid", 3.0), ("mid", 4.0)
+    ).toDF("g", "v")
+    val out = ProfileOps.giniConcentration(df, "g", "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("eq") === ((4L, 0.0)))
+    assert(out("one") === ((4L, 0.75)))
+    assert(out("mid") === ((4L, 0.25)))
+    // partitioning/arrival order cannot move the statistic
+    val shuffled = ProfileOps.giniConcentration(df.repartition(7), "g", "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(shuffled === out)
+  }
+
   test("ab z-test: hand-computed z on planted conversions; user-level dedup of repeat events") {
     import graft.ops.ProfileOps
     // variant 0 (even users): u0 converts (twice — must count once), u2
