@@ -1496,6 +1496,37 @@ object OpQueries {
     // per return flag): the quantile is a RATIONAL qNum/qDen and the
     // selection predicate is all-BIGINT (cumw·qDen ≥ qNum·W) — zero
     // IEEE arithmetic anywhere; result values are actual data points.
+    // Session load profile by UTC start hour over the q17
+    // sessionization: session counts, event totals, busiest session and
+    // the exact DISC median duration (microsecond integers) — fully
+    // hash-gated.
+    QueryDef("op_session_stats",
+      (s, d) => ProfileOps.sessionStats(Tables.load(s, d, "events")),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id,
+             |         epoch_us(ts) - LAG(epoch_us(ts), 1)
+             |             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |  FROM events),
+             |f AS (
+             |  SELECT user_id, ts,
+             |         CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+             |             OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM g),
+             |sess AS (
+             |  SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |         MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+             |  FROM f GROUP BY 1, 2),
+             |h AS (
+             |  SELECT (start_us // 3600000000) % 24 AS hr, n_events,
+             |         end_us - start_us AS dur_us
+             |  FROM sess)
+             |SELECT hr, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             |       CAST(SUM(n_events) AS BIGINT) AS total_events,
+             |       CAST(MAX(n_events) AS BIGINT) AS max_events,
+             |       quantile_disc(CAST(dur_us AS DOUBLE), 0.5) AS med_dur_us
+             |FROM h GROUP BY 1 ORDER BY hr""".stripMargin)),
+
     // Per-group Gini concentration of order prices (the Lorenz
     // inequality KPI): rank-form numerator over cent-fixed-point
     // values, scale-0 DECIMAL moments, one shared closing tree —

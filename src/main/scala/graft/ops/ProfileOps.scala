@@ -206,6 +206,44 @@ object ProfileOps {
       .orderBy("grp")
   }
 
+  /** Session-level rollup by start hour — the load-profile pass over
+    * the q17 sessionization (30-minute inactivity gap, the same total
+    * (ts, event_id) order): per UTC start hour, session count, event
+    * totals, the busiest session and the exact DISC median session
+    * duration (microsecond integers through the bounded-memory
+    * rank-window path — zero interpolation). All-integer — full hash
+    * gate.
+    *
+    * Scale shape: the sessionizer is one user-keyed window chain (the
+    * q17 exchange), the rollup one 24-key aggregation, and the median
+    * rides [[PercentileOps.sortedPercentiles]]'s no-buffering
+    * contract. */
+  def sessionStats(df: DataFrame, gapUs: Long = 1800L * 1000000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = df
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("gap_us").isNull || col("gap_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .selectExpr("(start_us div 3600000000L) % 24 as hr",
+        "n_events", "end_us - start_us as dur_us")
+    val med = PercentileOps.sortedPercentiles(sessions, "hr",
+      Seq(PercentileOps.PSpec("dur_us", 0.5, "med_dur_us", disc = true)))
+      .selectExpr("hr", "med_dur_us", "n_rows as n_sessions")
+    sessions.groupBy("hr")
+      .agg(sum("n_events").as("total_events"), max("n_events").as("max_events"))
+      .join(med, Seq("hr"))
+      .select("hr", "n_sessions", "total_events", "max_events", "med_dur_us")
+      .orderBy("hr")
+  }
+
   /** Per-group GINI concentration of a value column — the Lorenz-curve
     * inequality KPI ("how concentrated is revenue across orders") via
     * the rank form G = Σᵢ(2i − n − 1)·xᵢ / (n·Σx) over ascending-sorted

@@ -1874,6 +1874,24 @@ class OpsSpec extends SparkSpecBase {
     assert(votes8 >= 2L && (votes8 > 2L || pred8 === 0L))
   }
 
+  test("session stats: hand-built sessions roll up to the right hour cells") {
+    import graft.ops.ProfileOps
+    val df = Seq(
+      // user 1: two events 10 min apart (one session, dur 600s), then a
+      // 2-hour gap opens a second session (1 event, dur 0)
+      (1L, 1L, "2024-01-01 08:00:00"), (2L, 1L, "2024-01-01 08:10:00"),
+      (3L, 1L, "2024-01-01 10:30:00"),
+      // user 2: single event at 08:xx — its own session
+      (4L, 2L, "2024-01-01 08:45:00")
+    ).toDF("event_id", "user_id", "tss")
+      .selectExpr("event_id", "user_id", "cast(tss as timestamp) as ts")
+    val out = ProfileOps.sessionStats(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(8L) === ((2L, 3L, 2L, 0.0)))   // two sessions; disc median dur = min(0, 600s)
+    assert(out(10L) === ((1L, 1L, 1L, 0.0)))
+    assert(out.size === 2)
+  }
+
   test("gini: 0 for perfectly equal values; hand case; invariant under value order/partitioning") {
     import graft.ops.ProfileOps
     val df = Seq(
