@@ -83,6 +83,9 @@ object RedshiftSql {
     toks = rewriteToChar(toks)
     toks = rewriteToDateTs(toks)
     toks = rewriteCreateLike(toks)
+    toks = rewriteLateBindingView(toks)
+    toks = rewriteCreateFunction(toks)
+    toks = rewriteDropFunction(toks)
     toks = rewriteAlterAddColumn(toks)
     toks = rewriteCommentOn(toks)
     toks = rewriteInfoSchema(toks)
@@ -1137,6 +1140,200 @@ object RedshiftSql {
     if (rest.nonEmpty && rest != "including defaults" && rest != "excluding defaults")
       return toks
     toks.patch(open, tokenize(s"LIKE $src"), close - open + 1)
+  }
+
+  /** Redshift late-binding views: `CREATE [OR REPLACE] VIEW … WITH NO
+    * SCHEMA BINDING` (`execute_sql.py:23,77` forwards the DDL verbatim;
+    * the suffix is MANDATORY on every Redshift view over external/Spectrum
+    * tables and habitual in dumped DDL). Spark's parser rejects the
+    * trailing clause, aborting the whole script — strip it and keep the
+    * view DDL native. Documented divergence: Redshift defers name
+    * resolution to query time (the view may reference tables that don't
+    * exist yet); Spark validates the body at CREATE time, so creation
+    * over a missing table fails here instead of at first SELECT. */
+  private def rewriteLateBindingView(toks: Vector[Tok]): Vector[Tok] = {
+    val c = nextCode(toks, 0)
+    if (c >= toks.length || !toks(c).isWord("create")) return toks
+    var i = nextCode(toks, c + 1)
+    if (i < toks.length && toks(i).isWord("or")) {
+      i = nextCode(toks, i + 1)
+      if (i >= toks.length || !toks(i).isWord("replace")) return toks
+      i = nextCode(toks, i + 1)
+    }
+    if (i >= toks.length || !toks(i).isWord("view")) return toks
+    val code = toks.indices.filter(j => toks(j).kind != Ws && toks(j).kind != Comment)
+    if (code.length < 4) return toks
+    val tail = code.takeRight(4)
+    val clause = Seq("with", "no", "schema", "binding")
+    if (tail.zip(clause).forall { case (j, w) => toks(j).isWord(w) })
+      toks.take(tail.head)
+    else toks
+  }
+
+  /** Redshift scalar SQL UDFs (`CREATE [OR REPLACE] FUNCTION f(argtypes)
+    * RETURNS type VOLATILE|STABLE|IMMUTABLE AS $$ SELECT expr $$ LANGUAGE
+    * sql` — the one user-extension statement the reference's pass-through
+    * surface exposes, `execute_sql.py:23,64`) → Spark 4 native SQL UDFs
+    * (`CREATE [OR REPLACE] FUNCTION f(p1 T1, …) RETURNS type RETURN expr`).
+    *
+    *  - SQL-UDF args are positional types referenced `$1…$n` in the body;
+    *    they become named parameters `p1…pn` and the body references are
+    *    substituted token-aware ($ inside string literals is never touched).
+    *    Named python-style `name type` pairs are tolerated and kept.
+    *  - IMMUTABLE maps to Spark's DETERMINISTIC; STABLE/VOLATILE have no
+    *    Spark spelling and drop (Spark SQL UDFs are inlined into the plan,
+    *    so volatility is decided by the substituted expression itself).
+    *  - `LANGUAGE plpythonu` raises loudly: a silent no-op would corrupt
+    *    every later statement that calls the function.
+    */
+  private def rewriteCreateFunction(toks: Vector[Tok]): Vector[Tok] = {
+    val c = nextCode(toks, 0)
+    if (c >= toks.length || !toks(c).isWord("create")) return toks
+    var i = nextCode(toks, c + 1)
+    var orReplace = false
+    if (i < toks.length && toks(i).isWord("or")) {
+      i = nextCode(toks, i + 1)
+      if (i >= toks.length || !toks(i).isWord("replace")) return toks
+      orReplace = true
+      i = nextCode(toks, i + 1)
+    }
+    if (i >= toks.length || !toks(i).isWord("function")) return toks
+    val (name, afterName) = qualifiedName(toks, i + 1)
+    val open = nextCode(toks, afterName)
+    if (open >= toks.length || toks(open).text != "(") return toks
+    val close = matchParen(toks, open)
+    // language check FIRST: python UDFs must never half-parse
+    val langAt = toks.indices.indexWhere(j => toks(j).isWord("language"))
+    if (langAt >= 0) {
+      val lw = nextCode(toks, langAt + 1)
+      val lang = if (lw < toks.length) toks(lw).text.toLowerCase else ""
+      if (lang != "sql") throw new IllegalArgumentException(
+        s"CREATE FUNCTION $name: LANGUAGE $lang is not supported in this " +
+          "engine (Redshift python UDFs have no Spark-side runtime here); " +
+          "only LANGUAGE sql scalar UDFs are translated")
+    }
+    // argument list: `type` (positional, $n-referenced) or `name type`
+    val bounds = (open +: topCommas(toks, open, close).toVector) :+ close
+    val args = bounds.sliding(2).toVector.flatMap { case Seq(a, b) =>
+      val seg = toks.slice(a + 1, b)
+      if (nextCode(seg, 0) >= seg.length) None else Some(seg)
+    }
+    val params = args.zipWithIndex.map { case (seg, idx) =>
+      val segWords = seg.indices.filter(j => seg(j).kind == Word || seg(j).kind == QIdent)
+      val firstWord = segWords.headOption.map(j => seg(j).text.toLowerCase).getOrElse("")
+      val named = segWords.length >= 2 && !typeFirstWords.contains(firstWord)
+      if (named) {
+        val nameTok = seg(segWords.head).text
+        val tyToks = seg.slice(segWords.head + 1, seg.length)
+        (nameTok, normalizeTypeText(tyToks))
+      } else (s"p${idx + 1}", normalizeTypeText(seg))
+    }
+    var j = nextCode(toks, close + 1)
+    if (j >= toks.length || !toks(j).isWord("returns"))
+      return toks // not the Redshift UDF shape — leave for Spark's parser
+    j = nextCode(toks, j + 1)
+    // return type runs until the volatility word or AS
+    val retStart = j
+    while (j < toks.length && !toks(j).isWord("as") && !toks(j).isWord("volatile") &&
+        !toks(j).isWord("stable") && !toks(j).isWord("immutable")) j += 1
+    val retType = normalizeTypeText(toks.slice(retStart, j))
+    var deterministic = false
+    while (j < toks.length && !toks(j).isWord("as")) {
+      if (toks(j).isWord("immutable")) deterministic = true
+      j += 1
+    }
+    if (j >= toks.length) return toks
+    // body: a dollar-quoted string or a plain '…' literal after AS
+    val bodyAt = nextCode(toks, j + 1)
+    if (bodyAt >= toks.length) return toks
+    val rawBody = toks(bodyAt) match {
+      case t if t.kind == DollarStr => dollarBody(t)
+      case t if t.kind == Str => t.text.substring(1, t.text.length - 1).replace("''", "'")
+      case _ => return toks
+    }
+    // strip the leading SELECT (Redshift SQL-UDF bodies are a SELECT
+    // clause) and any trailing semicolon, then substitute $n → pn
+    val bodyToks0 = tokenize(rawBody)
+    val selAt = nextCode(bodyToks0, 0)
+    val bodyToks1 =
+      if (selAt < bodyToks0.length && bodyToks0(selAt).isWord("select"))
+        bodyToks0.slice(selAt + 1, bodyToks0.length)
+      else bodyToks0
+    val out = Vector.newBuilder[Tok]
+    var bi = 0
+    while (bi < bodyToks1.length) {
+      val t = bodyToks1(bi)
+      if (t.kind == Sym && t.text == "$" && bi + 1 < bodyToks1.length &&
+          bodyToks1(bi + 1).kind == Num && bodyToks1(bi + 1).text.forall(_.isDigit)) {
+        val idx = bodyToks1(bi + 1).text.toInt
+        require(idx >= 1 && idx <= params.length,
+          s"CREATE FUNCTION $name: body references $$$idx but only " +
+            s"${params.length} argument(s) are declared")
+        out += Tok(Word, params(idx - 1)._1)
+        bi += 2
+      } else { out += t; bi += 1 }
+    }
+    val bodyText = render(out.result()).trim.stripSuffix(";").trim
+    require(bodyText.nonEmpty, s"CREATE FUNCTION $name: empty SQL body")
+    val sig = params.map { case (n, t) => s"$n $t" }.mkString(", ")
+    val det = if (deterministic) " DETERMINISTIC" else ""
+    val rep = if (orReplace) "OR REPLACE " else ""
+    tokenize(s"CREATE ${rep}FUNCTION $name($sig) RETURNS $retType$det RETURN $bodyText")
+  }
+
+  /** First words of Redshift type names — an argument segment starting
+    * with one of these is a bare positional type, not `name type`. */
+  private val typeFirstWords: Set[String] = Set(
+    "smallint", "int2", "integer", "int", "int4", "bigint", "int8",
+    "decimal", "numeric", "real", "float4", "float8", "float",
+    "double", "boolean", "bool", "char", "character", "bpchar", "varchar",
+    "nvarchar", "text", "date", "timestamp", "timestamptz", "varbyte",
+    "varbinary", "binary", "super", "time", "timetz", "hllsketch", "geometry")
+
+  /** Render a type token slice with the same spelling normalization as
+    * external DDL (`double precision` → DOUBLE, int4 → INT, …). CHAR and
+    * VARCHAR (any length, or bare) become STRING: Spark hard-rejects
+    * char/varchar in SQL-UDF signatures (UNSUPPORTED_CHAR_OR_VARCHAR_AS_
+    * STRING), and STRING is the semantics Redshift's VARCHAR has inside an
+    * expression anyway (no pad/truncate happens in a scalar body). */
+  private def normalizeTypeText(tyToks: Vector[Tok]): String = {
+    val t = SpectrumDdl.normalizeDef(Tok(Word, "x") +: Tok(Ws, " ") +: tyToks)
+      .stripPrefix("x").trim
+    val lower = t.toLowerCase
+    val charish = Seq("varchar", "nvarchar", "char", "character varying",
+      "character", "bpchar", "text")
+    if (charish.exists(p => lower == p || lower.startsWith(p + "(") ||
+        lower.startsWith(p + " ("))) "STRING"
+    else t
+  }
+
+  /** Redshift `DROP FUNCTION name(argtypes) [CASCADE|RESTRICT]` — the
+    * argument-type list is MANDATORY in Redshift (functions overload on
+    * it) but rejected by Spark's parser, which identifies functions by
+    * name alone. Strip the list and the cascade word. */
+  private def rewriteDropFunction(toks: Vector[Tok]): Vector[Tok] = {
+    val c = nextCode(toks, 0)
+    if (c >= toks.length || !toks(c).isWord("drop")) return toks
+    var i = nextCode(toks, c + 1)
+    if (i >= toks.length || !toks(i).isWord("function")) return toks
+    i = nextCode(toks, i + 1)
+    if (i < toks.length && toks(i).isWord("if")) {
+      val n = nextCode(toks, i + 1)
+      if (n < toks.length && toks(n).isWord("exists")) i = nextCode(toks, n + 1)
+    }
+    val afterName =
+      try qualifiedName(toks, i)._2
+      catch { case _: IllegalArgumentException => return toks }
+    val open = nextCode(toks, afterName)
+    if (open >= toks.length || toks(open).text != "(") return toks
+    val close = matchParen(toks, open)
+    val tail = nextCode(toks, close + 1)
+    val end =
+      if (tail < toks.length &&
+          (toks(tail).isWord("cascade") || toks(tail).isWord("restrict")))
+        tail + 1
+      else close + 1
+    toks.take(open).reverse.dropWhile(_.kind == Ws).reverse ++ toks.slice(end, toks.length)
   }
 
   private def hasDateTokens(lit: String): Boolean = {

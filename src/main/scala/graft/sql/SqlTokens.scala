@@ -16,6 +16,7 @@ object SqlTokens {
   case object Str extends Kind       // '...' with '' escapes
   case object QIdent extends Kind    // "..." with "" escapes
   case object Comment extends Kind   // -- … \n  and  /* … */
+  case object DollarStr extends Kind // $tag$ … $tag$ PostgreSQL dollar quoting
   case object Sym extends Kind       // single operator/punct char
   case object Ws extends Kind
 
@@ -59,6 +60,18 @@ object SqlTokens {
         while (i < n && !(sql.charAt(i) == '*' && peek(1) == '/')) i += 1
         i = math.min(n, i + 2)
         out += Tok(Comment, sql.substring(j, i))
+      } else if (c == '$' && dollarTagEnd(sql, i) > 0) {
+        // PostgreSQL/Redshift dollar-quoted string: $$…$$ or $tag$…$tag$
+        // (the CREATE FUNCTION body carrier). The tag follows unquoted-
+        // identifier rules, so `$1` (a prepared-statement parameter) never
+        // opens one. One token spans the whole body — semicolons and
+        // quotes inside a UDF body must not split or confuse statements.
+        val tagEnd = dollarTagEnd(sql, i) // index just past the opening tag
+        val tag = sql.substring(i, tagEnd)
+        val close = sql.indexOf(tag, tagEnd)
+        val end = if (close < 0) n else close + tag.length
+        out += Tok(DollarStr, sql.substring(i, end))
+        i = end
       } else if (c.isLetter || c == '_') {
         val j = i
         while (i < n && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
@@ -85,6 +98,27 @@ object SqlTokens {
       }
     }
     out.toVector
+  }
+
+  /** If `sql(at)` starts a dollar-quote opening delimiter (`$` + optional
+    * identifier tag + `$`), the index just past that delimiter; else -1.
+    * A digit after `$` is NOT a tag (that's a `$n` parameter). */
+  private def dollarTagEnd(sql: String, at: Int): Int = {
+    var j = at + 1
+    if (j < sql.length && sql.charAt(j) == '$') return j + 1
+    if (j >= sql.length || !(sql.charAt(j).isLetter || sql.charAt(j) == '_')) return -1
+    while (j < sql.length && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+    if (j < sql.length && sql.charAt(j) == '$') j + 1 else -1
+  }
+
+  /** The payload of a DollarStr token: the text between the delimiters. */
+  def dollarBody(t: Tok): String = {
+    require(t.kind == DollarStr, s"expected a dollar-quoted string, got ${t.kind}")
+    val tagLen = t.text.indexOf('$', 1) + 1
+    val inner = t.text.substring(tagLen)
+    if (inner.endsWith(t.text.substring(0, tagLen)))
+      inner.substring(0, inner.length - tagLen)
+    else inner // unterminated: everything after the opener
   }
 
   def render(toks: Seq[Tok]): String = toks.iterator.map(_.text).mkString

@@ -1952,6 +1952,110 @@ class DialectSpec extends SparkSpecBase {
       "SELECT array_sort(collect_list(x)) FROM t GROUP BY k")
     valid.foreach(q => assert(rewrite(q) === q, s"rewriter changed valid SQL: $q"))
   }
+  // ---- late-binding views (WITH NO SCHEMA BINDING) ----
+  test("CREATE VIEW WITH NO SCHEMA BINDING strips the clause, plain views untouched") {
+    assert(rewrite("CREATE VIEW v AS SELECT a FROM t WITH NO SCHEMA BINDING").trim
+      === "CREATE VIEW v AS SELECT a FROM t")
+    assert(rewrite("CREATE OR REPLACE VIEW s.v AS SELECT a, b FROM s.t " +
+      "WITH NO SCHEMA BINDING").trim === "CREATE OR REPLACE VIEW s.v AS SELECT a, b FROM s.t")
+    // the words inside a WHERE clause are not the trailing clause
+    val q = "CREATE VIEW v AS SELECT * FROM t WHERE note = 'WITH NO SCHEMA BINDING'"
+    assert(rewrite(q) === q)
+    // non-view statements with the same tail are untouched
+    val sel = "SELECT with_, no_, schema_, binding_ FROM t"
+    assert(rewrite(sel) === sel)
+  }
+
+  test("late-binding view executes: create + query + drop over a catalog table") {
+    spark.sql("DROP VIEW IF EXISTS lbv_v")
+    spark.sql("DROP TABLE IF EXISTS lbv_t")
+    spark.sql("CREATE TABLE lbv_t AS SELECT id, id * 2 AS v FROM range(10)")
+    graft.cli.ExecuteSql.run(spark,
+      "CREATE OR REPLACE VIEW lbv_v AS SELECT id, v FROM lbv_t WHERE v >= 10 " +
+        "WITH NO SCHEMA BINDING", None)
+    assert(spark.sql("SELECT count(*) FROM lbv_v").head.getLong(0) === 5)
+    graft.cli.ExecuteSql.run(spark, "DROP VIEW lbv_v", None)
+    spark.sql("DROP TABLE lbv_t")
+  }
+
+  test("late-binding view over a Spectrum external table, in a multi-statement script") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_lbv_ext_")
+    spark.range(8).selectExpr("id AS k", "cast(id * 3 as double) AS v")
+      .write.mode("overwrite").parquet(dir.toString)
+    // the whole Redshift-shaped script — external DDL, late-binding view,
+    // consumer query — must run end-to-end through one pass-through call
+    graft.cli.ExecuteSql.run(spark,
+      s"""CREATE EXTERNAL SCHEMA IF NOT EXISTS lbv_ext FROM DATA CATALOG DATABASE 'l';
+         |CREATE EXTERNAL TABLE lbv_ext.src (k BIGINT, v DOUBLE PRECISION)
+         |  STORED AS PARQUET LOCATION '$dir';
+         |CREATE OR REPLACE VIEW lbv_ext.over_src AS
+         |  SELECT k, v FROM lbv_ext.src WHERE v > 6.0
+         |WITH NO SCHEMA BINDING;
+         |CREATE TABLE lbv_counted AS SELECT count(*) AS n FROM lbv_ext.over_src
+         |""".stripMargin, None)
+    assert(spark.table("lbv_counted").head.getLong(0) === 5)
+    spark.sql("DROP TABLE lbv_counted")
+    spark.sql("DROP VIEW lbv_ext.over_src")
+    spark.sql("DROP TABLE lbv_ext.src")
+  }
+
+  // ---- Redshift scalar SQL UDFs ----
+  test("CREATE FUNCTION LANGUAGE sql rewrites to a Spark SQL UDF") {
+    val r = rewrite("CREATE OR REPLACE FUNCTION f_greater (float, float) " +
+      "RETURNS float STABLE AS $$ select case when $1 > $2 then $1 else $2 end " +
+      "$$ LANGUAGE sql")
+    // float is Redshift float8 — normalized to DOUBLE like external DDL
+    assert(r === "CREATE OR REPLACE FUNCTION f_greater(p1 DOUBLE, p2 DOUBLE) " +
+      "RETURNS DOUBLE RETURN case when p1 > p2 then p1 else p2 end")
+    // IMMUTABLE maps to DETERMINISTIC; single-quoted body form accepted
+    val r2 = rewrite("CREATE FUNCTION f_sq (int) RETURNS int IMMUTABLE " +
+      "AS 'select $1 * $1' LANGUAGE sql")
+    assert(r2 === "CREATE FUNCTION f_sq(p1 int) RETURNS int DETERMINISTIC " +
+      "RETURN p1 * p1")
+  }
+
+  test("SQL UDF executes: define, call in a query, DROP FUNCTION with arg types") {
+    spark.sql("DROP FUNCTION IF EXISTS f_taxed")
+    graft.cli.ExecuteSql.run(spark,
+      "CREATE OR REPLACE FUNCTION f_taxed (float, float) RETURNS float STABLE " +
+        "AS $$ select $1 * (1.0 + $2) $$ LANGUAGE sql", None)
+    Tables.registerAll(spark, sfDir)
+    val got = spark.sql(
+      "SELECT f_taxed(o_totalprice, 0.1) AS t, o_totalprice FROM orders LIMIT 5")
+      .collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1) * 1.1) < 1e-6))
+    // Redshift DROP FUNCTION carries the mandatory arg-type list
+    graft.cli.ExecuteSql.run(spark, "DROP FUNCTION f_taxed(float, float)", None)
+    assertThrows[Exception](spark.sql("SELECT f_taxed(1.0, 2.0)").collect())
+  }
+
+  test("SQL UDF in a multi-statement script; $n inside string literals survives") {
+    graft.cli.ExecuteSql.run(spark,
+      """CREATE OR REPLACE FUNCTION f_label (int) RETURNS varchar IMMUTABLE
+        |AS $$ select concat('$1 is ', cast($1 as varchar(10))) $$ LANGUAGE sql;
+        |CREATE TABLE udf_out AS SELECT f_label(7) AS lbl;
+        |DROP FUNCTION f_label(int)
+        |""".stripMargin, None)
+    assert(spark.table("udf_out").head.getString(0) === "$1 is 7")
+    spark.sql("DROP TABLE udf_out")
+  }
+
+  test("LANGUAGE plpythonu raises loudly; body semicolons never split the script") {
+    val e = intercept[IllegalArgumentException](rewrite(
+      "CREATE FUNCTION f_py (a int) RETURNS int VOLATILE AS $$ return a $$ " +
+        "LANGUAGE plpythonu"))
+    assert(e.getMessage.contains("plpythonu"))
+    // a dollar-quoted body containing ';' is ONE statement end-to-end
+    graft.cli.ExecuteSql.run(spark,
+      "CREATE OR REPLACE FUNCTION f_semi (int) RETURNS int IMMUTABLE " +
+        "AS $body$ select $1 + length('a;b') $body$ LANGUAGE sql; " +
+        "CREATE TABLE udf_semi AS SELECT f_semi(1) AS v", None)
+    assert(spark.table("udf_semi").head.getInt(0) === 4)
+    spark.sql("DROP TABLE udf_semi")
+    spark.sql("DROP FUNCTION f_semi")
+  }
+
   test("rewriter is idempotent on rewritten output") {
     val dialect = Seq(
       "SELECT TOP 10 a FROM t ORDER BY a",
