@@ -86,11 +86,26 @@ object DedupOps {
     val sets = shingled(docs).persist()
     val ex = sets.selectExpr("doc_id", "n_sh", "explode(sh) as s")
     val freq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // cmin = the smallest intersection count the VERIFY predicate can
+    // accept, decided with the same double comparison verification uses —
+    // never a bare ceil: ceil(t·n) on doubles can land one above the true
+    // rational bound (0.55·20 → 11.000…009 → ceil 12), silently shortening
+    // the prefix below the filter guarantee and dropping an exact-boundary
+    // pair the oracle keeps (ADVICE r11). One element of prefix slack is
+    // sound (more candidates, same verified output); one element short is
+    // a correctness hole.
+    val cmin =
+      s"""greatest(1L, case
+         |  when cast(c0 - 1 as double) / n_sh >= cast($threshold as double) then c0 - 1
+         |  when cast(c0 as double) / n_sh >= cast($threshold as double) then c0
+         |  else c0 + 1 end)""".stripMargin
     val prefix = ex.join(freq, "s")
       .groupBy(col("doc_id"), col("n_sh"))
       .agg(expr("sort_array(collect_list(struct(df, s)))").as("os"))
+      .withColumn("c0", expr(s"cast(ceil($threshold * n_sh) as bigint)"))
+      .selectExpr("doc_id", "os", "n_sh", s"$cmin as cmin")
       .selectExpr("doc_id",
-        s"transform(slice(os, 1, cast(n_sh - ceil($threshold * n_sh) + 1 as int)), x -> x.s) as ps")
+        "transform(slice(os, 1, cast(n_sh - cmin + 1 as int)), x -> x.s) as ps")
       .selectExpr("doc_id", "explode(ps) as s")
     val cand = prefix.as("a")
       .join(prefix.as("b"), expr("a.s = b.s and a.doc_id < b.doc_id"))
@@ -186,11 +201,26 @@ object DedupOps {
     val sets = shingled(docs).persist()
     val ex = sets.selectExpr("doc_id", "n_sh", "explode(sh) as s")
     val freq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // cmin = the smallest intersection count the VERIFY predicate can
+    // accept, decided with the same double comparison verification uses —
+    // never a bare ceil: ceil(t·n) on doubles can land one above the true
+    // rational bound (0.55·20 → 11.000…009 → ceil 12), silently shortening
+    // the prefix below the filter guarantee and dropping an exact-boundary
+    // pair the oracle keeps (ADVICE r11). One element of prefix slack is
+    // sound (more candidates, same verified output); one element short is
+    // a correctness hole.
+    val cmin =
+      s"""greatest(1L, case
+         |  when cast(c0 - 1 as double) / n_sh >= cast($threshold as double) then c0 - 1
+         |  when cast(c0 as double) / n_sh >= cast($threshold as double) then c0
+         |  else c0 + 1 end)""".stripMargin
     val prefix = ex.join(freq, "s")
       .groupBy(col("doc_id"), col("n_sh"))
       .agg(expr("sort_array(collect_list(struct(df, s)))").as("os"))
+      .withColumn("c0", expr(s"cast(ceil($threshold * n_sh) as bigint)"))
+      .selectExpr("doc_id", "os", "n_sh", s"$cmin as cmin")
       .selectExpr("doc_id",
-        s"transform(slice(os, 1, cast(n_sh - ceil($threshold * n_sh) + 1 as int)), x -> x.s) as ps")
+        "transform(slice(os, 1, cast(n_sh - cmin + 1 as int)), x -> x.s) as ps")
       .selectExpr("doc_id", "explode(ps) as s")
     val cand = prefix.as("a")
       .join(ex.select("doc_id", "s").as("b"),
@@ -549,9 +579,10 @@ object DedupOps {
     *    (min(doc_id) next to count_distinct);
     *  - cut positions exist only for MATCHED shingles (repeated content,
     *    small vs the corpus) and collapse to per-doc cut RANGES via
-    *    gaps-and-islands, so the re-filter of each doc's tokens is
-    *    O(tokens · ranges) with ranges = the handful of repeated spans in
-    *    that doc — never O(tokens · cut-positions);
+    *    gaps-and-islands, so the re-filter of each doc's tokens is one
+    *    O(tokens + ranges) two-pointer kernel pass — never
+    *    O(tokens · cut-positions), and since r12 not even
+    *    O(tokens · ranges);
     *  - the ranges join back to docs on doc_id (one shuffle of the small
     *    ranges side; broadcasts when it fits).
     */
@@ -588,13 +619,16 @@ object DedupOps {
     // n_cut comes from the RANGES (disjoint by construction), not from
     // re-sizing the kept array: CollapseProject would inline a `kept`
     // alias into every consuming expression and re-run the O(tokens)
-    // filter once per output column (the op_embed_quantize lesson)
+    // filter once per output column (the op_embed_quantize lesson).
+    // The kept tokens come from the span_keep codegen kernel — one
+    // two-pointer merge over (tokens, sorted ranges), O(tokens + ranges);
+    // the previous per-token `exists(rs, …)` scan was O(tokens · islands),
+    // quadratic on a half-contaminated doc (VERDICT r11 nit #1).
     words.join(ranges, Seq("doc_id"), "left")
       .selectExpr("doc_id", "w", "coalesce(ranges, array()) as rs")
       .selectExpr("doc_id",
-        """concat_ws(' ', filter(transform(w, (x, i) ->
-          |  case when exists(rs, r -> i >= r.s and i <= r.e) then null
-          |       else x end), x -> x is not null)) as clean_text""".stripMargin,
+        """concat_ws(' ', span_keep(w,
+          |  transform(rs, r -> r.s), transform(rs, r -> r.e))) as clean_text""".stripMargin,
         "cast(aggregate(rs, 0, (a, r) -> a + r.e - r.s + 1) as bigint) as n_cut",
         "cast(size(w) - aggregate(rs, 0, (a, r) -> a + r.e - r.s + 1) as bigint) as n_kept")
       .orderBy("doc_id")

@@ -71,11 +71,11 @@ object GraphOps {
         .selectExpr("node",
           s"(15 * ($s div $n)) div 100 + (85 * coalesce(sc, 0)) div 100 as r")
         .localCheckpoint()
-      if (prev != null) prev.unpersist()
+      if (prev != null) LineageUtil.freeLocalCheckpoint(prev)
       prev = ranks
     }
     val out = ranks.selectExpr("node", "r as rank_fp").localCheckpoint()
-    if (prev != null) prev.unpersist()
+    if (prev != null) LineageUtil.freeLocalCheckpoint(prev)
     e.unpersist(); outw.unpersist(); nodes.unpersist()
     out
   }
@@ -195,7 +195,7 @@ object GraphOps {
         .localCheckpoint()
       val m = next.count()
       converged = m == n
-      if (prev != null) prev.unpersist()
+      if (prev != null) LineageUtil.freeLocalCheckpoint(prev)
       prev = e
       e = next
       n = m
@@ -210,8 +210,8 @@ object GraphOps {
       .selectExpr("v as node", "core_degree")
       .orderBy("node")
       .localCheckpoint()
-    if (prev != null) prev.unpersist()
-    e.unpersist()
+    if (prev != null) LineageUtil.freeLocalCheckpoint(prev)
+    LineageUtil.freeLocalCheckpoint(e)
     out
   }
 

@@ -65,8 +65,10 @@ object LayoutOps {
     * kernel against. */
   def hValueFoldExpr(x: String, y: String, bits: Int = 21): String = {
     require(bits > 0 && bits <= 31, s"need 0 < bits <= 31; got $bits")
+    // the & mask mirrors the kernel's input truncation (see hilbertD)
+    val mask = (1L << bits) - 1
     s"""aggregate(sequence(${bits - 1}, 0, -1),
-       |  struct(cast($x as bigint) as x, cast($y as bigint) as y, cast(0 as bigint) as d),
+       |  struct(cast($x as bigint) & ${mask}L as x, cast($y as bigint) & ${mask}L as y, cast(0 as bigint) as d),
        |  (acc, i) -> struct(
        |    case when (shiftright(acc.y, i) & 1) = 0
        |         then case when (shiftright(acc.x, i) & 1) = 1

@@ -1758,7 +1758,8 @@ object OpQueries {
   private def dkHilbertOracle(bits: Int): String =
     s"""WITH RECURSIVE h AS (
        |  SELECT l_orderkey, l_linenumber, ${bits - 1} AS i,
-       |         CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y,
+       |         CAST(l_partkey AS BIGINT) & ${(1L << bits) - 1} AS x,
+       |         CAST(l_suppkey AS BIGINT) & ${(1L << bits) - 1} AS y,
        |         CAST(0 AS BIGINT) AS d
        |  FROM lineitem
        |  UNION ALL

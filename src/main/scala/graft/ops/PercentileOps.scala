@@ -140,9 +140,21 @@ object PercentileOps {
     require(specs.map(_.out).distinct.length == specs.length,
       "duplicate output column names")
     val byKey = Window.partitionBy(col(key))
+    // integer weights are the CONTRACT, not an assumption: a fractional
+    // weight would silently truncate (2.9 → 2) and a 0 < w < 1 row would
+    // vanish entirely after the cast — and the pre-cast-filtering oracle
+    // would disagree. Raise on the first non-integral weight instead
+    // (ADVICE r11); callers with fractional weights rescale first.
     val g = df
       .filter(col(valueCol).isNotNull)
-      .selectExpr(key, s"$valueCol as __v", s"cast($weightCol as bigint) as __w")
+      .selectExpr(key, s"$valueCol as __v",
+        s"""case when $weightCol is not null
+           |       and cast($weightCol as double) != floor(cast($weightCol as double))
+           |  then cast(raise_error(concat(
+           |    'weightedDiscPercentiles: non-integral weight ',
+           |    cast($weightCol as string),
+           |    ' — integer weights are the contract; rescale first')) as bigint)
+           |  else cast($weightCol as bigint) end as __w""".stripMargin)
       .filter(col("__w") > 0)
       .groupBy(col(key), col("__v")).agg(sum("__w").as("__wv"))
       .withColumn("__cumw", sum("__wv").over(byKey.orderBy(col("__v"))))

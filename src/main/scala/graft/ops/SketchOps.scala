@@ -379,6 +379,32 @@ object SketchOps {
       .orderBy("v")
   }
 
+  /** Point queries against a MATERIALIZED Count-Min counter table — the
+    * consumption path of a persisted sketch: the (j, b, c) rows of
+    * [[cmSketch]] (or the streaming twin's accumulated state) answer
+    * "how often did v occur?" without re-touching the corpus they
+    * summarize. Each probe value derives its `depth` cells with the same
+    * portable md5-h60 placement rule the builder used, joins the (tiny,
+    * broadcast) table, and takes the min; a cell with no row holds count
+    * 0 (left join + coalesce), so never-seen values estimate 0 — the
+    * sketch's one-sided guarantee (estimate ≥ exact, equality when no
+    * collision) holds for every probe. `depth`/`width` MUST match the
+    * values the table was built with — a mismatch silently probes wrong
+    * cells, so callers ship them alongside the persisted table. */
+  def cmEstimate(sketch: DataFrame, probes: DataFrame, valueExpr: String,
+                 depth: Int = 4, width: Int = 64): DataFrame = {
+    require(depth >= 1 && width >= 2,
+      s"cmEstimate needs depth >= 1, width >= 2; got $depth x $width")
+    probes.selectExpr(s"cast(($valueExpr) as string) as v").distinct()
+      .selectExpr("v",
+        s"""explode(transform(sequence(0, ${depth - 1}), j ->
+           |  struct(j, pmod(${TextOps.h60(s"concat(cast(j as string), ':', v)")}, $width) as b))) as e""".stripMargin)
+      .selectExpr("v", "e.j as j", "e.b as b")
+      .join(broadcast(sketch), Seq("j", "b"), "left")
+      .groupBy("v").agg(min(coalesce(col("c"), lit(0L))).as("cm_est"))
+      .orderBy("v")
+  }
+
   /** KMV SET-OPERATION estimates (Beyer et al., SIGMOD'07 — public):
     * distinct-union and distinct-intersection cardinalities for every
     * group pair, from the groups' bottom-k sketches alone — the set

@@ -737,7 +737,7 @@ object TextOps {
           .withColumn("st",
             sreplace(col("st"), lit(s" $l  $r "), lit(s" ${l + r} ")))
           .localCheckpoint()
-        states.unpersist()
+        LineageUtil.freeLocalCheckpoint(states)
         states = next
         t += 1
       }
@@ -793,7 +793,7 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val (merges, states) = bpeRun(docs, rounds)
-    states.unpersist()
+    LineageUtil.freeLocalCheckpoint(states)
     merges.toDF().orderBy("round")
   }
 
@@ -814,7 +814,7 @@ object TextOps {
         "array_join(sy, ' ') as pieces")
       .orderBy("word")
       .localCheckpoint()
-    states.unpersist()
+    LineageUtil.freeLocalCheckpoint(states)
     out
   }
 

@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.variant.ParseJson
 import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DateType,
   DoubleType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
 
-import graft.sql.expressions.{ArrayDot, CdcBounds, Checksum, FeatureHash, FnvHash, HilbertValue, MinHashSig, QuantizeI8, SimHash60, SimHashBits, ZValue}
+import graft.sql.expressions.{ArrayDot, CdcBounds, Checksum, FeatureHash, FnvHash, HilbertValue, MinHashSig, QuantizeI8, SimHash60, SimHashBits, SpanKeep, ZValue}
 
 /** Session extensions registering the Redshift function-name surface that
   * Spark's parser accepts but its registry lacks (SURVEY.md §2.2 🔧/🔴):
@@ -128,6 +128,12 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"cdc_bounds: w and mod must be positive integer literals, got $other")
       }),
+    (FunctionIdentifier("span_keep"),
+      info("span_keep", "span_keep(w, starts, ends) - elements of array<string> w whose 0-based index lies in none of the sorted disjoint [starts_k, ends_k] ranges."),
+      (args: Seq[Expression]) => SpanKeep(
+        Cast(args(0), ArrayType(StringType)),
+        Cast(args(1), ArrayType(IntegerType)),
+        Cast(args(2), ArrayType(IntegerType)))),
     (FunctionIdentifier("feature_hash"),
       info("feature_hash", "feature_hash(hs, dim) - hashing-trick signed bucket counts over array<bigint>; dim must be an integer literal."),
       (args: Seq[Expression]) => args(1) match {

@@ -1,6 +1,6 @@
 package graft.sql.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -40,8 +40,13 @@ object ArrayKernels {
     * `rx == 0 ? ry : 3 − ry` so the SQL fold forms (Spark AND DuckDB,
     * which has no BIGINT ^) share the identical arithmetic. */
   def hilbertD(x0: Long, y0: Long, bits: Int): Long = {
-    var x = x0
-    var y = y0
+    // mask to the low `bits` bits (the modulo-2^bits truncation
+    // zInterleave applies implicitly): an unmasked coordinate ≥ 2^bits
+    // leaks its high bits through the `s − 1 − y` rotation and silently
+    // breaks the curve's adjacency property
+    val mask = (1L << bits) - 1
+    var x = x0 & mask
+    var y = y0 & mask
     var d = 0L
     var s = 1L << (bits - 1)
     while (s > 0) {
@@ -242,6 +247,28 @@ object ArrayKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** The kept tokens of a span cut: elements of `w` whose index falls in
+    * NO [starts(k), ends(k)] range, for ranges sorted by start and
+    * pairwise disjoint (the gaps-and-islands output — sorted by start ⟹
+    * sorted by end). One two-pointer merge pass, O(tokens + ranges) —
+    * replacing the per-token `exists(rs, …)` linear scan whose
+    * O(tokens · islands) cost went quadratic on half-contaminated docs
+    * (VERDICT r11 nit #1). */
+  def spanKeep(w: ArrayData, starts: ArrayData, ends: ArrayData): ArrayData = {
+    val n = w.numElements()
+    val r = math.min(starts.numElements(), ends.numElements())
+    val out = new java.util.ArrayList[Any](n)
+    var ri = 0
+    var i = 0
+    while (i < n) {
+      while (ri < r && ends.getInt(ri) < i) ri += 1
+      if (!(ri < r && starts.getInt(ri) <= i))
+        out.add(w.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   private val P = 2147483647L // Mersenne 2^31-1, the MinHash hash space
 
   /** MinHash signature: sig_i = min over hashes of
@@ -410,6 +437,28 @@ case class ZValue(left: Expression, right: Expression, bits: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ZValue =
     copy(left = newLeft, right = newRight)
+}
+
+/** `span_keep(w, starts, ends)` → array<string>: the elements of `w`
+  * whose 0-based index lies in none of the [starts_k, ends_k] ranges
+  * (sorted, disjoint — the islands of a span cut). One codegen'd
+  * two-pointer pass, O(tokens + ranges). */
+case class SpanKeep(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "span_keep"
+
+  override protected def nullSafeEval(w: Any, s: Any, e: Any): Any =
+    ArrayKernels.spanKeep(w.asInstanceOf[ArrayData],
+      s.asInstanceOf[ArrayData], e.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (w, s, e) => s"graft.sql.expressions.ArrayKernels.spanKeep($w, $s, $e)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): SpanKeep =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** `cdc_bounds(text, w, mod)` → array<int> of 1-based content-defined chunk

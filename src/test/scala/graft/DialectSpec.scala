@@ -338,6 +338,76 @@ class DialectSpec extends SparkSpecBase {
     assert(colStats === Set("id", "k"), "stats lost across VACUUM")
   }
 
+  test("DISTKEY/SORTKEY bucket spec survives VACUUM; sorted layout restored") {
+    spark.sql("DROP TABLE IF EXISTS vac_layout")
+    graft.cli.ExecuteSql.run(spark,
+      "CREATE TABLE vac_layout (id BIGINT, v DOUBLE) DISTKEY(id) SORTKEY(id)", None)
+    spark.sql("INSERT INTO vac_layout SELECT id, cast(id as double) FROM range(200)")
+    def meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("vac_layout"))
+    val specBefore = meta.bucketSpec
+    assert(specBefore.exists(bs => bs.numBuckets === 32 &&
+      bs.bucketColumnNames === Seq("id") && bs.sortColumnNames === Seq("id")))
+    graft.cli.ExecuteSql.run(spark, "VACUUM FULL vac_layout", None)
+    assert(meta.bucketSpec === specBefore,
+      s"bucket spec changed across VACUUM: ${meta.bucketSpec}")
+    assert(spark.table("vac_layout").count() === 200)
+    // the restored layout is EXPLAIN-visible: a bucket-keyed aggregation
+    // over the vacuumed table needs no exchange (bucketing survived as
+    // a real physical property, not just catalog metadata)
+    val agg = spark.table("vac_layout").groupBy("id").count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed table re-shuffled after VACUUM:\n$plan")
+    spark.sql("DROP TABLE vac_layout")
+  }
+
+  test("ANALYZE column stats flip a selective-filter join to broadcast (CBO)") {
+    // raw file sizes reach the planner with or without ANALYZE (the file
+    // index knows them), so what catalog stats BUY is selectivity: with
+    // column stats on k, CBO shrinks the `k = 7` filter's estimate to
+    // ~1/ndv of the table and the filtered side drops under the broadcast
+    // threshold; without them the filter passes the full file size
+    // through and the join stays sort-merge
+    spark.sql("DROP TABLE IF EXISTS an_facts")
+    spark.sql("DROP TABLE IF EXISTS an_mid")
+    spark.sql("CREATE TABLE an_facts AS SELECT id, id % 50 AS k, " +
+      "repeat(cast(id as string), 5) AS pad FROM range(100000)")
+    spark.sql("CREATE TABLE an_mid AS SELECT id % 50 AS k, id, " +
+      "repeat(cast(id as string), 5) AS pad FROM range(100000)")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier _
+    Seq("an_facts", "an_mid").foreach { t =>
+      spark.sessionState.catalog.alterTableStats(ident(t), None)
+      spark.sessionState.catalog.refreshTable(ident(t))
+    }
+    val rawSize = spark.table("an_facts").queryExecution
+      .optimizedPlan.stats.sizeInBytes
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // threshold below both unfiltered tables, far above size/ndv(k)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (rawSize / 2).toString)
+    try {
+      def joinPlan = spark.sql(
+        """SELECT b.id, s.id AS mid FROM (SELECT * FROM an_facts WHERE k = 7) b
+          |JOIN an_mid s ON b.k = s.k""".stripMargin)
+        .queryExecution.sparkPlan.toString // pre-AQE: the stats-driven choice
+      assert(!joinPlan.contains("BroadcastHashJoin"),
+        s"filter shrank the estimate without any column stats:\n$joinPlan")
+      graft.cli.ExecuteSql.run(spark, "ANALYZE an_facts (k)", None)
+      assert(joinPlan.contains("BroadcastHashJoin"),
+        s"ANALYZE column stats did not flip the join to broadcast:\n$joinPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    spark.sql("DROP TABLE an_facts"); spark.sql("DROP TABLE an_mid")
+  }
+
+  test("TIME literals still raise — the SURVEY §2.2 TIME/TIMETZ exclusion tripwire") {
+    // Spark 4.1 hard-gates TimeType; TIME/TIMETZ are documented exclusions
+    // (SURVEY §2.2). The day a Spark upgrade makes this parse, this test
+    // fails loudly and the exclusion row must be revisited instead of
+    // silently aging.
+    val e = intercept[Exception](spark.sql("SELECT TIME '12:34:56'").collect())
+    assert(e.getMessage != null && e.getMessage.nonEmpty)
+  }
+
   test("legacy math aliases and date/timestamp comparators resolve and compute") {
     assert(math.abs(sql1("SELECT dexp(1.0)").getDouble(0) - math.E) < 1e-12)
     assert(math.abs(sql1("SELECT dlog1(dexp(2.5))").getDouble(0) - 2.5) < 1e-12)

@@ -135,4 +135,45 @@ class KernelSpec extends SparkSpecBase {
     assert(r.getSeq[Int](1) === Seq.empty)
     assert(r.isNullAt(2))
   }
+
+  test("span_keep equals the per-token exists() form, incl. a many-islands stress doc") {
+    // synthetic docs: 400 tokens; doc d gets every-other-8-token islands —
+    // the half-contaminated worst case that made the exists() form
+    // quadratic (islands ≈ tokens / 16)
+    val docs = spark.sql(
+      """SELECT id AS doc_id,
+        |       transform(sequence(0, 399), i -> concat('t', cast(i as string))) AS w,
+        |       CASE WHEN id = 0 THEN slice(isl, 1, 0)
+        |            WHEN id = 1 THEN array(struct(0 AS s, 399 AS e))
+        |            ELSE isl
+        |       END AS rs
+        |FROM (SELECT id, transform(sequence(0, 24),
+        |        k -> struct(k * 16 AS s, k * 16 + 7 AS e)) AS isl
+        |      FROM range(6))""".stripMargin)
+    val both = docs.selectExpr("doc_id",
+      "span_keep(w, transform(rs, r -> r.s), transform(rs, r -> r.e)) as kernel",
+      """filter(transform(w, (x, i) ->
+        |  case when exists(rs, r -> i >= r.s and i <= r.e) then null
+        |       else x end), x -> x is not null) as composed""".stripMargin)
+    val rows = both.collect()
+    assert(rows.length === 6)
+    rows.foreach(r => assert(r.getSeq[String](1) === r.getSeq[String](2), s"doc ${r.get(0)}"))
+    // the full-cut doc keeps nothing; the no-ranges doc keeps everything
+    val byId = rows.map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(byId(0L).length === 400)
+    assert(byId(1L).isEmpty)
+    assert(byId(2L).length === 200)
+  }
+
+  test("hvalue masks inputs to `bits` like zvalue: high bits cannot corrupt the curve") {
+    val r = spark.sql(
+      s"""SELECT hvalue(3, 5, 4) AS base,
+         |       hvalue(3 + 16, 5, 4) AS xwrap,
+         |       hvalue(3, 5 + 32, 4) AS ywrap,
+         |       ${graft.ops.LayoutOps.hValueFoldExpr("3 + 16", "5 + 32", 4)} AS foldwrap""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(1) === r.getLong(0), "x high bits leaked into the kernel")
+    assert(r.getLong(2) === r.getLong(0), "y high bits leaked into the kernel")
+    assert(r.getLong(3) === r.getLong(0), "fold form disagrees with the kernel on masked input")
+  }
 }

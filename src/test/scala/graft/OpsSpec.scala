@@ -1713,6 +1713,57 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("cmEstimate consumes a persisted counter table: one-sided, exact when collision-free, 0 for never-seen") {
+    import graft.ops.SketchOps
+    // build once, persist (the "shipped sketch" shape), probe WITHOUT df
+    val df = spark.range(2000).selectExpr("cast(id % 300 as string) as v")
+    val sketch = SketchOps.cmSketch(df, "v", 4, 64).localCheckpoint()
+    val probes = spark.range(310).selectExpr("cast(id as string) as v")
+    val est = SketchOps.cmEstimate(sketch, probes, "v", depth = 4, width = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = df.groupBy("v").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.size === 310)
+    // estimate >= exact for present values; lookups agree with the
+    // builder-side countMin estimates bit-for-bit (same placement rule)
+    val inline = SketchOps.countMin(df, "v", 4, 64).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    exact.foreach { case (v, c) =>
+      assert(est(v) >= c, s"cmEstimate underestimated $v")
+      assert(est(v) === inline(v), s"lookup diverged from builder estimate for $v")
+    }
+    // collision-free config: lookups are exact; absent probes estimate
+    // low (0 unless every one of the 4 cells collided — here: check <= a
+    // loose bound rather than exactly 0, which a 64-wide table can't
+    // promise; the 1024-wide run below CAN)
+    val tiny = spark.range(100).selectExpr("cast(id % 5 as string) as v")
+    val tinySketch = SketchOps.cmSketch(tiny, "v", 4, 1024).localCheckpoint()
+    val tinyEst = SketchOps.cmEstimate(tinySketch,
+      spark.range(7).selectExpr("cast(id as string) as v"), "v", 4, 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (0 to 4).foreach(i => assert(tinyEst(i.toString) === 20L))
+    (5 to 6).foreach(i => assert(tinyEst(i.toString) === 0L,
+      s"never-seen value $i estimated nonzero in a collision-free table"))
+  }
+
+  test("bpe stops at vocab exhaustion, not at the requested round count") {
+    import graft.ops.TextOps
+    // every word fully merges after 3 rounds: ab(x3) -> 'ab'; cd(x2) ->
+    // 'cd'; then 'ab ' + 'cd'? no — words are independent units; after
+    // round 1 (a b -> ab) and round 2 (c d -> cd) every word is a single
+    // symbol, so round 3 finds no pair and the loop must exit — a
+    // requested 200 rounds must NOT schedule 200 driver jobs
+    val d = Seq((1L, "ab ab cd"), (2L, "ab cd")).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val m = TextOps.bpeTrain(d, rounds = 200).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(m.length === 2, s"expected exhaustion after 2 merges, got ${m.length}")
+    assert(m.map(_.getString(3)).toSet === Set("ab", "cd"))
+    // 2 real rounds + 1 dry probe ≈ 3 driver jobs; 200 scheduled rounds
+    // would take minutes — a generous wall bound pins the early exit
+    assert(secs < 60.0, s"bpe early-stop took ${secs}s — did it run all 200 rounds?")
+  }
+
   test("pmi collocations: hand-computed lift on a planted corpus; rare pairs gated") {
     import graft.ops.TextOps
     // "a b" appears 6x, a and b appear only together; "x y" 5x but x also
@@ -2044,6 +2095,53 @@ class OpsSpec extends SparkSpecBase {
          |WHERE cast(c as double) / cast(n as double) >= 0.6""".stripMargin).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(fast === naive && naive.nonEmpty)
+  }
+
+  test("containment prefix bound survives the exact ceil-boundary threshold") {
+    import graft.ops.DedupOps
+    // 22 words → 20 shingles per doc; the 13 shared trailing words give
+    // exactly 11 shared shingles ⇒ containment = 11/20 = 0.55 both ways.
+    // ceil(0.55 · 20) computes 12 in doubles (11.000…009 rounds up), so
+    // the pre-fix prefix was one shingle short: each doc's 9 unique
+    // (df=1, rarest-first) shingles filled the whole prefix and the pair
+    // was silently dropped while verification and the quadratic oracle
+    // both accept it (ADVICE r11).
+    val common = (1 to 13).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 9).map(i => s"a$i").mkString(" ") + " " + common),
+      (2L, (1 to 9).map(i => s"b$i").mkString(" ") + " " + common)
+    ).toDF("doc_id", "text")
+    val out = DedupOps.containmentPairs(docs, threshold = 0.55).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("weighted percentiles raise on non-integral weights instead of truncating") {
+    import graft.ops.PercentileOps.{weightedDiscPercentiles, WSpec}
+    val df = Seq(("a", 1.0, 2.9), ("a", 2.0, 1.0)).toDF("k", "v", "w")
+    val e = intercept[Exception] {
+      weightedDiscPercentiles(df, "k", "v", "w", Seq(WSpec(1, 2, "med"))).collect()
+    }
+    assert(e.getMessage.contains("non-integral weight"))
+    // integral-valued doubles (and NULL weights) still flow
+    val ok = weightedDiscPercentiles(
+      Seq(("a", 1.0, 2.0), ("a", 5.0, 1.0)).toDF("k", "v", "w"),
+      "k", "v", "w", Seq(WSpec(1, 2, "med"))).collect()
+    assert(ok.head.getDouble(1) === 1.0)
+  }
+
+  test("freeLocalCheckpoint releases checkpoint blocks that Dataset.unpersist cannot") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val df = spark.range(1000).selectExpr("id", "id * 2 as v").localCheckpoint()
+    val added = sc.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "localCheckpoint registered no persistent RDD")
+    df.unpersist() // the documented no-op (ADVICE r11) — blocks must survive
+    assert((sc.getPersistentRDDs.keySet -- before) === added,
+      "Dataset.unpersist unexpectedly freed the checkpoint — helper obsolete?")
+    graft.ops.LineageUtil.freeLocalCheckpoint(df)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "freeLocalCheckpoint left checkpoint blocks registered")
   }
 
   test("lexical diversity: hand-computed ttr and gini-simpson; empty doc surfaces as nulls") {
