@@ -43,7 +43,8 @@ object LocalDml {
     else if (toks(first).isWord("analyze")) runAnalyze(spark, toks, first)
     else if (toks(first).isWord("vacuum")) runVacuum(spark, toks, first)
     else if (toks(first).isWord("alter"))
-      runAlterAppend(spark, toks, first) || runAlterColumns(spark, toks, first)
+      runAlterAppend(spark, toks, first) || runAlterColumns(spark, toks, first) ||
+        runOwnershipDdl(toks, first)
     else if (toks(first).isWord("set")) runSet(spark, toks, first)
     else if (toks(first).isWord("begin") || toks(first).isWord("commit") ||
              toks(first).isWord("rollback") || toks(first).isWord("abort") ||
@@ -66,7 +67,88 @@ object LocalDml {
       System.err.println(
         s"[graft] ${toks(first).text.toUpperCase}: no local ACLs — statement ignored")
       true
+    } else if ((toks(first).isWord("create") || toks(first).isWord("drop")) && {
+      val n = nextCode(toks, first + 1)
+      n < toks.length && (toks(n).isWord("user") || toks(n).isWord("group") ||
+        toks(n).isWord("role"))
+    }) {
+      // principal DDL (CREATE/DROP USER|GROUP|ROLE) — the other half of
+      // every pg_dump/DDL-archive preamble next to GRANT; same no-ACL
+      // catalog, same loud-ignore contract
+      System.err.println(
+        s"[graft] ${render(toks.slice(first, nextCode(toks, first + 1) + 1)).toUpperCase}: " +
+          "no local principals — statement ignored")
+      true
+    } else if (isProcedureStmt(toks, first)) {
+      // Redshift stored procedures are plpgsql programs — control flow,
+      // variables, cursors — with no Spark-side runtime here. A silent
+      // ignore would corrupt every later CALL, so creation and CALL both
+      // raise with the reason (the plpythonu contract); DROP PROCEDURE is
+      // a truthful no-op (nothing can exist to drop).
+      val head = toks(first).text.toLowerCase
+      if (head == "drop") {
+        System.err.println("[graft] DROP PROCEDURE: no local procedures — statement ignored")
+        true
+      } else throw new IllegalArgumentException(
+        s"${head.toUpperCase} of a stored procedure is not supported in this " +
+          "engine (plpgsql has no Spark-side runtime); rewrite the procedure " +
+          "body as a multi-statement SQL script")
     } else false
+  }
+
+  /** ALTER … OWNER TO and ALTER DEFAULT PRIVILEGES — ownership/ACL DDL
+    * that every schema dump carries; no local counterpart (the session
+    * catalog has no owners), so the statements are accepted with a loud
+    * note instead of aborting the script at Spark's parser. Only fires
+    * when the statement REALLY is one of those two shapes — every other
+    * ALTER falls through to native DDL. */
+  private def runOwnershipDdl(toks: Vector[Tok], first: Int): Boolean = {
+    val n = nextCode(toks, first + 1)
+    if (n < toks.length && (toks(n).isWord("user") || toks(n).isWord("group") ||
+        toks(n).isWord("role"))) {
+      System.err.println(
+        s"[graft] ALTER ${toks(n).text.toUpperCase}: no local principals — statement ignored")
+      return true
+    }
+    if (n < toks.length && toks(n).isWord("default")) {
+      val p = nextCode(toks, n + 1)
+      if (p < toks.length && toks(p).isWord("privileges")) {
+        System.err.println(
+          "[graft] ALTER DEFAULT PRIVILEGES: no local ACLs — statement ignored")
+        return true
+      }
+      return false
+    }
+    // … OWNER TO principal — the two keywords must be adjacent at depth 0
+    var i = n
+    var depth = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.kind == Sym && t.text == "(") depth += 1
+      else if (t.kind == Sym && t.text == ")") depth -= 1
+      else if (depth == 0 && t.isWord("owner")) {
+        val to = nextCode(toks, i + 1)
+        if (to < toks.length && toks(to).isWord("to")) {
+          System.err.println(
+            "[graft] ALTER … OWNER TO: no local owners — statement ignored")
+          return true
+        }
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** True for CREATE [OR REPLACE] PROCEDURE / DROP PROCEDURE / CALL. */
+  private def isProcedureStmt(toks: Vector[Tok], first: Int): Boolean = {
+    if (toks(first).isWord("call")) return true
+    if (!toks(first).isWord("create") && !toks(first).isWord("drop")) return false
+    var i = nextCode(toks, first + 1)
+    if (i < toks.length && toks(i).isWord("or")) {
+      i = nextCode(toks, i + 1)
+      if (i < toks.length && toks(i).isWord("replace")) i = nextCode(toks, i + 1)
+    }
+    i < toks.length && toks(i).isWord("procedure")
   }
 
   /** Redshift session `SET`s (every ETL script's preamble — reachable via

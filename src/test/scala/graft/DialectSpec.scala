@@ -399,6 +399,48 @@ class DialectSpec extends SparkSpecBase {
     spark.sql("DROP TABLE an_facts"); spark.sql("DROP TABLE an_mid")
   }
 
+  test("dump-preamble DDL (principals, ownership, default privileges) is loud-ignored") {
+    // every statement class a pg_dump/DDL archive carries next to GRANT:
+    // each must flow through without aborting the script
+    Seq(
+      "CREATE USER etl_user PASSWORD 'md5abc123'",
+      "ALTER USER etl_user SET search_path TO public",
+      "CREATE GROUP readers WITH USER etl_user",
+      "ALTER GROUP readers ADD USER etl_user",
+      "CREATE ROLE auditor",
+      "DROP USER etl_user",
+      "ALTER TABLE missing_is_fine OWNER TO etl_user",
+      "ALTER SCHEMA default OWNER TO etl_user",
+      "ALTER DEFAULT PRIVILEGES IN SCHEMA default GRANT SELECT ON TABLES TO GROUP readers",
+      "DROP PROCEDURE sp_cleanup(int)"
+    ).foreach(s => graft.cli.ExecuteSql.run(spark, s, None))
+    // interleaved in a script, the REAL statements still execute
+    spark.sql("DROP TABLE IF EXISTS acl_t")
+    graft.cli.ExecuteSql.run(spark,
+      """CREATE TABLE acl_t AS SELECT 1 AS x;
+        |GRANT SELECT ON acl_t TO GROUP readers;
+        |ALTER TABLE acl_t OWNER TO etl_user;
+        |INSERT INTO acl_t VALUES (2)""".stripMargin, None)
+    assert(spark.table("acl_t").count() === 2)
+    spark.sql("DROP TABLE acl_t")
+  }
+
+  test("stored procedures raise with the reason; CALL raises; plain ALTER TABLE unaffected") {
+    val e = intercept[IllegalArgumentException](graft.cli.ExecuteSql.run(spark,
+      "CREATE OR REPLACE PROCEDURE sp_x() AS $$ BEGIN SELECT 1; END $$ LANGUAGE plpgsql",
+      None))
+    assert(e.getMessage.contains("plpgsql"))
+    val e2 = intercept[IllegalArgumentException](
+      graft.cli.ExecuteSql.run(spark, "CALL sp_x()", None))
+    assert(e2.getMessage.contains("CALL"))
+    // a real ALTER TABLE still reaches native DDL after the new branches
+    spark.sql("DROP TABLE IF EXISTS alt_t")
+    spark.sql("CREATE TABLE alt_t (a INT)")
+    graft.cli.ExecuteSql.run(spark, "ALTER TABLE alt_t ADD COLUMN b INT", None)
+    assert(spark.table("alt_t").schema.fieldNames.toSeq === Seq("a", "b"))
+    spark.sql("DROP TABLE alt_t")
+  }
+
   test("TIME literals still raise — the SURVEY §2.2 TIME/TIMETZ exclusion tripwire") {
     // Spark 4.1 hard-gates TimeType; TIME/TIMETZ are documented exclusions
     // (SURVEY §2.2). The day a Spark upgrade makes this parse, this test
