@@ -1040,6 +1040,56 @@ object OpQueries {
               |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, score
               |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
 
+    // Reciprocal-rank fusion over the SAME query set: BM25 ranking ⊕
+    // distinct-token-overlap ranking via rrf = Σ 1/(60 + rank) — the
+    // hybrid-retrieval combiner (Cormack SIGIR'09). Ranks are integers,
+    // the fusion is two exact divisions in fixed order: full hash gate.
+    QueryDef("op_rrf_fusion",
+      (s, d) => TextOps.rrfFusion(docs(s, d),
+        nQueries = 5, qLen = 8, kInner = 10, k = 5, kRrf = 60),
+      Some(s"""WITH w0 AS (SELECT doc_id, $dkWords AS w FROM documents),
+              |tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS token FROM w0),
+              |post AS (SELECT doc_id, dl, token, COUNT(*) AS tf
+              |         FROM tok WHERE token <> '' GROUP BY doc_id, dl, token),
+              |dfq AS (SELECT token, COUNT(*) AS df FROM post GROUP BY token),
+              |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(w)) AS BIGINT) AS tot FROM w0),
+              |q AS (SELECT doc_id AS qid, unnest(list_distinct(w[1:8])) AS token
+              |      FROM w0 WHERE doc_id < 5),
+              |sc AS (SELECT q.qid, p.doc_id, p.token,
+              |         ${TextOps.bm25WFormula} AS tw
+              |       FROM q JOIN post p USING (token) JOIN dfq USING (token) CROSS JOIN st
+              |       WHERE p.token <> '' AND q.token <> ''),
+              |g AS (SELECT qid, doc_id,
+              |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list(tw ORDER BY token)),
+              |                    (acc, x) -> acc + x) AS score
+              |      FROM sc GROUP BY qid, doc_id),
+              |rb AS (SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank_bm25 FROM (
+              |         SELECT qid, doc_id,
+              |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+              |         FROM g) WHERE rnk <= 10),
+              |ov AS (SELECT q.qid, p.doc_id, COUNT(*) AS overlap
+              |       FROM q JOIN (SELECT DISTINCT doc_id, token FROM post) p USING (token)
+              |       WHERE q.token <> '' GROUP BY 1, 2),
+              |ro AS (SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank_overlap FROM (
+              |         SELECT qid, doc_id,
+              |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY overlap DESC, doc_id) AS rnk
+              |         FROM ov) WHERE rnk <= 10),
+              |f AS (SELECT COALESCE(rb.qid, ro.qid) AS qid,
+              |        COALESCE(rb.doc_id, ro.doc_id) AS doc_id,
+              |        rank_bm25, rank_overlap,
+              |        COALESCE(CAST(1 AS DOUBLE) / (60 + rank_bm25), CAST(0 AS DOUBLE))
+              |          + COALESCE(CAST(1 AS DOUBLE) / (60 + rank_overlap), CAST(0 AS DOUBLE))
+              |          AS rrf_score
+              |      FROM rb FULL OUTER JOIN ro
+              |        ON rb.qid = ro.qid AND rb.doc_id = ro.doc_id),
+              |fr AS (SELECT qid, doc_id, rrf_score, rank_bm25, rank_overlap,
+              |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc_id)
+              |           AS rrf_rank
+              |       FROM f)
+              |SELECT qid, CAST(rrf_rank AS BIGINT) AS rrf_rank, doc_id, rrf_score,
+              |       rank_bm25, rank_overlap
+              |FROM fr WHERE rrf_rank <= 5 ORDER BY qid, rrf_rank""".stripMargin)),
+
     // Column profiling: summary + equal-width histogram with an explicit
     // shared bucket formula (width_bucket's boundary arithmetic is
     // implementation-defined; this expression is the same IEEE tree in
@@ -1452,6 +1502,33 @@ object OpQueries {
       (s, d) => SketchOps.countMin(Tables.load(s, d, "events"),
         "cast(user_id as string)", depth = 4, width = 64),
       Some(dkCountMinOracle(4, 64, "CAST(user_id AS VARCHAR)"))),
+
+    // The sketch CONSUMPTION path: point queries against the persisted
+    // Count-Min table (no corpus rescan) — distinct user ids plus two
+    // never-seen probes; absent cells read 0 (left join), so never-seen
+    // values estimate low/zero. Same md5-h60 placement rule both engines,
+    // full hash gate.
+    QueryDef("op_cm_lookup",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val sketch = SketchOps.cmSketch(ev, "cast(user_id as string)", 4, 64)
+        val probes = ev.selectExpr("cast(user_id as string) as v").distinct()
+          .union(s.sql("SELECT 'graft-absent-1' AS v UNION ALL SELECT 'graft-absent-2' AS v"))
+        SketchOps.cmEstimate(sketch, probes, "v", depth = 4, width = 64)
+      },
+      Some(s"""WITH v AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+              |cells AS (SELECT v, j,
+              |            ${dkH60(s"CAST(j AS VARCHAR) || ':' || v")} % 64 AS b
+              |          FROM v, unnest(range(0, 4)) AS t(j)),
+              |sk AS (SELECT j, b, CAST(COUNT(*) AS BIGINT) AS c FROM cells GROUP BY 1, 2),
+              |probes AS (SELECT DISTINCT v FROM v
+              |           UNION SELECT 'graft-absent-1' UNION SELECT 'graft-absent-2'),
+              |pv AS (SELECT v, j,
+              |         ${dkH60(s"CAST(j AS VARCHAR) || ':' || v")} % 64 AS b
+              |       FROM probes, unnest(range(0, 4)) AS t(j))
+              |SELECT pv.v, CAST(MIN(COALESCE(sk.c, 0)) AS BIGINT) AS cm_est
+              |FROM pv LEFT JOIN sk USING (j, b)
+              |GROUP BY 1 ORDER BY pv.v""".stripMargin)),
 
     // k-core of the basket co-occurrence graph (k = 3): iterative
     // peeling to the exact fixpoint (early-exit + loud cap); the oracle

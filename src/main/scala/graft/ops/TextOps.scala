@@ -414,6 +414,59 @@ object TextOps {
       .orderBy("qid", "rnk")
   }
 
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval rank combiner
+    * (Cormack, Clarke & Büttcher, SIGIR'09 — public): fuse the BM25
+    * ranking with a distinct-token-overlap ranking of the same queries,
+    * rrf(d) = Σ over rankings retrieving d of 1/(kRrf + rank_r(d)) — the
+    * score that makes two incomparable scoring scales combinable using
+    * only their RANKS. This is how a retrieval-augmented curation
+    * pipeline merges lexical and secondary signals without calibrating
+    * either scorer.
+    *
+    * Determinism: both input ranks are ROW_NUMBER integers (score ties
+    * broken by doc_id); the fused score is two exact IEEE divisions
+    * summed in fixed left-to-right expression order — no aggregation
+    * order anywhere — so every column hash-gates against the DuckDB
+    * oracle running the same two rankings.
+    *
+    * Scale shape: inherits [[bm25TopK]]'s (broadcast queries onto keyed
+    * postings, per-qid windows over ≤ kInner rows); the overlap ranking
+    * is one more broadcast join + count; the fusion joins two
+    * (qid, doc_id)-keyed ≤ kInner-row sides. Nothing new shuffles the
+    * corpus. */
+  def rrfFusion(docs: DataFrame, nQueries: Int = 5, qLen: Int = 8,
+                kInner: Int = 10, k: Int = 5, kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, row_number}
+    require(kInner >= k && k >= 1 && kRrf >= 1,
+      s"need kInner >= k >= 1 and kRrf >= 1; got kInner=$kInner k=$k kRrf=$kRrf")
+    val words = docs.selectExpr("doc_id", s"${wordsExpr("text")} as w")
+    val postD = words.selectExpr("doc_id", "explode(w) as token")
+      .filter("token <> ''").distinct()
+    val q = words.filter(col("doc_id") < nQueries)
+      .selectExpr("doc_id as qid", s"explode(array_distinct(slice(w, 1, $qLen))) as token")
+      .filter("token <> ''")
+    val rb = bm25TopK(docs, nQueries, qLen, kInner)
+      .selectExpr("qid", "doc_id", "rnk as rank_bm25")
+    val winOv = Window.partitionBy("qid").orderBy(col("overlap").desc, col("doc_id"))
+    val ro = broadcast(q).join(postD, "token")
+      .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("overlap"))
+      .withColumn("rank_overlap", row_number().over(winOv))
+      .filter(col("rank_overlap") <= kInner)
+      .selectExpr("qid", "doc_id", "cast(rank_overlap as bigint) as rank_overlap")
+    val winF = Window.partitionBy("qid").orderBy(col("rrf_score").desc, col("doc_id"))
+    rb.join(ro, Seq("qid", "doc_id"), "full_outer")
+      .selectExpr("qid", "doc_id", "rank_bm25", "rank_overlap",
+        s"""coalesce(cast(1 as double) / ($kRrf + rank_bm25), cast(0 as double))
+           | + coalesce(cast(1 as double) / ($kRrf + rank_overlap), cast(0 as double))
+           |   as rrf_score""".stripMargin)
+      .withColumn("rrf_rank", row_number().over(winF))
+      .filter(col("rrf_rank") <= k)
+      .selectExpr("qid", "cast(rrf_rank as bigint) as rrf_rank", "doc_id",
+        "rrf_score", "rank_bm25", "rank_overlap")
+      .orderBy("qid", "rrf_rank")
+  }
+
   /** PII patterns shared by [[piiScrub]] and its oracle. Restricted to the
     * regex subset where Java's engine and RE2 (DuckDB) agree exactly:
     * character classes, bounded/unbounded repetition, ASCII \d and \b —

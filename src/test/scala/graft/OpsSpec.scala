@@ -1764,6 +1764,32 @@ class OpsSpec extends SparkSpecBase {
     assert(secs < 60.0, s"bpe early-stop took ${secs}s — did it run all 200 rounds?")
   }
 
+  test("rrf fusion: scores are 1/(60+rank) sums, top-k per query, unmatched docs absent") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta x y"),
+      (3L, "alpha z w v"),
+      (4L, "p q r s")
+    ).toDF("doc_id", "text")
+    val out = TextOps.rrfFusion(docs, nQueries = 1, qLen = 8, kInner = 3, k = 3).collect()
+    assert(out.nonEmpty && out.length <= 3)
+    // contiguous fused ranks from 1
+    assert(out.map(_.getLong(1)).toSeq === (1 to out.length).map(_.toLong))
+    out.foreach { r =>
+      val rb = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      val ro = if (r.isNullAt(5)) None else Some(r.getLong(5))
+      assert(rb.nonEmpty || ro.nonEmpty, "fused doc retrieved by neither ranking")
+      val expect = rb.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        ro.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - expect) < 1e-15,
+        s"rrf_score ${r.getDouble(3)} != $expect for doc ${r.getLong(2)}")
+    }
+    // the no-shared-token doc is never retrieved by either ranking
+    assert(!out.exists(_.getLong(2) == 4L))
+  }
+
   test("pmi collocations: hand-computed lift on a planted corpus; rare pairs gated") {
     import graft.ops.TextOps
     // "a b" appears 6x, a and b appear only together; "x y" 5x but x also
