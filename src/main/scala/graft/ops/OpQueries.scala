@@ -1285,6 +1285,43 @@ object OpQueries {
                    Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))} END AS split
               |FROM h ORDER BY doc_id""".stripMargin)),
 
+    // Split-leakage audit: identical content (order-sensitive rolling
+    // fingerprint) crossing the train/val/test boundary — decontamination
+    // turned inward, the release gate every dataset build needs. The
+    // fixture's natural duplicates happen to land same-split at small SF,
+    // so a leak is PLANTED deterministically (the op_fuzzy_words pattern):
+    // every doc_id % 50 == 0 doc carries one shared body, which md5-splits
+    // its carriers across train/val/test. Counts are integers over
+    // md5-derived values; full hash gate.
+    QueryDef("op_split_leakage",
+      (s, d) => PipelineOps.splitLeakage(docs(s, d).selectExpr("doc_id",
+        "case when doc_id % 50 = 0 then 'graft shared leak body' else text end as text")),
+      Some(s"""WITH d AS (SELECT doc_id,
+              |    CASE WHEN doc_id % 50 = 0 THEN 'graft shared leak body'
+              |         ELSE text END AS text
+              |  FROM documents),
+              |fp AS (SELECT doc_id,
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |      list_transform($dkWords, x -> ${dkH60("x")} % 2147483647)),
+              |      (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
+              |  FROM d),
+              |sp AS (SELECT doc_id,
+              |    CASE ${PipelineOps.splitAssignOracleCase(
+                     Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))} END AS split
+              |  FROM (SELECT doc_id,
+              |          substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+              |        FROM documents)),
+              |j AS (SELECT f.fingerprint, s.split, f.doc_id
+              |      FROM fp f JOIN sp s USING (doc_id))
+              |SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+              |  CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+              |  CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+              |  CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+              |  MIN(doc_id) AS first_doc
+              |FROM j GROUP BY 1 HAVING COUNT(DISTINCT split) >= 2
+              |ORDER BY fingerprint""".stripMargin)),
+
     QueryDef("op_heavy_hitters",
       (s, d) => SketchOps.heavyHitters(docs(s, d), minShare = 0.0015),
       Some(s"""WITH w0 AS (SELECT $dkWords AS w FROM documents),

@@ -207,6 +207,38 @@ object PipelineOps {
     }.mkString(" ") + s" ELSE '${splits.last._1}'"
   }
 
+  /** Train/eval split LEAKAGE audit — the question every dataset release
+    * must answer before shipping: does identical content cross the split
+    * boundary? (A doc whose text also sits in train contaminates val/test
+    * exactly like external benchmark leakage — this is decontamination
+    * turned inward.) Joins the deterministic splitter with the
+    * order-sensitive rolling-hash content fingerprint and reports every
+    * fingerprint present in MORE THAN ONE split, with per-split doc
+    * counts and the smallest carrying doc_id.
+    *
+    * Scale shape: two map-only per-row derivations (split CASE,
+    * fingerprint fold) joined on doc_id, then ONE fingerprint-keyed
+    * partial-aggregated groupBy; the HAVING keeps only boundary-crossing
+    * fingerprints, so the output is duplicate-bounded, not corpus-sized.
+    * All-integer counts over md5-derived values — full hash gate.
+    */
+  def splitLeakage(docs: DataFrame, keyCol: String = "doc_id",
+                   splits: Seq[(String, Double)] =
+                     Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05)): DataFrame = {
+    val fp = TextOps.fingerprint(docs)
+    val sp = splitAssign(docs, keyCol, splits)
+    val perSplit = splits.map { case (name, _) =>
+      sum(expr(s"case when split = '$name' then 1L else 0L end")).as(s"n_$name")
+    }
+    val aggs = countDistinct(col("split")).as("n_splits") +:
+      perSplit :+ min(col(keyCol)).as("first_doc")
+    fp.join(sp, Seq(keyCol))
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), aggs: _*)
+      .filter(col("n_splits") >= 2)
+      .orderBy("fingerprint")
+  }
+
   def langSampleWeights(docs: DataFrame): DataFrame = {
     val per = docs
       .selectExpr("lang",

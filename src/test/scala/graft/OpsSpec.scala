@@ -1790,6 +1790,26 @@ class OpsSpec extends SparkSpecBase {
     assert(!out.exists(_.getLong(2) == 4L))
   }
 
+  test("split leakage: identical content crossing the split boundary is reported with exact counts") {
+    import graft.ops.PipelineOps
+    // 100 docs share one text (ids 0-99 → md5 splits them ~90/5/5), one
+    // unique doc never appears (single split by construction)
+    val docs = spark.range(101).selectExpr("id as doc_id",
+      "case when id < 100 then 'shared leaked text body' else 'unique text' end as text")
+    val out = PipelineOps.splitLeakage(docs).collect()
+    assert(out.length === 1, s"expected exactly the shared fingerprint, got ${out.length}")
+    val r = out.head
+    assert(r.getLong(1) === 100L) // n_docs
+    assert(r.getLong(2) >= 2L)    // n_splits
+    assert(r.getLong(3) + r.getLong(4) + r.getLong(5) === 100L) // counts tile
+    assert(r.getLong(3) > 80L, "train share off for a 90/5/5 split of 100 docs")
+    assert(r.getLong(6) === 0L)   // first_doc
+    // a corpus with no duplicate content reports NO leakage
+    assert(PipelineOps.splitLeakage(
+      spark.range(50).selectExpr("id as doc_id",
+        "concat('doc body ', cast(id as string)) as text")).count() === 0)
+  }
+
   test("pmi collocations: hand-computed lift on a planted corpus; rare pairs gated") {
     import graft.ops.TextOps
     // "a b" appears 6x, a and b appear only together; "x y" 5x but x also

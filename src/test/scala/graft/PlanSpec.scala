@@ -72,7 +72,8 @@ class PlanSpec extends SparkSpecBase {
       "op_dedup_embedding", "op_embed_kmeans", "op_embed_kmeans_pruned",
       "op_embed_pq", "op_sim_topk_pq", "op_sim_topk_ivfpq",
       "op_sim_topk_ivfpq_res",
-      "op_bm25_topk", "op_profile", "op_lang_sample_weights",
+      "op_bm25_topk", "op_rrf_fusion", // rrf inherits bm25's 1-row stats broadcast
+      "op_profile", "op_lang_sample_weights",
       "op_corr_spearman", // 1-row range-totals broadcast for the prefix-sum offsets
 
       "op_lm_score", // 1-row vocab-size broadcast, the op_profile pattern
@@ -477,5 +478,27 @@ class PlanSpec extends SparkSpecBase {
     // join; the probe side stays partitioned by value
     assert(p.contains("BroadcastHashJoin"), s"sketch table must broadcast:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("cm lookup probes the persisted sketch as a broadcast left join") {
+    val p = plan("op_cm_lookup")
+    assert(p.contains("BroadcastHashJoin"), s"counter table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("rrf fusion broadcasts the query side; fusion never shuffles the corpus twice") {
+    val p = plan("op_rrf_fusion")
+    // both rankings join the tiny query set as broadcasts onto the keyed
+    // postings; the fused join runs over two ≤ kInner-row sides
+    assert(p.contains("BroadcastHashJoin"), s"query side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("span cut reconstruction runs through the span_keep kernel, not a per-token scan") {
+    val p = plan("op_span_cut")
+    assert(p.contains("span_keep"), s"cut path lost the two-pointer kernel:\n$p")
+    assert(!p.contains("exists("), s"interpreted per-token exists() back in the cut path:\n$p")
+    val p2 = plan("op_decontaminate_cut")
+    assert(p2.contains("span_keep"), s"decontaminate cut lost the kernel:\n$p2")
   }
 }
