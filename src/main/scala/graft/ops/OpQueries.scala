@@ -1614,6 +1614,35 @@ object OpQueries {
     // sessionization: session counts, event totals, busiest session and
     // the exact DISC median duration (microsecond integers) — fully
     // hash-gated.
+    // Per-(type, day) event-volume anomalies: each day's count z-scored
+    // against its own type's daily distribution (explicit Σc/Σc² moment
+    // tree, correctly-rounded sqrt — no engine-defined AVG/STDDEV
+    // accumulation), flagged at |z| > 3 — the ingest-health screen. Full
+    // hash gate.
+    QueryDef("op_rate_anomaly",
+      (s, d) => ProfileOps.rateAnomalies(Tables.load(s, d, "events")),
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |         CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             |         CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+             |       FROM daily GROUP BY 1),
+             |j AS (SELECT d.event_type, d.day, d.c,
+             |        CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_c,
+             |        sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_days AS DOUBLE)
+             |          - (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+             |            * (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)),
+             |          CAST(0 AS DOUBLE))) AS std_c
+             |      FROM daily d JOIN st USING (event_type)),
+             |z AS (SELECT event_type, day, c, mean_c, std_c,
+             |        CASE WHEN std_c > 0
+             |             THEN (CAST(c AS DOUBLE) - mean_c) / std_c END AS z
+             |      FROM j)
+             |SELECT event_type, day, c, mean_c, std_c, z,
+             |       COALESCE(abs(z) > CAST(3.0 AS DOUBLE), false) AS is_anomaly
+             |FROM z ORDER BY event_type, day""".stripMargin)),
+
     QueryDef("op_session_stats",
       (s, d) => ProfileOps.sessionStats(Tables.load(s, d, "events")),
       Some("""WITH g AS (
@@ -1742,6 +1771,15 @@ object OpQueries {
     QueryDef("op_bpe_token_count",
       (s, d) => TextOps.bpeTokenCount(docs(s, d), rounds = 10),
       Some(dkBpeTokenCountOracle(10))),
+
+    // Tokenizer fertility per language (BPE pieces per word, by the
+    // labeled lang) — the multilingual tokenizer-evaluation number that
+    // exposes over-fragmentation of under-represented languages.
+    // All-integer sums + one division; hash-gates against the same
+    // unrolled rounds in SQL.
+    QueryDef("op_tokenizer_fertility",
+      (s, d) => TextOps.tokenizerFertility(docs(s, d), rounds = 10),
+      Some(dkFertilityOracle(10))),
 
     // MinHash estimator audit: for every LSH band candidate, the
     // signature-agreement Jaccard estimate (matches/16 — exact IEEE)
@@ -1897,6 +1935,28 @@ object OpQueries {
   /** DuckDB mirror of [[TextOps.bpeTokenCount]]: the shared unrolled
     * BPE rounds, then each doc's word stream joined to the vocab's
     * piece counts. */
+  /** DuckDB mirror of [[TextOps.tokenizerFertility]]: the
+    * dkBpeTokenCountOracle per-doc bill rolled up by the labeled lang. */
+  private def dkFertilityOracle(rounds: Int): String =
+    dkBpeCtes(rounds) +
+      s""",
+         |enc AS MATERIALIZED (SELECT word,
+         |         CAST(len(string_split(trim(st), '  ')) AS BIGINT) AS np
+         |       FROM s$rounds),
+         |dw AS (SELECT doc_id, word FROM (
+         |         SELECT doc_id, unnest($dkWords) AS word FROM documents)
+         |       WHERE word <> ''),
+         |m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |        CAST(SUM(np) AS BIGINT) AS n_bpe_tokens
+         |      FROM dw JOIN enc USING (word) GROUP BY 1),
+         |per AS (SELECT d.doc_id, d.lang, m.n_words, m.n_bpe_tokens
+         |        FROM documents d LEFT JOIN m USING (doc_id))
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(SUM(n_bpe_tokens) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE) AS fertility
+         |FROM per GROUP BY 1 ORDER BY lang""".stripMargin
+
   private def dkBpeTokenCountOracle(rounds: Int): String =
     dkBpeCtes(rounds) +
       s""",

@@ -184,6 +184,44 @@ object ProfileOps {
     * exists anywhere. DECIMAL bounds: daily totals to 10¹², x·y
     * products to 10¹⁶ at scale 6 — inside DECIMAL(38,6) for any
     * realistic corpus. */
+  /** Per-(type, day) event-volume anomalies — the monitoring screen over
+    * an event stream: each day's count z-scored against ITS OWN TYPE's
+    * daily distribution, flagged at |z| > threshold. The ingest-health
+    * check a pipeline runs before trusting a day's data (a collapsed or
+    * exploded daily volume is the classic upstream-breakage signal).
+    *
+    * Determinism: counts are integers; mean and variance come from the
+    * explicit (Σc, Σc²)/n expression tree (no AVG/STDDEV builtin, whose
+    * accumulation order is engine-defined) and sqrt is IEEE
+    * correctly-rounded — every column hash-gates. std = 0 (constant
+    * volume) yields NULL z and false flags in both engines.
+    *
+    * Scale shape: one (type, day)-keyed partial-aggregated count, one
+    * type-keyed rollup (1 row per type — broadcasts), one map-only
+    * z projection. Nothing corpus-sized shuffles twice. */
+  def rateAnomalies(events: DataFrame, tsCol: String = "ts",
+                    typeCol: String = "event_type",
+                    threshold: Double = 3.0): DataFrame = {
+    val daily = events
+      .selectExpr(s"$typeCol as event_type",
+        s"cast(date_trunc('DAY', $tsCol) as date) as day")
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val stats = daily.groupBy("event_type").agg(
+      count(lit(1)).as("n_days"), sum("c").as("s1"),
+      sum(expr("c * c")).as("s2"))
+    val mean = "cast(s1 as double) / cast(n_days as double)"
+    daily.join(broadcast(stats), "event_type")
+      .selectExpr("event_type", "day", "c",
+        s"$mean as mean_c",
+        s"""sqrt(greatest(cast(s2 as double) / cast(n_days as double)
+           |  - ($mean) * ($mean), cast(0 as double))) as std_c""".stripMargin)
+      .selectExpr("event_type", "day", "c", "mean_c", "std_c",
+        "case when std_c > 0 then (cast(c as double) - mean_c) / std_c end as z")
+      .selectExpr("event_type", "day", "c", "mean_c", "std_c", "z",
+        s"coalesce(abs(z) > cast($threshold as double), false) as is_anomaly")
+      .orderBy("event_type", "day")
+  }
+
   def groupTrend(df: DataFrame, grp: String, tsCol: String,
                  valueCol: String): DataFrame = {
     val g0 = df.agg(min(col(tsCol).cast("date")).as("g0"))

@@ -1014,6 +1014,34 @@ object TextOps {
     docs.select("doc_id").join(m, Seq("doc_id"), "left").orderBy("doc_id")
   }
 
+  /** Tokenizer FERTILITY per language — the standard multilingual
+    * tokenizer-evaluation metric (BPE pieces per word): a tokenizer
+    * trained on one language mix over-fragments the others, and
+    * fertility by language is the number that exposes it (how token
+    * budgets, context lengths and per-language costs are compared
+    * across tokenizers). Composes [[bpeTokenCount]] (the learned-merge
+    * token bill) with the corpus's labeled `lang` column: per language,
+    * doc/word/piece totals and fertility = Σ pieces / Σ words.
+    *
+    * All-integer sums + one double division — hash-gates against the
+    * identical unrolled BPE rounds re-derived in SQL. Scale shape
+    * inherits bpeTokenCount (broadcast tokenizer artifact onto the word
+    * stream, map-side partial count per doc) plus one language-keyed
+    * rollup over per-doc rows. */
+  def tokenizerFertility(docs: DataFrame, rounds: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tc = bpeTokenCount(docs, rounds)
+    docs.select(col("doc_id"), col("lang"))
+      .join(tc, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"))
+      .selectExpr("lang", "n_docs", "n_words", "n_bpe_tokens",
+        "cast(n_bpe_tokens as double) / cast(n_words as double) as fertility")
+      .orderBy("lang")
+  }
+
   /** PMI collocations (Church & Hanks, CL'90 — public): the top-`k`
     * adjacent word pairs by pointwise mutual information over the
     * bigram event space — marginals taken from the SAME bigram table

@@ -1810,6 +1810,50 @@ class OpsSpec extends SparkSpecBase {
         "concat('doc body ', cast(id as string)) as text")).count() === 0)
   }
 
+  test("tokenizer fertility: hand-computed pieces-per-word by language") {
+    import graft.ops.TextOps
+    // round 1 merges the corpus-frequent 'a b' -> 'ab', so the en docs
+    // encode 1 piece/word while fr's 'cd' stays 2 pieces/word
+    val docs = Seq(
+      (1L, "en", "ab ab"),
+      (2L, "en", "ab"),
+      (3L, "fr", "cd")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextOps.tokenizerFertility(docs, rounds = 1).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("en", "fr"))
+    assert(out("en").getLong(1) === 2L && out("en").getLong(2) === 3L &&
+      out("en").getLong(3) === 3L && out("en").getDouble(4) === 1.0)
+    assert(out("fr").getLong(2) === 1L && out("fr").getLong(3) === 2L &&
+      out("fr").getDouble(4) === 2.0)
+  }
+
+  test("rate anomalies: single volume spike z-scores above 3; constant volume yields null z") {
+    import graft.ops.ProfileOps
+    // type a: 15 days of 10 events + one day of 100 (max single-outlier
+    // z = sqrt(n-1), so n = 16 puts the spike at z ≈ 3.87 > 3);
+    // type b: constant volume → std 0 → NULL z, never flagged
+    val ev = spark.sql(
+      """SELECT 'a' AS event_type,
+        |       timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, day, 0, 0, 0) AS ts
+        |FROM (SELECT explode(sequence(0, 15)) AS day)
+        |LATERAL VIEW explode(sequence(1, CASE WHEN day = 15 THEN 100 ELSE 10 END)) t AS i
+        |UNION ALL
+        |SELECT 'b', timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, day, 0, 0, 0)
+        |FROM (SELECT explode(sequence(0, 2)) AS day)
+        |LATERAL VIEW explode(sequence(1, 5)) t AS i""".stripMargin)
+    val out = ProfileOps.rateAnomalies(ev).collect()
+    assert(out.length === 19)
+    val flagged = out.filter(_.getBoolean(6))
+    assert(flagged.length === 1)
+    val spike = flagged.head
+    assert(spike.getString(0) === "a" && spike.getLong(2) === 100L)
+    assert(math.abs(spike.getDouble(5) - 3.873) < 0.01, s"z = ${spike.getDouble(5)}")
+    out.filter(_.getString(0) == "b").foreach { r =>
+      assert(r.isNullAt(5) && !r.getBoolean(6))
+    }
+  }
+
   test("pmi collocations: hand-computed lift on a planted corpus; rare pairs gated") {
     import graft.ops.TextOps
     // "a b" appears 6x, a and b appear only together; "x y" 5x but x also
