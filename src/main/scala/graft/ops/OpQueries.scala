@@ -1322,6 +1322,49 @@ object OpQueries {
               |FROM j GROUP BY 1 HAVING COUNT(DISTINCT split) >= 2
               |ORDER BY fingerprint""".stripMargin)),
 
+    // Corpus snapshot diff: v2 is derived deterministically (drop
+    // doc_id % 97 = 0, edit % 31 = 0, add shifted % 51 = 0 docs) and the
+    // diff labels every id added/removed/changed/unchanged via null-safe
+    // fingerprint comparison — the dataset-release changelog. Full hash
+    // gate (md5 fingerprints + status strings).
+    QueryDef("op_corpus_diff",
+      (s, d) => {
+        val old = docs(s, d)
+        val v2 = old.filter("doc_id % 97 != 0")
+          .selectExpr("doc_id",
+            "case when doc_id % 31 = 0 then concat(text, ' v2 edit') else text end as text")
+          .union(old.filter("doc_id % 51 = 0")
+            .selectExpr("doc_id + 1000000 as doc_id",
+              "concat('brand new ', cast(doc_id as string)) as text"))
+        PipelineOps.corpusDiff(old, v2)
+      },
+      Some(s"""WITH v2 AS (
+              |  SELECT doc_id,
+              |    CASE WHEN doc_id % 31 = 0 THEN text || ' v2 edit' ELSE text END AS text
+              |  FROM documents WHERE doc_id % 97 != 0
+              |  UNION ALL
+              |  SELECT doc_id + 1000000, 'brand new ' || CAST(doc_id AS VARCHAR)
+              |  FROM documents WHERE doc_id % 51 = 0),
+              |fo AS (SELECT doc_id,
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |      list_transform($dkWords, x -> ${dkH60("x")} % 2147483647)),
+              |      (a, b) -> (a * 31 + b) % 2147483647) AS fp_old,
+              |    true AS in_old
+              |  FROM documents),
+              |fn AS (SELECT doc_id,
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |      list_transform($dkWords, x -> ${dkH60("x")} % 2147483647)),
+              |      (a, b) -> (a * 31 + b) % 2147483647) AS fp_new,
+              |    true AS in_new
+              |  FROM v2)
+              |SELECT COALESCE(fo.doc_id, fn.doc_id) AS doc_id, fp_old, fp_new,
+              |  CASE WHEN in_old IS NULL THEN 'added'
+              |       WHEN in_new IS NULL THEN 'removed'
+              |       WHEN fp_old IS NOT DISTINCT FROM fp_new THEN 'unchanged'
+              |       ELSE 'changed' END AS status
+              |FROM fo FULL OUTER JOIN fn ON fo.doc_id = fn.doc_id
+              |ORDER BY doc_id""".stripMargin)),
+
     QueryDef("op_heavy_hitters",
       (s, d) => SketchOps.heavyHitters(docs(s, d), minShare = 0.0015),
       Some(s"""WITH w0 AS (SELECT $dkWords AS w FROM documents),

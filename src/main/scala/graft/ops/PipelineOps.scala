@@ -239,6 +239,32 @@ object PipelineOps {
       .orderBy("fingerprint")
   }
 
+  /** Corpus snapshot DIFF — the release audit between two dataset
+    * versions: per doc_id, whether the doc was ADDED, REMOVED, CHANGED
+    * (content fingerprint moved) or UNCHANGED between snapshots — what a
+    * dataset changelog is built from, and the pre-publish check that a
+    * "metadata-only" release didn't silently rewrite content. Presence
+    * is tracked with explicit flags (never by fingerprint nullness — a
+    * null-text doc must not masquerade as added), and the changed test
+    * is null-safe.
+    *
+    * Scale shape: two map-only fingerprint passes + ONE doc_id-keyed
+    * full-outer join; output is corpus-sized but per-row constant —
+    * nothing quadratic, nothing driver-side. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val fo = TextOps.fingerprint(oldDocs)
+      .selectExpr("doc_id", "fingerprint as fp_old", "true as in_old")
+    val fn = TextOps.fingerprint(newDocs)
+      .selectExpr("doc_id", "fingerprint as fp_new", "true as in_new")
+    fo.join(fn, Seq("doc_id"), "full_outer")
+      .selectExpr("doc_id", "fp_old", "fp_new",
+        """case when in_old is null then 'added'
+          |     when in_new is null then 'removed'
+          |     when fp_old <=> fp_new then 'unchanged'
+          |     else 'changed' end as status""".stripMargin)
+      .orderBy("doc_id")
+  }
+
   def langSampleWeights(docs: DataFrame): DataFrame = {
     val per = docs
       .selectExpr("lang",

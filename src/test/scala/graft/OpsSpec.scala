@@ -1854,6 +1854,22 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("corpus diff labels added/removed/changed/unchanged via null-safe fingerprints") {
+    import graft.ops.PipelineOps
+    val old = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "kept text"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((2L, "gamma delta edited"), (3L, "kept text"), (4L, "fresh doc"))
+      .toDF("doc_id", "text")
+    val out = PipelineOps.corpusDiff(old, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out === Map(1L -> "removed", 2L -> "changed",
+      3L -> "unchanged", 4L -> "added"))
+    // reordered words are CHANGED (the fingerprint is order-sensitive)
+    val shuffled = Seq((3L, "text kept")).toDF("doc_id", "text")
+    val o2 = PipelineOps.corpusDiff(old.filter("doc_id = 3"), shuffled).collect()
+    assert(o2.head.getString(3) === "changed")
+  }
+
   test("pmi collocations: hand-computed lift on a planted corpus; rare pairs gated") {
     import graft.ops.TextOps
     // "a b" appears 6x, a and b appear only together; "x y" 5x but x also
