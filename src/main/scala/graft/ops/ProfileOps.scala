@@ -201,11 +201,24 @@ object ProfileOps {
     * z projection. Nothing corpus-sized shuffles twice. */
   def rateAnomalies(events: DataFrame, tsCol: String = "ts",
                     typeCol: String = "event_type",
-                    threshold: Double = 3.0): DataFrame = {
-    val daily = events
+                    threshold: Double = 3.0): DataFrame =
+    zscoreDaily(dailyCounts(events, tsCol, typeCol), threshold)
+
+  /** The (type, day)-keyed count stage of [[rateAnomalies]] — a plain
+    * linear aggregation, which is what makes the streaming twin
+    * ([[graft.streaming.StreamingOps.rateDailyStream]]) a stock
+    * streaming COUNT whose micro-batch partials add in the state store. */
+  private[graft] def dailyCounts(events: DataFrame, tsCol: String,
+                                 typeCol: String): DataFrame =
+    events
       .selectExpr(s"$typeCol as event_type",
         s"cast(date_trunc('DAY', $tsCol) as date) as day")
       .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+
+  /** The z-extraction stage of [[rateAnomalies]] over an already-built
+    * (event_type, day, c) table — shared by the batch op and the
+    * streaming twin's read side. */
+  private[graft] def zscoreDaily(daily: DataFrame, threshold: Double): DataFrame = {
     val stats = daily.groupBy("event_type").agg(
       count(lit(1)).as("n_days"), sum("c").as("s1"),
       sum(expr("c * c")).as("s2"))

@@ -511,6 +511,22 @@ object StreamingOps {
       .groupBy("grp", "bucket").agg(count(lit(1)).as("c"))
   }
 
+  /** Streaming daily event-volume counter — the online half of
+    * [[graft.ops.ProfileOps.rateAnomalies]]: the (type, day) count is a
+    * plain LINEAR streaming aggregation (micro-batch partials add in the
+    * state store), so ingest-health counters accumulate online with
+    * O(types × days) state; the anomaly z-extraction (a per-type moment
+    * rollup) is not a streaming-legal second aggregation and runs on the
+    * read side over the emitted table via `ProfileOps.zscoreDaily` —
+    * the same stage split as the sketch twins. Run with Complete/Update
+    * output. */
+  def rateDailyStream(events: DataFrame, tsCol: String = "ts",
+                      typeCol: String = "event_type"): DataFrame =
+    events
+      .selectExpr(s"$typeCol as event_type",
+        s"cast(date_trunc('DAY', $tsCol) as date) as day")
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+
   def heavyHittersStream(docs: DataFrame, minShare: Double,
                          k0: Int = 0): DataFrame = {
     require(minShare > 0 && minShare < 1, s"minShare in (0,1), got $minShare")

@@ -511,6 +511,41 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === batch)
   }
 
+  test("streaming daily volume equals batch; read-side z-extraction equals the batch anomaly op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Tables.load(spark, sfDir, "events")
+      .select("event_type", "ts").orderBy("event_type", "ts")
+    val batchAnom = graft.ops.ProfileOps
+      .rateAnomalies(Tables.load(spark, sfDir, "events")).collect()
+      .map(r => (r.getString(0), r.getDate(1)) -> r.toSeq.drop(2)).toMap
+    assert(batchAnom.nonEmpty)
+
+    val rows = events.as[(String, java.sql.Timestamp)].collect()
+    val stream = MemoryStream[(String, java.sql.Timestamp)]
+    val q = StreamingOps.rateDailyStream(
+        stream.toDF().toDF("event_type", "ts"))
+      .writeStream.format("memory").queryName("rate_stream")
+      .outputMode("complete").start()
+    try {
+      // two deliveries: the (type, day) count is linear, so batch 2's
+      // partials must ADD into the state-store count
+      val (a, b) = rows.splitAt(rows.length / 2)
+      stream.addData(a.toSeq)
+      q.processAllAvailable()
+      stream.addData(b.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the read side applies the SAME z-extraction stage the batch op
+    // uses (localCheckpoint: MemoryPlan cannot self-join for the moment
+    // rollup — resolving conflicting references — so snapshot it first,
+    // which is also what a real consumer of the sink table would read)
+    val streamedAnom = graft.ops.ProfileOps
+      .zscoreDaily(spark.table("rate_stream").localCheckpoint(), 3.0).collect()
+      .map(r => (r.getString(0), r.getDate(1)) -> r.toSeq.drop(2)).toMap
+    assert(streamedAnom === batchAnom)
+  }
+
   test("streaming histogram equals the batch histogram, added bucket-wise across cuts") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val (lo, hi, nb) = (0.0, 512.0, 128)
