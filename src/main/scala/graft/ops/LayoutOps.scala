@@ -44,6 +44,27 @@ object LayoutOps {
        |    + (((cast($y as bigint) >> i) & 1) << (2 * i + 1)))""".stripMargin
   }
 
+  /** 3-D Morton z-value via the codegen
+    * [[graft.sql.expressions.ZValue3]] kernel — the multi-column
+    * OPTIMIZE ZORDER case (most production layouts cluster on THREE
+    * keys: tenant, date-bucket, entity); bits ≤ 20 per dimension keeps
+    * the curve under 2⁶⁰. */
+  def zValue3Expr(x: String, y: String, z: String, bits: Int = 20): String = {
+    require(bits > 0 && bits <= 20, s"need 0 < bits <= 20; got $bits")
+    s"zvalue3(cast($x as bigint), cast($y as bigint), cast($z as bigint), $bits)"
+  }
+
+  /** The 3-D curve as a pure-SQL fold — the portable reference form the
+    * DuckDB oracle mirrors (disjoint bits sum, so `+` IS bitwise-or). */
+  def zValue3FoldExpr(x: String, y: String, z: String, bits: Int = 20): String = {
+    require(bits > 0 && bits <= 20, s"need 0 < bits <= 20; got $bits")
+    s"""aggregate(sequence(0, ${bits - 1}), cast(0 as bigint),
+       |  (acc, i) -> acc
+       |    + (((cast($x as bigint) >> i) & 1) << (3 * i))
+       |    + (((cast($y as bigint) >> i) & 1) << (3 * i + 1))
+       |    + (((cast($z as bigint) >> i) & 1) << (3 * i + 2)))""".stripMargin
+  }
+
   /** Hilbert-curve distance via the codegen
     * [[graft.sql.expressions.HilbertValue]] kernel — the no-diagonal-
     * jumps alternative to [[zValueExpr]]: consecutive curve positions

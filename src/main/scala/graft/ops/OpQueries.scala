@@ -1394,6 +1394,24 @@ object OpQueries {
              |FROM lineitem
              |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin)),
 
+    // 3-D z-order: the multi-column OPTIMIZE ZORDER case (tenant /
+    // date-bucket / entity is the production shape) — pure integer bit
+    // interleaving over three keys, the whole curve hash-gates.
+    QueryDef("op_zorder3",
+      (s, d) => {
+        val l = Tables.load(s, d, "lineitem")
+        l.selectExpr("l_orderkey", "l_linenumber",
+          LayoutOps.zValue3Expr("l_partkey", "l_suppkey", "l_linenumber", 20) + " as zval")
+          .orderBy("zval", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 20)), (acc, i) ->
+             |    acc + (((l_partkey >> i) & 1) << (3 * i))
+             |        + (((l_suppkey >> i) & 1) << (3 * i + 1))
+             |        + (((l_linenumber >> i) & 1) << (3 * i + 2))) AS zval
+             |FROM lineitem
+             |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin)),
+
     // TextRank keyword extraction: integer fixed-point PageRank over the
     // word-adjacency graph. Every update is integer arithmetic (rational
     // 85/100 damping, div truncation), so ranks — not just rankings —

@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.variant.ParseJson
 import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DateType,
   DoubleType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
 
-import graft.sql.expressions.{ArrayDot, CdcBounds, Checksum, FeatureHash, FnvHash, HilbertValue, MinHashSig, QuantizeI8, SimHash60, SimHashBits, SpanKeep, ZValue}
+import graft.sql.expressions.{ArrayDot, CdcBounds, Checksum, FeatureHash, FnvHash, HilbertValue, MinHashSig, QuantizeI8, SimHash60, SimHashBits, SpanKeep, ZValue, ZValue3}
 
 /** Session extensions registering the Redshift function-name surface that
   * Spark's parser accepts but its registry lacks (SURVEY.md §2.2 🔧/🔴):
@@ -110,6 +110,15 @@ object GraftExtensions {
           ZValue(Cast(args(0), LongType), Cast(args(1), LongType), b)
         case other => throw new IllegalArgumentException(
           s"zvalue: bits must be an integer literal in [1, 31], got $other")
+      }),
+    (FunctionIdentifier("zvalue3"),
+      info("zvalue3", "zvalue3(x, y, z, bits) - 3-D Morton bit-interleave of three non-negative BIGINTs, bits bits each; bits must be an integer literal in [1, 20]."),
+      (args: Seq[Expression]) => args(3) match {
+        case Literal(b: Int, IntegerType) if b >= 1 && b <= 20 =>
+          ZValue3(Cast(args(0), LongType), Cast(args(1), LongType),
+            Cast(args(2), LongType), b)
+        case other => throw new IllegalArgumentException(
+          s"zvalue3: bits must be an integer literal in [1, 20], got $other")
       }),
     (FunctionIdentifier("hvalue"),
       info("hvalue", "hvalue(x, y, bits) - Hilbert-curve distance of cell (x, y) on the 2^bits grid (the no-diagonal-jumps layout curve); bits must be an integer literal in [1, 31]."),

@@ -30,6 +30,22 @@ object ArrayKernels {
     acc
   }
 
+  /** 3-D Morton interleave: bit i of x → 3i, of y → 3i+1, of z → 3i+2,
+    * i < bits (bits ≤ 20 keeps the result under 2⁶⁰) — the multi-column
+    * OPTIMIZE ZORDER case: most production layouts cluster on three keys
+    * (e.g. tenant, date-bucket, entity), not two. */
+  def zInterleave3(x: Long, y: Long, z: Long, bits: Int): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < bits) {
+      acc |= ((x >> i) & 1L) << (3 * i)
+      acc |= ((y >> i) & 1L) << (3 * i + 1)
+      acc |= ((z >> i) & 1L) << (3 * i + 2)
+      i += 1
+    }
+    acc
+  }
+
   /** Hilbert-curve distance of cell (x, y) on the 2^bits × 2^bits grid
     * (the classic xy2d bit loop — public domain, e.g. Wikipedia
     * "Hilbert curve"). Unlike the Morton z-value, consecutive Hilbert
@@ -458,6 +474,27 @@ case class SpanKeep(first: Expression, second: Expression, third: Expression)
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): SpanKeep =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `zvalue3(x, y, z, bits)` → BIGINT: 3-D Morton bit-interleave, `bits`
+  * bits per dimension (bits ≤ 20 keeps the curve under 2⁶⁰). The
+  * multi-column z-order layout kernel; same codegen shape as [[ZValue]]. */
+case class ZValue3(first: Expression, second: Expression, third: Expression,
+                   bits: Int) extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zvalue3"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    ArrayKernels.zInterleave3(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      c.asInstanceOf[Long], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c) => s"graft.sql.expressions.ArrayKernels.zInterleave3($a, $b, $c, $bits)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): ZValue3 =
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 

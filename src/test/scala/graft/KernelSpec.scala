@@ -165,6 +165,24 @@ class KernelSpec extends SparkSpecBase {
     assert(byId(2L).length === 200)
   }
 
+  test("zvalue3 kernel: hand vectors, codegen == pure-SQL fold on fixture keys") {
+    // (1,1,1) bits=1 → 0b111 = 7; (1,0,1) → 0b101 = 5; x=3 alone bits=2
+    // → bits 0 and 3 → 9; high bits beyond `bits` ignored
+    val r = spark.sql(
+      s"""SELECT zvalue3(1, 1, 1, 1) AS a, zvalue3(1, 0, 1, 1) AS b,
+         |       zvalue3(3, 0, 0, 2) AS c, zvalue3(1 + 4, 1, 1, 1) AS d""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) === 7L && r.getLong(1) === 5L &&
+      r.getLong(2) === 9L && r.getLong(3) === 7L)
+    val both = Tables.load(spark, sfDir, "lineitem").limit(2000)
+      .selectExpr(
+        graft.ops.LayoutOps.zValue3Expr("l_partkey", "l_suppkey", "l_linenumber", 20) + " as kernel",
+        graft.ops.LayoutOps.zValue3FoldExpr("l_partkey", "l_suppkey", "l_linenumber", 20) + " as fold")
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("hvalue masks inputs to `bits` like zvalue: high bits cannot corrupt the curve") {
     val r = spark.sql(
       s"""SELECT hvalue(3, 5, 4) AS base,
