@@ -135,6 +135,38 @@ object LayoutOps {
                    numPartitions: Int = 32): DataFrame =
     curveOrder(df, xCol, yCol, bitsPerDim, numPartitions, hValueExpr, "hval")
 
+  /** [[zOrder]] over THREE columns — the production clustering shape
+    * (tenant, date-bucket, entity): min-max normalize each dimension to
+    * `bitsPerDim` bits, interleave with the [[zValue3Expr]] kernel,
+    * range-partition + sort on the curve. Every partition then bounds
+    * ALL THREE columns, so min/max file stats prune scans filtered on
+    * any of them (the skipping OpsSpec proves it against a
+    * single-column sort). */
+  def zOrder3(df: DataFrame, xCol: String, yCol: String, zCol: String,
+              bitsPerDim: Int = 10, numPartitions: Int = 32): DataFrame = {
+    require(bitsPerDim > 0 && bitsPerDim <= 20,
+      s"need 0 < bitsPerDim <= 20; got $bitsPerDim")
+    val hi = (1L << bitsPerDim) - 1
+    val stats = df.agg(
+      min(col(xCol)).cast("double").as("zo_xmn"),
+      max(col(xCol)).cast("double").as("zo_xmx"),
+      min(col(yCol)).cast("double").as("zo_ymn"),
+      max(col(yCol)).cast("double").as("zo_ymx"),
+      min(col(zCol)).cast("double").as("zo_zmn"),
+      max(col(zCol)).cast("double").as("zo_zmx"))
+    def norm(c: String, mn: String, mx: String) =
+      s"""case when $mx = $mn then cast(0 as bigint)
+         |     else cast(floor((cast($c as double) - $mn) / ($mx - $mn) * $hi) as bigint)
+         |end""".stripMargin
+    df.crossJoin(broadcast(stats))
+      .withColumn("zval3", expr(zValue3Expr(
+        norm(xCol, "zo_xmn", "zo_xmx"), norm(yCol, "zo_ymn", "zo_ymx"),
+        norm(zCol, "zo_zmn", "zo_zmx"), bitsPerDim)))
+      .drop("zo_xmn", "zo_xmx", "zo_ymn", "zo_ymx", "zo_zmn", "zo_zmx")
+      .repartitionByRange(numPartitions, col("zval3"))
+      .sortWithinPartitions("zval3")
+  }
+
   private def curveOrder(df: DataFrame, xCol: String, yCol: String,
                          bitsPerDim: Int, numPartitions: Int,
                          curve: (String, String, Int) => String,

@@ -2061,7 +2061,11 @@ class DialectSpec extends SparkSpecBase {
       "SELECT CASE WHEN a THEN 1 ELSE 2 END FROM t",
       "SELECT date_format(ts, 'yyyy-MM-dd') FROM t",
       "SELECT a /* TOP 3 */ FROM t -- SELECT TOP 9",
-      "SELECT array_sort(collect_list(x)) FROM t GROUP BY k")
+      "SELECT array_sort(collect_list(x)) FROM t GROUP BY k",
+      // dollar signs that are NOT dollar-quote openers: inside a string
+      // literal, and a bare mid-identifier $ (tag$col is Word+Sym+Word)
+      "SELECT 'a $$ not a quote $$ b' AS s FROM t",
+      "SELECT a$b, c FROM t WHERE note = '$tag$'")
     valid.foreach(q => assert(rewrite(q) === q, s"rewriter changed valid SQL: $q"))
   }
   // ---- late-binding views (WITH NO SCHEMA BINDING) ----
@@ -2178,7 +2182,11 @@ class DialectSpec extends SparkSpecBase {
       "SELECT CONVERT(INT, a), DATEADD(day, 1, ts), DATEDIFF(hour, a, b) FROM t",
       "SELECT TO_CHAR(ts, 'YYYY-MM-DD') FROM t",
       "CREATE TABLE t (id BIGINT ENCODE az64, v DOUBLE) DISTSTYLE KEY DISTKEY(id) SORTKEY(id)",
-      "CREATE TABLE t2 (id BIGINT DISTKEY, ts STRING SORTKEY, v DOUBLE)")
+      "CREATE TABLE t2 (id BIGINT DISTKEY, ts STRING SORTKEY, v DOUBLE)",
+      "CREATE OR REPLACE VIEW v AS SELECT a FROM t WITH NO SCHEMA BINDING",
+      "CREATE OR REPLACE FUNCTION f (float, float) RETURNS float STABLE " +
+        "AS $$ select case when $1 > $2 then $1 else $2 end $$ LANGUAGE sql",
+      "DROP FUNCTION f (float, float) CASCADE")
     dialect.foreach { q =>
       val once = rewrite(q)
       assert(rewrite(once) === once, s"not idempotent on: $q -> $once")

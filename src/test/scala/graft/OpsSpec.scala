@@ -1159,6 +1159,41 @@ class OpsSpec extends SparkSpecBase {
     assert(raw.nonEmpty)
   }
 
+  test("3-D z-order layout: partitions bound ALL THREE dimensions") {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val l = Tables.load(spark, sfDir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_orderkey")
+    def extents(df: org.apache.spark.sql.DataFrame): (Double, Double, Double) = {
+      val r = df.selectExpr("spark_partition_id() as pid",
+          "l_partkey", "l_suppkey", "l_orderkey")
+        .groupBy("pid")
+        .agg(expr("max(l_partkey) - min(l_partkey)").as("dx"),
+          expr("max(l_suppkey) - min(l_suppkey)").as("dy"),
+          expr("max(l_orderkey) - min(l_orderkey)").as("dz"))
+        .selectExpr("avg(cast(dx as double))", "avg(cast(dy as double))",
+          "avg(cast(dz as double))")
+        .collect()(0)
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    }
+    val b = l.selectExpr("max(l_partkey)", "max(l_suppkey)", "max(l_orderkey)").collect()(0)
+    val (gx, gy, gz) = (b.getLong(0).toDouble, b.getLong(1).toDouble, b.getLong(2).toDouble)
+    val z3 = graft.ops.LayoutOps.zOrder3(l, "l_partkey", "l_suppkey", "l_orderkey",
+      bitsPerDim = 10, numPartitions = 32)
+    val (zx, zy, zz) = extents(z3)
+    // the x-only sort leaves y and z unbounded in every partition…
+    val xSorted = l.repartitionByRange(32, fcol("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+    val (_, sy, sz) = extents(xSorted)
+    assert(sy / gy > 0.9 && sz / gz > 0.9,
+      s"x-sort should span y and z fully (got ${sy / gy}, ${sz / gz})")
+    // …while the 3-D curve bounds all three (each worse than a dedicated
+    // sort on that one column, but bounded — the any-column pruning win)
+    assert(zx / gx < 0.7, s"zorder3 should bound x (got ${zx / gx})")
+    assert(zy / gy < 0.7, s"zorder3 should bound y (got ${zy / gy})")
+    assert(zz / gz < 0.7, s"zorder3 should bound z (got ${zz / gz})")
+    assert(z3.count() === l.count())
+  }
+
   test("z-order layout: partitions bound BOTH dimensions; a single-column sort bounds only one") {
     val l = Tables.load(spark, sfDir, "lineitem").select("l_partkey", "l_suppkey")
     // per-partition normalized extent of each dimension, averaged; the
