@@ -122,7 +122,8 @@ object LayoutOps {
     * Delta's OPTIMIZE ZORDER applies first. */
   def zOrder(df: DataFrame, xCol: String, yCol: String, bitsPerDim: Int = 10,
              numPartitions: Int = 32): DataFrame =
-    curveOrder(df, xCol, yCol, bitsPerDim, numPartitions, zValueExpr, "zval")
+    curveOrder(df, Seq(xCol, yCol), bitsPerDim, numPartitions, 31,
+      cs => zValueExpr(cs(0), cs(1), bitsPerDim), "zval")
 
   /** [[zOrder]] along the HILBERT curve instead: consecutive curve
     * positions are Manhattan-adjacent cells (no corner-to-corner
@@ -133,7 +134,8 @@ object LayoutOps {
     * head-to-head. */
   def hilbertOrder(df: DataFrame, xCol: String, yCol: String, bitsPerDim: Int = 10,
                    numPartitions: Int = 32): DataFrame =
-    curveOrder(df, xCol, yCol, bitsPerDim, numPartitions, hValueExpr, "hval")
+    curveOrder(df, Seq(xCol, yCol), bitsPerDim, numPartitions, 31,
+      cs => hValueExpr(cs(0), cs(1), bitsPerDim), "hval")
 
   /** [[zOrder]] over THREE columns — the production clustering shape
     * (tenant, date-bucket, entity): min-max normalize each dimension to
@@ -143,51 +145,34 @@ object LayoutOps {
     * any of them (the skipping OpsSpec proves it against a
     * single-column sort). */
   def zOrder3(df: DataFrame, xCol: String, yCol: String, zCol: String,
-              bitsPerDim: Int = 10, numPartitions: Int = 32): DataFrame = {
-    require(bitsPerDim > 0 && bitsPerDim <= 20,
-      s"need 0 < bitsPerDim <= 20; got $bitsPerDim")
-    val hi = (1L << bitsPerDim) - 1
-    val stats = df.agg(
-      min(col(xCol)).cast("double").as("zo_xmn"),
-      max(col(xCol)).cast("double").as("zo_xmx"),
-      min(col(yCol)).cast("double").as("zo_ymn"),
-      max(col(yCol)).cast("double").as("zo_ymx"),
-      min(col(zCol)).cast("double").as("zo_zmn"),
-      max(col(zCol)).cast("double").as("zo_zmx"))
-    def norm(c: String, mn: String, mx: String) =
-      s"""case when $mx = $mn then cast(0 as bigint)
-         |     else cast(floor((cast($c as double) - $mn) / ($mx - $mn) * $hi) as bigint)
-         |end""".stripMargin
-    df.crossJoin(broadcast(stats))
-      .withColumn("zval3", expr(zValue3Expr(
-        norm(xCol, "zo_xmn", "zo_xmx"), norm(yCol, "zo_ymn", "zo_ymx"),
-        norm(zCol, "zo_zmn", "zo_zmx"), bitsPerDim)))
-      .drop("zo_xmn", "zo_xmx", "zo_ymn", "zo_ymx", "zo_zmn", "zo_zmx")
-      .repartitionByRange(numPartitions, col("zval3"))
-      .sortWithinPartitions("zval3")
-  }
+              bitsPerDim: Int = 10, numPartitions: Int = 32): DataFrame =
+    curveOrder(df, Seq(xCol, yCol, zCol), bitsPerDim, numPartitions, 20,
+      cs => zValue3Expr(cs(0), cs(1), cs(2), bitsPerDim), "zval3")
 
-  private def curveOrder(df: DataFrame, xCol: String, yCol: String,
-                         bitsPerDim: Int, numPartitions: Int,
-                         curve: (String, String, Int) => String,
-                         out: String): DataFrame = {
-    require(bitsPerDim > 0 && bitsPerDim <= 31,
-      s"need 0 < bitsPerDim <= 31; got $bitsPerDim")
+  /** The shared N-dimensional layout pipeline: min-max normalize every
+    * column to `bitsPerDim` bits (one all-partial 1-row aggregate,
+    * broadcast onto the scan), compute the curve key, range-partition on
+    * it and sort within partitions — one implementation for all three
+    * public layouts, so degenerate-range (`mx = mn`) and null handling
+    * can never diverge between the 2-D and 3-D paths. */
+  private def curveOrder(df: DataFrame, cols: Seq[String], bitsPerDim: Int,
+                         numPartitions: Int, maxBits: Int,
+                         curve: Seq[String] => String, out: String): DataFrame = {
+    require(bitsPerDim > 0 && bitsPerDim <= maxBits,
+      s"need 0 < bitsPerDim <= $maxBits; got $bitsPerDim")
     val hi = (1L << bitsPerDim) - 1
-    val stats = df.agg(
-      min(col(xCol)).cast("double").as("zo_xmn"),
-      max(col(xCol)).cast("double").as("zo_xmx"),
-      min(col(yCol)).cast("double").as("zo_ymn"),
-      max(col(yCol)).cast("double").as("zo_ymx"))
-    def norm(c: String, mn: String, mx: String) =
-      s"""case when $mx = $mn then cast(0 as bigint)
-         |     else cast(floor((cast($c as double) - $mn) / ($mx - $mn) * $hi) as bigint)
+    val aliases = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      min(col(c)).cast("double").as(s"zo_mn$i"),
+      max(col(c)).cast("double").as(s"zo_mx$i")) }
+    val stats = df.agg(aliases.head, aliases.tail: _*)
+    def norm(c: String, i: Int) =
+      s"""case when zo_mx$i = zo_mn$i then cast(0 as bigint)
+         |     else cast(floor((cast($c as double) - zo_mn$i) / (zo_mx$i - zo_mn$i) * $hi) as bigint)
          |end""".stripMargin
     df.crossJoin(broadcast(stats))
-      .withColumn(out, expr(curve(
-        norm(xCol, "zo_xmn", "zo_xmx"), norm(yCol, "zo_ymn", "zo_ymx"),
-        bitsPerDim)))
-      .drop("zo_xmn", "zo_xmx", "zo_ymn", "zo_ymx")
+      .withColumn(out, expr(curve(cols.zipWithIndex.map {
+        case (c, i) => norm(c, i) })))
+      .drop(cols.indices.flatMap(i => Seq(s"zo_mn$i", s"zo_mx$i")): _*)
       .repartitionByRange(numPartitions, col(out))
       .sortWithinPartitions(out)
   }

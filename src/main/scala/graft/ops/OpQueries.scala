@@ -1993,9 +1993,6 @@ object OpQueries {
        |SELECT l_orderkey, l_linenumber, d AS hval FROM h WHERE i = -1
        |ORDER BY hval, l_orderkey, l_linenumber""".stripMargin
 
-  /** DuckDB mirror of [[TextOps.bpeTokenCount]]: the shared unrolled
-    * BPE rounds, then each doc's word stream joined to the vocab's
-    * piece counts. */
   /** DuckDB mirror of [[TextOps.tokenizerFertility]]: the
     * dkBpeTokenCountOracle per-doc bill rolled up by the labeled lang. */
   private def dkFertilityOracle(rounds: Int): String =
@@ -2018,6 +2015,9 @@ object OpQueries {
          |  CAST(SUM(n_bpe_tokens) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE) AS fertility
          |FROM per GROUP BY 1 ORDER BY lang""".stripMargin
 
+  /** DuckDB mirror of [[TextOps.bpeTokenCount]]: the shared unrolled
+    * BPE rounds, then each doc's word stream joined to the vocab's
+    * piece counts. */
   private def dkBpeTokenCountOracle(rounds: Int): String =
     dkBpeCtes(rounds) +
       s""",

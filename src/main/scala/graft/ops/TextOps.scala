@@ -389,7 +389,15 @@ object TextOps {
     * (N, total-length) pair is ONE broadcast row; scoring shuffles only
     * matched (qid, doc) groups and the final top-k is a per-qid window.
     */
-  def bm25TopK(docs: DataFrame, nQueries: Int = 5, qLen: Int = 8, k: Int = 5): DataFrame = {
+  def bm25TopK(docs: DataFrame, nQueries: Int = 5, qLen: Int = 8, k: Int = 5): DataFrame =
+    bm25Parts(docs, nQueries, qLen, k)._3
+
+  /** The shared BM25 structures — (postings, query set, top-k ranking) —
+    * exposed so [[rrfFusion]] reuses (and persists) the SAME postings and
+    * queries for its second ranking instead of tokenizing the corpus
+    * twice (the DuckDB oracle likewise shares one post CTE). */
+  private[ops] def bm25Parts(docs: DataFrame, nQueries: Int, qLen: Int,
+                             k: Int): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{broadcast, col, count, lit, row_number, sum}
     val words = docs.selectExpr("doc_id", s"${wordsExpr("text")} as w")
@@ -409,9 +417,10 @@ object TextOps {
       .agg(expr("aggregate(transform(array_sort(collect_list(struct(token, tw))), " +
         "s -> s.tw), cast(0 as double), (acc, x) -> acc + x)").as("score"))
     val win = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rnk", row_number().over(win)).filter(col("rnk") <= k)
+    val topk = scored.withColumn("rnk", row_number().over(win)).filter(col("rnk") <= k)
       .selectExpr("qid", "cast(rnk as bigint) as rnk", "doc_id", "score")
       .orderBy("qid", "rnk")
+    (post, q, topk)
   }
 
   /** Reciprocal-rank fusion — the standard hybrid-retrieval rank combiner
@@ -440,14 +449,14 @@ object TextOps {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit, row_number}
     require(kInner >= k && k >= 1 && kRrf >= 1,
       s"need kInner >= k >= 1 and kRrf >= 1; got kInner=$kInner k=$k kRrf=$kRrf")
-    val words = docs.selectExpr("doc_id", s"${wordsExpr("text")} as w")
-    val postD = words.selectExpr("doc_id", "explode(w) as token")
-      .filter("token <> ''").distinct()
-    val q = words.filter(col("doc_id") < nQueries)
-      .selectExpr("doc_id as qid", s"explode(array_distinct(slice(w, 1, $qLen))) as token")
-      .filter("token <> ''")
-    val rb = bm25TopK(docs, nQueries, qLen, kInner)
-      .selectExpr("qid", "doc_id", "rnk as rank_bm25")
+    // ONE postings/query build feeds both rankings (the oracle shares one
+    // post CTE the same way); persisted because the BM25 scoring and the
+    // overlap join both materialize it — without the cache the corpus
+    // would tokenize twice (the bench clears caches between queries).
+    val (post, q, rbTop) = bm25Parts(docs, nQueries, qLen, kInner)
+    post.persist()
+    val postD = post.select("doc_id", "token") // distinct by construction
+    val rb = rbTop.selectExpr("qid", "doc_id", "rnk as rank_bm25")
     val winOv = Window.partitionBy("qid").orderBy(col("overlap").desc, col("doc_id"))
     val ro = broadcast(q).join(postD, "token")
       .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("overlap"))

@@ -1202,16 +1202,6 @@ object RedshiftSql {
     val open = nextCode(toks, afterName)
     if (open >= toks.length || toks(open).text != "(") return toks
     val close = matchParen(toks, open)
-    // language check FIRST: python UDFs must never half-parse
-    val langAt = toks.indices.indexWhere(j => toks(j).isWord("language"))
-    if (langAt >= 0) {
-      val lw = nextCode(toks, langAt + 1)
-      val lang = if (lw < toks.length) toks(lw).text.toLowerCase else ""
-      if (lang != "sql") throw new IllegalArgumentException(
-        s"CREATE FUNCTION $name: LANGUAGE $lang is not supported in this " +
-          "engine (Redshift python UDFs have no Spark-side runtime here); " +
-          "only LANGUAGE sql scalar UDFs are translated")
-    }
     // argument list: `type` (positional, $n-referenced) or `name type`
     val bounds = (open +: topCommas(toks, open, close).toVector) :+ close
     val args = bounds.sliding(2).toVector.flatMap { case Seq(a, b) =>
@@ -1250,6 +1240,21 @@ object RedshiftSql {
       case t if t.kind == DollarStr => dollarBody(t)
       case t if t.kind == Str => t.text.substring(1, t.text.length - 1).replace("''", "'")
       case _ => return toks
+    }
+    // LANGUAGE is checked POSITIONALLY — the code token right after the
+    // body — never by scanning the whole statement (an identifier named
+    // `language` elsewhere must not trigger the check). Reaching a
+    // dollar/string body means this IS the Redshift UDF shape, so a
+    // non-sql language (plpythonu) raises with the reason here instead
+    // of half-parsing a python body as SQL.
+    val lw = nextCode(toks, bodyAt + 1)
+    if (lw < toks.length && toks(lw).isWord("language")) {
+      val lv = nextCode(toks, lw + 1)
+      val lang = if (lv < toks.length) toks(lv).text.toLowerCase else ""
+      if (lang != "sql") throw new IllegalArgumentException(
+        s"CREATE FUNCTION $name: LANGUAGE $lang is not supported in this " +
+          "engine (Redshift python UDFs have no Spark-side runtime here); " +
+          "only LANGUAGE sql scalar UDFs are translated")
     }
     // strip the leading SELECT (Redshift SQL-UDF bodies are a SELECT
     // clause) and any trailing semicolon, then substitute $n → pn

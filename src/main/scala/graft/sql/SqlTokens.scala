@@ -60,16 +60,18 @@ object SqlTokens {
         while (i < n && !(sql.charAt(i) == '*' && peek(1) == '/')) i += 1
         i = math.min(n, i + 2)
         out += Tok(Comment, sql.substring(j, i))
-      } else if (c == '$' && dollarTagEnd(sql, i) > 0) {
+      } else if (c == '$' && dollarStrEnd(sql, i) > 0) {
         // PostgreSQL/Redshift dollar-quoted string: $$…$$ or $tag$…$tag$
         // (the CREATE FUNCTION body carrier). The tag follows unquoted-
         // identifier rules, so `$1` (a prepared-statement parameter) never
-        // opens one. One token spans the whole body — semicolons and
-        // quotes inside a UDF body must not split or confuse statements.
-        val tagEnd = dollarTagEnd(sql, i) // index just past the opening tag
-        val tag = sql.substring(i, tagEnd)
-        val close = sql.indexOf(tag, tagEnd)
-        val end = if (close < 0) n else close + tag.length
+        // opens one; an opener glued to an identifier (`a$x$` — Redshift
+        // identifiers may contain $) or with no closing delimiter anywhere
+        // is NOT a quote (PG's own lexer rule — identifier characters
+        // absorb the $), so a $-bearing identifier can never swallow the
+        // rest of the script. One token spans the whole body — semicolons
+        // and quotes inside a UDF body must not split or confuse
+        // statements.
+        val end = dollarStrEnd(sql, i)
         out += Tok(DollarStr, sql.substring(i, end))
         i = end
       } else if (c.isLetter || c == '_') {
@@ -100,15 +102,28 @@ object SqlTokens {
     out.toVector
   }
 
-  /** If `sql(at)` starts a dollar-quote opening delimiter (`$` + optional
-    * identifier tag + `$`), the index just past that delimiter; else -1.
-    * A digit after `$` is NOT a tag (that's a `$n` parameter). */
-  private def dollarTagEnd(sql: String, at: Int): Int = {
+  /** If a complete dollar-quoted string starts at `sql(at)`, the index
+    * just past its CLOSING delimiter; else -1. Requires all three of:
+    * the opener is not glued to a preceding identifier character, the
+    * delimiter parses (`$` + optional identifier tag + `$`; a digit after
+    * `$` is a `$n` parameter, not a tag), and the closing delimiter
+    * exists — otherwise the `$` stays a plain symbol. */
+  private def dollarStrEnd(sql: String, at: Int): Int = {
+    if (at > 0) {
+      val p = sql.charAt(at - 1)
+      if (p.isLetterOrDigit || p == '_' || p == '$') return -1
+    }
     var j = at + 1
-    if (j < sql.length && sql.charAt(j) == '$') return j + 1
-    if (j >= sql.length || !(sql.charAt(j).isLetter || sql.charAt(j) == '_')) return -1
-    while (j < sql.length && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
-    if (j < sql.length && sql.charAt(j) == '$') j + 1 else -1
+    val tagEnd =
+      if (j < sql.length && sql.charAt(j) == '$') j + 1
+      else if (j < sql.length && (sql.charAt(j).isLetter || sql.charAt(j) == '_')) {
+        while (j < sql.length && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+        if (j < sql.length && sql.charAt(j) == '$') j + 1 else -1
+      } else -1
+    if (tagEnd < 0) return -1
+    val tag = sql.substring(at, tagEnd)
+    val close = sql.indexOf(tag, tagEnd)
+    if (close < 0) -1 else close + tag.length
   }
 
   /** The payload of a DollarStr token: the text between the delimiters. */

@@ -279,7 +279,7 @@ object ArrayKernels {
     while (i < n) {
       while (ri < r && ends.getInt(ri) < i) ri += 1
       if (!(ri < r && starts.getInt(ri) <= i))
-        out.add(w.getUTF8String(i))
+        out.add(if (w.isNullAt(i)) null else w.getUTF8String(i))
       i += 1
     }
     new GenericArrayData(out.toArray)
@@ -461,7 +461,10 @@ case class ZValue(left: Expression, right: Expression, bits: Int)
   * two-pointer pass, O(tokens + ranges). */
 case class SpanKeep(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // containsNull = true: the kernel copies kept elements verbatim, so a
+  // null element in the input array survives into the output — the
+  // schema must say so (a false promise here lets codegen readers NPE)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "span_keep"
 
   override protected def nullSafeEval(w: Any, s: Any, e: Any): Any =

@@ -522,10 +522,9 @@ object StreamingOps {
     * output. */
   def rateDailyStream(events: DataFrame, tsCol: String = "ts",
                       typeCol: String = "event_type"): DataFrame =
-    events
-      .selectExpr(s"$typeCol as event_type",
-        s"cast(date_trunc('DAY', $tsCol) as date) as day")
-      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    // the SAME count stage the batch op runs — shared code, not a copy,
+    // so a truncation/timezone tweak can never silently split the twins
+    graft.ops.ProfileOps.dailyCounts(events, tsCol, typeCol)
 
   def heavyHittersStream(docs: DataFrame, minShare: Double,
                          k0: Int = 0): DataFrame = {

@@ -2157,6 +2157,21 @@ class DialectSpec extends SparkSpecBase {
     spark.sql("DROP TABLE udf_out")
   }
 
+  test("$-bearing identifiers never open a dollar quote; LANGUAGE is positional") {
+    import graft.sql.SqlTokens._
+    // glued $tag$ (Redshift identifiers may contain $): stays symbols, so
+    // the depth-0 ';' still splits and the second statement survives
+    val toks = tokenize("SELECT a$x$ FROM t; SELECT b$x$ FROM u")
+    assert(!toks.exists(_.kind == DollarStr))
+    assert(toks.exists(t => t.kind == Sym && t.text == ";"))
+    // an opener with no closing delimiter anywhere is not a quote either
+    assert(!tokenize("SELECT 1 WHERE x = $$oops").exists(_.kind == DollarStr))
+    // a table named `language` in a Spark-native SQL UDF body must not
+    // trip the Redshift LANGUAGE check (it is positional, after the body)
+    val native = "CREATE FUNCTION f(p INT) RETURNS INT RETURN p + (SELECT count(*) FROM language)"
+    assert(rewrite(native) === native)
+  }
+
   test("LANGUAGE plpythonu raises loudly; body semicolons never split the script") {
     val e = intercept[IllegalArgumentException](rewrite(
       "CREATE FUNCTION f_py (a int) RETURNS int VOLATILE AS $$ return a $$ " +
