@@ -546,6 +546,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamedAnom === batchAnom)
   }
 
+  test("a streaming-built Count-Min table is consumable by cmEstimate, equal to batch estimates") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Tables.load(spark, sfDir, "events")
+      .select("user_id").orderBy("user_id")
+    val rows = events.as[Long].collect()
+    val stream = MemoryStream[Long]
+    val q = StreamingOps.countMinStream(
+        stream.toDF().toDF("user_id"), "cast(user_id as string)", 4, 64)
+      .writeStream.format("memory").queryName("cm_consume")
+      .outputMode("complete").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      stream.addData(a.toSeq); q.processAllAvailable()
+      stream.addData(b.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // the ONLINE-built sketch answers point queries through the same
+    // consumption path as a batch-built one — and the estimates equal the
+    // builder-side countMin values bit-for-bit (same placement rule)
+    val probes = events.selectExpr("cast(user_id as string) as v").distinct()
+    val viaStream = graft.ops.SketchOps.cmEstimate(
+        spark.table("cm_consume").localCheckpoint(), probes, "v", 4, 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaBatch = graft.ops.SketchOps.countMin(events, "cast(user_id as string)", 4, 64)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(viaStream === viaBatch)
+  }
+
   test("streaming histogram equals the batch histogram, added bucket-wise across cuts") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val (lo, hi, nb) = (0.0, 512.0, 128)
