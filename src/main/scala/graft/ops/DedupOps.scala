@@ -872,9 +872,13 @@ object DedupOps {
     val firstAgreeingBlock = (0 until nBlocks).map { i =>
       s"WHEN (x & ${widthMask(i) << bounds(i)}L) = 0 THEN $i"
     }.mkString("CASE ", " ", " END")
-    val blocks = sig
-      .selectExpr("doc_id", "simhash", s"explode(array(${blockCols.mkString(", ")})) as b")
-      .selectExpr("doc_id", "simhash", "b.blk as blk", "b.key as key")
+    // pinned: amplifying self-join ([[LineageUtil.pinJoinParallelism]] —
+    // AQE would coalesce the skinny 65k-row exchange to one task)
+    val blocks = LineageUtil.pinJoinParallelism(
+      sig
+        .selectExpr("doc_id", "simhash", s"explode(array(${blockCols.mkString(", ")})) as b")
+        .selectExpr("doc_id", "simhash", "b.blk as blk", "b.key as key"),
+      "blk", "key")
     blocks.as("a")
       .join(blocks.as("b"), expr("a.blk = b.blk and a.key = b.key and a.doc_id < b.doc_id"))
       .selectExpr("a.doc_id as doc_a", "b.doc_id as doc_b", "a.blk as blk",
