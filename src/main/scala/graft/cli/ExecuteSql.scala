@@ -83,11 +83,14 @@ object ExecuteSql {
         // one session, so tables created TEMP here are visible to every
         // later statement of this script and dropped when the run ends
         // (success or failure) — the next invocation never sees them.
+        fetchLog.clear() // fresh per run; readable by specs afterwards
         try stmts.result().filter(_.nonEmpty).foreach(runOne(spark, _))
         finally {
           tempTables.forEach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
           tempTables.clear()
           preparedStmts.clear()
+          cursors.forEach((_, c) => graft.ops.LineageUtil.freeLocalCheckpoint(c.df))
+          cursors.clear()
         }
     }
 
@@ -95,6 +98,100 @@ object ExecuteSql {
   private val tempTables = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   /** PREPARE name → raw (un-rewritten) statement text with $n params. */
   private val preparedStmts = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** DECLAREd cursors: materialized result + the fetch position. */
+  private final class CursorState(val df: org.apache.spark.sql.DataFrame,
+                                  val total: Long) { var pos: Long = 0L }
+  private val cursors = new java.util.concurrent.ConcurrentHashMap[String, CursorState]()
+  /** Per-FETCH observability for specs (the CLI discards result rows, as
+    * the reference does): (cursor, rows actually fetched). Run-scoped. */
+  private[graft] val fetchLog =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+
+  /** DECLARE … CURSOR FOR <query> / FETCH [FORWARD] n|NEXT|ALL FROM name /
+    * CLOSE name|ALL — the cursor protocol every psql-style client and BI
+    * paginator emits through the pass-through (the reference forwards it
+    * verbatim to the server; locally it is emulated run-scoped, like
+    * PREPARE/EXECUTE). Returns true when handled.
+    *
+    * Semantics follow Redshift's: DECLARE materializes the full result
+    * set (Redshift buffers it on the leader node; here a localCheckpoint
+    * pins the rows so every FETCH pages the SAME deterministic snapshot —
+    * re-running the query per FETCH could tear under concurrent DML).
+    * FETCH advances a position and returns min(n, remaining) rows — zero
+    * at end, never an error; CLOSE releases the snapshot eagerly. FETCH
+    * or CLOSE on an unknown cursor raises, exactly like the server. */
+  private def runCursor(spark: SparkSession, stmt: String): Boolean = {
+    import graft.sql.SqlTokens._
+    val toks = tokenize(stmt)
+    val f = nextCode(toks, 0)
+    if (f >= toks.length || toks(f).kind != Word) return false
+    def cursorOf(name: String): CursorState =
+      Option(cursors.get(name.toLowerCase)).getOrElse(throw new IllegalArgumentException(
+        s"""cursor "$name" does not exist"""))
+    toks(f).text.toLowerCase match {
+      case "declare" =>
+        val (name, afterName) = qualifiedName(toks, nextCode(toks, f + 1))
+        // optional modifiers up to CURSOR (BINARY, [NO] SCROLL, INSENSITIVE)
+        var i = nextCode(toks, afterName)
+        var hops = 0
+        while (i < toks.length && !toks(i).isWord("cursor") && hops < 3) {
+          i = nextCode(toks, i + 1); hops += 1
+        }
+        if (i >= toks.length || !toks(i).isWord("cursor")) return false
+        i = nextCode(toks, i + 1)
+        if (i < toks.length && (toks(i).isWord("with") || toks(i).isWord("without"))) {
+          i = nextCode(toks, i + 1) // HOLD
+          i = nextCode(toks, i + 1)
+        }
+        require(i < toks.length && toks(i).isWord("for"),
+          s"DECLARE $name: expected CURSOR FOR <query>")
+        require(!cursors.containsKey(name.toLowerCase),
+          s"""cursor "$name" already exists""")
+        val q = render(toks.slice(i + 1, toks.length)).trim
+        require(q.nonEmpty, s"DECLARE $name: empty cursor query")
+        val df = spark.sql(RedshiftSql.rewrite(q)).localCheckpoint()
+        cursors.put(name.toLowerCase, new CursorState(df, df.count()))
+        true
+      case "fetch" =>
+        var i = nextCode(toks, f + 1)
+        if (i < toks.length && toks(i).isWord("forward")) i = nextCode(toks, i + 1)
+        var count: Option[Long] = Some(1L) // bare FETCH FROM c = NEXT
+        if (i < toks.length) {
+          if (toks(i).isWord("next")) { count = Some(1L); i = nextCode(toks, i + 1) }
+          else if (toks(i).isWord("all")) { count = None; i = nextCode(toks, i + 1) }
+          else if (toks(i).kind == Num) {
+            count = Some(toks(i).text.toLong); i = nextCode(toks, i + 1)
+          }
+        }
+        if (i < toks.length && (toks(i).isWord("from") || toks(i).isWord("in")))
+          i = nextCode(toks, i + 1)
+        val (name, _) = qualifiedName(toks, i)
+        require(name.nonEmpty, "FETCH: expected a cursor name")
+        val c = cursorOf(name)
+        val remaining = math.max(0L, c.total - c.pos)
+        val n = math.min(count.getOrElse(remaining), remaining)
+        // page the pinned snapshot; rows are discarded like every other
+        // pass-through SELECT (the reference CLI does the same)
+        if (n > 0)
+          c.df.offset(c.pos.toInt).limit(n.toInt).foreach(_ => ())
+        c.pos += n
+        fetchLog += ((name.toLowerCase, n))
+        true
+      case "close" =>
+        val i = nextCode(toks, f + 1)
+        if (i < toks.length && toks(i).isWord("all")) {
+          cursors.forEach((_, c) => graft.ops.LineageUtil.freeLocalCheckpoint(c.df))
+          cursors.clear()
+        } else {
+          val (name, _) = qualifiedName(toks, i)
+          val c = cursorOf(name)
+          graft.ops.LineageUtil.freeLocalCheckpoint(c.df)
+          cursors.remove(name.toLowerCase)
+        }
+        true
+      case _ => false
+    }
+  }
 
   /** Strip [LOCAL] TEMP|TEMPORARY out of CREATE … TABLE and remember the
     * table name for end-of-run cleanup. Returns the statement unchanged
@@ -190,6 +287,7 @@ object ExecuteSql {
 
   private def runOne(spark: SparkSession, stmt: String): Unit = {
     if (runPrepared(spark, stmt)) return
+    if (runCursor(spark, stmt)) return
     // rewrite first: SELECT … INTO [TEMP] t becomes CREATE [TEMP] TABLE t
     // AS …, so the TEMP strip/tracking below sees every temp-table form
     val rewritten = stripTemp(RedshiftSql.rewrite(stmt))

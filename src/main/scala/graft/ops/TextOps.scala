@@ -464,7 +464,11 @@ object TextOps {
       .filter(col("rank_overlap") <= kInner)
       .selectExpr("qid", "doc_id", "cast(rank_overlap as bigint) as rank_overlap")
     val winF = Window.partitionBy("qid").orderBy(col("rrf_score").desc, col("doc_id"))
-    rb.join(ro, Seq("qid", "doc_id"), "full_outer")
+    // localCheckpoint materializes the ≤ nQueries·k-row fusion EAGERLY so
+    // the postings cache can be released before returning — without it the
+    // persisted corpus postings would outlive the op for the session
+    // lifetime (ADVICE r12), accumulating executor storage across calls.
+    val out = rb.join(ro, Seq("qid", "doc_id"), "full_outer")
       .selectExpr("qid", "doc_id", "rank_bm25", "rank_overlap",
         s"""coalesce(cast(1 as double) / ($kRrf + rank_bm25), cast(0 as double))
            | + coalesce(cast(1 as double) / ($kRrf + rank_overlap), cast(0 as double))
@@ -474,6 +478,9 @@ object TextOps {
       .selectExpr("qid", "cast(rrf_rank as bigint) as rrf_rank", "doc_id",
         "rrf_score", "rank_bm25", "rank_overlap")
       .orderBy("qid", "rrf_rank")
+      .localCheckpoint()
+    post.unpersist()
+    out
   }
 
   /** PII patterns shared by [[piiScrub]] and its oracle. Restricted to the

@@ -61,6 +61,16 @@ object LocalDml {
         s"[graft] ${toks(first).text.toUpperCase}: transaction control is a " +
           "no-op locally (per-statement copy-on-write atomicity only)")
       true
+    } else if (toks(first).isWord("lock")) {
+      // LOCK [TABLE] t [, …]: pg_dump data sections and ETL scripts take
+      // explicit table locks around COPY bursts. There is no local lock
+      // manager — atomicity is the per-statement copy-on-write swap — so
+      // the statement is accepted with a loud note (failing would abort
+      // the restore midway, exactly like GRANT would).
+      System.err.println(
+        "[graft] LOCK: no local lock manager — statement ignored " +
+          "(per-statement copy-on-write atomicity applies)")
+      true
     } else if (toks(first).isWord("grant") || toks(first).isWord("revoke")) {
       // permission DDL has no local counterpart (the session catalog has
       // no ACLs); failing would abort every real-world script midway
@@ -119,7 +129,12 @@ object LocalDml {
       }
       return false
     }
-    // … OWNER TO principal — the two keywords must be adjacent at depth 0
+    // … OWNER TO principal — anchored to the statement TAIL (ADVICE r12):
+    // the pg shape always ends `OWNER TO <principal>[;]`, so requiring
+    // `owner to <one identifier>` as the final code tokens keeps a future
+    // ALTER variant that merely CONTAINS an identifier `owner` next to
+    // `to` mid-statement on the native-DDL path. The keywords must still
+    // sit at paren depth 0.
     var i = n
     var depth = 0
     while (i < toks.length) {
@@ -128,7 +143,15 @@ object LocalDml {
       else if (t.kind == Sym && t.text == ")") depth -= 1
       else if (depth == 0 && t.isWord("owner")) {
         val to = nextCode(toks, i + 1)
-        if (to < toks.length && toks(to).isWord("to")) {
+        val principal = if (to < toks.length) nextCode(toks, to + 1) else toks.length
+        val tail = if (principal < toks.length) nextCode(toks, principal + 1) else toks.length
+        val tailIsEnd = tail >= toks.length ||
+          (toks(tail).kind == Sym && toks(tail).text == ";" &&
+            nextCode(toks, tail + 1) >= toks.length)
+        if (to < toks.length && toks(to).isWord("to") &&
+            principal < toks.length &&
+            (toks(principal).kind == Word || toks(principal).kind == QIdent) &&
+            tailIsEnd) {
           System.err.println(
             "[graft] ALTER … OWNER TO: no local owners — statement ignored")
           return true
@@ -168,10 +191,19 @@ object LocalDml {
     */
   private def runSet(spark: SparkSession, toks: Vector[Tok], at: Int): Boolean = {
     var i = nextCode(toks, at + 1)
+    val sawSession = i < toks.length && toks(i).isWord("session")
     if (i < toks.length && (toks(i).isWord("session") || toks(i).isWord("local")))
       i = nextCode(toks, i + 1)
     if (i >= toks.length || toks(i).kind != Word) return false
     val name = toks(i).text.toLowerCase
+    if (sawSession && name == "authorization") {
+      // SET SESSION AUTHORIZATION name|DEFAULT — the pg_dump preamble's
+      // identity switch; no local principals, same loud-ignore contract
+      // as GRANT (the dump must keep restoring)
+      System.err.println(
+        "[graft] SET SESSION AUTHORIZATION: no local principals — statement ignored")
+      return true
+    }
     var sep = nextCode(toks, i + 1)
     val isTz = name == "timezone" ||
       (name == "time" && sep < toks.length && toks(sep).isWord("zone") && {

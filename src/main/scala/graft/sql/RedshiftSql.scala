@@ -1211,7 +1211,15 @@ object RedshiftSql {
     val params = args.zipWithIndex.map { case (seg, idx) =>
       val segWords = seg.indices.filter(j => seg(j).kind == Word || seg(j).kind == QIdent)
       val firstWord = segWords.headOption.map(j => seg(j).text.toLowerCase).getOrElse("")
-      val named = segWords.length >= 2 && !typeFirstWords.contains(firstWord)
+      val secondWord = segWords.lift(1).map(j => seg(j).text.toLowerCase).getOrElse("")
+      // `name type` vs bare positional type: a first word that is a type
+      // keyword usually means positional — EXCEPT when the second word
+      // starts a type too (`date date`, `text varchar(10)`): no multi-word
+      // type spelling has that shape (double PRECISION, character VARYING,
+      // timestamp WITH time zone), so it must be a parameter NAMED like a
+      // type keyword (ADVICE r12 — previously rendered `p1 date date`).
+      val named = segWords.length >= 2 &&
+        (!typeFirstWords.contains(firstWord) || typeFirstWords.contains(secondWord))
       if (named) {
         val nameTok = seg(segWords.head).text
         val tyToks = seg.slice(segWords.head + 1, seg.length)

@@ -28,6 +28,11 @@ object SqlTokens {
     val out = ArrayBuffer.empty[Tok]
     var i = 0
     val n = sql.length
+    // index just past the last DollarStr emitted: a `$` that merely CLOSED
+    // a dollar string is a token boundary, so it must not block the very
+    // next opener (`$$a$$$$b$$` is two adjacent strings in PG's lexer,
+    // ADVICE r12) the way a glued identifier character does.
+    var lastDollarEnd = -1
     def peek(k: Int) = if (i + k < n) sql.charAt(i + k) else '\u0000'
     while (i < n) {
       val c = sql.charAt(i)
@@ -60,7 +65,7 @@ object SqlTokens {
         while (i < n && !(sql.charAt(i) == '*' && peek(1) == '/')) i += 1
         i = math.min(n, i + 2)
         out += Tok(Comment, sql.substring(j, i))
-      } else if (c == '$' && dollarStrEnd(sql, i) > 0) {
+      } else if (c == '$' && dollarStrEnd(sql, i, i == lastDollarEnd) > 0) {
         // PostgreSQL/Redshift dollar-quoted string: $$…$$ or $tag$…$tag$
         // (the CREATE FUNCTION body carrier). The tag follows unquoted-
         // identifier rules, so `$1` (a prepared-statement parameter) never
@@ -71,9 +76,10 @@ object SqlTokens {
         // rest of the script. One token spans the whole body — semicolons
         // and quotes inside a UDF body must not split or confuse
         // statements.
-        val end = dollarStrEnd(sql, i)
+        val end = dollarStrEnd(sql, i, i == lastDollarEnd)
         out += Tok(DollarStr, sql.substring(i, end))
         i = end
+        lastDollarEnd = end
       } else if (c.isLetter || c == '_') {
         val j = i
         while (i < n && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
@@ -107,9 +113,12 @@ object SqlTokens {
     * the opener is not glued to a preceding identifier character, the
     * delimiter parses (`$` + optional identifier tag + `$`; a digit after
     * `$` is a `$n` parameter, not a tag), and the closing delimiter
-    * exists — otherwise the `$` stays a plain symbol. */
-  private def dollarStrEnd(sql: String, at: Int): Int = {
-    if (at > 0) {
+    * exists — otherwise the `$` stays a plain symbol.
+    * `afterDollarStr` marks `at` as the first char after a just-closed
+    * dollar string — a TOKEN boundary, where the glued-character guard
+    * must not apply (adjacent strings `$$a$$$$b$$`). */
+  private def dollarStrEnd(sql: String, at: Int, afterDollarStr: Boolean = false): Int = {
+    if (at > 0 && !afterDollarStr) {
       val p = sql.charAt(at - 1)
       if (p.isLetterOrDigit || p == '_' || p == '$') return -1
     }

@@ -425,6 +425,25 @@ class DialectSpec extends SparkSpecBase {
     spark.sql("DROP TABLE acl_t")
   }
 
+  test("LOCK TABLE and SET SESSION AUTHORIZATION are loud-ignored inside a script") {
+    // the dump-tail statements pg_dump emits around data sections — both
+    // interleave between real statements without aborting the script
+    spark.sql("DROP TABLE IF EXISTS lock_t")
+    graft.cli.ExecuteSql.run(spark,
+      """SET SESSION AUTHORIZATION etl_user;
+        |CREATE TABLE lock_t AS SELECT 1 AS x;
+        |LOCK TABLE lock_t;
+        |INSERT INTO lock_t VALUES (2);
+        |LOCK lock_t, other_t IN ACCESS EXCLUSIVE MODE;
+        |INSERT INTO lock_t VALUES (3);
+        |SET SESSION AUTHORIZATION DEFAULT""".stripMargin, None)
+    assert(spark.table("lock_t").count() === 3)
+    spark.sql("DROP TABLE lock_t")
+    // plain SET statements are untouched by the authorization branch
+    graft.cli.ExecuteSql.run(spark, "SET SESSION timezone TO 'UTC'", None)
+    assert(spark.conf.get("spark.sql.session.timeZone") === "UTC")
+  }
+
   test("stored procedures raise with the reason; CALL raises; plain ALTER TABLE unaffected") {
     val e = intercept[IllegalArgumentException](graft.cli.ExecuteSql.run(spark,
       "CREATE OR REPLACE PROCEDURE sp_x() AS $$ BEGIN SELECT 1; END $$ LANGUAGE plpgsql",
@@ -2185,6 +2204,40 @@ class DialectSpec extends SparkSpecBase {
     assert(spark.table("udf_semi").head.getInt(0) === 4)
     spark.sql("DROP TABLE udf_semi")
     spark.sql("DROP FUNCTION f_semi")
+  }
+
+  test("UDF params named like type keywords; adjacent dollar strings; OWNER TO tail-anchored") {
+    import graft.sql.SqlTokens._
+    // `name type` where the NAME is itself a type keyword (`date date`,
+    // `text varchar`) is the named form — previously classified as a bare
+    // positional type and rendered `p1 date date` (ADVICE r12)
+    val r = rewrite("CREATE FUNCTION f_dd (date date) RETURNS int IMMUTABLE " +
+      "AS $$ select extract(year from date) $$ LANGUAGE sql")
+    assert(r === "CREATE FUNCTION f_dd(date date) RETURNS int DETERMINISTIC " +
+      "RETURN extract(year from date)")
+    spark.sql("DROP FUNCTION IF EXISTS f_tlen")
+    graft.cli.ExecuteSql.run(spark,
+      "CREATE FUNCTION f_tlen (text varchar) RETURNS int IMMUTABLE " +
+        "AS $$ select length(text) $$ LANGUAGE sql", None)
+    assert(spark.sql("SELECT f_tlen('abcd')").head.getInt(0) === 4)
+    spark.sql("DROP FUNCTION f_tlen")
+    // a lone type keyword stays positional, and multi-word types too
+    assert(rewrite("CREATE FUNCTION f_p (date, double precision) RETURNS int " +
+      "IMMUTABLE AS $$ select 1 $$ LANGUAGE sql")
+      === "CREATE FUNCTION f_p(p1 date, p2 DOUBLE) RETURNS int DETERMINISTIC RETURN 1")
+    // adjacent dollar-quoted strings: the closer's `$` is a token
+    // boundary, not a glued identifier character (ADVICE r12)
+    val adj = tokenize("SELECT $$a$$$$b$$")
+    assert(adj.count(_.kind == DollarStr) === 2)
+    assert(adj.filter(_.kind == DollarStr).map(dollarBody) === Vector("a", "b"))
+    assert(render(adj) === "SELECT $$a$$$$b$$")
+    val adjTag = tokenize("SELECT $$a$$$t$b$t$")
+    assert(adjTag.filter(_.kind == DollarStr).map(dollarBody) === Vector("a", "b"))
+    // OWNER TO is recognized only as the statement TAIL (ADVICE r12): a
+    // variant with trailing tokens reaches native DDL (and raises there)
+    // instead of being silently swallowed by the loud-ignore path
+    assertThrows[Exception](graft.cli.ExecuteSql.run(spark,
+      "ALTER TABLE alt_own OWNER TO bob CASCADE", None))
   }
 
   test("rewriter is idempotent on rewritten output") {

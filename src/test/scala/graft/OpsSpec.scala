@@ -1825,6 +1825,30 @@ class OpsSpec extends SparkSpecBase {
     assert(!out.exists(_.getLong(2) == 4L))
   }
 
+  test("rrf fusion releases its postings cache — nothing persisted outlives the op") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (0L, "alpha beta gamma"), (1L, "alpha beta delta"), (2L, "alpha x y")
+    ).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // composed two-op session: each call materializes its result (the op
+    // returns an eager localCheckpoint) — the postings persist() inside
+    // must be released by the time the result is back (ADVICE r12: the
+    // cache previously survived the session, accumulating across calls)
+    TextOps.rrfFusion(docs, nQueries = 1, qLen = 8, kInner = 3, k = 3).collect()
+    TextOps.rrfFusion(docs, nQueries = 2, qLen = 8, kInner = 3, k = 3).collect()
+    val persisted = spark.sparkContext.getPersistentRDDs
+    val leaked = persisted.keySet -- before
+    // the only surviving blocks may be the ops' OWN localCheckpoint RDDs
+    // (freed by GC/ContextCleaner once the returned frames drop): every
+    // leaked entry must be a locally-checkpointed result, never a plain
+    // cache — a plain cache here IS the postings leak.
+    leaked.foreach { id =>
+      assert(persisted(id).isCheckpointed,
+        s"non-checkpoint cache leaked past rrfFusion: RDD $id ${persisted(id)}")
+    }
+  }
+
   test("split leakage: identical content crossing the split boundary is reported with exact counts") {
     import graft.ops.PipelineOps
     // 100 docs share one text (ids 0-99 → md5 splits them ~90/5/5), one
