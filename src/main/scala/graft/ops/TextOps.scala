@@ -232,13 +232,18 @@ object TextOps {
     * (2³¹−1) over the token stream. Order-sensitive by design (same bag of
     * words in a different order fingerprints differently).
     */
+  /** The rolling-polynomial document fingerprint over a word-array column —
+    * shared by [[fingerprint]] and the streaming diff twin
+    * ([[graft.streaming.StreamingOps.corpusDiffStream]]) so content
+    * identity can never drift between the batch and online forms. */
+  def fingerprintExpr(wordsCol: String): String =
+    s"""aggregate(transform($wordsCol, x -> ${h60("x")} % 2147483647L), 0L,
+       |          (a, h) -> (a * 31 + h) % 2147483647L)""".stripMargin
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs
       .selectExpr("doc_id", s"${wordsExpr("text")} as w")
-      .selectExpr(
-        "doc_id",
-        s"""aggregate(transform(w, x -> ${h60("x")} % 2147483647L), 0L,
-           |          (a, h) -> (a * 31 + h) % 2147483647L) as fingerprint""".stripMargin)
+      .selectExpr("doc_id", s"${fingerprintExpr("w")} as fingerprint")
 
   /** 60-bit SimHash over the token stream (term-frequency weighted): bit j
     * is set iff Σ_tokens (±1 by bit j of the token hash) > 0. Near-dup docs
@@ -442,9 +447,36 @@ object TextOps {
     * postings, per-qid windows over ≤ kInner rows); the overlap ranking
     * is one more broadcast join + count; the fusion joins two
     * (qid, doc_id)-keyed ≤ kInner-row sides. Nothing new shuffles the
-    * corpus. */
+    * corpus.
+    *
+    * Lifecycle (ADVICE r13): the returned frame is localCheckpoint-ed
+    * (≤ nQueries·k rows — the checkpoint is what lets the corpus-sized
+    * postings cache release before returning). Its blocks are freed by
+    * GC/ContextCleaner; a long-lived session making MANY calls should pass
+    * each result it is done with to [[LineageUtil.freeLocalCheckpoint]]
+    * to release the (tiny) blocks eagerly. The truncated lineage also
+    * means the result cannot recompute on executor loss — collect or
+    * write it rather than caching it across a fault domain. */
   def rrfFusion(docs: DataFrame, nQueries: Int = 5, qLen: Int = 8,
                 kInner: Int = 10, k: Int = 5, kRrf: Int = 60): DataFrame = {
+    val (out, post) = rrfFusionPlan(docs, nQueries, qLen, kInner, k, kRrf)
+    // localCheckpoint materializes the ≤ nQueries·k-row fusion EAGERLY so
+    // the postings cache can be released before returning — without it the
+    // persisted corpus postings would outlive the op for the session
+    // lifetime (ADVICE r12), accumulating executor storage across calls.
+    val mat = out.localCheckpoint()
+    post.unpersist()
+    mat
+  }
+
+  /** The un-checkpointed [[rrfFusion]] pipeline plus its persisted
+    * postings handle — split out (the [[graft.ops.SketchOps.kmvSetOpsPlan]]
+    * pattern) so PlanSpec can pin the physical plan (the public form
+    * localCheckpoints, which replaces the observable plan with a
+    * materialized scan) and the caller can release the cache. */
+  private[graft] def rrfFusionPlan(docs: DataFrame, nQueries: Int, qLen: Int,
+                                   kInner: Int, k: Int,
+                                   kRrf: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{broadcast, col, count, lit, row_number}
     require(kInner >= k && k >= 1 && kRrf >= 1,
@@ -464,10 +496,6 @@ object TextOps {
       .filter(col("rank_overlap") <= kInner)
       .selectExpr("qid", "doc_id", "cast(rank_overlap as bigint) as rank_overlap")
     val winF = Window.partitionBy("qid").orderBy(col("rrf_score").desc, col("doc_id"))
-    // localCheckpoint materializes the ≤ nQueries·k-row fusion EAGERLY so
-    // the postings cache can be released before returning — without it the
-    // persisted corpus postings would outlive the op for the session
-    // lifetime (ADVICE r12), accumulating executor storage across calls.
     val out = rb.join(ro, Seq("qid", "doc_id"), "full_outer")
       .selectExpr("qid", "doc_id", "rank_bm25", "rank_overlap",
         s"""coalesce(cast(1 as double) / ($kRrf + rank_bm25), cast(0 as double))
@@ -478,9 +506,7 @@ object TextOps {
       .selectExpr("qid", "cast(rrf_rank as bigint) as rrf_rank", "doc_id",
         "rrf_score", "rank_bm25", "rank_overlap")
       .orderBy("qid", "rrf_rank")
-      .localCheckpoint()
-    post.unpersist()
-    out
+    (out, post)
   }
 
   /** PII patterns shared by [[piiScrub]] and its oracle. Restricted to the

@@ -487,10 +487,40 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("rrf fusion broadcasts the query side; fusion never shuffles the corpus twice") {
-    val p = plan("op_rrf_fusion")
+    // the public op localCheckpoints (plan becomes a materialized scan),
+    // so pin the un-checkpointed pipeline — the kmvSetOpsPlan pattern
+    val docs = Tables.load(spark, sfDir, "documents")
+    val (out, post) = graft.ops.TextOps.rrfFusionPlan(docs, 5, 8, 10, 5, 60)
+    val p = out.queryExecution.executedPlan.toString
+    post.unpersist()
     // both rankings join the tiny query set as broadcasts onto the keyed
     // postings; the fused join runs over two ≤ kInner-row sides
     assert(p.contains("BroadcastHashJoin"), s"query side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the shared postings build is persisted and read by BOTH rankings —
+    // the corpus tokenization must appear as InMemoryTableScan reuse, not
+    // a second full scan+explode chain
+    assert(p.contains("InMemoryTableScan"), s"postings cache not in plan:\n$p")
+  }
+
+  test("simhash pigeonhole join parallelism is pinned against AQE coalescing") {
+    // r13 root-cause: AQE's input-size coalescing folded the skinny
+    // (16 bytes/doc) block exchange into ONE task, serializing the
+    // ~100×-amplifying pair join (14.4 s → 1.85 s once pinned). The pin is
+    // LineageUtil.pinJoinParallelism — an explicit repartition(n, keys)
+    // whose REPARTITION_BY_NUM shuffle origin is exempt from coalescing.
+    // This test is red if that repartition call is removed from
+    // DedupOps.blockCandidates (the exchange reverts to ENSURE_REQUIREMENTS
+    // or disappears under a broadcast).
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sig = graft.ops.DedupOps.simhash64Sig(docs)
+    val p = graft.ops.DedupOps.blockCandidates(sig, 3, 64)
+      .queryExecution.executedPlan.toString
+    val n = spark.sessionState.conf.numShufflePartitions
+    val pinned = s"""hashpartitioning\\(blk#\\d+, key#\\d+L?, $n\\), REPARTITION_BY_NUM""".r
+    assert(pinned.findFirstIn(p).isDefined,
+      s"block join input must be an explicit $n-partition repartition " +
+        s"(REPARTITION_BY_NUM — AQE-coalesce-exempt):\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
