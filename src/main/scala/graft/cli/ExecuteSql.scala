@@ -131,11 +131,15 @@ object ExecuteSql {
     toks(f).text.toLowerCase match {
       case "declare" =>
         val (name, afterName) = qualifiedName(toks, nextCode(toks, f + 1))
-        // optional modifiers up to CURSOR (BINARY, [NO] SCROLL, INSENSITIVE)
+        // optional modifiers up to CURSOR — loop over the known PG modifier
+        // word set (ADVICE r13: the full BINARY INSENSITIVE NO SCROLL form
+        // is 4 tokens, which a fixed hop cap rejected); a non-modifier word
+        // here means this is not a cursor DECLARE → fall through
+        val mods = Set("binary", "insensitive", "asensitive", "scroll", "no")
         var i = nextCode(toks, afterName)
-        var hops = 0
-        while (i < toks.length && !toks(i).isWord("cursor") && hops < 3) {
-          i = nextCode(toks, i + 1); hops += 1
+        while (i < toks.length && toks(i).kind == Word &&
+               mods.contains(toks(i).text.toLowerCase)) {
+          i = nextCode(toks, i + 1)
         }
         if (i >= toks.length || !toks(i).isWord("cursor")) return false
         i = nextCode(toks, i + 1)
@@ -160,7 +164,14 @@ object ExecuteSql {
           if (toks(i).isWord("next")) { count = Some(1L); i = nextCode(toks, i + 1) }
           else if (toks(i).isWord("all")) { count = None; i = nextCode(toks, i + 1) }
           else if (toks(i).kind == Num) {
-            count = Some(toks(i).text.toLong); i = nextCode(toks, i + 1)
+            // whole non-negative counts only (ADVICE r13: `FETCH 1.5` must
+            // raise cleanly, not NumberFormatException); counts past Long
+            // clamp to "all remaining", like the server treats ALL
+            val t = toks(i).text
+            require(t.forall(_.isDigit),
+              s"FETCH: row count must be a non-negative integer, got $t")
+            count = Some(if (t.length > 18) Long.MaxValue else t.toLong)
+            i = nextCode(toks, i + 1)
           }
         }
         if (i < toks.length && (toks(i).isWord("from") || toks(i).isWord("in")))
@@ -172,6 +183,9 @@ object ExecuteSql {
         val n = math.min(count.getOrElse(remaining), remaining)
         // page the pinned snapshot; rows are discarded like every other
         // pass-through SELECT (the reference CLI does the same)
+        require(c.pos + n <= Int.MaxValue,
+          s"FETCH: cursor $name position ${c.pos + n} exceeds the " +
+            "2^31-row local paging bound — page the query directly instead")
         if (n > 0)
           c.df.offset(c.pos.toInt).limit(n.toInt).foreach(_ => ())
         c.pos += n

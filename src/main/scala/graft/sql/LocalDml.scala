@@ -142,13 +142,22 @@ object LocalDml {
       if (t.kind == Sym && t.text == "(") depth += 1
       else if (t.kind == Sym && t.text == ")") depth -= 1
       else if (depth == 0 && t.isWord("owner")) {
+        // ADVICE r13: `ALTER TABLE t RENAME [COLUMN] owner TO x` is a real
+        // rename of a column NAMED owner ending in the exact anchored
+        // shape — the preceding code token disambiguates (it's COLUMN or
+        // RENAME there; an object name in the loud-ignore form)
+        var pv = i - 1
+        while (pv >= 0 && (toks(pv).kind == Ws || toks(pv).kind == Comment)) pv -= 1
+        val precededByRename =
+          pv >= 0 && (toks(pv).isWord("column") || toks(pv).isWord("rename"))
         val to = nextCode(toks, i + 1)
         val principal = if (to < toks.length) nextCode(toks, to + 1) else toks.length
         val tail = if (principal < toks.length) nextCode(toks, principal + 1) else toks.length
         val tailIsEnd = tail >= toks.length ||
           (toks(tail).kind == Sym && toks(tail).text == ";" &&
             nextCode(toks, tail + 1) >= toks.length)
-        if (to < toks.length && toks(to).isWord("to") &&
+        if (!precededByRename &&
+            to < toks.length && toks(to).isWord("to") &&
             principal < toks.length &&
             (toks(principal).kind == Word || toks(principal).kind == QIdent) &&
             tailIsEnd) {

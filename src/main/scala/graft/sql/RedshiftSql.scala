@@ -90,8 +90,24 @@ object RedshiftSql {
     toks = rewriteCommentOn(toks)
     toks = rewriteInfoSchema(toks)
     toks = rewriteTableAttrs(toks)
+    toks = rewriteDollarLiterals(toks)
     render(toks)
   }
+
+  /** Dollar-quoted strings ($$…$$ / $tag$…$tag$) used as GENERAL literals —
+    * Redshift/PostgreSQL allow them anywhere a string literal goes
+    * (reference `execute_sql.py` forwards them verbatim to the server);
+    * Spark's parser does not know the syntax. UDF and procedure bodies were
+    * already consumed by [[rewriteCreateFunction]] above, so any DollarStr
+    * still in the stream is a plain literal → re-quote as a standard
+    * escaped '…' literal. Runs LAST so no earlier rewrite sees a literal
+    * it might mistake for syntax. */
+  private def rewriteDollarLiterals(toks: Vector[Tok]): Vector[Tok] =
+    toks.map { t =>
+      if (t.kind == DollarStr)
+        Tok(Str, "'" + dollarBody(t).replace("\\", "\\\\").replace("'", "\\'") + "'")
+      else t
+    }
 
   /** CREATE TABLE physical-layout attributes (Redshift DDL that Spark's
     * parser rejects outright). DISTKEY → bucket column, SORTKEY → in-bucket

@@ -2238,11 +2238,37 @@ class DialectSpec extends SparkSpecBase {
     // instead of being silently swallowed by the loud-ignore path
     assertThrows[Exception](graft.cli.ExecuteSql.run(spark,
       "ALTER TABLE alt_own OWNER TO bob CASCADE", None))
+    // ADVICE r13: renaming a column NAMED owner ends in the same anchored
+    // `owner TO <ident>` tail — the RENAME/COLUMN token before `owner`
+    // must route it to native DDL (rename or raise), never loud-ignore
+    spark.sql("DROP TABLE IF EXISTS own_rn")
+    spark.sql("CREATE TABLE own_rn (owner STRING, v INT)")
+    val rn = scala.util.Try(graft.cli.ExecuteSql.run(spark,
+      "ALTER TABLE own_rn RENAME COLUMN owner TO renamed", None))
+    assert(rn.isFailure ||
+      spark.table("own_rn").schema.fieldNames.contains("renamed"),
+      "RENAME COLUMN owner TO x was silently swallowed by the OWNER TO guard")
+    spark.sql("DROP TABLE own_rn")
+  }
+
+  test("dollar-quoted strings rewrite to plain literals anywhere a literal goes") {
+    // general literal position (not a UDF body): Redshift allows $tag$…$tag$
+    // wherever '…' goes; Spark does not — the rewriter re-quotes, escaping
+    assert(spark.sql(rewrite("SELECT $$O'Hara; \\ FETCH$$ AS s")).head.getString(0)
+      === "O'Hara; \\ FETCH")
+    assert(spark.sql(rewrite("SELECT $q$a$$b$q$ AS s")).head.getString(0) === "a$$b")
+    // UDF bodies are consumed by the CREATE FUNCTION branch first — the
+    // general pass must not touch them (the function still creates/runs)
+    graft.cli.ExecuteSql.run(spark,
+      "CREATE OR REPLACE FUNCTION dq_f (a int) RETURNS int IMMUTABLE " +
+        "AS $$ select a + 1 $$ LANGUAGE sql", None)
+    assert(spark.sql("SELECT dq_f(41)").head.getInt(0) === 42)
   }
 
   test("rewriter is idempotent on rewritten output") {
     val dialect = Seq(
       "SELECT TOP 10 a FROM t ORDER BY a",
+      "SELECT $$don't; split$$ AS s, $tag$x$tag$ AS t2",
       "SELECT APPROXIMATE COUNT(DISTINCT a) FROM t",
       "SELECT RATIO_TO_REPORT(x) OVER (PARTITION BY k) FROM t",
       "SELECT * FROM t WHERE a SIMILAR TO 'ab%'",
@@ -2259,5 +2285,89 @@ class DialectSpec extends SparkSpecBase {
       val once = rewrite(q)
       assert(rewrite(once) === once, s"not idempotent on: $q -> $once")
     }
+  }
+
+  // ── cursor protocol (DECLARE / FETCH / CLOSE — ExecuteSql.runCursor) ──
+
+  test("cursor protocol: a script pages a pinned snapshot and CLOSE frees it") {
+    import graft.cli.ExecuteSql
+    spark.sql("DROP TABLE IF EXISTS cur_t")
+    spark.sql("CREATE TABLE cur_t AS SELECT id FROM range(7)")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // the r12 done-criterion script: NEXT, a counted page, ALL, then a
+    // FETCH past end (0 rows, no error), CLOSE inside the same script
+    ExecuteSql.run(spark,
+      """BEGIN;
+        |DECLARE c CURSOR FOR SELECT id FROM cur_t ORDER BY id;
+        |FETCH NEXT FROM c;
+        |FETCH FORWARD 2 FROM c;
+        |FETCH ALL FROM c;
+        |FETCH 5 FROM c;
+        |CLOSE c;
+        |COMMIT""".stripMargin, None)
+    assert(ExecuteSql.fetchLog.toList ===
+      List(("c", 1L), ("c", 2L), ("c", 4L), ("c", 0L)))
+    // CLOSE released the localCheckpoint blocks eagerly — nothing new
+    // persisted survives the run (the rrf leak-test pattern)
+    assert(spark.sparkContext.getPersistentRDDs.keySet === before,
+      "cursor snapshot blocks leaked past CLOSE")
+    spark.sql("DROP TABLE cur_t")
+  }
+
+  test("cursor protocol: unknown cursors raise; re-DECLARE raises; bad counts raise") {
+    import graft.cli.ExecuteSql
+    val e1 = intercept[IllegalArgumentException](
+      ExecuteSql.run(spark, "FETCH 2 FROM nope", None))
+    assert(e1.getMessage.contains("nope"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      ExecuteSql.run(spark, "CLOSE nope", None))
+    assert(e2.getMessage.contains("nope"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](ExecuteSql.run(spark,
+      """DECLARE d CURSOR FOR SELECT 1 AS x;
+        |DECLARE d CURSOR FOR SELECT 2 AS x""".stripMargin, None))
+    assert(e3.getMessage.contains("already exists"), e3.getMessage)
+    // ADVICE r13: a decimal count must raise a clear error, not a
+    // NumberFormatException from toLong
+    val e4 = intercept[IllegalArgumentException](ExecuteSql.run(spark,
+      """DECLARE d CURSOR FOR SELECT 1 AS x;
+        |FETCH 1.5 FROM d""".stripMargin, None))
+    assert(e4.getMessage.contains("integer"), e4.getMessage)
+  }
+
+  test("cursor protocol: WITH HOLD, full modifier chain, dollar-quoted body, CLOSE ALL") {
+    import graft.cli.ExecuteSql
+    spark.sql("DROP TABLE IF EXISTS cur_h")
+    spark.sql("CREATE TABLE cur_h AS SELECT id FROM range(5)")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // WITH HOLD survives COMMIT (run-scoped locally, so paging continues
+    // after the transaction tokens); the $tag$ body carries a semicolon
+    // and a FETCH keyword that must NOT split or confuse the script;
+    // the 4-token modifier chain is the ADVICE r13 hop-cap case
+    ExecuteSql.run(spark,
+      """BEGIN;
+        |DECLARE h CURSOR WITH HOLD FOR SELECT id FROM cur_h ORDER BY id;
+        |FETCH 2 FROM h;
+        |COMMIT;
+        |FETCH ALL FROM h;
+        |DECLARE m BINARY INSENSITIVE NO SCROLL CURSOR FOR
+        |  SELECT $tag$a;FETCH 9 FROM h;b$tag$ AS s FROM range(3);
+        |FETCH ALL IN m;
+        |CLOSE ALL""".stripMargin, None)
+    assert(ExecuteSql.fetchLog.toList ===
+      List(("h", 2L), ("h", 3L), ("m", 3L)))
+    assert(spark.sparkContext.getPersistentRDDs.keySet === before,
+      "CLOSE ALL left cursor snapshot blocks persisted")
+    // end-of-run cleanup frees cursors a script forgot to CLOSE
+    ExecuteSql.run(spark,
+      """DECLARE u1 CURSOR FOR SELECT id FROM cur_h;
+        |DECLARE u2 CURSOR FOR SELECT id FROM cur_h;
+        |FETCH 1 FROM u1""".stripMargin, None)
+    assert(spark.sparkContext.getPersistentRDDs.keySet === before,
+      "end-of-run cleanup left unclosed-cursor blocks persisted")
+    // and the next run starts with a fresh cursor namespace
+    val e = intercept[IllegalArgumentException](
+      ExecuteSql.run(spark, "FETCH 1 FROM u1", None))
+    assert(e.getMessage.contains("u1"), e.getMessage)
+    spark.sql("DROP TABLE cur_h")
   }
 }
