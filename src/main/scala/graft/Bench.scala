@@ -36,9 +36,32 @@ object Bench {
     // can't separate noise from regression. They get extra samples (5
     // total) and every query also reports its MEDIAN alongside the min.
     val subSecondRuns = math.max(runs, 5)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // ── contention sentinel (VERDICT r13 #5) ──────────────────────────
+    // The shared host swings timings up to 10× with no code change, and
+    // min-of-N fails when every sample lands inside one noisy window
+    // (r13: op_cm_lookup read 8.85 s from the driver while truly 1.44 s).
+    // Interleave a fixed fast canary between every `canaryEvery` measured
+    // queries: its contention-free floor is taken up front (min of 3),
+    // and any measurement window whose BRACKETING canary runs exceed
+    // 3× that floor is flagged hot — the JSON then distinguishes
+    // "measured hot" entries so neither builder nor judge chases noise.
+    val canaryName = "q12_limit_offset"
+    val canaryFn = SparkEntry.queries.get(canaryName)
+    val canaryEvery = 5
+    def timeCanary(): Double = canaryFn.map { fn =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }.getOrElse(0.0)
+    val canaryFloor =
+      if (canaryFn.isDefined) (1 to 3).map(_ => timeCanary()).min else 0.0
+    val canarySamples = Vector.newBuilder[(Int, Double)] // (query index, sec)
+    val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val results = qlist.zipWithIndex.map { case ((name, fn), qi) =>
+      if (canaryFn.isDefined && qi % canaryEvery == 0)
+        canarySamples += ((qi, timeCanary()))
       val times = Vector.newBuilder[Double]
       var best = Double.MaxValue
       var err: Option[String] = None
@@ -67,6 +90,19 @@ object Bench {
         else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2
       (name, best, median, ts.length, err)
     }
+    // close the last canary window, then resolve per-query hot flags
+    if (canaryFn.isDefined && qlist.nonEmpty)
+      canarySamples += ((qlist.size, timeCanary()))
+    val cs = canarySamples.result()
+    val hotThreshold = 3.0 * canaryFloor
+    def hotAt(qi: Int): Boolean = cs.nonEmpty && {
+      val before = cs.filter(_._1 <= qi).lastOption
+      val after = cs.find(_._1 > qi)
+      before.exists(_._2 > hotThreshold) || after.exists(_._2 > hotThreshold)
+    }
+    val hotNames = results.zipWithIndex.collect {
+      case ((k, _, _, _, _), qi) if hotAt(qi) => k
+    }
     // BPE at realistic merge counts (bench-only; the oracle stays at 10
     // unrolled rounds — VERDICT r10 item 8): SPARK_GRAFT_BPE_ROUNDS=100
     // times one bpeTrain run at that round count so the serial-round cost
@@ -89,7 +125,15 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.count(_._5.isEmpty)
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"median":$med,"samples":$cnt,"errors":$errs,"ok":$ok,"n":${results.size},"runs":$runs$bpeExtra,"sf":${jstr(sfDir)}}"""
+    val canaryJson =
+      if (canaryFn.isEmpty) ""
+      else {
+        val samples = cs.map { case (i, t) => s"[$i,$t]" }.mkString("[", ",", "]")
+        val hot = hotNames.map(jstr).mkString("[", ",", "]")
+        s""","canary":{"name":${jstr(canaryName)},"floor":$canaryFloor,""" +
+          s""""threshold":$hotThreshold,"samples":$samples},"hot":$hot"""
+      }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"median":$med,"samples":$cnt,"errors":$errs,"ok":$ok,"n":${results.size},"runs":$runs$bpeExtra$canaryJson,"sf":${jstr(sfDir)}}"""
     // The driver captures only the last ~2000 chars of stdout and parses the
     // JSON line it finds there. With 110 queries the full line is ~3k chars,
     // so its head gets cut and the driver records parsed:null (BENCH_r09).
@@ -153,7 +197,8 @@ object Bench {
     val shortLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{$sb},""" +
       s""""errors":$errs,"ok":$ok,"n":${results.size},"shown":$kept,""" +
-      s""""runs":$runs,"full":${jstr(outPath.toString)},"sf":${jstr(sfDir)}}"""
+      s""""runs":$runs,"hot_n":${hotNames.size},""" +
+      s""""full":${jstr(outPath.toString)},"sf":${jstr(sfDir)}}"""
     println(shortLine)
     spark.stop()
   }
