@@ -209,4 +209,55 @@ object MultimodalOps {
       }
     }.orderBy("doc_id", "frame_idx", "dim_j")
   }
+
+  /** Per-frame difference hash (dHash — the public perceptual-hash family
+    * of Krawetz's "Kind of Like That"; also Zauner, "Implementation and
+    * Benchmarking of Perceptual Image Hash Functions", 2010): bit j of a
+    * frame's hash is set iff feat_j > feat_{(j+1) mod dim}. Comparing
+    * ADJACENT feature values (not absolute magnitudes) is what makes the
+    * hash stable under global brightness/gain shifts — the property that
+    * lets near-identical frames collide. Input is [[frameFeatures]]'s
+    * long form (doc_id, frame_idx, dim_j, feat); one row per frame out.
+    *
+    * All-codegen: a struct sort puts dims in order, then one `aggregate`
+    * lambda folds the wrap-around comparisons into the bit vector — no
+    * UDF, no shuffle beyond the (doc, frame) groupBy. */
+  def frameDHash(features: DataFrame): DataFrame =
+    features.groupBy("doc_id", "frame_idx")
+      .agg(expr("array_sort(collect_list(struct(dim_j, feat)))").as("fs"))
+      .selectExpr("doc_id", "frame_idx", "transform(fs, s -> s.feat) as f")
+      .selectExpr("doc_id", "frame_idx",
+        """aggregate(sequence(0, size(f) - 1), 0L,
+          |  (acc, j) -> acc + if(element_at(f, j + 1) >
+          |      element_at(f, (j + 1) % size(f) + 1), shiftleft(1L, j), 0L))
+          |  as dhash""".stripMargin)
+
+  /** Video near-duplicate detection — the multimodal leg of the dedup
+    * family (VERDICT r12 #4): per-frame dHash nibbles packed into a
+    * per-doc signature (4 dHash bits per sampled-frame slot, frame slot =
+    * frame_idx / every), then all doc pairs within `maxHamming` via the
+    * SAME pinned pigeonhole block join the text SimHash ops use
+    * ([[DedupOps.blockCandidates]] — exhaustive at the radius, candidate
+    * pruning 2^(bits/(maxHamming+1)) per block, parallelism pinned
+    * against AQE coalescing).
+    *
+    * Scale shape: signatures are 8 bytes/doc built by one (doc, frame)
+    * groupBy + one doc groupBy (both all-partial); the pair join never
+    * touches frames again. The stub tier's 4-dim features give a 32-bit
+    * signature (8 slots × 4 bits) — a production embedder simply raises
+    * dim/slots to widen the signature (64-bit+), leaving every operator
+    * downstream unchanged: the machinery is [[DedupOps.simhashPairs64]]'s.
+    */
+  def multimodalNearDup(features: DataFrame, maxHamming: Int = 3,
+                        every: Int = 4, slotBits: Int = 4): DataFrame = {
+    val sig = frameDHash(features)
+      .groupBy("doc_id")
+      .agg(sum(expr(
+        s"shiftleft(dhash, $slotBits * cast(frame_idx div $every as int))"))
+        .as("simhash"))
+    DedupOps.blockCandidates(sig, maxHamming, bits = 32)
+      .filter(expr(s"bit_count(x) <= $maxHamming"))
+      .selectExpr("doc_a", "doc_b", "cast(bit_count(x) as bigint) as hamming")
+      .orderBy("doc_a", "doc_b")
+  }
 }

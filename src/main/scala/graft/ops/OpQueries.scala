@@ -854,6 +854,39 @@ object OpQueries {
               |       CAST((h >> (8 * dim_j)) % 1000 AS DOUBLE) / 1000.0 AS feat
               |FROM d ORDER BY doc_id, frame_idx, dim_j""".stripMargin)),
 
+    // Video near-dup (multimodal dedup leg): per-frame dHash nibbles →
+    // 32-bit per-doc signature → Hamming pairs via the pinned pigeonhole
+    // block join. The oracle re-derives the SAME dHash/signature from the
+    // mirrored md5 frame features and brute-forces the pair matrix.
+    QueryDef("op_multimodal_neardup",
+      (s, d) => MultimodalOps.multimodalNearDup(
+        MultimodalOps.frameFeatures(docs(s, d))),
+      Some(s"""WITH f AS (SELECT doc_id, text,
+              |             1 + (${dkH60("text")} % 30) AS n_frames FROM documents),
+              |u AS (SELECT doc_id, text, unnest(range(0, n_frames, 4)) AS frame_idx FROM f),
+              |hh AS (SELECT doc_id, frame_idx,
+              |         ${dkH60("concat(text, ':', CAST(frame_idx AS VARCHAR))")} AS h
+              |       FROM u),
+              |p AS (SELECT doc_id, frame_idx,
+              |        CAST((h >> 0) % 1000 AS DOUBLE) / 1000.0 AS f0,
+              |        CAST((h >> 8) % 1000 AS DOUBLE) / 1000.0 AS f1,
+              |        CAST((h >> 16) % 1000 AS DOUBLE) / 1000.0 AS f2,
+              |        CAST((h >> 24) % 1000 AS DOUBLE) / 1000.0 AS f3
+              |      FROM hh),
+              |fr AS (SELECT doc_id, frame_idx,
+              |         (CASE WHEN f0 > f1 THEN 1 ELSE 0 END)
+              |       + (CASE WHEN f1 > f2 THEN 2 ELSE 0 END)
+              |       + (CASE WHEN f2 > f3 THEN 4 ELSE 0 END)
+              |       + (CASE WHEN f3 > f0 THEN 8 ELSE 0 END) AS dhash
+              |       FROM p),
+              |s AS (SELECT doc_id, SUM(dhash << (4 * (frame_idx // 4))) AS sig
+              |      FROM fr GROUP BY doc_id)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+              |FROM s a JOIN s b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // Deterministic stratified sample: 5 docs per (lang, source) stratum,
     // md5-keyed — the balanced-subset selection step of a training mix.
     // The rank filter compiles to WindowGroupLimit (map-side top-k per

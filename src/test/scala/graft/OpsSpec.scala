@@ -190,6 +190,33 @@ class OpsSpec extends SparkSpecBase {
     assert(out.length === 1 && out(0).getLong(2) === 0L)
   }
 
+  test("multimodal near-dup: planted near-identical frame sets recovered, far ones not") {
+    import spark.implicits._
+    // two frames per doc, 4 feature dims each. docs 1/2 identical
+    // (hamming 0); doc 3 = doc 1 with ONE adjacent-comparison flipped in
+    // frame 1 (hamming 1 — the "near-identical frames" case); doc 4 has
+    // doc 1's frames SWAPPED, which inverts every slot nibble (far).
+    val frames = Map(
+      1L -> Seq(Seq(0.9, 0.1, 0.8, 0.2), Seq(0.1, 0.9, 0.2, 0.8)),
+      2L -> Seq(Seq(0.9, 0.1, 0.8, 0.2), Seq(0.1, 0.9, 0.2, 0.8)),
+      3L -> Seq(Seq(0.9, 0.1, 0.8, 0.2), Seq(0.1, 0.9, 0.25, 0.2)),
+      4L -> Seq(Seq(0.1, 0.9, 0.2, 0.8), Seq(0.9, 0.1, 0.8, 0.2)))
+    val rows = for {
+      (doc, fs) <- frames.toSeq
+      (feats, fi) <- fs.zipWithIndex
+      (v, j) <- feats.zipWithIndex
+    } yield (doc, fi.toLong * 4, j.toLong, v)
+    val features = rows.toDF("doc_id", "frame_idx", "dim_j", "feat")
+    val out = MultimodalOps.multimodalNearDup(features).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    // and the signature really is frame-slot-positional: dHash per frame
+    val dh = MultimodalOps.frameDHash(features)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(dh((1L, 0L)) === 5L && dh((1L, 4L)) === 10L) // wrap-around bits
+    assert(dh((3L, 4L)) === 14L) // one comparison flipped vs doc 1
+  }
+
   test("simhash pairs are EXHAUSTIVE: equal to brute-force all-pairs at the radius") {
     val docs = Tables.load(spark, sfDir, "documents")
     val sh = graft.ops.TextOps.simhash(docs)
