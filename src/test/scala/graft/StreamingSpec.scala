@@ -634,4 +634,55 @@ class StreamingSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(streamed === batch)
   }
+
+  test("streaming corpus diff equals the batch diff across a two-batch delivery") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the op_corpus_diff snapshot pair: one removed (%97), edits (%31),
+    // one added (%51-keyed new id) — all four statuses present
+    val old = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val v2 = old.filter("doc_id % 97 != 0")
+      .selectExpr("doc_id",
+        "case when doc_id % 31 = 0 then concat(text, ' v2 edit') else text end as text")
+      .union(old.filter("doc_id % 51 = 0")
+        .selectExpr("doc_id + 1000000 as doc_id",
+          "concat('brand new ', cast(doc_id as string)) as text"))
+    val oldRows = old.as[(Long, String)].collect().map { case (id, t) => (id, "old", t) }
+    val newRows = v2.as[(Long, String)].collect().map { case (id, t) => (id, "new", t) }
+
+    // batch 1 = the full OLD snapshot; batch 2 = the full NEW snapshot, so
+    // every removed/changed/unchanged key's state must CROSS the batch cut
+    val stream = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.corpusDiffStream(
+        stream.toDF().toDF("doc_id", "side", "text"))
+      .writeStream.format("memory").queryName("diff_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(oldRows.toSeq)
+      q.processAllAvailable()
+      stream.addData(newRows.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // latest emission per key without relying on sink row order: a key
+    // that received a `new` row re-emits with fp_new set (or 'added'), so
+    // that emission supersedes its batch-1 'removed' partial
+    val emissions = spark.table("diff_stream").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getString(3)))
+    val finalByKey = emissions.groupBy(_._1).map { case (id, es) =>
+      val fin = es.find(e => e._3.isDefined || e._4 == "added").getOrElse {
+        assert(es.length === 1 && es.head._4 == "removed",
+          s"doc $id: unexpected emission set ${es.toSeq}")
+        es.head
+      }
+      id -> (fin._2, fin._3, fin._4)
+    }
+    val batch = graft.ops.PipelineOps.corpusDiff(old, v2).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getString(3))).toMap
+    assert(finalByKey === batch)
+    val statuses = batch.values.map(_._3).toSet
+    assert(statuses === Set("added", "removed", "changed", "unchanged"),
+      s"fixture must exercise all four statuses, got $statuses")
+  }
 }
