@@ -57,6 +57,12 @@ object ProfileOps {
     * fixed-order IEEE double formula over those sums ([[spearmanRho]],
     * the identical text both engines evaluate). Spearman is invariant
     * under the affine rank doubling, so the value is the textbook rho.
+    * The moment sums accumulate in DECIMAL — Σd² ≈ 4N³/3 overflows
+    * BIGINT past ~1.3M rows (the sf1 checkpoint's 6M-row events table
+    * raised ARITHMETIC_OVERFLOW under ANSI mode); DECIMAL(38,0) holds
+    * exactly to ~3·10¹² rows, the sums stay exact integers (so the
+    * rho double is bit-identical to the BIGINT path wherever both are
+    * defined), and the cost is a handful of global accumulators.
     *
     * Scale shape: per column, ranks come from a (value)-keyed count plus
     * a RANGE-PARTITIONED two-pass prefix sum over the distinct values —
@@ -69,9 +75,8 @@ object ProfileOps {
     * Ranks then broadcast-join back onto the rows; the moment pass is ONE
     * all-partial aggregation producing a single row — no row-keyed,
     * single-reducer stage anywhere.
-    * BIGINT moment sums hold to ~1.3M rows per profile scope (Σd² ≈ 4N³/3
-    * vs 2⁶³); beyond that, profile per partition/stratum or swap the
-    * moment accumulators to DECIMAL(38,0) — the formula is unchanged.
+    * Moment sums accumulate in DECIMAL (see above) — exact far past any
+    * realistic profile scope; the formula is unchanged.
     */
   def spearmanCorr(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "spearmanCorr needs at least two columns")
@@ -106,13 +111,18 @@ object ProfileOps {
     }
     val idx = cols.indices
     val pairs = for (i <- idx; j <- idx if i < j) yield (i, j)
+    // doubled ranks are < 2N+1, so DECIMAL(18,0) holds each factor to
+    // N ~ 5·10¹⁷ rows; (18,0)×(18,0) → (37,0) products and their sums
+    // promote to (38,0) — exact to ~3·10¹² rows, no ANSI overflow
+    val dec = org.apache.spark.sql.types.DecimalType(18, 0)
+    def dc(i: Int) = col(s"d$i").cast(dec)
     val aggs: Seq[org.apache.spark.sql.Column] =
       Seq(count(lit(1)).as("n")) ++
         idx.flatMap(i => Seq(
-          sum(col(s"d$i")).as(s"s$i"),
-          sum(col(s"d$i") * col(s"d$i")).as(s"q$i"))) ++
+          sum(dc(i)).as(s"s$i"),
+          sum(dc(i) * dc(i)).as(s"q$i"))) ++
         pairs.map { case (i, j) =>
-          sum(col(s"d$i") * col(s"d$j")).as(s"p${i}_$j") }
+          sum(dc(i) * dc(j)).as(s"p${i}_$j") }
     val sums = ranked.agg(aggs.head, aggs.tail: _*)
     pairs.map { case (i, j) =>
       sums.selectExpr(
@@ -219,9 +229,12 @@ object ProfileOps {
     * (event_type, day, c) table — shared by the batch op and the
     * streaming twin's read side. */
   private[graft] def zscoreDaily(daily: DataFrame, threshold: Double): DataFrame = {
+    // c is a per-day event count; c² overflows BIGINT accumulation for
+    // ~10⁹-events/day types (the spearman sf1 lesson) — accumulate the
+    // square sum in DECIMAL, consumed only via cast-to-double below
     val stats = daily.groupBy("event_type").agg(
       count(lit(1)).as("n_days"), sum("c").as("s1"),
-      sum(expr("c * c")).as("s2"))
+      sum(expr("cast(c as decimal(18,0)) * cast(c as decimal(18,0))")).as("s2"))
     val mean = "cast(s1 as double) / cast(n_days as double)"
     daily.join(broadcast(stats), "event_type")
       .selectExpr("event_type", "day", "c",

@@ -501,13 +501,23 @@ object SketchOps {
             r: Int = 16): DataFrame = {
     require(r >= 1 && r <= 60 && Integer.bitCount(r) == 1,
       s"AMS needs r a power of two in [1, 60] (exact mean division), got $r")
+    // counter sums |s| ≤ N and per-key counts c ≤ N, so their squares
+    // overflow BIGINT accumulation past ~1.3M-distinct scopes (the
+    // spearman sf1 lesson); DECIMAL(18,0) factors → (37,0) products →
+    // (38,0) sums stay exact to ~10¹⁸. f2_est is double anyway;
+    // f2_exact casts back to the BIGINT output type, so overflow can
+    // now only happen when the RESULT itself exceeds 2⁶³ (ANSI raises
+    // loudly there), never from accumulation.
     val sketch = amsSketch(df, groupCol, valueExpr, r)
-      .groupBy("grp").agg(expr("sum(s * s)").as("ss"))
+      .groupBy("grp").agg(
+        expr("sum(cast(s as decimal(18,0)) * cast(s as decimal(18,0)))").as("ss"))
       .selectExpr("grp", s"cast(ss as double) / $r as f2_est")
     val exact = df
       .selectExpr(s"$groupCol as grp", s"$valueExpr as v")
       .groupBy("grp", "v").agg(count(lit(1)).as("c"))
-      .groupBy("grp").agg(expr("sum(c * c)").as("f2_exact"))
+      .groupBy("grp").agg(
+        expr("cast(sum(cast(c as decimal(18,0)) * cast(c as decimal(18,0))) as bigint)")
+          .as("f2_exact"))
     exact.join(sketch, Seq("grp"))
       .select("grp", "f2_exact", "f2_est")
       .orderBy("grp")

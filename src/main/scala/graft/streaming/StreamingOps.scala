@@ -445,8 +445,14 @@ object StreamingOps {
     df.selectExpr(s"$groupCol as grp",
         s"${graft.ops.TextOps.h60(valueExpr)} as h")
       .groupBy("grp").agg(sums.head, sums.tail: _*)
+      // squares computed in DECIMAL like the batch op (|s_j| ≤ N, so
+      // s² overflows BIGINT past ~3·10⁹ rows/group); the sum-of-squares
+      // stays an exact integer, so the double estimate is still
+      // bit-identical to the batch path
       .selectExpr("grp",
-        s"cast(${(0 until r).map(j => s"s$j * s$j").mkString(" + ")} as double) / $r as f2_est")
+        s"cast(${(0 until r).map(j =>
+          s"cast(s$j as decimal(18,0)) * cast(s$j as decimal(18,0))")
+          .mkString(" + ")} as double) / $r as f2_est")
   }
 
   /** Stateless streaming C4 page cleaning — the online form of
