@@ -228,18 +228,18 @@ object TextOps {
       .orderBy("lang_true", "lang_pred")
   }
 
-  /** Rolling-hash document fingerprint: fold h = (31·h + hash(word)) mod
-    * (2³¹−1) over the token stream. Order-sensitive by design (same bag of
-    * words in a different order fingerprints differently).
-    */
-  /** The rolling-polynomial document fingerprint over a word-array column —
-    * shared by [[fingerprint]] and the streaming diff twin
-    * ([[graft.streaming.StreamingOps.corpusDiffStream]]) so content
-    * identity can never drift between the batch and online forms. */
+  /** Rolling-hash document fingerprint over a word-array column: fold
+    * h = (31·h + hash(word)) mod (2³¹−1) over the token stream.
+    * Order-sensitive by design (same bag of words in a different order
+    * fingerprints differently). Shared by [[fingerprint]] and the
+    * streaming diff twin ([[graft.streaming.StreamingOps.corpusDiffStream]])
+    * so content identity can never drift between the batch and online
+    * forms. */
   def fingerprintExpr(wordsCol: String): String =
     s"""aggregate(transform($wordsCol, x -> ${h60("x")} % 2147483647L), 0L,
        |          (a, h) -> (a * 31 + h) % 2147483647L)""".stripMargin
 
+  /** Per-document [[fingerprintExpr]] over `documents.text`. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs
       .selectExpr("doc_id", s"${wordsExpr("text")} as w")

@@ -145,11 +145,38 @@ object LocalDml {
         // ADVICE r13: `ALTER TABLE t RENAME [COLUMN] owner TO x` is a real
         // rename of a column NAMED owner ending in the exact anchored
         // shape — the preceding code token disambiguates (it's COLUMN or
-        // RENAME there; an object name in the loud-ignore form)
-        var pv = i - 1
-        while (pv >= 0 && (toks(pv).kind == Ws || toks(pv).kind == Comment)) pv -= 1
-        val precededByRename =
-          pv >= 0 && (toks(pv).isWord("column") || toks(pv).isWord("rename"))
+        // RENAME there; an object name in the loud-ignore form). ADVICE
+        // r14 anchored this to STATEMENT SHAPE: a RENAME/COLUMN keyword
+        // sitting in the object-name slot (the code token right after the
+        // ALTER <type> token at n — e.g. a table literally named `rename`
+        // in `ALTER TABLE rename OWNER TO bob`) is the object name, not
+        // the rename verb, so the statement stays on the loud-ignore path.
+        def prevCode(p: Int): Int = {
+          var q = p - 1
+          while (q >= 0 && (toks(q).kind == Ws || toks(q).kind == Comment)) q -= 1
+          q
+        }
+        // the object-name slot: first code token after the type keyword(s)
+        val nameSlot = {
+          var s = nextCode(toks, n + 1)
+          if (n < toks.length && toks(n).isWord("materialized") &&
+              s < toks.length && toks(s).isWord("view"))
+            s = nextCode(toks, s + 1)
+          s
+        }
+        // a token is part of the object NAME (not the rename verb) when it
+        // sits in the name slot or continues a qualified name (`s.rename`)
+        def inNamePosition(p: Int): Boolean = p == nameSlot || {
+          val before = prevCode(p)
+          before >= 0 && toks(before).kind == Sym && toks(before).text == "."
+        }
+        val pv = prevCode(i)
+        val precededByRename = pv >= 0 && {
+          if (toks(pv).isWord("column")) {
+            val r = prevCode(pv)
+            r >= 0 && toks(r).isWord("rename") && !inNamePosition(r)
+          } else toks(pv).isWord("rename") && !inNamePosition(pv)
+        }
         val to = nextCode(toks, i + 1)
         val principal = if (to < toks.length) nextCode(toks, to + 1) else toks.length
         val tail = if (principal < toks.length) nextCode(toks, principal + 1) else toks.length

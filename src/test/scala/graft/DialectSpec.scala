@@ -2249,6 +2249,23 @@ class DialectSpec extends SparkSpecBase {
       spark.table("own_rn").schema.fieldNames.contains("renamed"),
       "RENAME COLUMN owner TO x was silently swallowed by the OWNER TO guard")
     spark.sql("DROP TABLE own_rn")
+    // ADVICE r14: a table literally NAMED rename — the RENAME token sits
+    // in the OBJECT-NAME slot, so this is the plain `ALTER … OWNER TO`
+    // shape and must take the loud-ignore path (not fall through to
+    // native DDL and die on an opaque parse error). Same for a qualified
+    // name ending in `.rename`.
+    graft.cli.ExecuteSql.run(spark, "ALTER TABLE rename OWNER TO bob", None)
+    graft.cli.ExecuteSql.run(spark, "ALTER TABLE s9.rename OWNER TO bob", None)
+    // …while the genuine rename-of-a-column-named-owner on a table named
+    // rename still routes to native DDL (both RENAME tokens present)
+    spark.sql("DROP TABLE IF EXISTS rename")
+    spark.sql("CREATE TABLE rename (owner STRING, v INT)")
+    val rn2 = scala.util.Try(graft.cli.ExecuteSql.run(spark,
+      "ALTER TABLE rename RENAME COLUMN owner TO renamed", None))
+    assert(rn2.isFailure ||
+      spark.table("rename").schema.fieldNames.contains("renamed"),
+      "RENAME COLUMN owner TO x on table `rename` was swallowed")
+    spark.sql("DROP TABLE rename")
   }
 
   test("dollar-quoted strings rewrite to plain literals anywhere a literal goes") {
