@@ -232,6 +232,51 @@ object MultimodalOps {
           |      element_at(f, (j + 1) % size(f) + 1), shiftleft(1L, j), 0L))
           |  as dhash""".stripMargin)
 
+  /** The per-document video signature as a pure Scala function of the
+    * payload — [[frameFeatures]]' stub decode + [[frameDHash]] + the
+    * [[multimodalNearDup]] slot packing collapsed into one per-row
+    * computation, for the STREAMING twin
+    * ([[graft.streaming.StreamingOps.multimodalNearDupStream]]): signature
+    * extraction is embarrassingly parallel per document (the media payload
+    * is one column of the row), so the online form needs no pre-pair
+    * aggregation at all — only the pigeonhole pair state is stateful.
+    * StreamingSpec pins this equal to the batch SQL path on the fixture;
+    * a production embedder swaps the inner feature loop exactly as in
+    * [[frameFeatures]]. Applies the same packing guards as the batch op
+    * (slot overflow / dhash width raise rather than corrupt). */
+  private[graft] def stubDocSignature(text: String, every: Int = 4,
+                                      slotBits: Int = 4, bits: Int = 32,
+                                      dim: Int = 4): Long = {
+    require(every >= 1 && slotBits >= 1 && bits >= slotBits && bits <= 64 &&
+      bits % slotBits == 0, s"bad geometry every=$every slotBits=$slotBits bits=$bits")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+    val nSlots = bits / slotBits
+    val nFrames = 1L + h60(text) % 30L
+    var sig = 0L
+    var f = 0L
+    while (f < nFrames) {
+      val h = h60(s"$text:$f")
+      val feats = Array.tabulate(dim)(j => ((h >>> (8 * j)) % 1000L) / 1000.0)
+      var dhash = 0L
+      var j = 0
+      while (j < dim) {
+        if (feats(j) > feats((j + 1) % dim)) dhash |= (1L << j)
+        j += 1
+      }
+      val slot = f / every
+      require(slot < nSlots,
+        s"multimodalNearDup: frame slot $slot exceeds the $nSlots-slot signature")
+      require(dhash >= 0 && dhash < (1L << slotBits),
+        s"multimodalNearDup: dhash $dhash does not fit slotBits=$slotBits")
+      sig |= dhash << (slotBits * slot.toInt)
+      f += every
+    }
+    sig
+  }
+
   /** Video near-duplicate detection — the multimodal leg of the dedup
     * family (VERDICT r12 #4): per-frame dHash nibbles packed into a
     * per-doc signature (4 dHash bits per sampled-frame slot, frame slot =
@@ -249,13 +294,45 @@ object MultimodalOps {
     * downstream unchanged: the machinery is [[DedupOps.simhashPairs64]]'s.
     */
   def multimodalNearDup(features: DataFrame, maxHamming: Int = 3,
-                        every: Int = 4, slotBits: Int = 4): DataFrame = {
+                        every: Int = 4, slotBits: Int = 4,
+                        bits: Int = 32): DataFrame = {
+    require(every >= 1, s"need every >= 1; got $every")
+    require(slotBits >= 1 && bits >= slotBits && bits <= 64 && bits % slotBits == 0,
+      s"need 1 <= slotBits <= bits <= 64 with slotBits dividing bits; " +
+        s"got slotBits=$slotBits bits=$bits")
+    // Packing is guarded, not assumed (ADVICE r14): on FOREIGN input a
+    // slot index >= bits/slotBits would wrap the shift mod 64 and alias
+    // onto low slots, and a dhash wider than slotBits would carry across
+    // slot boundaries — both silent signature corruption. Out-of-range
+    // slots and over-wide dhashes RAISE (masking would silently change
+    // the distance metric); a two-frames-one-slot collision is caught by
+    // packing twice (carry-prone sum vs carry-free bit_or) and raising on
+    // mismatch — with range-valid inputs the two agree iff slots are
+    // disjoint. Valid input (frameFeatures: step = every, dim = slotBits)
+    // is unchanged bit for bit.
+    val nSlots = bits / slotBits
+    val packed =
+      s"""case
+         |  when frame_idx div $every >= $nSlots then cast(raise_error(concat(
+         |    'multimodalNearDup: frame slot ', cast(frame_idx div $every as string),
+         |    ' exceeds the $nSlots-slot signature (bits=$bits, slotBits=$slotBits)',
+         |    ' — raise bits/slotBits or every')) as bigint)
+         |  when dhash < 0 or dhash >= ${1L << slotBits} then cast(raise_error(concat(
+         |    'multimodalNearDup: dhash ', cast(dhash as string),
+         |    ' does not fit slotBits=$slotBits — widen slotBits to the feature dim'))
+         |    as bigint)
+         |  else shiftleft(dhash, $slotBits * cast(frame_idx div $every as int))
+         |end""".stripMargin
     val sig = frameDHash(features)
       .groupBy("doc_id")
-      .agg(sum(expr(
-        s"shiftleft(dhash, $slotBits * cast(frame_idx div $every as int))"))
-        .as("simhash"))
-    DedupOps.blockCandidates(sig, maxHamming, bits = 32)
+      .agg(sum(expr(packed)).as("sig_sum"),
+        expr(s"bit_or($packed)").as("sig_or"))
+      .selectExpr("doc_id",
+        """case when sig_sum <> sig_or then cast(raise_error(concat(
+          |  'multimodalNearDup: two frames landed in one signature slot for doc ',
+          |  cast(doc_id as string), ' — lower every or raise bits/slotBits'))
+          |  as bigint) else sig_or end as simhash""".stripMargin)
+    DedupOps.blockCandidates(sig, maxHamming, bits = bits)
       .filter(expr(s"bit_count(x) <= $maxHamming"))
       .selectExpr("doc_a", "doc_b", "cast(bit_count(x) as bigint) as hamming")
       .orderBy("doc_a", "doc_b")

@@ -123,8 +123,18 @@ object StreamingOps {
     * every doc-level dedup state; an event-time TTL composes exactly as in
     * [[dedupExactStreamTtl]] when the stream is unbounded.
     */
-  def simhashPairsStream(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val bits = 64
+  def simhashPairsStream(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    pigeonholePairsStream(graft.ops.DedupOps.simhash64Sig(docs), maxHamming,
+      bits = 64)
+
+  /** The stateful pigeonhole pair engine shared by [[simhashPairsStream]]
+    * (64-bit text signatures) and [[multimodalNearDupStream]] (32-bit
+    * video signatures): `sig` is a streaming `(doc_id, simhash)` frame,
+    * state is keyed (block_id, block_key), and a pair is emitted exactly
+    * once — by its FIRST agreeing block, the identical rule
+    * [[graft.ops.DedupOps.blockCandidates]] codegens. */
+  private def pigeonholePairsStream(sig: DataFrame, maxHamming: Int,
+                                    bits: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bits,
       s"maxHamming must be in [0, $bits): got $maxHamming")
     val nBlocks = maxHamming + 1
@@ -140,9 +150,9 @@ object StreamingOps {
     val blockCols = (0 until nBlocks).map { i =>
       s"named_struct('blk', $i, 'key', shiftright(simhash, ${bounds(i)}) & ${widthMask(i)}L)"
     }
-    val spark = docs.sparkSession
+    val spark = sig.sparkSession
     import spark.implicits._
-    graft.ops.DedupOps.simhash64Sig(docs)
+    sig
       .selectExpr("doc_id", "simhash",
         s"explode(array(${blockCols.mkString(", ")})) as b")
       .selectExpr("doc_id", "simhash", "b.blk as blk", "b.key as key")
@@ -172,6 +182,31 @@ object StreamingOps {
           out.result().iterator
         })
       .toDF("doc_a", "doc_b", "hamming")
+  }
+
+  /** Streaming VIDEO near-duplicate pairs — the online form of
+    * [[graft.ops.MultimodalOps.multimodalNearDup]] (VERDICT r14 #5): per
+    * arriving document, the packed per-frame dHash signature is computed
+    * STATELESSLY in-row (signature extraction is a pure function of the
+    * row's media payload — [[graft.ops.MultimodalOps.stubDocSignature]],
+    * where a production decoder swaps in exactly as in `frameFeatures`),
+    * then pairs within `maxHamming` come out of the SAME pigeonhole
+    * bucket state the text SimHash twin keys ([[simhashPairsStream]]'s
+    * engine at bits = 32). No pre-pair aggregation is stateful, so the
+    * op composes with watermarks/TTL exactly like the text twin.
+    * StreamingSpec proves two-batch equivalence vs the batch op. */
+  def multimodalNearDupStream(docs: DataFrame, maxHamming: Int = 3,
+                              every: Int = 4, slotBits: Int = 4,
+                              bits: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sig = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, graft.ops.MultimodalOps.stubDocSignature(text, every, slotBits, bits))
+      })
+      .toDF("doc_id", "simhash")
+    pigeonholePairsStream(sig, maxHamming, bits)
   }
 
   /** [[simhashPairsStream]] with an event-time state TTL — the

@@ -217,6 +217,44 @@ class OpsSpec extends SparkSpecBase {
     assert(dh((3L, 4L)) === 14L) // one comparison flipped vs doc 1
   }
 
+  test("multimodal near-dup packing GUARDS: foreign input raises instead of corrupting") {
+    // ADVICE r14: multimodalNearDup is public with arbitrary features —
+    // out-of-range slots / over-wide dhashes / slot collisions must raise
+    // loudly, never silently alias bits into wrong signature slots.
+    def run(rows: Seq[(Long, Long, Long, Double)]): Unit =
+      MultimodalOps.multimodalNearDup(
+        rows.toDF("doc_id", "frame_idx", "dim_j", "feat")).collect()
+    val frame = Seq(0.9, 0.1, 0.8, 0.2) // dhash 5 (4-dim, fits a nibble)
+    def rowsAt(doc: Long, frameIdx: Long, feats: Seq[Double]) =
+      feats.zipWithIndex.map { case (v, j) => (doc, frameIdx, j.toLong, v) }
+    // slot 64/4 = 16 ≥ the 8-slot signature → shift would wrap mod 64
+    val slotOverflow = intercept[Exception](run(rowsAt(1L, 64L, frame)))
+    assert(slotOverflow.getMessage.contains("exceeds"), slotOverflow.getMessage)
+    // a 6-dim frame hashes wider than slotBits=4 → would carry across slots
+    val wide = intercept[Exception](
+      run(rowsAt(1L, 0L, Seq(0.9, 0.1, 0.9, 0.1, 0.9, 0.1))))
+    assert(wide.getMessage.contains("slotBits"), wide.getMessage)
+    // two frames landing in ONE slot (frame_idx 0 and 1 with every=4, same
+    // dhash) → the carry-prone sum and carry-free bit_or disagree → raise
+    val collide = intercept[Exception](
+      run(rowsAt(1L, 0L, frame) ++ rowsAt(1L, 1L, frame)))
+    assert(collide.getMessage.contains("one signature slot"), collide.getMessage)
+    // valid geometry still passes clean (the r14 fixture shape)
+    run(rowsAt(1L, 0L, frame) ++ rowsAt(1L, 4L, frame))
+  }
+
+  test("cosineNearDup SIZE GUARD raises above maxExactRows, pointing at the LSH twin") {
+    // VERDICT r14 #4: the exact all-pairs tier (N²/2 dot products) must
+    // refuse production-sized inputs loudly instead of attempting
+    // quadratic work; fixtures sit far below the default 2^18 threshold.
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val e = intercept[IllegalArgumentException](
+      VectorOps.cosineNearDup(emb, 0.45, maxExactRows = 10L))
+    assert(e.getMessage.contains("cosineNearDupLsh"), e.getMessage)
+    // at/below the threshold the tier runs as before
+    VectorOps.cosineNearDup(emb.limit(10), 0.45, maxExactRows = 10L).collect()
+  }
+
   test("simhash pairs are EXHAUSTIVE: equal to brute-force all-pairs at the radius") {
     val docs = Tables.load(spark, sfDir, "documents")
     val sh = graft.ops.TextOps.simhash(docs)

@@ -78,6 +78,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === batch)
   }
 
+  test("streaming multimodal near-dup pairs equal batch multimodalNearDup across two batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.load(spark, sfDir, "documents")
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+    assert(rows.nonEmpty)
+    // split mid-corpus so cross-batch pairs exercise the bucket state
+    val (first, second) = rows.toSeq.sortBy(_._1).splitAt(rows.length / 2)
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.multimodalNearDupStream(
+        stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("mm_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(first); q.processAllAvailable()
+      stream.addData(second); q.processAllAvailable()
+      stream.addData(second.take(1)) // re-delivery must not duplicate pairs
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("mm_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.ops.MultimodalOps.multimodalNearDup(
+        graft.ops.MultimodalOps.frameFeatures(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(batch.nonEmpty, "fixture must contain multimodal near-dup pairs")
+    assert(streamed.size === streamed.toSet.size, "a pair was emitted twice")
+    assert(streamed.toSet === batch.toSet)
+  }
+
   test("streaming simhash pairs: cross-batch pair found once, never re-emitted") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog again and again today"
