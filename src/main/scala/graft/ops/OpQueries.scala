@@ -785,12 +785,17 @@ object OpQueries {
         .withColumnRenamed("rank", "rnk"),
       Some(dkTopkOracle)),
 
-    // Approximate scale path: no SQL oracle (rows-only check from the
-    // driver); recall vs the exact baseline is asserted in OpsSpec.
+    // Approximate scale path, HASH-GATED since r15 (VERDICT r14 #3): the
+    // coarse quantizer runs on the exact deterministic Lloyd path, so
+    // probe sets, scored pairs, distances and ranks all match an
+    // independent DuckDB implementation (the ivfpq recipe minus PQ). The
+    // engine-specific cosine-refined variant (VectorOps.cosineTopKIvf)
+    // remains the recall-spec'd production form for clustered embeddings.
     QueryDef("op_sim_topk_ivf",
-      (s, d) => VectorOps.cosineTopKIvf(emb(s, d), 5, 20)
-        .withColumnRenamed("rank", "rnk"),
-      None),
+      (s, d) => ClusterOps.topKIvf(emb(s, d), kc = 8, nprobe = 2, iters = 2,
+        k = 5, nQueries = 20),
+      Some(dkTopKIvfOracle(kc = 8, nprobe = 2, iters = 2, k = 5,
+        nQueries = 20))),
 
     QueryDef("op_multimodal_meta",
       (s, d) => MultimodalOps.decodeMeta(docs(s, d)).orderBy("doc_id"),
@@ -2664,6 +2669,37 @@ object OpQueries {
        |  SELECT qid, nid, dist,
        |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rank
        |  FROM dist) WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  /** DuckDB mirror of [[ClusterOps.topKIvf]]: one full-dim coarse chain
+    * (sfx `_c`), per-query `nprobe` nearest cells under the `(dist, cid)`
+    * tie-break, then EXACT squared-L2 ranking over vectors in probed
+    * cells — the same quantized-double arithmetic as the chain itself, so
+    * probe sets, pair sets, distances and ranks all hash-match. */
+  private def dkTopKIvfOracle(kc: Int, nprobe: Int, iters: Int, k: Int,
+                              nQueries: Int): String = {
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+    s"""WITH ${dkKmeansCtes(kc.toString, iters, sfx = "_c")},
+       |probe AS (SELECT qid, cell FROM (
+       |  SELECT q.vec_id AS qid, c.cid AS cell,
+       |         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |           q.xx - 2 * ${dot("q.xd", "c.m")} + ${dot("c.m", "c.m")}, c.cid) AS pr
+       |  FROM qx_c q CROSS JOIN c${iters}_c c WHERE q.vec_id < $nQueries)
+       |  WHERE pr <= $nprobe),
+       |pair AS (SELECT q.vec_id AS qid, p.vec_id AS nid,
+       |           q.xx - 2 * ${dot("q.xd", "p.xd")} + p.xx AS dist
+       |         FROM qx_c q
+       |         JOIN probe ON probe.qid = q.vec_id
+       |         JOIN asg_c ON asg_c.cluster = probe.cell
+       |         JOIN qx_c p ON p.vec_id = asg_c.vec_id
+       |         WHERE p.vec_id <> q.vec_id)
+       |SELECT qid, rank, nid, dist FROM (
+       |  SELECT qid, nid, dist,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rank
+       |  FROM pair) WHERE rank <= $k
        |ORDER BY qid, rank""".stripMargin
   }
 
