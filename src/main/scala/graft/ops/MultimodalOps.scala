@@ -246,7 +246,7 @@ object MultimodalOps {
     * (slot overflow / dhash width raise rather than corrupt). */
   private[graft] def stubDocSignature(text: String, every: Int = 4,
                                       slotBits: Int = 4, bits: Int = 32,
-                                      dim: Int = 4): Long = {
+                                      dim: Int = 4): (Long, Int) = {
     require(every >= 1 && slotBits >= 1 && bits >= slotBits && bits <= 64 &&
       bits % slotBits == 0, s"bad geometry every=$every slotBits=$slotBits bits=$bits")
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -256,6 +256,7 @@ object MultimodalOps {
     val nSlots = bits / slotBits
     val nFrames = 1L + h60(text) % 30L
     var sig = 0L
+    var nf = 0
     var f = 0L
     while (f < nFrames) {
       val h = h60(s"$text:$f")
@@ -272,45 +273,67 @@ object MultimodalOps {
       require(dhash >= 0 && dhash < (1L << slotBits),
         s"multimodalNearDup: dhash $dhash does not fit slotBits=$slotBits")
       sig |= dhash << (slotBits * slot.toInt)
+      nf += 1
       f += every
     }
-    sig
+    (sig, nf)
   }
 
   /** Video near-duplicate detection — the multimodal leg of the dedup
-    * family (VERDICT r12 #4): per-frame dHash nibbles packed into a
-    * per-doc signature (4 dHash bits per sampled-frame slot, frame slot =
-    * frame_idx / every), then all doc pairs within `maxHamming` via the
-    * SAME pinned pigeonhole block join the text SimHash ops use
-    * ([[DedupOps.blockCandidates]] — exhaustive at the radius, candidate
-    * pruning 2^(bits/(maxHamming+1)) per block, parallelism pinned
-    * against AQE coalescing).
+    * family (VERDICT r12 #4): per-frame dHash values packed into a
+    * per-doc signature (`slotBits` per sampled-frame slot, frame slot =
+    * frame_idx / every), then doc pairs within `maxHamming` via a
+    * pigeonhole block join over the OCCUPIED signature width, keyed by
+    * the doc's sampled-frame count.
+    *
+    * ==Length classes (the r15 sf1 lesson)==
+    * Videos have variable length, so high slots are empty for most docs
+    * — and a pigeonhole block over a globally-fixed bit range collapses
+    * every short doc into one all-zero bucket (measured at sf1: ~90% of
+    * 100k docs shared block 3's zero key → ~4×10⁹ candidate pairs,
+    * 150 s; quadratic in N — a scale killer no signature width fixes).
+    * So pairing is per LENGTH CLASS: candidates join on (n_slots, block,
+    * key) with the `maxHamming + 1` blocks dividing the occupied width
+    * n_slots·slotBits — every block key is informative for its class.
+    * Two docs with different sampled-frame counts are never compared
+    * (different-length videos are not near-dups of each other under a
+    * frame-slot hash), and docs with fewer than `minSlots` sampled
+    * frames carry too few signature bits to pair at the radius — at
+    * radius 3 an 8-bit signature matches 37% of everything — so they are
+    * excluded in both engines, the [[DedupOps.jaccardPairs]] "<3 words →
+    * no shingles" precedent. Exhaustiveness within a class is the same
+    * pigeonhole argument as [[DedupOps.simhashPairs]]: hamming ≤ h over
+    * w occupied bits ⇒ some block of w/(h+1) bits agrees exactly; each
+    * pair is emitted only by its FIRST agreeing block.
     *
     * Scale shape: signatures are 8 bytes/doc built by one (doc, frame)
     * groupBy + one doc groupBy (both all-partial); the pair join never
-    * touches frames again. The stub tier's 4-dim features give a 32-bit
-    * signature (8 slots × 4 bits) — a production embedder simply raises
-    * dim/slots to widen the signature (64-bit+), leaving every operator
-    * downstream unchanged: the machinery is [[DedupOps.simhashPairs64]]'s.
+    * touches frames again; per (class, block) the bucket key space is
+    * 2^(n·slotBits/(h+1)), and the block join's parallelism is pinned
+    * against AQE coalescing. A production embedder raises dim/slotBits
+    * to widen per-frame signal, machinery unchanged.
+    *
+    * Packing is guarded, not assumed (ADVICE r14): on FOREIGN input a
+    * slot index ≥ bits/slotBits would wrap the shift mod 64 and alias
+    * onto low slots, and a dhash wider than slotBits would carry across
+    * slot boundaries — both silent signature corruption, both RAISE
+    * (masking would silently change the distance metric); a
+    * two-frames-one-slot collision is caught by packing twice
+    * (carry-prone sum vs carry-free bit_or) and raising on mismatch.
     */
   def multimodalNearDup(features: DataFrame, maxHamming: Int = 3,
                         every: Int = 4, slotBits: Int = 4,
-                        bits: Int = 32): DataFrame = {
+                        bits: Int = 32, minSlots: Int = 4): DataFrame = {
     require(every >= 1, s"need every >= 1; got $every")
     require(slotBits >= 1 && bits >= slotBits && bits <= 64 && bits % slotBits == 0,
       s"need 1 <= slotBits <= bits <= 64 with slotBits dividing bits; " +
         s"got slotBits=$slotBits bits=$bits")
-    // Packing is guarded, not assumed (ADVICE r14): on FOREIGN input a
-    // slot index >= bits/slotBits would wrap the shift mod 64 and alias
-    // onto low slots, and a dhash wider than slotBits would carry across
-    // slot boundaries — both silent signature corruption. Out-of-range
-    // slots and over-wide dhashes RAISE (masking would silently change
-    // the distance metric); a two-frames-one-slot collision is caught by
-    // packing twice (carry-prone sum vs carry-free bit_or) and raising on
-    // mismatch — with range-valid inputs the two agree iff slots are
-    // disjoint. Valid input (frameFeatures: step = every, dim = slotBits)
-    // is unchanged bit for bit.
+    require(maxHamming >= 0, s"need maxHamming >= 0; got $maxHamming")
+    require(minSlots >= 1 && minSlots * slotBits > maxHamming,
+      s"need minSlots >= 1 with minSlots*slotBits > maxHamming (pigeonhole " +
+        s"blocks must be non-empty); got minSlots=$minSlots")
     val nSlots = bits / slotBits
+    val nBlocks = maxHamming + 1
     val packed =
       s"""case
          |  when frame_idx div $every >= $nSlots then cast(raise_error(concat(
@@ -323,17 +346,61 @@ object MultimodalOps {
          |    as bigint)
          |  else shiftleft(dhash, $slotBits * cast(frame_idx div $every as int))
          |end""".stripMargin
+    // the collision raise rides the nf column (not a separate projection):
+    // the minSlots filter below would otherwise be pushed UNDER a
+    // standalone check-projection and prune a colliding short doc before
+    // its raise ever evaluated
     val sig = frameDHash(features)
       .groupBy("doc_id")
       .agg(sum(expr(packed)).as("sig_sum"),
-        expr(s"bit_or($packed)").as("sig_or"))
+        expr(s"bit_or($packed)").as("sig_or"),
+        count(lit(1)).as("nf0"))
       .selectExpr("doc_id",
         """case when sig_sum <> sig_or then cast(raise_error(concat(
           |  'multimodalNearDup: two frames landed in one signature slot for doc ',
           |  cast(doc_id as string), ' — lower every or raise bits/slotBits'))
-          |  as bigint) else sig_or end as simhash""".stripMargin)
-    DedupOps.blockCandidates(sig, maxHamming, bits = bits)
-      .filter(expr(s"bit_count(x) <= $maxHamming"))
+          |  as bigint) else nf0 end as nf""".stripMargin,
+        "sig_or as simhash")
+      .filter(col("nf") >= minSlots)
+      // occupied width w = nf·slotBits; per-class block i covers
+      // [i·w/nBlocks, (i+1)·w/nBlocks) — all bounds computed in-row
+      .selectExpr("doc_id", "nf", "simhash",
+        s"cast(nf * $slotBits as int) as w")
+    val blocks = graft.ops.LineageUtil.pinJoinParallelism(
+      sig
+        .selectExpr("doc_id", "nf", "simhash", "w",
+          s"explode(sequence(0, ${nBlocks - 1})) as blk")
+        .selectExpr("doc_id", "nf", "simhash", "blk",
+          s"cast(blk * w div $nBlocks as int) as lo",
+          s"cast((blk + 1) * w div $nBlocks - blk * w div $nBlocks as int) as bw")
+        .selectExpr("doc_id", "nf", "simhash", "blk",
+          // bw can reach 64 (maxHamming = 0 over a full-width class),
+          // where shiftleft wraps — mask all bits explicitly there
+          "shiftright(simhash, lo) & " +
+            "(case when bw >= 64 then -1L else shiftleft(1L, bw) - 1 end) as key"),
+      "nf", "blk", "key")
+    // first agreeing block of the xor, under the PAIR's shared class
+    // width — the one block allowed to emit the pair (no distinct()).
+    // Unrolled to a flat CASE over the constant block count (per-row
+    // width arithmetic only) so it stays inside whole-stage codegen —
+    // a higher-order `aggregate` here would run interpreted on every
+    // candidate pair, the hot path of the join.
+    def blockMask(i: Int): String =
+      s"""shiftleft(case when cast(${i + 1} * w div $nBlocks
+         |    - $i * w div $nBlocks as int) >= 64 then -1L
+         |  else shiftleft(1L, cast(${i + 1} * w div $nBlocks
+         |    - $i * w div $nBlocks as int)) - 1 end,
+         |  cast($i * w div $nBlocks as int))""".stripMargin
+    val firstAgree = (0 until nBlocks)
+      .map(i => s"when (x & ${blockMask(i)}) = 0 then $i")
+      .mkString("case ", " ", " else -1 end")
+    blocks.as("a")
+      .join(blocks.as("b"),
+        expr("a.nf = b.nf and a.blk = b.blk and a.key = b.key " +
+          "and a.doc_id < b.doc_id"))
+      .selectExpr("a.doc_id as doc_a", "b.doc_id as doc_b", "a.blk as blk",
+        "a.simhash ^ b.simhash as x", s"cast(a.nf * $slotBits as int) as w")
+      .filter(expr(s"bit_count(x) <= $maxHamming and ($firstAgree) = blk"))
       .selectExpr("doc_a", "doc_b", "cast(bit_count(x) as bigint) as hamming")
       .orderBy("doc_a", "doc_b")
   }

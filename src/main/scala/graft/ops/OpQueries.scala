@@ -860,9 +860,23 @@ object OpQueries {
               |FROM d ORDER BY doc_id, frame_idx, dim_j""".stripMargin)),
 
     // Video near-dup (multimodal dedup leg): per-frame dHash nibbles →
-    // 32-bit per-doc signature → Hamming pairs via the pinned pigeonhole
-    // block join. The oracle re-derives the SAME dHash/signature from the
-    // mirrored md5 frame features and brute-forces the pair matrix.
+    // per-doc signature over the OCCUPIED slots → Hamming pairs via the
+    // per-length-class pigeonhole block join. REDESIGNED in r15 after
+    // the sf1 sweep caught the r14 tier at 158 s: videos have variable
+    // length, so blocks over a globally-fixed bit range collapse every
+    // short doc into one all-zero bucket (~90% of 100k docs on block
+    // 3's zero key → ~4×10⁹ candidate pairs — quadratic in N, and no
+    // signature widening fixes it). Pairs now join per sampled-frame
+    // count with blocks over the occupied width, and docs with < 4
+    // sampled frames are excluded in BOTH engines (too few signature
+    // bits to pair at radius 3 — the jaccard "<3 words" precedent).
+    // This gated tier keeps the 4-bit stub nibbles (real pair set at
+    // verify scale); the production twin widens per-frame signal to
+    // slotBits=8/dim=8 — same machinery, StreamingSpec proves the twin
+    // geometry end-to-end, the simhash/simhash64 pairing precedent.
+    // The oracle re-derives the identical dHash/signature/class from
+    // the mirrored md5 frame features and brute-forces the same-class
+    // pair matrix.
     QueryDef("op_multimodal_neardup",
       (s, d) => MultimodalOps.multimodalNearDup(
         MultimodalOps.frameFeatures(docs(s, d))),
@@ -884,11 +898,14 @@ object OpQueries {
               |       + (CASE WHEN f2 > f3 THEN 4 ELSE 0 END)
               |       + (CASE WHEN f3 > f0 THEN 8 ELSE 0 END) AS dhash
               |       FROM p),
-              |s AS (SELECT doc_id, SUM(dhash << (4 * (frame_idx // 4))) AS sig
-              |      FROM fr GROUP BY doc_id)
+              |s AS (SELECT doc_id, n, sig FROM (
+              |        SELECT doc_id, COUNT(*) AS n,
+              |               SUM(dhash << (4 * (frame_idx // 4))) AS sig
+              |        FROM fr GROUP BY doc_id)
+              |      WHERE n >= 4)
               |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-              |FROM s a JOIN s b ON a.doc_id < b.doc_id
+              |FROM s a JOIN s b ON a.n = b.n AND a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.sig, b.sig)) <= 3
               |ORDER BY doc_a, doc_b""".stripMargin)),
 

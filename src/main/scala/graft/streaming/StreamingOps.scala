@@ -190,23 +190,71 @@ object StreamingOps {
     * STATELESSLY in-row (signature extraction is a pure function of the
     * row's media payload — [[graft.ops.MultimodalOps.stubDocSignature]],
     * where a production decoder swaps in exactly as in `frameFeatures`),
-    * then pairs within `maxHamming` come out of the SAME pigeonhole
-    * bucket state the text SimHash twin keys ([[simhashPairsStream]]'s
-    * engine at bits = 32). No pre-pair aggregation is stateful, so the
-    * op composes with watermarks/TTL exactly like the text twin.
-    * StreamingSpec proves two-batch equivalence vs the batch op. */
+    * then pairs within `maxHamming` come out of the same pigeonhole
+    * bucket discipline as the text twin — keyed by (length class, block,
+    * key) with blocks over the OCCUPIED width, the batch op's r15
+    * length-class design (a globally-fixed block range would put every
+    * short doc in one all-zero bucket: O(N²) state-bucket scans). Docs
+    * below `minSlots` sampled frames are excluded exactly as in batch.
+    * No pre-pair aggregation is stateful, so the op composes with
+    * watermarks/TTL exactly like the text twin. StreamingSpec proves
+    * two-batch equivalence vs the batch op. */
   def multimodalNearDupStream(docs: DataFrame, maxHamming: Int = 3,
                               every: Int = 4, slotBits: Int = 4,
-                              bits: Int = 32): DataFrame = {
+                              bits: Int = 32, dim: Int = 4,
+                              minSlots: Int = 4): DataFrame = {
+    require(maxHamming >= 0, s"need maxHamming >= 0; got $maxHamming")
+    require(minSlots >= 1 && minSlots * slotBits > maxHamming,
+      s"need minSlots >= 1 with minSlots*slotBits > maxHamming; got $minSlots")
+    val nBlocks = maxHamming + 1
+    // per-class block geometry: class width w = nf·slotBits, block i is
+    // [i·w/nBlocks, (i+1)·w/nBlocks) — identical bounds to the batch op
+    def lo(w: Int, i: Int): Int = i * w / nBlocks
+    def mask(w: Int, i: Int): Long = {
+      val bw = lo(w, i + 1) - lo(w, i)
+      if (bw >= 64) -1L else (1L << bw) - 1
+    }
+    def firstBlock(x: Long, w: Int): Int =
+      (0 until nBlocks).find(i => (x & (mask(w, i) << lo(w, i))) == 0).getOrElse(-1)
     val spark = docs.sparkSession
     import spark.implicits._
-    val sig = docs.select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        (id, graft.ops.MultimodalOps.stubDocSignature(text, every, slotBits, bits))
-      })
-      .toDF("doc_id", "simhash")
-    pigeonholePairsStream(sig, maxHamming, bits)
+      .flatMap { case (id, text) =>
+        val (sig, nf) = graft.ops.MultimodalOps.stubDocSignature(
+          text, every, slotBits, bits, dim)
+        if (nf < minSlots) Iterator.empty
+        else {
+          val w = nf * slotBits
+          (0 until nBlocks).iterator.map { i =>
+            (id, sig, nf, i, (sig >> lo(w, i)) & mask(w, i))
+          }
+        }
+      }
+      .groupByKey(r => (r._3, r._4, r._5))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Int, Int, Long), rows: Iterator[(Long, Long, Int, Int, Long)],
+         state: GroupState[List[(Long, Long)]]) => {
+          val (nf, blk, _) = key
+          val w = nf * slotBits
+          val batch = rows.map(r => (r._1, r._2)).toVector.sortBy(_._1)
+          var seen = state.getOption.getOrElse(Nil)
+          val out = Vector.newBuilder[(Long, Long, Long)]
+          batch.foreach { case (id, sig) =>
+            if (!seen.exists(_._1 == id)) {
+              seen.foreach { case (pid, psig) =>
+                val x = psig ^ sig
+                val h = java.lang.Long.bitCount(x)
+                if (h <= maxHamming && firstBlock(x, w) == blk)
+                  out += ((math.min(pid, id), math.max(pid, id), h.toLong))
+              }
+              seen = (id, sig) :: seen
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+        })
+      .toDF("doc_a", "doc_b", "hamming")
   }
 
   /** [[simhashPairsStream]] with an event-time state TTL — the

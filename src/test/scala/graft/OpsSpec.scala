@@ -207,9 +207,14 @@ class OpsSpec extends SparkSpecBase {
       (v, j) <- feats.zipWithIndex
     } yield (doc, fi.toLong * 4, j.toLong, v)
     val features = rows.toDF("doc_id", "frame_idx", "dim_j", "feat")
-    val out = MultimodalOps.multimodalNearDup(features).collect()
+    // two-frame docs sit below the production minSlots=4 cut — lower it
+    // so the planted radius semantics stay observable (all docs share
+    // the nf=2 length class, so every planted pair is in scope)
+    val out = MultimodalOps.multimodalNearDup(features, minSlots = 1).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(out === Seq((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    // …and at the default cut the two-frame class is excluded entirely
+    assert(MultimodalOps.multimodalNearDup(features).collect().isEmpty)
     // and the signature really is frame-slot-positional: dHash per frame
     val dh = MultimodalOps.frameDHash(features)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap

@@ -104,6 +104,26 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.nonEmpty, "fixture must contain multimodal near-dup pairs")
     assert(streamed.size === streamed.toSet.size, "a pair was emitted twice")
     assert(streamed.toSet === batch.toSet)
+
+    // same equivalence at the WIDENED production geometry the gated entry
+    // runs (8-dim features → 8-bit dhash slots → 64-bit signature, slot 7
+    // on the sign bit — r15): one batch suffices, the state engine is the
+    // same; this pins the in-row signature against the SQL path at dim=8
+    val stream64 = MemoryStream[(Long, String)]
+    stream64.addData(rows.toSeq)
+    val q64 = StreamingOps.multimodalNearDupStream(
+        stream64.toDF().toDF("doc_id", "text"),
+        slotBits = 8, bits = 64, dim = 8)
+      .writeStream.format("memory").queryName("mm_stream64")
+      .outputMode("append").start()
+    try q64.processAllAvailable() finally q64.stop()
+    val streamed64 = spark.table("mm_stream64")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch64 = graft.ops.MultimodalOps.multimodalNearDup(
+        graft.ops.MultimodalOps.frameFeatures(docs, dim = 8),
+        slotBits = 8, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed64 === batch64)
   }
 
   test("streaming simhash pairs: cross-batch pair found once, never re-emitted") {
