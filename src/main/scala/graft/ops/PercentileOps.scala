@@ -12,30 +12,82 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *
   * Spark's exact `percentile`/`percentile_cont` aggregate buffers every
   * value of a group in executor memory (an ObjectHashAggregate over an
-  * OpenHashMap) — at 100 TB a single hot group OOMs the executor. This
-  * operator computes the IDENTICAL result (bit-equal doubles, same
-  * interpolation arithmetic as Spark's `Percentile`, asserted in OpsSpec)
-  * with nothing held per group:
+  * OpenHashMap) — at 100 TB a single hot group OOMs the executor. And the
+  * obvious window rewrite (`row_number() OVER (PARTITION BY key)`) has a
+  * different 100 TB failure: window parallelism equals the GROUP count,
+  * so a 3-group key (l_returnflag-class) sorts the whole corpus on 3
+  * tasks — the r15 sf1 sweep measured exactly that (the `_sorted` twins
+  * were the suite's worst growers at ~10× on 10× data). This operator
+  * computes the IDENTICAL result (bit-equal doubles, same interpolation
+  * arithmetic as Spark's `Percentile`, asserted in OpsSpec) with nothing
+  * held per group AND no group-count-bounded stage:
   *
-  *   1. rank each non-null value inside its group — `row_number()` plus a
-  *      partition-frame `count(*)` over ONE exchange per value column
-  *      (the two windows share the (key, value)-sorted partitioning, so
-  *      Catalyst plans a single sort);
-  *   2. keep only the rows whose rank can contribute to a requested
-  *      percentile (floor/ceil of `p·(n−1)` for CONT, `ceil(p·n)` for
-  *      DISC) — at most 3·|specs| rows per group survive;
-  *   3. one hash aggregation interpolates:
+  *   1. collapse ties — `groupBy(key, value).count` (map-side partial, so
+  *      the shuffle carries distinct (key, value) blocks, not rows);
+  *   2. rank the blocks with [[rangePrefix]]: a range-partitioned two-pass
+  *      prefix sum (the spearman ranking pattern, ProfileOps.scala) whose
+  *      parallelism tracks the cluster, not the key cardinality — a tie
+  *      block with cumulative count `cum` covers ranks (cum−cnt, cum];
+  *   3. keep only the blocks covering a rank that can contribute to a
+  *      requested percentile (floor/ceil of `p·(n−1)` for CONT,
+  *      `ceil(p·n)` for DISC) — at most 3·|specs| blocks per group;
+  *   4. one hash aggregation interpolates:
   *      `(ceil(pos)−pos)·v_lo + (pos−floor(pos))·v_hi` — the exact
   *      expression Spark's `Percentile.getPercentile` evaluates, so
   *      results are bit-identical to the buffering implementation.
   *
   * Memory per task is O(1) beyond the sort spill machinery (which spills
   * to disk under pressure); no state scales with group cardinality or
-  * group size. Cost is one shuffle+sort per distinct value column — the
-  * same exchange count as the buffering aggregate, minus the unbounded
-  * per-group heap.
+  * group size; no stage's task count is bounded by the number of groups.
   */
 object PercentileOps {
+
+  /** Per-key inclusive prefix sum over (key, value)-ordered rows, with
+    * parallelism bounded by the cluster rather than the key cardinality.
+    * Input: rows keyed by `key` and totally ordered within a key by
+    * `vCols` (tie-collapsed blocks for the percentile paths; any
+    * deterministic composite order otherwise), with a BIGINT `cntCol`.
+    * Output: input columns plus `__cum` (per-key inclusive cumulative of
+    * `cntCol` in ascending `vCols` order) and `__n` (per-key total).
+    *
+    * `repartitionByRange(key, v)` makes every partition a contiguous
+    * (key, value) range; the within-range running sum is a
+    * (pid, key)-partitioned window (never the #groups-task WindowExec a
+    * `PARTITION BY key` degenerates to); the cross-range offsets come
+    * from the per-(pid, key) totals table — ≤ #partitions rows PER KEY,
+    * so its `PARTITION BY key` prefix window is over a bounded-size
+    * group regardless of corpus size (and it keeps every aggregate a
+    * plain HashAggregate — no collection agg, no ObjectHashAggregate,
+    * which PlanSpec pins). Cumulative sums are exact integers, so the
+    * result is independent of where the sampled range bounds fall. Both
+    * branches share one range exchange (ReuseExchange); no broadcast
+    * hint on the fold-in join — for a near-unique key the totals table
+    * is corpus-sized and must not ship to every task, AQE decides (the
+    * spearman reasoning, ProfileOps.scala). */
+  private[ops] def rangePrefix(blocks: DataFrame, key: String, vCol: String,
+                               cntCol: String): DataFrame =
+    rangePrefix(blocks, key, Seq(vCol), cntCol)
+
+  private[ops] def rangePrefix(blocks: DataFrame, key: String,
+                               vCols: Seq[String], cntCol: String): DataFrame = {
+    val ranged = blocks
+      .repartitionByRange((key +: vCols).map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    val inRange = ranged.withColumn("__cum_in",
+      sum(col(cntCol)).over(
+        Window.partitionBy(col("__pid"), col(key)).orderBy(vCols.map(col): _*)))
+    val byKey = Window.partitionBy(col(key))
+    val offsets = ranged.groupBy(col("__pid"), col(key))
+      .agg(sum(col(cntCol)).as("__ptot"))
+      .withColumn("__off",
+        coalesce(sum(col("__ptot")).over(byKey.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__ptot")).over(byKey))
+      .select(col(key), col("__pid"), col("__off"), col("__n"))
+    inRange.join(offsets, Seq(key, "__pid"))
+      .withColumn("__cum", col("__cum_in") + col("__off"))
+      .drop("__pid", "__cum_in", "__off")
+  }
 
   /** One requested percentile: `disc = false` → PERCENTILE_CONT semantics
     * (linear interpolation), `disc = true` → PERCENTILE_DISC (first value
@@ -54,18 +106,23 @@ object PercentileOps {
       "duplicate output column names")
     val nRows = df.groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
 
-    // one ranked pass per distinct value column (each needs its own sort
-    // order); keep spec order for the final projection
+    // one tie-collapsed ranked pass per distinct value column (each needs
+    // its own order); keep spec order for the final projection
     val perCol: Seq[DataFrame] = specs.groupBy(_.valueCol).toSeq.map {
       case (vc, colSpecs) =>
-        val byKey = Window.partitionBy(col(key))
-        val ranked = df
+        val blocks = df
           .filter(col(vc).isNotNull)
           .select(col(key), col(vc).cast(DoubleType).as("__v"))
-          .withColumn("__rn", row_number().over(byKey.orderBy(col("__v"))))
-          .withColumn("__n", count(lit(1)).over(byKey))
+          .groupBy(col(key), col("__v")).agg(count(lit(1)).as("__cnt"))
+        val cum = rangePrefix(blocks, key, "__v", "__cnt")
 
-        // ranks that can contribute to any requested percentile of this col
+        // a tie block covers ranks (__cum − __cnt, __cum]; a wanted rank
+        // selects the block's value iff it falls in that interval (the
+        // value at any covered rank is the block's value, so the result
+        // is independent of intra-tie order — same contract row_number
+        // gave, without materializing per-row ranks)
+        def hit(r: Column): Column =
+          r > col("__cum") - col("__cnt") && r <= col("__cum")
         def loRank(p: Double): Column =
           floor(lit(p) * (col("__n") - 1)).cast(LongType) + 1
         def hiRank(p: Double): Column =
@@ -73,19 +130,18 @@ object PercentileOps {
         def discRank(p: Double): Column =
           greatest(lit(1L), ceil(lit(p) * col("__n")).cast(LongType))
         val wanted = colSpecs.map { s =>
-          if (s.disc) col("__rn") === discRank(s.p)
-          else col("__rn") === loRank(s.p) || col("__rn") === hiRank(s.p)
+          if (s.disc) hit(discRank(s.p))
+          else hit(loRank(s.p)) || hit(hiRank(s.p))
         }.reduce(_ || _)
 
         val aggs = colSpecs.flatMap { s =>
           if (s.disc)
-            Seq(max(when(col("__rn") === discRank(s.p), col("__v")))
-              .as(s.out))
+            Seq(max(when(hit(discRank(s.p)), col("__v"))).as(s.out))
           else Seq(
-            max(when(col("__rn") === loRank(s.p), col("__v"))).as(s"__lo_${s.out}"),
-            max(when(col("__rn") === hiRank(s.p), col("__v"))).as(s"__hi_${s.out}"))
+            max(when(hit(loRank(s.p)), col("__v"))).as(s"__lo_${s.out}"),
+            max(when(hit(hiRank(s.p)), col("__v"))).as(s"__hi_${s.out}"))
         }
-        val agged = ranked.filter(wanted)
+        val agged = cum.filter(wanted)
           .groupBy(col(key))
           .agg(max(col("__n")).as("__nv"), aggs: _*)
 
@@ -131,15 +187,15 @@ object PercentileOps {
     * (the unweighted disc path degenerates to this with weight 1).
     *
     * Scale shape: one (key, value)-keyed weight aggregation (partial
-    * map-side), one per-group cumulative window over DISTINCT values,
-    * one filtering aggregation — the [[sortedPercentiles]] memory
-    * contract: nothing buffered per group beyond sort machinery. */
+    * map-side), one [[rangePrefix]] cumulative over DISTINCT values
+    * (range-partitioned — parallelism tracks the cluster, not the key
+    * cardinality), one filtering aggregation — the [[sortedPercentiles]]
+    * memory contract: nothing buffered per group beyond sort machinery. */
   def weightedDiscPercentiles(df: DataFrame, key: String, valueCol: String,
                               weightCol: String, specs: Seq[WSpec]): DataFrame = {
     require(specs.nonEmpty, "weightedDiscPercentiles needs at least one spec")
     require(specs.map(_.out).distinct.length == specs.length,
       "duplicate output column names")
-    val byKey = Window.partitionBy(col(key))
     // integer weights are the CONTRACT, not an assumption: a fractional
     // weight would silently truncate (2.9 → 2) and a 0 < w < 1 row would
     // vanish entirely after the cast — and the pre-cast-filtering oracle
@@ -157,12 +213,11 @@ object PercentileOps {
            |  else cast($weightCol as bigint) end as __w""".stripMargin)
       .filter(col("__w") > 0)
       .groupBy(col(key), col("__v")).agg(sum("__w").as("__wv"))
-      .withColumn("__cumw", sum("__wv").over(byKey.orderBy(col("__v"))))
-      .withColumn("__tw", sum("__wv").over(byKey))
+    val cum = rangePrefix(g, key, "__v", "__wv")
     val aggs = specs.map { s =>
-      min(when(col("__cumw") * lit(s.qDen) >= lit(s.qNum) * col("__tw"),
+      min(when(col("__cum") * lit(s.qDen) >= lit(s.qNum) * col("__n"),
         col("__v"))).as(s.out)
-    } :+ max(col("__tw")).as("total_weight")
-    g.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+    } :+ max(col("__n")).as("total_weight")
+    cum.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -336,22 +336,22 @@ object TextOps {
     * expressed as one exclusive-prefix-sum window. All-integer arithmetic,
     * so the full (bin, offset) assignment is exactly reproducible.
     *
-    * Scale shape: the window partitions by `lang`, so each language
-    * stream packs independently (parallelism = number of streams; for a
-    * single giant stream, pre-split by a coarse shard key first). One
-    * hash exchange + sort per run — the same cost as any keyed window.
+    * Scale shape: the running offset is [[graft.ops.PercentileOps.rangePrefix]]'s
+    * range-partitioned prefix sum over (lang, doc_id, chunk_idx) — never
+    * a `PARTITION BY lang` window, whose task count equals the number of
+    * language streams (a handful — one task would sort an entire
+    * language's chunk stream). The prefix is an exact integer sum, so the
+    * (bin, offset) assignment is independent of where the sampled range
+    * bounds fall.
     */
   def packBins(docs: DataFrame, size: Int = 32, stride: Int = 24,
                budget: Int = 256): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{coalesce, col, floor, lit, sum}
     require(budget > 0, s"budget must be positive, got $budget")
     val chunks = chunk(docs, size, stride)
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"), col("chunk_idx"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    chunks
-      .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    PercentileOps.rangePrefix(chunks, "lang", Seq("doc_id", "chunk_idx"), "n_tokens")
+      // exclusive prefix: the chunk's own tokens land at its start offset
+      .withColumn("off", expr("__cum - n_tokens"))
       // integer division (off is non-negative): exact at any magnitude,
       // no double round-trip
       .withColumn("bin", expr(s"cast(off div $budget as bigint)"))
