@@ -1843,6 +1843,36 @@ object OpQueries {
              |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Sliding RANGE-frame COUNT/SUM at cluster parallelism
+    // (SlidingOps.rangeFrameAgg): the scale-out twin of q29's
+    // `RANGE BETWEEN 1000.0 PRECEDING AND 500.0 FOLLOWING` window —
+    // Spark's WindowExec sorts the corpus on #PARTITION-BY-groups tasks
+    // (o_orderpriority = 5); the twin computes the identical frames from
+    // boundary probes into range-partitioned prefix sums. Exact DECIMAL
+    // probe-pair differences — the oracle is the DECLARATIVE window SQL,
+    // so the whole frame semantics hash-gates cross-engine.
+    QueryDef("op_range_frame_agg",
+      (s, d) => SlidingOps.rangeFrameAgg(
+          Tables.load(s, d, "orders")
+            .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+          "o_orderpriority", "o_totalprice",
+          // o_totalprice is DOUBLE in the fixture: double literals make
+          // the boundary arithmetic the same IEEE subtraction/addition
+          // DuckDB's RANGE offsets perform — bit-equal boundaries, so
+          // inclusion decisions agree exactly
+          precede = lit(1000.0), follow = lit(500.0),
+          sumExpr = expr("cast(o_totalprice as decimal(18,6))"))
+        .selectExpr("o_orderkey", "n_frame as n_near",
+          "cast(sum_frame as double) as sum_near")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  CAST(COUNT(*) OVER w AS BIGINT) AS n_near,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_near
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+             |             RANGE BETWEEN 1000.0 PRECEDING AND 500.0 FOLLOWING)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Two-proportion z-test on purchase conversion between the
     // user_id-parity variants: exact user/conversion counts, one shared
     // divisions+sqrt tree — the A/B readout next to q49's Welch test.

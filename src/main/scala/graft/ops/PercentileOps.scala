@@ -69,24 +69,46 @@ object PercentileOps {
     rangePrefix(blocks, key, Seq(vCol), cntCol)
 
   private[ops] def rangePrefix(blocks: DataFrame, key: String,
-                               vCols: Seq[String], cntCol: String): DataFrame = {
+                               vCols: Seq[String], cntCol: String): DataFrame =
+    rangePrefixN(blocks, key, vCols, Seq(cntCol))
+      .withColumnRenamed(s"__cum_$cntCol", "__cum")
+      .withColumnRenamed(s"__n_$cntCol", "__n")
+
+  /** Multi-measure form of [[rangePrefix]]: one shared range exchange +
+    * prefix pass emitting `__cum_<c>` / `__n_<c>` per measure column
+    * (any summable type — BIGINT counts, DECIMAL amounts). */
+  private[ops] def rangePrefixN(blocks: DataFrame, key: String,
+                                vCols: Seq[String],
+                                cntCols: Seq[String]): DataFrame = {
+    require(cntCols.nonEmpty, "rangePrefixN needs at least one measure")
     val ranged = blocks
       .repartitionByRange((key +: vCols).map(col): _*)
       .withColumn("__pid", spark_partition_id())
-    val inRange = ranged.withColumn("__cum_in",
-      sum(col(cntCol)).over(
-        Window.partitionBy(col("__pid"), col(key)).orderBy(vCols.map(col): _*)))
+    val inW = Window.partitionBy(col("__pid"), col(key))
+      .orderBy(vCols.map(col): _*)
+    val inRange = cntCols.foldLeft(ranged)((acc, c) =>
+      acc.withColumn(s"__cum_in_$c", sum(col(c)).over(inW)))
     val byKey = Window.partitionBy(col(key))
-    val offsets = ranged.groupBy(col("__pid"), col(key))
-      .agg(sum(col(cntCol)).as("__ptot"))
-      .withColumn("__off",
-        coalesce(sum(col("__ptot")).over(byKey.orderBy(col("__pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__n", sum(col("__ptot")).over(byKey))
-      .select(col(key), col("__pid"), col("__off"), col("__n"))
-    inRange.join(offsets, Seq(key, "__pid"))
-      .withColumn("__cum", col("__cum_in") + col("__off"))
-      .drop("__pid", "__cum_in", "__off")
+    val offW = byKey.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totAggs = cntCols.map(c => sum(col(c)).as(s"__ptot_$c"))
+    val offsets0 = ranged.groupBy(col("__pid"), col(key))
+      .agg(totAggs.head, totAggs.tail: _*)
+    // the fold-in join must be NULL-SAFE on the key: a SQL window keeps
+    // a null-key group (all nulls are peers) and so must this
+    val offsets = cntCols.foldLeft(offsets0)((acc, c) =>
+        acc.withColumn(s"__off_$c",
+            coalesce(sum(col(s"__ptot_$c")).over(offW),
+              lit(0L).cast(acc.schema(s"__ptot_$c").dataType)))
+          .withColumn(s"__n_$c", sum(col(s"__ptot_$c")).over(byKey)))
+      .select((Seq(col(key).as("__okey"), col("__pid").as("__opid")) ++
+        cntCols.flatMap(c => Seq(col(s"__off_$c"), col(s"__n_$c")))): _*)
+    val joined = inRange.join(offsets,
+      col(key) <=> col("__okey") && col("__pid") === col("__opid"))
+    cntCols.foldLeft(joined)((acc, c) =>
+        acc.withColumn(s"__cum_$c", col(s"__cum_in_$c") + col(s"__off_$c")))
+      .drop(Seq("__pid", "__okey", "__opid") ++ cntCols.flatMap(c =>
+        Seq(s"__cum_in_$c", s"__off_$c")): _*)
   }
 
   /** One requested percentile: `disc = false` → PERCENTILE_CONT semantics

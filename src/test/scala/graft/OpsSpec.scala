@@ -2434,4 +2434,51 @@ class OpsSpec extends SparkSpecBase {
     assert(viaUF === (0L to 999L).map(_ -> 0L).toSet)
     assert(viaStars === viaUF)
   }
+
+  test("sliding range-frame agg equals Spark's native RANGE window (ties, nulls, fixture)") {
+    import graft.ops.SlidingOps
+    // hand case: ties (two rows at v=10), boundary landing exactly on a
+    // value (12 - 2 = 10 → closed interval includes the 10-peers), a
+    // null-key group, and a null order value (peers-of-null frame)
+    val d = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "a", 10.0), (2L, "a", 10.0), (3L, "a", 12.0), (4L, "a", 15.0),
+      (5L, "b", 10.0), (6L, "b", 100.0),
+      (7L, null, 10.0), (8L, "a", null), (9L, "a", null)
+    ).toDF("id", "k", "v")
+    val mine = SlidingOps.rangeFrameAgg(d, "k", "v",
+        precede = lit(2.0), follow = lit(3.0),
+        sumExpr = expr("cast(v as decimal(18,6))"))
+      .selectExpr("id", "n_frame", "cast(sum_frame as double) as s")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    d.createOrReplaceTempView("rf_hand")
+    val ref = spark.sql(
+      """SELECT id, CAST(COUNT(*) OVER w AS BIGINT) AS n_frame,
+        |  CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s
+        |FROM rf_hand
+        |WINDOW w AS (PARTITION BY k ORDER BY v
+        |             RANGE BETWEEN 2.0 PRECEDING AND 3.0 FOLLOWING)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(mine === ref)
+
+    // fixture scale: identical to the native window over orders (the
+    // op_range_frame_agg geometry) — every row, both aggregates
+    val o = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val got = SlidingOps.rangeFrameAgg(o, "o_orderpriority", "o_totalprice",
+        precede = lit(1000.0), follow = lit(500.0),
+        sumExpr = expr("cast(o_totalprice as decimal(18,6))"))
+      .selectExpr("o_orderkey", "n_frame", "cast(sum_frame as double) as s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    o.createOrReplaceTempView("rf_orders")
+    val want = spark.sql(
+      """SELECT o_orderkey, CAST(COUNT(*) OVER w AS BIGINT) AS n_frame,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s
+        |FROM rf_orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |             RANGE BETWEEN 1000.0 PRECEDING AND 500.0 FOLLOWING)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+  }
 }
