@@ -84,8 +84,13 @@ object PercentileOps {
     val ranged = blocks
       .repartitionByRange((key +: vCols).map(col): _*)
       .withColumn("__pid", spark_partition_id())
+    // ROWS, not the default RANGE running frame: every caller's (key,
+    // vCols) order is TOTAL (tie-collapsed blocks / unique composite
+    // keys — the documented input contract), so the frames agree and
+    // ROWS skips the per-row peer-group scan RANGE pays
     val inW = Window.partitionBy(col("__pid"), col(key))
       .orderBy(vCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val inRange = cntCols.foldLeft(ranged)((acc, c) =>
       acc.withColumn(s"__cum_in_$c", sum(col(c)).over(inW)))
     val byKey = Window.partitionBy(col(key))

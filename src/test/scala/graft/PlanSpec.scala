@@ -406,6 +406,22 @@ class PlanSpec extends SparkSpecBase {
       s"expected an equi join on the bucket key:\n$p")
   }
 
+  test("range-frame twin never plans a native RANGE frame or a key-partitioned rank window") {
+    // The whole point of op_range_frame_agg: the native window (q29)
+    // executes a RangeFrame on #PARTITION-BY-groups tasks; the twin must
+    // contain NO RangeFrame anywhere — its prefix windows partition by
+    // (spark_partition_id, key), so parallelism tracks the cluster.
+    val p = plan("op_range_frame_agg")
+    assert(!p.contains("RangeFrame"), s"native RANGE frame leaked back in:\n$p")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"prefix window must lead with the range-partition id:\n$p")
+    assert(!p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // and the SQL-surface gate really does take the native frame — the
+    // contrast this pin encodes
+    assert(plan("q29_range_frame").contains("RangeFrame"))
+  }
+
   test("CBO: ANALYZE-fed stats reorder a 3-table join (SURVEY §4.2)") {
     val s = spark
     import s.implicits._
