@@ -174,12 +174,16 @@ object ClusterOps {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
     val q = quantizedKeyed(sub).persist()
 
-    // per-subspace seed: the k lowest vec_ids of that subspace
+    // per-subspace seed: the k lowest vec_ids of that subspace. The
+    // filter sits DIRECTLY on the row_number attribute (cid derives
+    // after) so the optimizer plans a WindowGroupLimit: each map task
+    // emits at most k rows per subspace BEFORE the exchange — a filter
+    // on the derived cid would rank the whole corpus on m tasks first
     val seed = q
-      .withColumn("cid", row_number()
-        .over(Window.partitionBy("ss").orderBy("vec_id")).cast("long") - 1)
-      .filter(col("cid") < k)
-      .selectExpr("ss", "cid", "xd as m")
+      .withColumn("__rn", row_number()
+        .over(Window.partitionBy("ss").orderBy("vec_id")))
+      .filter(col("__rn") <= k)
+      .selectExpr("ss", "cast(__rn as long) - 1 as cid", "xd as m")
 
     // one packed centroid array PER subspace — m tiny rows, broadcast
     def pack(cells: DataFrame): DataFrame =
