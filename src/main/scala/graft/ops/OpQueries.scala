@@ -51,6 +51,39 @@ object OpQueries {
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |  list_transform(range(1, len($a.v) + 1), i -> $a.v[i] * $b.v[i])), (x, y) -> x + y)
        |  / (sqrt($a.norm) * sqrt($b.norm))""".stripMargin
+
+  /** Sign-LSH near-dup oracle: DuckDB re-derives the SAME deterministic
+    * MD5 hyperplanes as `VectorOps.hyperplanes` (hex-prefix of
+    * md5("p:c") mod 2001, centered, /1000 — every step exact integer
+    * arithmetic until one shared double division), re-computes every
+    * sign signature with the proven fixed-order dot fold, re-builds the
+    * band keys, and brute-forces the candidate join + cosine verify —
+    * so WHICH pairs the LSH emits is part of the gate, not just their
+    * cosines. */
+  private def dkLshOracle(thr: Double, bands: Int, rowsPerBand: Int,
+                          dim: Int): String = {
+    val nPlanes = bands * rowsPerBand
+    s"""WITH $dkNormed,
+       |pl AS (SELECT p, list_transform(range(0, $dim), c ->
+       |         (CAST(CAST('0x' || substr(md5(p || ':' || c), 1, 15) AS UBIGINT)
+       |            % 2001 AS BIGINT) - 1000) / 1000.0) AS pv
+       |       FROM range(0, $nPlanes) t(p)),
+       |sg AS (SELECT vec_id, p,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(range(1, $dim + 1), i -> v[i] * pv[i])),
+       |           (x, y) -> x + y) >= 0 AS s
+       |       FROM n, pl),
+       |bk AS (SELECT vec_id, p // $rowsPerBand AS b,
+       |         string_agg(CASE WHEN s THEN '1' ELSE '0' END, '' ORDER BY p) AS bits
+       |       FROM sg GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |         FROM bk a JOIN bk b ON a.b = b.b AND a.bits = b.bits
+       |                            AND a.vec_id < b.vec_id)
+       |SELECT c.ida, c.idb, ${dkDot("a", "b")} AS cosine
+       |FROM cand c JOIN n a ON a.vec_id = c.ida JOIN n b ON b.vec_id = c.idb
+       |WHERE ${dkDot("a", "b")} >= $thr
+       |ORDER BY ida, idb""".stripMargin
+  }
   private val dkTopkOracle =
     s"""WITH $dkNormed,
        |p AS (SELECT q.vec_id AS qid, c.vec_id AS nid, ${dkDot("q", "c")} AS cosine
@@ -745,14 +778,16 @@ object OpQueries {
               |ORDER BY ida, idb""".stripMargin)),
 
     // Scale path for embedding near-dup: sign-LSH candidates + exact-cosine
-    // verify. Rows-only check from the driver — the fixture's ≥0.45 pairs
-    // are the tail of the uniform-random background (max cos 0.513, no
-    // planted dups; measured), where no LSH can combine recall ≈ 1 with
-    // pruning; recall/precision/pruning are asserted in OpsSpec on planted
-    // near-dups instead (see VectorOps.cosineNearDupLsh scaladoc).
+    // verify. HASH-GATED since r15: the hyperplanes are deterministic
+    // (MD5-derived), so DuckDB re-derives them and re-computes the full
+    // signature → band → candidate → verify chain independently — the
+    // candidate SET is part of the gate (dkLshOracle). Recall/precision
+    // against planted near-dups remain OpsSpec-asserted (the fixture's
+    // ≥0.45 pairs are the uniform-random background tail, where no LSH
+    // has recall ≈ 1 — see VectorOps.cosineNearDupLsh scaladoc).
     QueryDef("op_dedup_embedding_lsh",
       (s, d) => VectorOps.cosineNearDupLsh(emb(s, d), 0.45),
-      None),
+      Some(dkLshOracle(0.45, bands = 16, rowsPerBand = 8, dim = 64))),
 
     // Int8 embedding quantization (storage op): integer codes are exact
     // cross-engine — both engines compute the identical affine map in

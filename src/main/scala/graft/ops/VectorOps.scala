@@ -378,9 +378,11 @@ object VectorOps {
     * BACKGROUND distribution (max cosine 0.513 ≈ 3.6σ, no planted
     * high-cosine dups), i.e. θ ≈ 63° where sign-LSH cannot have both
     * recall ≈ 1 and pruning — information-theoretically, not as an
-    * implementation artifact. The gate therefore records a rows-only check
-    * here (like the IVF path); OpsSpec asserts recall = 1 with real
-    * pruning on planted near-dups, and precision = 1 on the fixture.
+    * implementation artifact. Recall is therefore OpsSpec-asserted on
+    * planted near-dups; correctness is HASH-GATED since r15: the
+    * hyperplanes are deterministic, so the DuckDB oracle re-derives them
+    * and re-computes signatures, band keys, the candidate set and the
+    * verified cosines independently (OpQueries.dkLshOracle).
     */
   def cosineNearDupLsh(emb: DataFrame, threshold: Double = 0.45,
                        bands: Int = 16, rowsPerBand: Int = 8,
