@@ -64,11 +64,11 @@ object PercentileOps {
     * hint on the fold-in join — for a near-unique key the totals table
     * is corpus-sized and must not ship to every task, AQE decides (the
     * spearman reasoning, ProfileOps.scala). */
-  private[ops] def rangePrefix(blocks: DataFrame, key: String, vCol: String,
+  private[graft] def rangePrefix(blocks: DataFrame, key: String, vCol: String,
                                cntCol: String): DataFrame =
     rangePrefix(blocks, key, Seq(vCol), cntCol)
 
-  private[ops] def rangePrefix(blocks: DataFrame, key: String,
+  private[graft] def rangePrefix(blocks: DataFrame, key: String,
                                vCols: Seq[String], cntCol: String): DataFrame =
     rangePrefixN(blocks, key, vCols, Seq(cntCol))
       .withColumnRenamed(s"__cum_$cntCol", "__cum")
@@ -77,7 +77,7 @@ object PercentileOps {
   /** Multi-measure form of [[rangePrefix]]: one shared range exchange +
     * prefix pass emitting `__cum_<c>` / `__n_<c>` per measure column
     * (any summable type — BIGINT counts, DECIMAL amounts). */
-  private[ops] def rangePrefixN(blocks: DataFrame, key: String,
+  private[graft] def rangePrefixN(blocks: DataFrame, key: String,
                                 vCols: Seq[String],
                                 cntCols: Seq[String]): DataFrame = {
     require(cntCols.nonEmpty, "rangePrefixN needs at least one measure")
