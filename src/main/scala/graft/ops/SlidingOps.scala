@@ -42,11 +42,13 @@ object SlidingOps {
     * `[v − precede, v + follow]` (closed interval, SQL RANGE BETWEEN
     * semantics) within `key` groups, appended as `n_frame` / `sum_frame`.
     *
-    * `precede`/`follow` must be non-negative offsets in `vCol`'s domain —
-    * pass them as exact-typed literals (e.g. a DECIMAL literal for a
-    * DECIMAL value column) so the boundary arithmetic stays exact in
-    * both engines. Null `sumExpr` values are ignored and an all-null
-    * frame yields NULL — exact SQL SUM semantics. Rows with a null `vCol`
+    * `precede`/`follow` are offsets in `vCol`'s domain, ANY sign —
+    * `precede = -2, follow = 5` is `RANGE BETWEEN 2 FOLLOWING AND 5
+    * FOLLOWING`, and an empty frame yields SQL's (0, NULL). Pass them as
+    * exact-typed literals (e.g. a DECIMAL literal for a DECIMAL value
+    * column) so the boundary arithmetic stays exact in both engines.
+    * Null `sumExpr` values are ignored and an all-null frame yields
+    * NULL — exact SQL SUM semantics. Rows with a null `vCol`
     * are mutual peers whose frame is exactly the null block — the SQL
     * RANGE rule — because null boundaries sort with the null blocks and
     * the tag ordering brackets them. */
@@ -87,7 +89,10 @@ object SlidingOps {
         max(when(col("__tag") === 1, col("__cum___bn"))).as("__hi_n"),
         max(when(col("__tag") === -1, col("__cum___bn"))).as("__lo_n"))
       .select(col("__k"), col("__origin"),
-        (col("__hi_c") - col("__lo_c")).as("n_frame"),
+        // greatest(…, 0): a sign-flipped offset pair (forward-only
+        // windows, precede < 0) can make the interval empty, where the
+        // raw prefix difference goes negative — SQL says COUNT 0
+        greatest(col("__hi_c") - col("__lo_c"), lit(0L)).as("n_frame"),
         when(col("__hi_n") > col("__lo_n"),
           col("__hi_s") - col("__lo_s")).as("sum_frame"))
 

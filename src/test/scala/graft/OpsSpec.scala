@@ -2462,6 +2462,25 @@ class OpsSpec extends SparkSpecBase {
         if (r.isNullAt(2)) null else r.getDouble(2))).toSet
     assert(mine === ref)
 
+    // sign-flipped offsets = a forward-only window (RANGE BETWEEN 2
+    // FOLLOWING AND 5 FOLLOWING), including EMPTY frames — SQL says
+    // (0, NULL) there, and the clamped prefix difference must agree
+    val fwd = SlidingOps.rangeFrameAgg(d.filter("v is not null"), "k", "v",
+        precede = lit(-2.0), follow = lit(5.0),
+        sumExpr = expr("cast(v as decimal(18,6))"))
+      .selectExpr("id", "n_frame", "cast(sum_frame as double) as s")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    val fwdRef = spark.sql(
+      """SELECT id, CAST(COUNT(*) OVER w AS BIGINT) AS n_frame,
+        |  CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s
+        |FROM rf_hand WHERE v IS NOT NULL
+        |WINDOW w AS (PARTITION BY k ORDER BY v
+        |             RANGE BETWEEN 2.0 FOLLOWING AND 5.0 FOLLOWING)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(fwd === fwdRef)
+
     // fixture scale: identical to the native window over orders (the
     // op_range_frame_agg geometry) — every row, both aggregates
     val o = Tables.load(spark, sfDir, "orders")
