@@ -347,7 +347,10 @@ object TextOps {
   def packBins(docs: DataFrame, size: Int = 32, stride: Int = 24,
                budget: Int = 256): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    // chunk_text never reaches the output — project it away explicitly
+    // rather than relying on pruning through two exchanges + windows
     val chunks = chunk(docs, size, stride)
+      .select("doc_id", "chunk_idx", "n_tokens")
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
     PercentileOps.rangePrefix(chunks, "lang", Seq("doc_id", "chunk_idx"), "n_tokens")
       // exclusive prefix: the chunk's own tokens land at its start offset
