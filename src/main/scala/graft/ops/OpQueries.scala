@@ -1908,6 +1908,29 @@ object OpQueries {
              |             RANGE BETWEEN 1000.0 PRECEDING AND 500.0 FOLLOWING)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Per-source ROC-AUC of document length as a classifier for
+    // lang = 'en' (ProfileOps.scoreAuc): the Mann-Whitney rank form with
+    // exact tie handling — integer/DECIMAL rank sums through the
+    // range-partitioned prefix, one closing division written identically
+    // in both engines. The filter-evaluation primitive, fully hash-gated.
+    QueryDef("op_score_auc",
+      (s, d) => ProfileOps.scoreAuc(Tables.load(s, d, "documents"),
+        "source", "n_chars", "lang = 'en'"),
+      Some("""WITH b AS (SELECT source, n_chars AS v, COUNT(*) AS cnt,
+             |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+             |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+             |c AS (SELECT source, pos, cnt,
+             |    SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cum FROM b),
+             |a AS (SELECT source, SUM(pos) AS n_pos, SUM(cnt) AS n_all,
+             |    SUM(pos * (2 * cum - cnt + 1)) AS num2 FROM c GROUP BY 1)
+             |SELECT source, CAST(n_pos AS BIGINT) AS n_pos,
+             |  CAST(n_all - n_pos AS BIGINT) AS n_neg,
+             |  CASE WHEN n_pos > 0 AND n_all - n_pos > 0
+             |    THEN CAST(num2 - n_pos * (n_pos + 1) AS DOUBLE)
+             |         / (2.0 * n_pos * (n_all - n_pos))
+             |    ELSE NULL END AS auc
+             |FROM a ORDER BY source""".stripMargin)),
+
     // Two-proportion z-test on purchase conversion between the
     // user_id-parity variants: exact user/conversion counts, one shared
     // divisions+sqrt tree — the A/B readout next to q49's Welch test.

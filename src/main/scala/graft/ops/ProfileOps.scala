@@ -435,4 +435,45 @@ object ProfileOps {
        | / (sqrt(${d(n)} * ${d(sxx)} - ${d(sx)} * ${d(sx)})
        |    * sqrt(${d(n)} * ${d(syy)} - ${d(sy)} * ${d(sy)}))""".stripMargin
   }
+
+  /** Per-group ROC-AUC of a numeric score against a binary label — the
+    * filter-evaluation readout a curation pipeline runs BEFORE deploying
+    * a quality scorer at corpus scale ("how well does this score
+    * separate keep from drop, per source"). Mann-Whitney rank form with
+    * exact tie handling: with scores tie-collapsed to blocks, a block of
+    * `cnt` rows at inclusive cumulative `cum` has average rank
+    * (2·cum − cnt + 1)/2, so 2·Σ(positive ranks) =
+    * Σ pos·(2·cum − cnt + 1) — exact integers (DECIMAL sums, the gini
+    * precedent) until the single closing division
+    * AUC = (num2 − n₁·(n₁+1)) / (2·n₁·n₀); groups without both classes
+    * yield NULL (AUC undefined). Every column hash-gates.
+    *
+    * Scale shape: one (key, score)-keyed partial aggregation, ranks via
+    * [[PercentileOps.rangePrefix]]'s range-partitioned prefix sum (never
+    * a `PARTITION BY key` rank window — a handful of sources would bound
+    * the sort parallelism at the GROUP count), one keyed closing
+    * aggregation. Nothing buffered per group; no per-row rank
+    * materialized. */
+  def scoreAuc(df: DataFrame, key: String, scoreCol: String,
+               labelExpr: String): DataFrame = {
+    val blocks = df
+      .filter(col(scoreCol).isNotNull)
+      .selectExpr(key, s"$scoreCol as __v",
+        s"case when $labelExpr then 1L else 0L end as __p")
+      .groupBy(col(key), col("__v"))
+      .agg(count(lit(1)).as("__cnt"), sum("__p").as("__pos"))
+    PercentileOps.rangePrefix(blocks, key, "__v", "__cnt")
+      .groupBy(col(key))
+      .agg(sum("__pos").as("n_pos"), max("__n").as("__na"),
+        expr("""sum(cast(__pos as decimal(19,0))
+              |    * cast(2 * __cum - __cnt + 1 as decimal(19,0)))""".stripMargin)
+          .as("__num2"))
+      .selectExpr(key, "n_pos", "__na - n_pos as n_neg",
+        """case when n_pos > 0 and __na - n_pos > 0
+          |  then cast(__num2 - cast(n_pos as decimal(19,0))
+          |              * cast(n_pos + 1 as decimal(19,0)) as double)
+          |       / (2.0 * n_pos * (__na - n_pos))
+          |  else null end as auc""".stripMargin)
+      .orderBy(col(key))
+  }
 }

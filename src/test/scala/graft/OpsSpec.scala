@@ -2435,6 +2435,28 @@ class OpsSpec extends SparkSpecBase {
     assert(viaStars === viaUF)
   }
 
+  test("score AUC: tie-handled hand case equals the pairwise probability; degenerate groups NULL") {
+    import graft.ops.ProfileOps
+    // scores (1, 2, 2, 3), labels (-, -, +, +): concordant pairs
+    // (2⁺,1⁻), (3⁺,1⁻), (3⁺,2⁻) plus the (2⁺,2⁻) tie at ½ → 3.5/4
+    val d = Seq(
+      ("s", 1.0, false), ("s", 2.0, false), ("s", 2.0, true), ("s", 3.0, true),
+      ("t", 5.0, true), ("t", 7.0, true) // one class only → AUC undefined
+    ).toDF("src", "score", "lab")
+    val out = ProfileOps.scoreAuc(d, "src", "score", "lab").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(out("s") === ((2L, 2L, 0.875)))
+    assert(out("t") === ((2L, 0L, null)))
+    // a perfect separator and a constant score (all ties)
+    val d2 = Seq(("u", 1.0, false), ("u", 9.0, true),
+      ("v", 4.0, false), ("v", 4.0, true)).toDF("src", "score", "lab")
+    val out2 = ProfileOps.scoreAuc(d2, "src", "score", "lab").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out2("u") === 1.0)
+    assert(out2("v") === 0.5) // all-tied scores carry zero information
+  }
+
   test("sliding range-frame agg equals Spark's native RANGE window (ties, nulls, fixture)") {
     import graft.ops.SlidingOps
     // hand case: ties (two rows at v=10), boundary landing exactly on a
