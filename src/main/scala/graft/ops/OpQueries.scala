@@ -1931,6 +1931,34 @@ object OpQueries {
              |    ELSE NULL END AS auc
              |FROM a ORDER BY source""".stripMargin)),
 
+    // Per-source two-sample KS statistic on the same slice as the AUC —
+    // the worst-point CDF gap a drift monitor alarms on. Exact
+    // cross-multiplied integer max (no per-block division), one shared
+    // closing division — fully hash-gated.
+    QueryDef("op_score_ks",
+      (s, d) => ProfileOps.scoreKs(Tables.load(s, d, "documents"),
+        "source", "n_chars", "lang = 'en'"),
+      Some("""WITH b AS (SELECT source, n_chars AS v,
+             |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cp,
+             |    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS cq
+             |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+             |c AS (SELECT source,
+             |    SUM(cp) OVER (PARTITION BY source ORDER BY v) AS cum_p,
+             |    SUM(cq) OVER (PARTITION BY source ORDER BY v) AS cum_q,
+             |    SUM(cp) OVER (PARTITION BY source) AS n_pos,
+             |    SUM(cq) OVER (PARTITION BY source) AS n_neg
+             |  FROM b),
+             |a AS (SELECT source, MAX(n_pos) AS n_pos, MAX(n_neg) AS n_neg,
+             |    MAX(abs(cum_p * n_neg - cum_q * n_pos)) AS gap
+             |  FROM c GROUP BY 1)
+             |SELECT source, CAST(n_pos AS BIGINT) AS n_pos,
+             |  CAST(n_neg AS BIGINT) AS n_neg,
+             |  CASE WHEN n_pos > 0 AND n_neg > 0
+             |    THEN CAST(gap AS DOUBLE)
+             |         / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+             |    ELSE NULL END AS ks
+             |FROM a ORDER BY source""".stripMargin)),
+
     // Two-proportion z-test on purchase conversion between the
     // user_id-parity variants: exact user/conversion counts, one shared
     // divisions+sqrt tree — the A/B readout next to q49's Welch test.

@@ -476,4 +476,43 @@ object ProfileOps {
           |  else null end as auc""".stripMargin)
       .orderBy(col(key))
   }
+
+  /** Per-group two-sample Kolmogorov–Smirnov statistic of a numeric
+    * score between the label classes — [[scoreAuc]]'s companion readout
+    * (AUC integrates separation, KS reports the WORST-point CDF gap,
+    * the number a drift monitor alarms on). Evaluated exactly at every
+    * distinct score: with per-block positive/negative counts and their
+    * inclusive cumulatives from ONE two-measure
+    * [[PercentileOps.rangePrefixN]] pass,
+    * KS = max |cumPos·n₀ − cumNeg·n₁| / (n₁·n₀) — the max runs over
+    * exact DECIMAL integers (cross-multiplied, no per-block division),
+    * so the statistic is one closing division and hash-gates. One-class
+    * groups yield NULL (the two-sample statistic is undefined).
+    *
+    * Scale shape: identical to [[scoreAuc]] — keyed partial aggregation,
+    * range-partitioned prefix, keyed closing max. */
+  def scoreKs(df: DataFrame, key: String, scoreCol: String,
+              labelExpr: String): DataFrame = {
+    val blocks = df
+      .filter(col(scoreCol).isNotNull)
+      .selectExpr(key, s"$scoreCol as __v",
+        s"case when $labelExpr then 1L else 0L end as __p",
+        s"case when $labelExpr then 0L else 1L end as __q")
+      .groupBy(col(key), col("__v"))
+      .agg(sum("__p").as("__cp"), sum("__q").as("__cq"))
+    PercentileOps.rangePrefixN(blocks, key, Seq("__v"), Seq("__cp", "__cq"))
+      .groupBy(col(key))
+      .agg(max("__n___cp").as("n_pos"), max("__n___cq").as("n_neg"),
+        expr("""max(abs(cast(__cum___cp as decimal(19,0))
+              |          * cast(__n___cq as decimal(19,0))
+              |        - cast(__cum___cq as decimal(19,0))
+              |          * cast(__n___cp as decimal(19,0))))""".stripMargin)
+          .as("__gap"))
+      .selectExpr(key, "n_pos", "n_neg",
+        """case when n_pos > 0 and n_neg > 0
+          |  then cast(__gap as double)
+          |       / (cast(n_pos as double) * cast(n_neg as double))
+          |  else null end as ks""".stripMargin)
+      .orderBy(col(key))
+  }
 }

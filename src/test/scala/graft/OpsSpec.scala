@@ -2457,6 +2457,24 @@ class OpsSpec extends SparkSpecBase {
     assert(out2("v") === 0.5) // all-tied scores carry zero information
   }
 
+  test("score KS: hand CDF-gap case with ties; identical distributions give 0; one class NULL") {
+    import graft.ops.ProfileOps
+    // s: scores (1,2,2,3), labels (-,-,+,+): CDF gaps at v=1,2,3 are
+    // 1/2, 1/2, 0 → KS = 0.5. t: positives and negatives identically
+    // placed → 0. u: one class only → undefined.
+    val d = Seq(
+      ("s", 1.0, false), ("s", 2.0, false), ("s", 2.0, true), ("s", 3.0, true),
+      ("t", 1.0, true), ("t", 1.0, false), ("t", 5.0, true), ("t", 5.0, false),
+      ("u", 3.0, true)
+    ).toDF("src", "score", "lab")
+    val out = ProfileOps.scoreKs(d, "src", "score", "lab").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(out("s") === ((2L, 2L, 0.5)))
+    assert(out("t") === ((2L, 2L, 0.0)))
+    assert(out("u") === ((1L, 0L, null)))
+  }
+
   test("sliding range-frame agg equals Spark's native RANGE window (ties, nulls, fixture)") {
     import graft.ops.SlidingOps
     // hand case: ties (two rows at v=10), boundary landing exactly on a
