@@ -1959,6 +1959,42 @@ object OpQueries {
              |    ELSE NULL END AS ks
              |FROM a ORDER BY source""".stripMargin)),
 
+    // Per-source F1-optimal threshold of the same score — the operating
+    // point selected from exact per-block confusion counts; the argmax
+    // tie-breaks to the lowest threshold identically in both engines,
+    // so threshold, counts AND all three metrics hash-gate.
+    QueryDef("op_score_best_f1",
+      (s, d) => ProfileOps.scoreBestF1(Tables.load(s, d, "documents"),
+        "source", "n_chars", "lang = 'en'"),
+      Some("""WITH b AS (SELECT source, n_chars AS v,
+             |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cp,
+             |    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS cq
+             |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+             |c AS (SELECT source, v, cp, cq,
+             |    SUM(cp) OVER (PARTITION BY source ORDER BY v) AS cum_p,
+             |    SUM(cq) OVER (PARTITION BY source ORDER BY v) AS cum_q,
+             |    SUM(cp) OVER (PARTITION BY source) AS n1,
+             |    SUM(cq) OVER (PARTITION BY source) AS n0
+             |  FROM b),
+             |f AS (SELECT source, v, n1, n0,
+             |    n1 - (cum_p - cp) AS tp, n0 - (cum_q - cq) AS fp,
+             |    CAST(2 * (n1 - (cum_p - cp)) AS DOUBLE)
+             |      / CAST((n1 - (cum_p - cp)) + (n0 - (cum_q - cq)) + n1 AS DOUBLE) AS f1
+             |  FROM c),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+             |        ORDER BY f1 DESC, v ASC) AS rn FROM f)
+             |SELECT source, CAST(n1 AS BIGINT) AS n_pos,
+             |  CAST(n0 AS BIGINT) AS n_neg,
+             |  CASE WHEN n1 > 0 THEN CAST(v AS BIGINT) END AS threshold,
+             |  CASE WHEN n1 > 0 THEN CAST(tp AS BIGINT) END AS tp,
+             |  CASE WHEN n1 > 0 THEN CAST(fp AS BIGINT) END AS fp,
+             |  CASE WHEN n1 > 0
+             |    THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS prec,
+             |  CASE WHEN n1 > 0
+             |    THEN CAST(tp AS DOUBLE) / CAST(n1 AS DOUBLE) END AS recall,
+             |  CASE WHEN n1 > 0 THEN f1 END AS f1
+             |FROM r WHERE rn = 1 ORDER BY source""".stripMargin)),
+
     // Two-proportion z-test on purchase conversion between the
     // user_id-parity variants: exact user/conversion counts, one shared
     // divisions+sqrt tree — the A/B readout next to q49's Welch test.

@@ -515,4 +515,55 @@ object ProfileOps {
           |  else null end as ks""".stripMargin)
       .orderBy(col(key))
   }
+
+  /** Per-group F1-optimal operating point of a score — the step AFTER
+    * [[scoreAuc]]/[[scoreKs]]: pick the threshold (predict positive when
+    * score ≥ t) that maximizes F1, with its confusion counts and
+    * precision/recall. Candidate thresholds are exactly the observed
+    * distinct scores (the F1 curve is a step function between them, and
+    * the lowest observed score covers the all-positive classifier). Per
+    * block, TP = n₁ − cumPos(<v) and FP = n₀ − cumNeg(<v) are exact
+    * integers off the same two-measure prefix pass; F1 =
+    * 2·TP / (TP + FP + n₁) is one division per block and the argmax
+    * tie-breaks to the LOWEST threshold — a rule both engines state
+    * identically, so every output column hash-gates. Groups without a
+    * positive yield NULL metrics (F1 is identically 0 — no operating
+    * point exists).
+    *
+    * Scale shape: the [[scoreAuc]] contract, plus a closing per-key
+    * argmax as a plain `max(struct(f1, −v, …))` hash aggregation —
+    * nothing buffered per group, no rank window. */
+  def scoreBestF1(df: DataFrame, key: String, scoreCol: String,
+                  labelExpr: String): DataFrame = {
+    val blocks = df
+      .filter(col(scoreCol).isNotNull)
+      .selectExpr(key, s"$scoreCol as __v",
+        s"case when $labelExpr then 1L else 0L end as __p",
+        s"case when $labelExpr then 0L else 1L end as __q")
+      .groupBy(col(key), col("__v"))
+      .agg(sum("__p").as("__cp"), sum("__q").as("__cq"))
+    PercentileOps.rangePrefixN(blocks, key, Seq("__v"), Seq("__cp", "__cq"))
+      .selectExpr(key, "__v",
+        "__n___cp as __n1", "__n___cq as __n0",
+        "__n___cp - (__cum___cp - __cp) as __tp",
+        "__n___cq - (__cum___cq - __cq) as __fp")
+      .selectExpr(key, "__v", "__n1", "__n0", "__tp", "__fp",
+        "cast(2 * __tp as double) / cast(__tp + __fp + __n1 as double) as __f1")
+      .groupBy(col(key))
+      .agg(max(struct(col("__f1").as("f1"), (-col("__v")).as("nv"),
+        col("__v").as("thr"), col("__tp").as("tp"), col("__fp").as("fp"),
+        col("__n1").as("n1"), col("__n0").as("n0"))).as("__best"))
+      .selectExpr(key, "__best.n1 as n_pos", "__best.n0 as n_neg",
+        "case when __best.n1 > 0 then __best.thr end as threshold",
+        "case when __best.n1 > 0 then __best.tp end as tp",
+        "case when __best.n1 > 0 then __best.fp end as fp",
+        """case when __best.n1 > 0
+          |  then cast(__best.tp as double) / cast(__best.tp + __best.fp as double)
+          |  end as prec""".stripMargin,
+        """case when __best.n1 > 0
+          |  then cast(__best.tp as double) / cast(__best.n1 as double)
+          |  end as recall""".stripMargin,
+        "case when __best.n1 > 0 then __best.f1 end as f1")
+      .orderBy(col(key))
+  }
 }

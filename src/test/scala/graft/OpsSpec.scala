@@ -2475,6 +2475,30 @@ class OpsSpec extends SparkSpecBase {
     assert(out("u") === ((1L, 0L, null)))
   }
 
+  test("score best-F1: brute-force argmax on a hand case; lowest-threshold tie-break; no-positive NULL") {
+    import graft.ops.ProfileOps
+    // s: scores 1⁻ 2⁻ 2⁺ 3⁺ — t=3: P=1, R=.5, F1=2/3; t=2: TP=2 FP=1,
+    // F1=4/5 (best); t=1: TP=2 FP=2, F1=2/3. → thr 2, tp 2, fp 1.
+    // t: a perfect split, every threshold ≤ the positive ties at F1=1?
+    //   scores 1⁻ 9⁺: t=9 → F1=1; t=1 → TP=1 FP=1 → F1=2/3. → thr 9.
+    // u: no positives → NULL metrics.
+    val d = Seq(
+      ("s", 1.0, false), ("s", 2.0, false), ("s", 2.0, true), ("s", 3.0, true),
+      ("t", 1.0, false), ("t", 9.0, true),
+      ("u", 4.0, false), ("u", 7.0, false)
+    ).toDF("src", "score", "lab")
+    val out = ProfileOps.scoreBestF1(d, "src", "score", "lab").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s = out("s")
+    assert(s.getDouble(3) === 2.0 && s.getLong(4) === 2L && s.getLong(5) === 1L)
+    assert(s.getDouble(6) === 2.0 / 3.0 && s.getDouble(7) === 1.0 &&
+      s.getDouble(8) === 0.8)
+    val t = out("t")
+    assert(t.getDouble(3) === 9.0 && t.getDouble(8) === 1.0)
+    val u = out("u")
+    assert(u.getLong(1) === 0L && u.getLong(2) === 2L && u.isNullAt(3) && u.isNullAt(8))
+  }
+
   test("sliding range-frame agg equals Spark's native RANGE window (ties, nulls, fixture)") {
     import graft.ops.SlidingOps
     // hand case: ties (two rows at v=10), boundary landing exactly on a
