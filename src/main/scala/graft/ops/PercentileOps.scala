@@ -59,11 +59,10 @@ object PercentileOps {
     * group regardless of corpus size (and it keeps every aggregate a
     * plain HashAggregate — no collection agg, no ObjectHashAggregate,
     * which PlanSpec pins). Cumulative sums are exact integers, so the
-    * result is independent of where the sampled range bounds fall. Both
-    * branches share one range exchange (ReuseExchange); no broadcast
-    * hint on the fold-in join — for a near-unique key the totals table
-    * is corpus-sized and must not ship to every task, AQE decides (the
-    * spearman reasoning, ProfileOps.scala). */
+    * result is independent of where the sampled range bounds fall. No
+    * broadcast hint on the fold-in join — for a near-unique key the
+    * totals table is corpus-sized and must not ship to every task, AQE
+    * decides (the spearman reasoning, ProfileOps.scala). */
   private[graft] def rangePrefix(blocks: DataFrame, key: String, vCol: String,
                                cntCol: String): DataFrame =
     rangePrefix(blocks, key, Seq(vCol), cntCol)
@@ -76,7 +75,34 @@ object PercentileOps {
 
   /** Multi-measure form of [[rangePrefix]]: one shared range exchange +
     * prefix pass emitting `__cum_<c>` / `__n_<c>` per measure column
-    * (any summable type — BIGINT counts, DECIMAL amounts). */
+    * (any summable type — BIGINT counts, DECIMAL amounts).
+    *
+    * THE PERSIST IS LOAD-BEARING (ADVICE r15, root-caused r16).
+    * Correctness of the offsets fold-in hinges on both consumers of the
+    * range exchange (the window branch and the per-(pid, key) totals
+    * branch) observing the SAME partition boundaries and `__pid` values —
+    * the `__pid` equi-join silently misaligns otherwise. The r15 code
+    * relied on exchange reuse to make that hold, and the r16 plan audit
+    * showed the reliance was ALREADY broken: under AQE the two branches
+    * compile to two independent ShuffleQueryStages (separate range
+    * exchanges, separately sampled bounds, upstream aggregation stages
+    * duplicated too), and merely pinning the partition count
+    * (REPARTITION_BY_NUM) perturbed the per-branch bound sampling enough
+    * to produce silently wrong frames in op_range_frame_agg at sf0.01 —
+    * the exact failure mode the advisor predicted. `persist(
+    * MEMORY_AND_DISK)` makes the pid assignment single-sourced BY
+    * CONSTRUCTION: the ranged block table materializes exactly once
+    * (BlockManager get-or-compute is atomic per partition, and lost-block
+    * recompute replays the same frozen shuffle dependency, so replayed
+    * pids match), and both branches read the same frozen (__pid, row)
+    * pairs no matter how each reader is re-partitioned or coalesced.
+    * MEMORY_AND_DISK so a 100 TB-scale block table spills instead of
+    * OOMing. Cache lifecycle: entries live until the session clears them
+    * (Bench/Verify call `spark.catalog.clearCache()` between queries);
+    * auto-unpersisting here would re-open the hazard for any
+    * not-yet-executed plan built on the cache. OpsSpec pins the
+    * algebraic invariant max(__cum) per key == __n == sum(cnt) on a
+    * multi-partition stress frame. */
   private[graft] def rangePrefixN(blocks: DataFrame, key: String,
                                 vCols: Seq[String],
                                 cntCols: Seq[String]): DataFrame = {
@@ -84,6 +110,7 @@ object PercentileOps {
     val ranged = blocks
       .repartitionByRange((key +: vCols).map(col): _*)
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ROWS, not the default RANGE running frame: every caller's (key,
     // vCols) order is TOTAL (tie-collapsed blocks / unique composite
     // keys — the documented input contract), so the frames agree and

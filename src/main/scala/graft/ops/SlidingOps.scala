@@ -57,6 +57,12 @@ object SlidingOps {
                     sumExpr: Column): DataFrame = {
     val reserved = df.columns.filter(_.startsWith("__"))
     require(reserved.isEmpty, s"rangeFrameAgg reserves __-prefixed columns, found ${reserved.mkString(",")}")
+    // the output appends n_frame/sum_frame via a join — a pre-existing
+    // column of either name would come back ambiguous downstream, not as
+    // a clear error (ADVICE r15)
+    val clash = df.columns.filter(c => c == "n_frame" || c == "sum_frame")
+    require(clash.isEmpty,
+      s"rangeFrameAgg appends n_frame/sum_frame; input already has ${clash.mkString(",")}")
 
     // __bn (non-null contribution count) makes the SQL all-null-frame
     // rule exact: SUM over a frame whose every value is NULL is NULL,
@@ -67,6 +73,30 @@ object SlidingOps {
         count(sumExpr).as("__bn"))
     val vType = blocks.schema(vCol).dataType
     val sType = blocks.schema("__bs").dataType
+    // enforce the "exact-typed literals" contract instead of documenting
+    // it (ADVICE r15): if (v ± offset) resolves to a LOSSY widening of
+    // vCol (e.g. DOUBLE offsets against a DECIMAL value column), the
+    // probe union below silently widens __pv BY POSITION — coercing
+    // every boundary and block value and changing closed-interval
+    // inclusion arithmetic. Lossless widenings stay legal: DECIMAL
+    // arithmetic necessarily grows precision by one digit at equal
+    // scale (18,2 ± 18,2 → 19,2 — exact), and integral types widen
+    // exactly. Everything else raises at construction.
+    def losslessProbe(pt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
+      (vType, pt) match {
+        case (a, b) if a == b => true
+        case (a: DecimalType, b: DecimalType) => a.scale == b.scale
+        case (a, b) => integral(a) && integral(b)
+      }
+    }
+    val loType = blocks.select((col(vCol) - precede).as("__t")).schema("__t").dataType
+    val hiType = blocks.select((col(vCol) + follow).as("__t")).schema("__t").dataType
+    require(losslessProbe(loType) && losslessProbe(hiType),
+      s"rangeFrameAgg: lossy boundary type — $vCol is $vType but " +
+        s"(v - precede) is $loType and (v + follow) is $hiType; pass " +
+        "offsets as exact-typed literals of the value column's type")
     val b0 = blocks.select(col(key), col(vCol).as("__pv"),
       lit(0).as("__tag"), lit(null).cast(vType).as("__origin"),
       col("__bc"), col("__bs"), col("__bn"))

@@ -615,6 +615,25 @@ object StreamingOps {
     // so a truncation/timezone tweak can never silently split the twins
     graft.ops.ProfileOps.dailyCounts(events, tsCol, typeCol)
 
+  /** Streaming filter-evaluation state — the online half of the
+    * [[graft.ops.ProfileOps.scoreAuc]] / `scoreKs` / `scoreBestF1` trio
+    * (VERDICT r15 #2: a KS drift monitor is naturally online). The
+    * per-(key, score) class-count table is LINEAR (micro-batch partials
+    * add in the state store — the rateDaily/quantileHist precedent), so
+    * it accumulates as one plain streaming aggregation with
+    * O(keys × distinct scores) state; the rank extraction is not a
+    * streaming-legal second aggregation and runs on the read side over
+    * the emitted table via `ProfileOps.scoreAucFromBlocks` /
+    * `scoreKsFromBlocks` — after which the readouts equal the batch ops
+    * on the union of all batches, independent of batch cuts
+    * (StreamingSpec proves the two-batch equivalence for both). Run
+    * with Complete/Update output. */
+  def scoreBlocksStream(df: DataFrame, key: String, scoreCol: String,
+                        labelExpr: String): DataFrame =
+    // the SAME block stage the batch trio runs — shared code, not a
+    // copy, so a label/tie tweak can never silently split the twins
+    graft.ops.ProfileOps.scoreBlocks(df, key, scoreCol, labelExpr)
+
   def heavyHittersStream(docs: DataFrame, minShare: Double,
                          k0: Int = 0): DataFrame = {
     require(minShare > 0 && minShare < 1, s"minShare in (0,1), got $minShare")

@@ -2564,4 +2564,61 @@ class OpsSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got === want)
   }
+
+  test("rangePrefix invariant: per-key max(__cum) == __n == sum(cnt) on a multi-partition stress frame") {
+    // ADVICE r15 / VERDICT r16 root-cause: the offsets fold-in joins two
+    // consumers of one range exchange on __pid — a misalignment (the
+    // pre-persist code produced one under REPARTITION_BY_NUM) breaks
+    // exactly this algebraic identity, so pin it on an input that spans
+    // every shuffle partition: many keys (incl. a null key), many blocks
+    // per key, two measures of different types.
+    import graft.ops.PercentileOps
+    import org.apache.spark.sql.functions.{col, expr => e}
+    val blocks = spark.range(0, 20000)
+      .selectExpr(
+        "case when id % 97 = 0 then cast(null as string) else concat('k', id % 23) end as k",
+        "cast(id as double) as v",
+        "id % 7 + 1 as c1",
+        "cast(cast(id % 5 as decimal(18,6)) - 2 as decimal(18,6)) as c2")
+    val out = PercentileOps.rangePrefixN(blocks, "k", Seq("v"), Seq("c1", "c2"))
+    val bad = out.groupBy(col("k"))
+      .agg(e("max(__cum_c1)").as("mx1"), e("max(__n_c1)").as("n1"),
+        e("sum(c1)").as("t1"),
+        // c2 goes negative, so its per-key LAST cumulative (at max v) —
+        // not the max — must equal the total
+        e("max_by(__cum_c2, v)").as("last2"), e("max(__n_c2)").as("n2"),
+        e("sum(c2)").as("t2"))
+      .filter("mx1 != n1 or n1 != t1 or last2 != n2 or n2 != t2")
+    assert(bad.count() === 0)
+    spark.catalog.clearCache()
+  }
+
+  test("rangeFrameAgg guards: offset-type mismatch and reserved output names raise") {
+    import graft.ops.SlidingOps
+    // DECIMAL value column probed with DOUBLE offsets: the probe union
+    // would silently widen every boundary by position (ADVICE r15) —
+    // must raise at construction instead
+    val dec = Seq((1L, "a", BigDecimal("10.00"))).toDF("id", "k", "v")
+      .selectExpr("id", "k", "cast(v as decimal(18,2)) as v")
+    val ex = intercept[IllegalArgumentException] {
+      SlidingOps.rangeFrameAgg(dec, "k", "v",
+        precede = lit(2.0), follow = lit(3.0), sumExpr = expr("v"))
+    }
+    assert(ex.getMessage.contains("lossy boundary type"))
+    // same-scale DECIMAL offsets pass the guard (the +1-digit precision
+    // growth decimal arithmetic forces is exact, not lossy)
+    SlidingOps.rangeFrameAgg(dec, "k", "v",
+      precede = expr("cast(2 as decimal(18,2))"),
+      follow = expr("cast(3 as decimal(18,2))"),
+      sumExpr = expr("v")).collect()
+    // a pre-existing n_frame/sum_frame column would come back ambiguous
+    // after the output join — must raise, not produce duplicate columns
+    val clash = Seq((1L, "a", 1.0, 9L)).toDF("id", "k", "v", "n_frame")
+    val ex2 = intercept[IllegalArgumentException] {
+      SlidingOps.rangeFrameAgg(clash, "k", "v",
+        precede = lit(1.0), follow = lit(1.0), sumExpr = expr("v"))
+    }
+    assert(ex2.getMessage.contains("n_frame"))
+    spark.catalog.clearCache()
+  }
 }

@@ -594,6 +594,51 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamedAnom === batchAnom)
   }
 
+  test("streaming score blocks: read-side AUC and KS equal the batch trio across a two-batch cut") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the op_score_auc/op_score_ks slice: document length as a
+    // classifier for lang='en', per source
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("source", "n_chars", "lang").orderBy("source", "n_chars")
+    val batchAuc = graft.ops.ProfileOps
+      .scoreAuc(docs, "source", "n_chars", "lang = 'en'")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val batchKs = graft.ops.ProfileOps
+      .scoreKs(docs, "source", "n_chars", "lang = 'en'")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(batchAuc.nonEmpty && batchKs.nonEmpty)
+
+    val rows = docs.as[(String, Long, String)].collect()
+    val stream = MemoryStream[(String, Long, String)]
+    val q = StreamingOps.scoreBlocksStream(
+        stream.toDF().toDF("source", "n_chars", "lang"),
+        "source", "n_chars", "lang = 'en'")
+      .writeStream.format("memory").queryName("score_stream")
+      .outputMode("complete").start()
+    try {
+      // the per-(key, score) class counts are linear — batch 2's
+      // partials must ADD into the state-store counts
+      val (a, b) = rows.splitAt(rows.length / 2)
+      stream.addData(a.toSeq)
+      q.processAllAvailable()
+      stream.addData(b.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the read side runs the SAME extraction halves the batch trio runs
+    // (localCheckpoint: the rate_stream precedent — a MemoryPlan cannot
+    // self-join for the prefix pass without conflicting references);
+    // identical block tables → bit-identical readouts
+    val blocks = spark.table("score_stream").localCheckpoint()
+    val streamAuc = graft.ops.ProfileOps.scoreAucFromBlocks(blocks, "source")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val streamKs = graft.ops.ProfileOps.scoreKsFromBlocks(blocks, "source")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(streamAuc === batchAuc)
+    assert(streamKs === batchKs)
+    spark.catalog.clearCache()
+  }
+
   test("a streaming-built Count-Min table is consumable by cmEstimate, equal to batch estimates") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val events = Tables.load(spark, sfDir, "events")
