@@ -173,6 +173,44 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.count(_._5.isEmpty)
     val total = results.map(_._2).sum
+    // ── r2-regression ratio as a committed artifact (VERDICT r15 #4) ──
+    // The judge's ≤2× criterion compares the 31 queries BASELINE.md pins
+    // with r2 floors against the current sweep; recomputing it by hand
+    // each round invites transcription slips, so Bench emits it. The r2
+    // numbers ARE the pinned BASELINE.md column (sf0.1, min-of-N floors,
+    // total 285.16 s) — committed here so the artifact survives even if
+    // the markdown table is ever reflowed. Only meaningful at sf0.1 (the
+    // r2 scale), so other scale factors omit the field.
+    val r2Floors: Map[String, Double] = Map(
+      "op_dedup_embedding" -> 56.17, "op_dedup_exact" -> 2.17,
+      "op_dedup_jaccard" -> 42.89, "op_dedup_minhash" -> 20.73,
+      "op_fingerprint" -> 0.86, "op_lang_id" -> 0.80,
+      "op_multimodal_meta" -> 0.67, "op_sim_topk" -> 1.25,
+      "op_sim_topk_agg" -> 1.14, "op_sim_topk_ivf" -> 1.34,
+      "op_simhash" -> 33.72, "op_simhash_pairs" -> 101.41,
+      "op_text_stats" -> 1.04, "q01_scan_filter" -> 0.61,
+      "q02_join_chain" -> 1.32, "q03_anti_join" -> 0.41,
+      "q04_semi_join" -> 0.49, "q05_theta_join" -> 0.70,
+      "q06_group_agg" -> 1.96, "q07_count_distinct" -> 2.45,
+      "q08_cube" -> 0.80, "q09_window_rank" -> 0.69,
+      "q10_window_analytic" -> 1.29, "q11_ratio_to_report" -> 1.08,
+      "q12_limit_offset" -> 0.24, "q13_set_ops" -> 1.23,
+      "q14_scalar_battery" -> 1.21, "q15_cte_subquery" -> 0.90,
+      "q16_listagg" -> 0.64, "q17_sessionize" -> 1.25,
+      "q18_percentiles" -> 3.71)
+    val ratioJson = {
+      val present = results.collect {
+        case (k, v, _, _, None, _) if r2Floors.contains(k) => (k, v, r2Floors(k))
+      }
+      if (!sfDir.endsWith("sf0.1") || present.isEmpty) ""
+      else {
+        val totNow = present.map(_._2).sum
+        val totR2 = present.map(_._3).sum
+        val (wn, wr) = present.map { case (k, v, b) => (k, v / b) }.maxBy(_._2)
+        s""","ratio_vs_r2":{"total":${totNow / totR2},"n":${present.size},""" +
+          s""""worst":{"name":${jstr(wn)},"ratio":$wr}}"""
+      }
+    }
     val canaryJson =
       if (canaryFn.isEmpty) ""
       else {
@@ -184,7 +222,7 @@ object Bench {
           s""""threshold":$hotThreshold,"samples":$samples},""" +
           s""""hot":$hot,"remeasured":$rem"""
       }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"median":$med,"samples":$cnt,"errors":$errs,"ok":$ok,"n":${results.size},"runs":$runs$bpeExtra$canaryJson,"sf":${jstr(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"median":$med,"samples":$cnt,"errors":$errs,"ok":$ok,"n":${results.size},"runs":$runs$bpeExtra$ratioJson$canaryJson,"sf":${jstr(sfDir)}}"""
     // The driver captures only the last ~2000 chars of stdout and parses the
     // JSON line it finds there. With 110 queries the full line is ~3k chars,
     // so its head gets cut and the driver records parsed:null (BENCH_r09).
@@ -248,7 +286,7 @@ object Bench {
     val shortLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{$sb},""" +
       s""""errors":$errs,"ok":$ok,"n":${results.size},"shown":$kept,""" +
-      s""""runs":$runs,"hot_n":${hotNames.size},""" +
+      s""""runs":$runs,"hot_n":${hotNames.size}$ratioJson,""" +
       s""""full":${jstr(outPath.toString)},"sf":${jstr(sfDir)}}"""
     println(shortLine)
     spark.stop()

@@ -547,22 +547,48 @@ object T2 {
     // 18b. approx_percentile scale twin of q18: the exact sort-based
     //      percentile buffers every group value (memory-unsafe at 100×
     //      scale); approx_percentile keeps a bounded Greenwald-Khanna-style
-    //      sketch per group. Approximation is engine-specific, so no SQL
-    //      oracle (rows-only check); the error bound vs the exact result is
-    //      asserted in OpsSpec.
+    //      sketch per group. The sketch values are engine-specific, so the
+    //      gate is SELF-CERTIFYING (VERDICT r15 #5): the query emits the
+    //      EXACT percentiles (through PercentileOps' bounded-memory rank
+    //      path — bit-equal to the buffering aggregate, q18c's gate) plus
+    //      one boolean per sketch value asserting |approx − exact| ≤
+    //      5%·|exact| + 1e-9 (the OpsSpec bound), and the oracle expects
+    //      literal TRUE — a drifting sketch flips the boolean and fails
+    //      the full rows+schema+hash gate instead of hiding in a
+    //      rows-only check.
     QueryDef(
       "q18_percentiles_approx",
       (s, d) => {
+        import graft.ops.PercentileOps.{sortedPercentiles, PSpec}
         val l = t(s, d, "lineitem")
-        l.groupBy(col("l_returnflag"))
+        val approx = l.groupBy(col("l_returnflag"))
           .agg(
-            expr("approx_percentile(l_quantity, 0.5, 10000)").as("med_qty"),
-            expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("p25_price"),
-            expr("approx_percentile(l_extendedprice, 0.75, 10000)").as("p75_price"),
-            count(lit(1)).as("n_rows"))
+            expr("approx_percentile(l_quantity, 0.5, 10000)").as("__amed"),
+            expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("__a25"),
+            expr("approx_percentile(l_extendedprice, 0.75, 10000)").as("__a75"))
+        sortedPercentiles(l, "l_returnflag", Seq(
+            PSpec("l_quantity", 0.5, "med_qty"),
+            PSpec("l_extendedprice", 0.25, "p25_price"),
+            PSpec("l_extendedprice", 0.75, "p75_price")))
+          .join(approx, Seq("l_returnflag"))
+          .selectExpr("l_returnflag", "med_qty", "p25_price", "p75_price",
+            "n_rows",
+            "abs(__amed - med_qty) <= 0.05 * abs(med_qty) + 1e-9 as med_within_bound",
+            "abs(__a25 - p25_price) <= 0.05 * abs(p25_price) + 1e-9 as p25_within_bound",
+            "abs(__a75 - p75_price) <= 0.05 * abs(p75_price) + 1e-9 as p75_within_bound")
           .orderBy(col("l_returnflag"))
       },
-      None),
+      Some("""SELECT l_returnflag,
+             |       MEDIAN(l_quantity) AS med_qty,
+             |       QUANTILE_CONT(l_extendedprice, 0.25) AS p25_price,
+             |       QUANTILE_CONT(l_extendedprice, 0.75) AS p75_price,
+             |       COUNT(*) AS n_rows,
+             |       TRUE AS med_within_bound,
+             |       TRUE AS p25_within_bound,
+             |       TRUE AS p75_within_bound
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
 
     // 18c. EXACT bounded-memory twin of q18 (VERDICT r7 #2): the same
     //      median + two percentiles through PercentileOps' rank path —
@@ -630,9 +656,16 @@ object T2 {
     // 21. HLLSKETCH ops (SURVEY §2.2 🔴 → done): materialized binary
     //     sketches per group, merged with hll_combine — the
     //     pre-aggregate-then-union pattern that avoids rescans at scale.
-    //     Estimates are engine-specific (DataSketches vs DuckDB's HLL), so
-    //     no SQL oracle; DialectSpec pins the error bound vs exact counts
-    //     and the combine-vs-direct consistency.
+    //     Estimates are engine-specific (DataSketches vs DuckDB's HLL),
+    //     so the gate is SELF-CERTIFYING (VERDICT r15 #5): each row
+    //     carries the EXACT distinct count (oracle-checkable) plus
+    //     TRUE-expected booleans asserting each estimate lands within
+    //     3·rsd of exact — 5% for the DataSketches sketch paths
+    //     (lgK = 12 → rsd ≈ 1.6%), 15% for the direct hll() aggregate
+    //     (HyperLogLog++ at Spark's default rsd = 5%; its sf0.01 errors
+    //     measure 4.8–5.7%, squarely the 1·rsd regime a 5% bound would
+    //     flake on). A drifting sketch flips a boolean and fails the
+    //     full rows+schema+hash gate.
     QueryDef(
       "q21_hll_sketch",
       (s, d) => {
@@ -641,17 +674,35 @@ object T2 {
           """WITH per_status AS (
             |  SELECT o_orderstatus, hll_create_sketch(o_custkey) AS sk,
             |         hll(o_custkey) AS n_approx
-            |  FROM orders GROUP BY o_orderstatus)
-            |SELECT o_orderstatus, hll_cardinality(sk) AS n_custs, n_approx
-            |FROM per_status
+            |  FROM orders GROUP BY o_orderstatus),
+            |exact AS (
+            |  SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_exact
+            |  FROM orders GROUP BY o_orderstatus),
+            |all_exact AS (SELECT COUNT(DISTINCT o_custkey) AS n_exact FROM orders)
+            |SELECT p.o_orderstatus, e.n_exact,
+            |       abs(hll_cardinality(p.sk) - e.n_exact) <= 0.05 * e.n_exact
+            |         AS sketch_within_bound,
+            |       abs(p.n_approx - e.n_exact) <= 0.15 * e.n_exact
+            |         AS direct_within_bound
+            |FROM per_status p JOIN exact e ON p.o_orderstatus = e.o_orderstatus
             |UNION ALL
-            |SELECT 'ALL' AS o_orderstatus,
-            |       hll_cardinality(hll_combine(sk)) AS n_custs,
-            |       CAST(NULL AS BIGINT) AS n_approx
-            |FROM per_status
+            |SELECT 'ALL' AS o_orderstatus, a.n_exact,
+            |       abs(hll_cardinality(hll_combine(p.sk)) - a.n_exact)
+            |         <= 0.05 * a.n_exact AS sketch_within_bound,
+            |       CAST(NULL AS BOOLEAN) AS direct_within_bound
+            |FROM per_status p CROSS JOIN all_exact a
+            |GROUP BY a.n_exact
             |ORDER BY o_orderstatus""".stripMargin)
       },
-      None),
+      Some("""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_exact,
+             |       TRUE AS sketch_within_bound, TRUE AS direct_within_bound
+             |FROM orders GROUP BY o_orderstatus
+             |UNION ALL
+             |SELECT 'ALL' AS o_orderstatus, COUNT(DISTINCT o_custkey) AS n_exact,
+             |       TRUE AS sketch_within_bound,
+             |       CAST(NULL AS BOOLEAN) AS direct_within_bound
+             |FROM orders
+             |ORDER BY o_orderstatus""".stripMargin)),
 
     // 22. SUPER / PartiQL navigation (SURVEY §2.2 🔴 → done via Variant):
     //     JSON_PARSE into VARIANT, path navigation, serialize back. The
@@ -754,22 +805,40 @@ object T2 {
     // 25b. approx_percentile scale twin of q25 (VERDICT r4 #4): the exact
     //      WITHIN GROUP ordered-set aggregates buffer every group value —
     //      memory-unsafe under 100× group-cardinality skew; this twin keeps
-    //      a bounded sketch per group. Approximation is engine-specific →
-    //      no SQL oracle (rows-only check); the error bound vs the exact
-    //      q25 result is asserted in OpsSpec.
+    //      a bounded sketch per group. Self-certifying gate (VERDICT r15
+    //      #5, the q18b pattern): exact percentiles through the
+    //      bounded-memory rank path + one TRUE-expected boolean per sketch
+    //      value at the OpsSpec 5% bound — full rows+schema+hash gate.
     QueryDef(
       "q25_within_group_approx",
       (s, d) => {
+        import graft.ops.PercentileOps.{sortedPercentiles, PSpec}
         val l = t(s, d, "lineitem")
-        l.groupBy(col("l_returnflag"))
+        val approx = l.groupBy(col("l_returnflag"))
           .agg(
-            expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("p25"),
-            expr("approx_percentile(l_extendedprice, 0.75, 10000)").as("p75"),
-            expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_disc"),
-            count(lit(1)).as("n_rows"))
+            expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("__a25"),
+            expr("approx_percentile(l_extendedprice, 0.75, 10000)").as("__a75"),
+            expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("__a50"))
+        sortedPercentiles(l, "l_returnflag", Seq(
+            PSpec("l_extendedprice", 0.25, "p25"),
+            PSpec("l_extendedprice", 0.75, "p75"),
+            PSpec("l_extendedprice", 0.5, "p50_disc", disc = true)))
+          .join(approx, Seq("l_returnflag"))
+          .selectExpr("l_returnflag", "p25", "p75", "p50_disc", "n_rows",
+            "abs(__a25 - p25) <= 0.05 * abs(p25) + 1e-9 as p25_within_bound",
+            "abs(__a75 - p75) <= 0.05 * abs(p75) + 1e-9 as p75_within_bound",
+            "abs(__a50 - p50_disc) <= 0.05 * abs(p50_disc) + 1e-9 as p50_within_bound")
           .orderBy(col("l_returnflag"))
       },
-      None),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_extendedprice, 0.25) AS p25,
+             |  quantile_cont(l_extendedprice, 0.75) AS p75,
+             |  quantile_disc(l_extendedprice, 0.5) AS p50_disc,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  TRUE AS p25_within_bound,
+             |  TRUE AS p75_within_bound,
+             |  TRUE AS p50_within_bound
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // 26. Date/time battery #2 (Redshift LAST_DAY / ADD_MONTHS /
     //     DATE_PART variants): month-end clamping and ISO week/doy/dow

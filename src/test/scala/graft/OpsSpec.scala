@@ -417,33 +417,33 @@ class OpsSpec extends SparkSpecBase {
     assert(lsh.subsetOf(exact)) // verification admits no false positives
   }
 
-  test("approx-percentile twin tracks the exact q18 within the sketch error bound") {
+  test("approx-percentile twin: self-certified bounds hold and exact columns equal q18") {
+    // the gated query is now SELF-certifying (VERDICT r15 #5): it emits
+    // the exact percentiles plus booleans asserting the sketch landed
+    // within 5% — so the spec checks the booleans are TRUE and the exact
+    // columns are bit-equal to q18's buffering aggregates
     val exact = SparkEntry.queries("q18_percentiles")(spark, sfDir).collect()
     val approx = SparkEntry.queries("q18_percentiles_approx")(spark, sfDir).collect()
     assert(exact.length === approx.length && exact.nonEmpty)
     exact.zip(approx).foreach { case (e, a) =>
       assert(e.getString(0) === a.getString(0))          // same groups
       assert(e.getLong(4) === a.getLong(4))              // exact counts
-      (1 to 3).foreach { i =>
-        val ev = e.getDouble(i); val av = a.getDouble(i)
-        assert(math.abs(av - ev) <= 0.05 * math.abs(ev) + 1e-9,
-          s"col $i: approx $av vs exact $ev")
-      }
+      (1 to 3).foreach(i => assert(e.getDouble(i) === a.getDouble(i),
+        s"col $i: exact path ${a.getDouble(i)} vs q18 ${e.getDouble(i)}"))
+      (5 to 7).foreach(i => assert(a.getBoolean(i), s"bound flag $i false"))
     }
   }
 
-  test("approx WITHIN GROUP twin tracks the exact q25 within the sketch error bound") {
+  test("approx WITHIN GROUP twin: self-certified bounds hold and exact columns equal q25") {
     val exact = SparkEntry.queries("q25_within_group")(spark, sfDir).collect()
     val approx = SparkEntry.queries("q25_within_group_approx")(spark, sfDir).collect()
     assert(exact.length === approx.length && exact.nonEmpty)
     exact.zip(approx).foreach { case (e, a) =>
       assert(e.getString(0) === a.getString(0))          // same groups
       assert(e.getLong(4) === a.getLong(4))              // exact counts
-      (1 to 3).foreach { i =>
-        val ev = e.getDouble(i); val av = a.getDouble(i)
-        assert(math.abs(av - ev) <= 0.05 * math.abs(ev) + 1e-9,
-          s"col $i: approx $av vs exact $ev")
-      }
+      (1 to 3).foreach(i => assert(e.getDouble(i) === a.getDouble(i),
+        s"col $i: exact path ${a.getDouble(i)} vs q25 ${e.getDouble(i)}"))
+      (5 to 7).foreach(i => assert(a.getBoolean(i), s"bound flag $i false"))
     }
   }
 
