@@ -64,13 +64,34 @@ object SlidingOps {
     require(clash.isEmpty,
       s"rangeFrameAgg appends n_frame/sum_frame; input already has ${clash.mkString(",")}")
 
-    // __bn (non-null contribution count) makes the SQL all-null-frame
-    // rule exact: SUM over a frame whose every value is NULL is NULL,
-    // not 0 — the prefix difference alone can't tell "empty" from
-    // "all null", the count can
-    val blocks = df.groupBy(col(key), col(vCol))
+    val frames = rangeFrameFromBlocks(
+      frameBlocks(df, key, vCol, sumExpr), key, vCol, precede, follow)
+    df.join(frames,
+        col(key) <=> col("__k") && col(vCol) <=> col("__origin"))
+      .drop("__k", "__origin")
+  }
+
+  /** The tie-collapsed block stage of [[rangeFrameAgg]]: per-(key, v)
+    * (count, sum, non-null count) partials. A LINEAR aggregation —
+    * micro-batch partials add — so the streaming twin
+    * (`StreamingOps.rangeFrameBlocksStream`) runs this SAME stage in the
+    * state store and the read side finishes with
+    * [[rangeFrameFromBlocks]]. __bn (non-null contribution count) makes
+    * the SQL all-null-frame rule exact: SUM over a frame whose every
+    * value is NULL is NULL, not 0 — the prefix difference alone can't
+    * tell "empty" from "all null", the count can. */
+  def frameBlocks(df: DataFrame, key: String, vCol: String,
+                  sumExpr: Column): DataFrame =
+    df.groupBy(col(key), col(vCol))
       .agg(count(lit(1)).as("__bc"), sum(sumExpr).as("__bs"),
         count(sumExpr).as("__bn"))
+
+  /** Read-side frame extraction over a [[frameBlocks]] table: the
+    * boundary-probe / range-partitioned-prefix pass (steps 2–3 of the
+    * scaladoc above), returning one row per block —
+    * (`key` as `__k`, `vCol` value as `__origin`, n_frame, sum_frame). */
+  def rangeFrameFromBlocks(blocks: DataFrame, key: String, vCol: String,
+                           precede: Column, follow: Column): DataFrame = {
     val vType = blocks.schema(vCol).dataType
     val sType = blocks.schema("__bs").dataType
     // enforce the "exact-typed literals" contract instead of documenting
@@ -109,7 +130,7 @@ object SlidingOps {
 
     val cum = PercentileOps.rangePrefixN(unioned, key,
       Seq("__pv", "__tag"), Seq("__bc", "__bs", "__bn"))
-    val frames = cum.filter(col("__tag") =!= 0)
+    cum.filter(col("__tag") =!= 0)
       .groupBy(col(key).as("__k"), col("__origin"))
       .agg(
         max(when(col("__tag") === 1, col("__cum___bc"))).as("__hi_c"),
@@ -125,9 +146,5 @@ object SlidingOps {
         greatest(col("__hi_c") - col("__lo_c"), lit(0L)).as("n_frame"),
         when(col("__hi_n") > col("__lo_n"),
           col("__hi_s") - col("__lo_s")).as("sum_frame"))
-
-    df.join(frames,
-        col(key) <=> col("__k") && col(vCol) <=> col("__origin"))
-      .drop("__k", "__origin")
   }
 }

@@ -338,6 +338,36 @@ object VectorOps {
     }
   }
 
+  /** Background-bounded banding (the r16 sf3 lesson). With FIXED (b, r)
+    * the expected background bucket is N/2^r, so the candidate join
+    * carries O(b·N²/2^(r+1)) pairs — quadratic in N at any fixed r. The
+    * sf3 sweep measured the consequence: 60k uniform-random vectors at
+    * the legacy (16, 8) put ~10⁸ array-carrying candidates through the
+    * verify join (57 GB of sort spill, ~13 min/run, vs 5 s at sf1 —
+    * the quadratic term crossing the linear ones). Scale-safe banding
+    * instead keeps two invariants as N grows:
+    *
+    *   r(N) = max(8, ceil(log₂(N / 32)))  — expected background bucket
+    *          stays ≤ 32, so candidates are O(b·16·N): linear;
+    *   b(r) = min b with (1 − p₉₀^r)^b ≤ 0.005, p₉₀ = 1 − acos(0.9)/π
+    *          ≈ 0.856 — the miss probability at the design-point dup
+    *          similarity (cos 0.9) stays ≤ 0.5% as r deepens.
+    *
+    * At every gate/spec scale (N ≤ 8192 — sf0.01's 200 and sf0.1's 2000
+    * vectors) this derives EXACTLY the legacy (16, 8), so the unrolled
+    * deterministic-hyperplane oracle (OpQueries.dkLshOracle) and every
+    * pinned recall assertion are unchanged; the deeper codes engage only
+    * at the scales the fixed ones break (sf1 → (23, 10), sf3 → (27, 11)).
+    */
+  private[graft] def adaptiveBanding(n: Long): (Int, Int) = {
+    val r = math.max(8, math.ceil(
+      math.log(math.max(1.0, n / 32.0)) / math.log(2.0)).toInt)
+    val p90 = 1.0 - math.acos(0.9) / math.Pi
+    val b = math.ceil(math.log(0.005) /
+      math.log(1.0 - math.pow(p90, r))).toInt
+    (b, r)
+  }
+
   /** Random-hyperplane candidate pairs: ids whose sign signatures agree on
     * at least one band of `rowsPerBand` consecutive hyperplane signs.
     * One equi-join on the band key — no cartesian; the (id, band_key)
@@ -369,9 +399,10 @@ object VectorOps {
     * O(N·planes·dim) signatures + one band equi-join + O(candidates·dim)
     * verification, vs O(N²·dim). Output = a subset of the exact pair set
     * (verification removes every false positive); per-pair miss probability
-    * is (1 − p^r)^b with p = 1 − θ/π. At real near-dup similarity
-    * (cos ≥ 0.9 → p ≈ 0.856, r=8, b=16) that is ~4·10⁻³ — tune b up for
-    * tighter SLAs.
+    * is (1 − p^r)^b with p = 1 − θ/π. The default banding is N-ADAPTIVE
+    * ([[adaptiveBanding]] — candidates stay linear in N and the miss
+    * probability at cos 0.9 stays ≤ 0.5%); pass explicit `bands` /
+    * `rowsPerBand` to pin a fixed scheme.
     *
     * Fixture caveat, measured at sf0.01: the fixture embeddings are
     * uniform-random 64-dim and the pairs above 0.45 are the TAIL OF THE
@@ -385,10 +416,18 @@ object VectorOps {
     * verified cosines independently (OpQueries.dkLshOracle).
     */
   def cosineNearDupLsh(emb: DataFrame, threshold: Double = 0.45,
-                       bands: Int = 16, rowsPerBand: Int = 8,
+                       bands: Int = 0, rowsPerBand: Int = 0,
                        dim: Int = 64): DataFrame = {
+    require((bands == 0) == (rowsPerBand == 0),
+      "pass bands and rowsPerBand together (or neither, for " +
+        "N-adaptive banding)")
+    // bands/rowsPerBand = 0 (the default) → background-bounded banding
+    // from one metadata-cheap count (the cosineNearDup-guard precedent);
+    // explicit values pin the banding exactly (spec/recall tests)
+    val (b, r) =
+      if (bands > 0) (bands, rowsPerBand) else adaptiveBanding(emb.count())
     val n = withNorm(emb, "id", "v")
-    rhpCandidates(emb, bands, rowsPerBand, dim)
+    rhpCandidates(emb, b, r, dim)
       .join(n.selectExpr("id as ida", "v as va", "norm_v as norm_va"), Seq("ida"))
       .join(n.selectExpr("id as idb", "v as vb", "norm_v as norm_vb"), Seq("idb"))
       .selectExpr("ida", "idb", s"${cosExpr("va", "vb", "norm_va", "norm_vb")} as cosine")

@@ -417,6 +417,26 @@ class OpsSpec extends SparkSpecBase {
     assert(lsh.subsetOf(exact)) // verification admits no false positives
   }
 
+  test("adaptive LSH banding: legacy scheme at gate scales, bounded buckets and miss prob beyond") {
+    // every gate/spec scale derives EXACTLY the legacy (16, 8) — the
+    // unrolled dkLshOracle and the pinned recall tests stay valid
+    for (n <- Seq(2L, 130L, 200L, 2000L, 8192L))
+      assert(VectorOps.adaptiveBanding(n) === ((16, 8)), s"n=$n")
+    // the r16 sf3 decades: deeper codes, wider band sets
+    assert(VectorOps.adaptiveBanding(20000L) === ((23, 10)))
+    assert(VectorOps.adaptiveBanding(60000L) === ((27, 11)))
+    // the two invariants hold over nine decades: expected background
+    // bucket N/2^r ≤ 32 and design-point miss (1 − p₉₀^r)^b ≤ 0.5%
+    val p90 = 1.0 - math.acos(0.9) / math.Pi
+    var n = 100L
+    while (n <= 100000000000L) {
+      val (b, r) = VectorOps.adaptiveBanding(n)
+      assert(n.toDouble / math.pow(2.0, r) <= 32.0 + 1e-9, s"bucket at n=$n")
+      assert(math.pow(1.0 - math.pow(p90, r), b) <= 0.005 + 1e-12, s"miss at n=$n")
+      n *= 10
+    }
+  }
+
   test("approx-percentile twin: self-certified bounds hold and exact columns equal q18") {
     // the gated query is now SELF-certifying (VERDICT r15 #5): it emits
     // the exact percentiles plus booleans asserting the sketch landed

@@ -639,6 +639,60 @@ class StreamingSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("streaming frame blocks: read-side RANGE-frame aggregates equal the batch op across a two-batch cut") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    // the op_range_frame_agg geometry: per-priority price frames
+    val o = Tables.load(spark, sfDir, "orders")
+      .select("o_orderpriority", "o_totalprice").orderBy("o_totalprice")
+    // the batch op joins frames back per row; collapse to the per-(key, v)
+    // frame map — the unit the streamed block table reproduces
+    val batch = graft.ops.SlidingOps
+      .rangeFrameAgg(o, "o_orderpriority", "o_totalprice",
+        precede = lit(1000.0), follow = lit(500.0),
+        sumExpr = expr("cast(o_totalprice as decimal(18,6))"))
+      .selectExpr("o_orderpriority", "o_totalprice", "n_frame",
+        "cast(sum_frame as double) as s")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(batch.nonEmpty)
+
+    val rows = o.as[(String, Double)].collect()
+    val stream = MemoryStream[(String, Double)]
+    val q = StreamingOps.rangeFrameBlocksStream(
+        stream.toDF().toDF("o_orderpriority", "o_totalprice"),
+        "o_orderpriority", "o_totalprice",
+        expr("cast(o_totalprice as decimal(18,6))"))
+      .writeStream.format("memory").queryName("frame_stream")
+      .outputMode("complete").start()
+    try {
+      // the per-(key, v) block partials are linear — batch 2's counts
+      // and sums must ADD into the state-store blocks
+      val (a, b) = rows.splitAt(rows.length / 2)
+      stream.addData(a.toSeq)
+      q.processAllAvailable()
+      stream.addData(b.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the read side runs the SAME probe/prefix extraction the batch op
+    // runs (localCheckpoint: the score_stream precedent — a MemoryPlan
+    // cannot self-join for the prefix pass without conflicting
+    // references); identical block tables → bit-identical frames
+    val blocks = spark.table("frame_stream").localCheckpoint()
+    val streamed = graft.ops.SlidingOps
+      .rangeFrameFromBlocks(blocks, "o_orderpriority", "o_totalprice",
+        precede = lit(1000.0), follow = lit(500.0))
+      .select(col("__k"), col("__origin"), col("n_frame"),
+        col("sum_frame").cast("double"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(streamed === batch)
+    spark.catalog.clearCache()
+  }
+
   test("a streaming-built Count-Min table is consumable by cmEstimate, equal to batch estimates") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val events = Tables.load(spark, sfDir, "events")
