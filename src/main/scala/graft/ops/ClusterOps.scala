@@ -308,21 +308,36 @@ object ClusterOps {
   }
 
   /** [[semanticPairs]] with k derived from the corpus size —
-    * `k = ⌈N / targetClusterSize⌉` — so the expected cluster size (and
-    * with it the pair-join key cardinality N/targetClusterSize) stays
-    * constant as the corpus grows; this is the scale-safe entry point
-    * per the k contract above. Costs one `count()` over the input (a
-    * metadata-cheap scan), which is the honest price of sizing k to the
-    * data. The default cap of 4× the target keeps moderately oversized
-    * clusters intact while still hard-bounding per-key pair work.
+    * `k = min(⌈N / targetClusterSize⌉, kCap)` — so the expected cluster
+    * size (and with it the pair-join key cardinality) stays constant as
+    * the corpus grows, until the CLUSTER-COUNT BUDGET `kCap` binds.
+    * Costs one `count()` over the input (a metadata-cheap scan), which
+    * is the honest price of sizing k to the data. The default cap of 4×
+    * the target keeps moderately oversized clusters intact while still
+    * hard-bounding per-key pair work.
+    *
+    * Cost shape, measured at the r16 sf3 decade: the PAIR stage is
+    * linear (cappedAssign bounds per-key pair work at maxClusterSize²),
+    * but the ASSIGN stage is O(N·k·dim·iters) — with k tracking
+    * N/targetClusterSize that term is quadratic in N (sf3's 60k vectors
+    * at target 32 → k = 1875 → 74.5 s, 7.1× sf1 on 3× data; the
+    * centroid argmin is the whole cost). `kCap` is what makes the op
+    * scale-safe past the fixture decades: once k saturates (default
+    * 2¹⁶ — the SemDeDup production shape, a fixed cluster-count budget
+    * with cluster SIZE growing alongside the corpus), assign cost is
+    * linear in N and maxClusterSize still bounds the pair join. At
+    * every gate/bench scale the cap is far from binding, so derived k
+    * (and the unrolled Lloyd oracle) are unchanged.
     */
   def semanticPairsAuto(emb: DataFrame, targetClusterSize: Int = 1024,
                         iters: Int = 2, threshold: Double = 0.95,
-                        maxClusterSize: Long = 0L): DataFrame = {
+                        maxClusterSize: Long = 0L,
+                        kCap: Int = 1 << 16): DataFrame = {
     require(targetClusterSize > 0, s"need targetClusterSize > 0; got $targetClusterSize")
+    require(kCap > 0, s"need kCap > 0; got $kCap")
     val n = emb.count()
-    val k = math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)
-    require(k <= Int.MaxValue, s"derived k=$k overflows")
+    val k = math.min(kCap.toLong,
+      math.max(1L, (n + targetClusterSize - 1) / targetClusterSize))
     val cap = if (maxClusterSize > 0L) maxClusterSize else 4L * targetClusterSize
     semanticPairs(emb, k.toInt, iters, threshold, cap)
   }
