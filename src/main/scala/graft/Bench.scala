@@ -116,8 +116,25 @@ object Bench {
     val canaryFloor =
       if (cs.isEmpty) upfrontFloor
       else math.min(upfrontFloor, cs.map(_._2).min)
-    val floorWarn = canaryFn.isDefined && upfrontFloor > 1.5 * canaryFloor
     val hotThreshold = 3.0 * canaryFloor
+    // floor_warn originally fired whenever the up-front floor exceeded
+    // 1.5× the post-hoc floor — but on a QUIET host that is structurally
+    // true (the up-front samples run on a cold JVM; the post-hoc min
+    // keeps dropping as JIT and the page cache warm, r16 measured
+    // 0.25 s → 0.09 s across one run), so the warn fired on every clean
+    // run and taught readers to ignore it. The hazard it guards (a run
+    // that STARTS hot silently certifying itself) is already closed by
+    // the post-hoc floor itself — threshold and flags are resolved from
+    // the run-wide min — so the warn now fires only when the inflated
+    // start coincides with an actual hot window somewhere in the run
+    // (i.e. the inflation was plausibly contention, not warmup). The
+    // first two canary windows are excluded from corroboration: they
+    // still ride JIT/page-cache warmup (measured 3.1× the steady floor
+    // at qi=0 and 1.01× the threshold at qi=5 on QUIET smoke runs),
+    // while a genuinely hot window mid-run clears the bar by multiples
+    // (r15's qi=15 sample sat at 9.4× the floor).
+    val floorWarn = canaryFn.isDefined && upfrontFloor > 1.5 * canaryFloor &&
+      cs.exists { case (qi, t) => qi >= 2 * canaryEvery && t > hotThreshold }
     def hotAt(qi: Int): Boolean = cs.nonEmpty && {
       val before = cs.filter(_._1 <= qi).lastOption
       val after = cs.find(_._1 > qi)

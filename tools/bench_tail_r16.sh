@@ -6,7 +6,7 @@ ADDOPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java
 QL="op_dedup_embedding,op_simhash_pairs,op_dedup_semantic_auto,op_corr_spearman,op_dedup_resolve,op_dedup_groups,op_lm_score,op_dedup_jaccard,op_cdc_dedup,q25_within_group,q29_range_frame,op_pipeline_curate,op_sim_topk_ivfpq_res,op_containment_pairs,op_graph_components,op_dedup_embedding_lsh,op_textrank,op_sim_topk_ivfpq,q18_percentiles,q05_theta_join,op_cdc_chunks,op_graph_triangles,op_kcore,op_multimodal_neardup,op_minhash_est,op_dedup_minhash,op_bpe_token_count,op_simhash_pairs64,q12_limit_offset"
 for sf in "$@"; do
   SPARK_GRAFT_SF_DIR=testdata-$sf SPARK_GRAFT_BENCH_ONLY="$QL" \
-  SPARK_GRAFT_BENCH_OUT=bench/bench_${sf}_tail_r16.json \
+  SPARK_GRAFT_BENCH_OUT=bench/bench_${sf}_tail_r16b.json \
   java -Xmx8g $ADDOPENS -Dspark.ui.enabled=false \
     -Dspark.sql.session.timeZone=UTC \
     -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench \
