@@ -982,6 +982,18 @@ class OpsSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
     assert(auto === explicit, "auto k=⌈500/32⌉ must equal explicit k=16")
     assert(auto.nonEmpty)
+
+    // the r16 cluster-count budget: when kCap binds, the derived k
+    // saturates and auto ≡ explicit at the BUDGET, not at N/target —
+    // the contract that makes the assign stage linear past the budget
+    val capped = graft.ops.ClusterOps
+      .semanticPairsAuto(emb, targetClusterSize = 32, iters = 2,
+        threshold = 0.3, maxClusterSize = 40L, kCap = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val explicit4 = graft.ops.ClusterOps
+      .semanticPairs(emb, k = 4, iters = 2, threshold = 0.3, maxClusterSize = 40L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(capped === explicit4, "bound kCap=4 must equal explicit k=4")
   }
 
   test("pruned kmeans argmin equals the dense argmin exactly (strict norm bound)") {
