@@ -59,23 +59,43 @@ object OpQueries {
     * sign signature with the proven fixed-order dot fold, re-builds the
     * band keys, and brute-forces the candidate join + cosine verify —
     * so WHICH pairs the LSH emits is part of the gate, not just their
-    * cosines. */
-  private def dkLshOracle(thr: Double, bands: Int, rowsPerBand: Int,
-                          dim: Int): String = {
-    val nPlanes = bands * rowsPerBand
+    * cosines.
+    *
+    * The banding is N-ADAPTIVE inside the SQL itself (ADVICE r16): the
+    * oracle re-derives (b, r) from COUNT(*) with the SAME rule as
+    * `VectorOps.adaptiveBanding` — r integer-exact (smallest r ≥ 8 with
+    * n ≤ 32·2^r: a bounded range scan, no floating-point step), b from
+    * the shared transcendental formula whose ceil argument sits ≥ 0.01
+    * from any integer for r ∈ [8, 62] (OpsSpec boundary-margin sweep)
+    * while libm-vs-JVM drift is ≲ 1e-12, so ceil can never flip. Op and
+    * oracle
+    * therefore stay in lockstep at EVERY fixture size — the sf0.01 gate
+    * runs (16, 8), and the same SQL re-derives (23, 10) at sf1 / (27, 11)
+    * at sf3, where the adaptive path actually diverges from the legacy
+    * fixed scheme. `maxPlanes` statically bounds the plane CTE (the
+    * filter `p < b·r` prunes it to the derived count); 4096 covers
+    * n beyond 10¹⁹ — far past any fixture. */
+  private def dkLshOracle(thr: Double, dim: Int,
+                          maxPlanes: Int = 4096): String = {
     s"""WITH $dkNormed,
+       |par AS (SELECT r,
+       |          CAST(CEIL(LN(0.005) /
+       |            LN(1.0 - POW(1.0 - ACOS(0.9) / PI(), r))) AS INT) AS b
+       |        FROM (SELECT MIN(rr) AS r FROM range(8, 58) t(rr)
+       |              WHERE (SELECT COUNT(*) FROM e)
+       |                      <= 32 * (CAST(1 AS BIGINT) << rr))),
        |pl AS (SELECT p, list_transform(range(0, $dim), c ->
        |         (CAST(CAST('0x' || substr(md5(p || ':' || c), 1, 15) AS UBIGINT)
        |            % 2001 AS BIGINT) - 1000) / 1000.0) AS pv
-       |       FROM range(0, $nPlanes) t(p)),
+       |       FROM range(0, $maxPlanes) t(p), par WHERE p < par.b * par.r),
        |sg AS (SELECT vec_id, p,
        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |           list_transform(range(1, $dim + 1), i -> v[i] * pv[i])),
        |           (x, y) -> x + y) >= 0 AS s
        |       FROM n, pl),
-       |bk AS (SELECT vec_id, p // $rowsPerBand AS b,
+       |bk AS (SELECT vec_id, p // par.r AS b,
        |         string_agg(CASE WHEN s THEN '1' ELSE '0' END, '' ORDER BY p) AS bits
-       |       FROM sg GROUP BY 1, 2),
+       |       FROM sg, par GROUP BY 1, 2),
        |cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
        |         FROM bk a JOIN bk b ON a.b = b.b AND a.bits = b.bits
        |                            AND a.vec_id < b.vec_id)
@@ -781,13 +801,16 @@ object OpQueries {
     // verify. HASH-GATED since r15: the hyperplanes are deterministic
     // (MD5-derived), so DuckDB re-derives them and re-computes the full
     // signature → band → candidate → verify chain independently — the
-    // candidate SET is part of the gate (dkLshOracle). Recall/precision
-    // against planted near-dups remain OpsSpec-asserted (the fixture's
-    // ≥0.45 pairs are the uniform-random background tail, where no LSH
-    // has recall ≈ 1 — see VectorOps.cosineNearDupLsh scaladoc).
+    // candidate SET is part of the gate (dkLshOracle). Since r17 the
+    // oracle ALSO re-derives the N-adaptive (b, r) from COUNT(*), so the
+    // gate holds at every fixture size — including sf1/sf3, where the
+    // adaptive banding diverges from the legacy (16, 8) (ADVICE r16).
+    // Recall/precision against planted near-dups remain OpsSpec-asserted
+    // (the fixture's ≥0.45 pairs are the uniform-random background tail,
+    // where no LSH has recall ≈ 1 — see VectorOps.cosineNearDupLsh).
     QueryDef("op_dedup_embedding_lsh",
       (s, d) => VectorOps.cosineNearDupLsh(emb(s, d), 0.45),
-      Some(dkLshOracle(0.45, bands = 16, rowsPerBand = 8, dim = 64))),
+      Some(dkLshOracle(0.45, dim = 64))),
 
     // Int8 embedding quantization (storage op): integer codes are exact
     // cross-engine — both engines compute the identical affine map in

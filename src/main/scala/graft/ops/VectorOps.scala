@@ -326,6 +326,11 @@ object VectorOps {
     * plane p is md5-derived (same portable-hash discipline as
     * [[TextOps.h60]]), uniform on [-1, 1] — no RNG, no seed plumbing, so
     * signatures are reproducible across runs and engines.
+    *
+    * This is the REFERENCE derivation: the hot path runs the memoized
+    * kernel copy ([[graft.sql.expressions.ArrayKernels.rhpPlanes]], used by
+    * the `rhp_signature` codegen expression), and KernelSpec pins the two
+    * tables equal so the kernel can never drift from the documented rule.
     */
   private[graft] def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -360,8 +365,23 @@ object VectorOps {
     * at the scales the fixed ones break (sf1 → (23, 10), sf3 → (27, 11)).
     */
   private[graft] def adaptiveBanding(n: Long): (Int, Int) = {
-    val r = math.max(8, math.ceil(
-      math.log(math.max(1.0, n / 32.0)) / math.log(2.0)).toInt)
+    // r = max(8, ceil(log2(n / 32))) computed INTEGER-exactly (smallest r
+    // with n ≤ 32·2^r) rather than via double log division: at n = 32·2^k
+    // exactly, log(n/32)/log(2) lands 1 ulp either side of k and the ceil
+    // flips — and the DuckDB oracle (ADVICE r16) re-derives r with ITS
+    // libm, so the two engines could disagree at exactly those boundary
+    // sizes. The integer form is the same value everywhere else and is
+    // reproducible in plain SQL (a bounded range scan) with no
+    // floating-point step at all.
+    var r = 8
+    while (r < 57 && n > (32L << r)) r += 1 // 32·2^57 = 2^62: no Long overflow
+    // b is the smallest band count with design-point miss ≤ 0.5%:
+    // (1 − p₉₀^r)^b ≤ 0.005. Transcendental, so the oracle's libm may
+    // differ from the JVM's by ulps — but the ceil argument sits ≥ 0.01
+    // from an integer for every r in [8, 62] (floor at r = 19: 98.0101;
+    // pinned in OpsSpec by a boundary-margin sweep), while a few-ulp
+    // input disagreement moves it by ≲ 1e-12 — eleven orders of
+    // magnitude of headroom, so cross-engine ceil can never flip b.
     val p90 = 1.0 - math.acos(0.9) / math.Pi
     val b = math.ceil(math.log(0.005) /
       math.log(1.0 - math.pow(p90, r))).toInt
@@ -376,11 +396,16 @@ object VectorOps {
     */
   private[graft] def rhpCandidates(emb: DataFrame, bands: Int, rowsPerBand: Int,
                                  dim: Int): DataFrame = {
-    val planesSql = hyperplanes(bands * rowsPerBand, dim)
-      .map(p => s"array(${p.map(x => s"${x}D").mkString(",")})")
-      .mkString("array(", ", ", ")")
+    // The signature is one codegen'd kernel call (`rhp_signature`): the
+    // plane table lives as a memoized JVM reference inside the kernel, NOT
+    // as inline `array(array(…))` literals — the former literal form put
+    // bands·rowsPerBand·dim doubles into one expression string, which at
+    // adaptive depth for N≈10⁹ rows is (254, 25)·64 ≈ 406 k literals, past
+    // any codegen budget (ADVICE r16). The kernel folds each dot in the
+    // identical order, so signatures — and the DuckDB oracle hash — are
+    // bit-unchanged (pinned in KernelSpec against [[hyperplanes]]).
     val keys = withNorm(emb, "id", "v")
-      .selectExpr("id", s"transform($planesSql, p -> array_dot(v, p) >= 0D) as sig")
+      .selectExpr("id", s"rhp_signature(v, ${bands * rowsPerBand}, $dim) as sig")
       .selectExpr("id",
         s"""explode(transform(sequence(0, ${bands - 1}), b ->
            |  concat_ws(':', cast(b as string),
@@ -418,9 +443,13 @@ object VectorOps {
   def cosineNearDupLsh(emb: DataFrame, threshold: Double = 0.45,
                        bands: Int = 0, rowsPerBand: Int = 0,
                        dim: Int = 64): DataFrame = {
-    require((bands == 0) == (rowsPerBand == 0),
-      "pass bands and rowsPerBand together (or neither, for " +
-        "N-adaptive banding)")
+    // both-or-neither AND non-negative: mixed-sign inputs like (16, -1)
+    // used to slip past the original xor-guard and die later inside
+    // slice() with an opaque error (ADVICE r16)
+    require(bands >= 0 && rowsPerBand >= 0 &&
+        ((bands == 0) == (rowsPerBand == 0)),
+      s"pass bands and rowsPerBand together as positive values (or neither, " +
+        s"for N-adaptive banding); got bands=$bands, rowsPerBand=$rowsPerBand")
     // bands/rowsPerBand = 0 (the default) → background-bounded banding
     // from one metadata-cheap count (the cosineNearDup-guard precedent);
     // explicit values pin the banding exactly (spec/recall tests)

@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.variant.ParseJson
 import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DateType,
   DoubleType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
 
-import graft.sql.expressions.{ArrayDot, CdcBounds, Checksum, FeatureHash, FnvHash, HilbertValue, MinHashSig, QuantizeI8, SimHash60, SimHashBits, SpanKeep, ZValue, ZValue3}
+import graft.sql.expressions.{ArrayDot, CdcBounds, Checksum, FeatureHash, FnvHash, HilbertValue, MinHashSig, QuantizeI8, RhpSignature, SimHash60, SimHashBits, SpanKeep, ZValue, ZValue3}
 
 /** Session extensions registering the Redshift function-name surface that
   * Spark's parser accepts but its registry lacks (SURVEY.md §2.2 🔧/🔴):
@@ -95,6 +95,15 @@ object GraftExtensions {
           SimHashBits(Cast(args(0), ArrayType(LongType)), b)
         case other => throw new IllegalArgumentException(
           s"simhash_bits: bits must be an integer literal in [1, 64], got $other")
+      }),
+    (FunctionIdentifier("rhp_signature"),
+      info("rhp_signature", "rhp_signature(v, nPlanes, dim) - array<boolean> sign-LSH signature of array<double> against the deterministic md5-derived hyperplanes; nPlanes and dim must be integer literals."),
+      (args: Seq[Expression]) => (args(1), args(2)) match {
+        case (Literal(p: Int, IntegerType), Literal(d: Int, IntegerType))
+            if p >= 1 && d >= 1 =>
+          RhpSignature(Cast(args(0), ArrayType(DoubleType)), p, d)
+        case other => throw new IllegalArgumentException(
+          s"rhp_signature: nPlanes and dim must be positive integer literals, got $other")
       }),
     (FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(hs, k) - array of k MinHash minima over array<bigint>; k must be an integer literal."),

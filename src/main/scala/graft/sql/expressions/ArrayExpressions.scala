@@ -285,6 +285,53 @@ object ArrayKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Deterministic sign-LSH hyperplane table — the SAME md5 derivation as
+    * the original inline-SQL version and the DuckDB oracle (component c of
+    * plane p = (md5("p:c") hex-prefix mod 2001, centered) / 1000): every
+    * step is exact integer arithmetic until one shared double division, so
+    * any engine with md5 re-derives the identical table. Memoized per
+    * (nPlanes, dim): the table is computed once per JVM, not once per row —
+    * and, unlike the former `array(array(0.123D, …))` SQL literal, its size
+    * never enters a codegen source string. That literal was the 100 TB
+    * limiting factor (ADVICE r16): adaptive banding at N≈10⁹ derives
+    * (b, r) ≈ (254, 25) → 6 350 planes × 64 dims ≈ 406 k double literals in
+    * ONE expression tree, past any codegen/constant-pool budget. As a
+    * reference object the same table is ~3 MB of plain arrays. */
+  private val rhpCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Double]]]()
+  def rhpPlanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    rhpCache.computeIfAbsent((nPlanes.toLong << 32) | dim.toLong, _ => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(nPlanes) { p =>
+        Array.tabulate(dim) { c =>
+          val hex = md.digest(s"$p:$c".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.substring(0, 15)
+          ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+        }
+      }
+    })
+
+  /** Sign signature of `v` against the first `nPlanes` deterministic
+    * hyperplanes: bit p = (v · plane_p ≥ 0). The dot folds in array order
+    * with the identical operand order as [[dot]] (v(i) · p(i)), so IEEE
+    * addition order — and therefore the oracle hash — is unchanged from
+    * the composed `transform(planes, p -> array_dot(v, p) >= 0D)` form. */
+  def rhpSignature(v: ArrayData, nPlanes: Int, dim: Int): ArrayData = {
+    val pl = rhpPlanes(nPlanes, dim)
+    val out = new Array[Any](nPlanes)
+    val n = math.min(v.numElements(), dim)
+    var p = 0
+    while (p < nPlanes) {
+      val pv = pl(p)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += v.getDouble(i) * pv(i); i += 1 }
+      out(p) = acc >= 0.0
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val P = 2147483647L // Mersenne 2^31-1, the MinHash hash space
 
   /** MinHash signature: sig_i = min over hashes of
@@ -499,6 +546,29 @@ case class ZValue3(first: Expression, second: Expression, third: Expression,
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): ZValue3 =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `rhp_signature(v, nPlanes, dim)` → array<boolean>: sign-LSH signature of
+  * an array<double> vector against the first `nPlanes` deterministic
+  * md5-derived hyperplanes (see [[ArrayKernels.rhpPlanes]]). `nPlanes` and
+  * `dim` must be integer literals; the plane table is a memoized JVM
+  * reference, never a codegen literal — the banding can deepen with N
+  * (adaptive sign-LSH at 10⁹ rows needs ~6 000 planes) without the
+  * expression source growing at all. */
+case class RhpSignature(child: Expression, nPlanes: Int, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(BooleanType, containsNull = false)
+  override def prettyName: String = "rhp_signature"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.rhpSignature(input.asInstanceOf[ArrayData], nPlanes, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.sql.expressions.ArrayKernels.rhpSignature($c, $nPlanes, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): RhpSignature =
+    copy(child = newChild)
 }
 
 /** `cdc_bounds(text, w, mod)` → array<int> of 1-based content-defined chunk

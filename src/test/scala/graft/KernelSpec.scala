@@ -35,6 +35,36 @@ class KernelSpec extends SparkSpecBase {
     assert(rows.isNullAt(2))
   }
 
+  test("rhp_signature: kernel planes equal the reference derivation, signature equals the composed form") {
+    // the memoized kernel table must be the DOCUMENTED md5 rule — the one
+    // VectorOps.hyperplanes states and the DuckDB oracle re-derives
+    val (b, r, dim) = (16, 8, 64)
+    val ref = graft.ops.VectorOps.hyperplanes(b * r, dim)
+    val ker = graft.sql.expressions.ArrayKernels.rhpPlanes(b * r, dim)
+    assert(ker.length === ref.length)
+    ref.zip(ker).foreach { case (rp, kp) =>
+      rp.zip(kp).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToLongBits(x) ===
+          java.lang.Double.doubleToLongBits(y))
+      }
+    }
+    // and the codegen'd signature must equal the composed
+    // transform(planes, p -> array_dot(v, p) >= 0) it replaced, bit for bit
+    val planesSql = ref
+      .map(p => s"array(${p.map(x => s"${x}D").mkString(",")})")
+      .mkString("array(", ", ", ")")
+    val both = Tables.load(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+      .selectExpr(
+        s"rhp_signature(v, ${b * r}, $dim) as kernel",
+        s"transform($planesSql, p -> array_dot(v, p) >= 0D) as composed")
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      assert(row.getSeq[Boolean](0) === row.getSeq[Boolean](1))
+    }
+  }
+
   test("simhash60 equals the composed 60-pass majority expression on fixture documents") {
     val hs = Tables.load(spark, sfDir, "documents")
       .selectExpr("doc_id",

@@ -437,6 +437,37 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("adaptive banding is oracle-safe: r is integer-exact and b's ceil argument is far from every integer") {
+    // the DuckDB oracle re-derives (b, r) from COUNT(*) with its own libm
+    // (dkLshOracle, ADVICE r16). r has no floating-point step on either
+    // side (smallest r ≥ 8 with n ≤ 32·2^r); b = ceil(x(r)) is
+    // transcendental, so pin the margin: x(r) must sit ≥ 0.005 from an
+    // integer for every reachable r — measured floor 0.0101 at r = 19,
+    // while a few-ulp cross-libm input drift moves x by ≲ 1e-12.
+    val p90 = 1.0 - math.acos(0.9) / math.Pi
+    for (r <- 8 to 62) {
+      val x = math.log(0.005) / math.log(1.0 - math.pow(p90, r))
+      val d = math.min(math.ceil(x) - x, x - math.floor(x))
+      assert(d >= 0.005, s"ceil margin $d too small at r=$r (x=$x)")
+    }
+    // integer-exact r: spot-check the exact power-of-two boundaries where
+    // the former double-log form could flip by one ulp
+    assert(VectorOps.adaptiveBanding(32L * 256L)._2 === 8)      // n = 32·2^8
+    assert(VectorOps.adaptiveBanding(32L * 256L + 1)._2 === 9)
+    assert(VectorOps.adaptiveBanding(32L * 1024L)._2 === 10)    // n = 32·2^10
+    assert(VectorOps.adaptiveBanding(32L * 1024L + 1)._2 === 11)
+  }
+
+  test("cosineNearDupLsh rejects mixed-sign or negative banding at construction") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    for ((b, r) <- Seq((16, -1), (-1, 16), (-2, -3), (0, 4), (4, 0))) {
+      val ex = intercept[IllegalArgumentException] {
+        VectorOps.cosineNearDupLsh(e, 0.45, bands = b, rowsPerBand = r)
+      }
+      assert(ex.getMessage.contains("bands"), s"($b, $r): ${ex.getMessage}")
+    }
+  }
+
   test("approx-percentile twin: self-certified bounds hold and exact columns equal q18") {
     // the gated query is now SELF-certifying (VERDICT r15 #5): it emits
     // the exact percentiles plus booleans asserting the sketch landed

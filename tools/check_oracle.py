@@ -16,8 +16,13 @@ def main():
     out = sys.argv[1]
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        # the driver fixtures are single-file parquet; GenScale fixtures
+        # are Spark directory-parquet — glob the parts in that case
+        path = (f"{sf}/{t}.parquet/*.parquet"
+                if os.path.isdir(f"{sf}/{t}.parquet") else f"{sf}/{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
