@@ -1644,6 +1644,31 @@ object OpQueries {
         "event_type", "value", lo = 0.0, hi = 512.0, nb = 128),
       Some(dkQuantileHistOracle(0.0, 512.0, 128, Seq(0.5, 0.9, 0.99)))),
 
+    // t-digest quantiles per event type (r17): the range-free mergeable
+    // quantile tier — O(δ) state, relative TAIL accuracy (the k₁ scale
+    // tightens centroids toward q→0/1), digests merge across partitions/
+    // micro-batches without rescanning. Construction is order-dependent
+    // (no SQL oracle can replay it), so the gate is SELF-CERTIFYING
+    // (the q18_approx/q21 pattern): emitted columns are the EXACT
+    // percentiles through the bounded-memory rank path plus one boolean
+    // per q asserting the digest's realized RANK error ≤ 1%·n + 1 — the
+    // guarantee t-digests actually make. A drifting digest flips a
+    // boolean and fails the full rows+schema+hash gate.
+    QueryDef("op_tdigest_quantiles",
+      (s, d) => SketchOps.tdigestQuantiles(Tables.load(s, d, "events"),
+        "event_type", "value", qs = Seq(0.5, 0.9, 0.99), delta = 100),
+      Some("""SELECT event_type AS grp,
+             |       QUANTILE_CONT(value, 0.5) AS p500_exact,
+             |       QUANTILE_CONT(value, 0.9) AS p900_exact,
+             |       QUANTILE_CONT(value, 0.99) AS p990_exact,
+             |       COUNT(*) AS n_rows,
+             |       TRUE AS td_q0_within,
+             |       TRUE AS td_q1_within,
+             |       TRUE AS td_q2_within
+             |FROM events
+             |GROUP BY event_type
+             |ORDER BY grp""".stripMargin)),
+
     // BPE merge learning (Sennrich ACL'16): 10 rounds of weighted pair
     // counting over the vocab-collapsed corpus, count-desc/pair-asc winner,
     // literal-replace fusion. The merge table — pair identities, fusion

@@ -88,16 +88,26 @@ object ProfileOps {
       // window shuffle so the within-range prefix groups by range. The
       // cumulative sums are exact integers, so the result is independent
       // of where the (sampled) range bounds fall.
+      // THE PERSIST IS LOAD-BEARING — the rangePrefixN hazard
+      // (PercentileOps.scala, root-caused r16): the window branch and the
+      // totals branch below must observe the SAME sampled range bounds
+      // and `pid` values, or the fold-in offsets silently misalign.
+      // Exchange reuse is NOT guaranteed to provide that — under AQE the
+      // branches can compile to two independently-sampled range shuffle
+      // stages. Persisting the ranged table single-sources the pid
+      // assignment by construction (cache get-or-compute is atomic per
+      // partition); Bench/Verify clear the cache between queries.
       val ranged = counts.repartitionByRange(col("v"))
         .withColumn("pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val inRange = ranged
         .withColumn("cum_in",
           sum("cnt").over(Window.partitionBy("pid").orderBy(col("v"))))
       // one tiny row: every range's total, folded in-row into the offset
       // of each pid (sum of totals of strictly-lower ranges). Branches
       // off `ranged` BEFORE the window — the totals don't need it, and
-      // both branches then share one range exchange (ReuseExchange)
-      // instead of running the count+shuffle chain twice.
+      // both branches read the one persisted exchange instead of running
+      // the count+shuffle chain twice.
       val totals = ranged.groupBy("pid").agg(sum("cnt").as("tot"))
         .agg(expr("array_sort(collect_list(struct(pid, tot)))").as("ts"))
       val rk = inRange.crossJoin(broadcast(totals))

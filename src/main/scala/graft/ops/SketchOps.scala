@@ -522,4 +522,221 @@ object SketchOps {
       .select("grp", "f2_exact", "f2_est")
       .orderBy("grp")
   }
+
+  /** Merging t-digest state (Dunning & Ertl, "Computing extremely
+    * accurate quantiles using t-digests", arXiv:1902.04023 — public):
+    * `size` merged centroids (parallel mean/weight arrays, sorted by
+    * mean), plus an unsorted singleton buffer flushed through one
+    * sort-and-merge-compress pass when full. `lo`/`hi` track the exact
+    * stream min/max for tail interpolation. A case class of flat arrays
+    * so the buffer ships between stages under the codegen product
+    * encoder, not Kryo (the MGBuf precedent). */
+  final case class TDBuf(var n: Long, var lo: Double, var hi: Double,
+                         var size: Int, means: Array[Double],
+                         wts: Array[Double], var bufSize: Int,
+                         bufV: Array[Double])
+
+  /** Per-q t-digest estimates plus the digest's shape (for the spec's
+    * bounded-state pin): `n` inputs summarized by `n_centroids`. */
+  final case class TDRes(n: Long, n_centroids: Int, ests: Array[Double])
+
+  /** Merging t-digest aggregator with compression `delta` and the k₁
+    * (arcsine) scale function — centroid capacity tightens toward the
+    * tails as q(1−q) shrinks, which is what buys relative tail accuracy.
+    * State is O(delta) regardless of input size or order, and digests
+    * MERGE (concatenate + one compress pass) — the property that makes
+    * this the streaming/partition-parallel quantile tier next to the
+    * fixed-grid [[quantileHist]] (which needs a declared range) and the
+    * exact sort path (q18). Construction is ORDER-DEPENDENT, so unlike
+    * CM/AMS this sketch is only approximately mergeable: estimates
+    * differ across partitionings, but the k₁ rank-error guarantee
+    * (≤ δ⁻¹-scale, far inside the 1% the gate asserts) holds under ANY
+    * merge order — OpsSpec pins exactly that invariance. */
+  private final class TDigestAgg(delta: Int, qs: Seq[Double])
+      extends Aggregator[Double, TDBuf, TDRes] {
+    private val centroidCap = 4 * delta // ≥ ceil(2δ) the k₁ bound needs, pre-compress slack
+    private val bufCap = 8 * delta
+
+    def zero: TDBuf = TDBuf(0L, Double.PositiveInfinity,
+      Double.NegativeInfinity, 0, new Array[Double](centroidCap),
+      new Array[Double](centroidCap), 0, new Array[Double](bufCap))
+
+    private def k1(q: Double): Double =
+      delta / (2.0 * math.Pi) * math.asin(2.0 * math.min(1.0, math.max(0.0, q)) - 1.0)
+
+    /** Sort the pending centroids + buffered singletons by mean and
+      * re-merge under the k₁ size bound, in place. */
+    private def compress(b: TDBuf): Unit = {
+      val m = b.size + b.bufSize
+      if (m == 0) return
+      val pairs = new Array[(Double, Double)](m)
+      var i = 0
+      while (i < b.size) { pairs(i) = (b.means(i), b.wts(i)); i += 1 }
+      var j = 0
+      while (j < b.bufSize) { pairs(b.size + j) = (b.bufV(j), 1.0); j += 1 }
+      java.util.Arrays.sort(pairs, Ordering.by((p: (Double, Double)) => p._1))
+      val total = b.n.toDouble
+      var out = 0
+      var curMean = pairs(0)._1
+      var curW = pairs(0)._2
+      var wBefore = 0.0
+      i = 1
+      while (i < m) {
+        val (mn, w) = pairs(i)
+        val qRight = (wBefore + curW + w) / total
+        if (k1(qRight) - k1(wBefore / total) <= 1.0 && out < centroidCap - 1) {
+          // weighted incremental mean — no sum-of-products overflow path
+          curMean += (w / (curW + w)) * (mn - curMean)
+          curW += w
+        } else {
+          b.means(out) = curMean; b.wts(out) = curW; out += 1
+          wBefore += curW
+          curMean = mn; curW = w
+        }
+        i += 1
+      }
+      b.means(out) = curMean; b.wts(out) = curW; out += 1
+      b.size = out
+      b.bufSize = 0
+    }
+
+    def reduce(b: TDBuf, v: Double): TDBuf = {
+      if (!v.isNaN) {
+        if (b.bufSize == bufCap) compress(b)
+        b.bufV(b.bufSize) = v
+        b.bufSize += 1
+        b.n += 1
+        if (v < b.lo) b.lo = v
+        if (v > b.hi) b.hi = v
+      }
+      b
+    }
+
+    def merge(a: TDBuf, b: TDBuf): TDBuf = {
+      if (b.n == 0) return a
+      if (a.n == 0) return b
+      compress(b) // fold b's singletons into centroids first
+      var i = 0
+      while (i < b.size) {
+        if (a.bufSize == bufCap || a.size + 1 >= centroidCap) compress(a)
+        // append b's centroid directly into a's centroid slots — compress
+        // re-sorts, so order doesn't matter; weights carry over exactly
+        a.means(a.size) = b.means(i)
+        a.wts(a.size) = b.wts(i)
+        a.size += 1
+        i += 1
+      }
+      a.n += b.n
+      if (b.lo < a.lo) a.lo = b.lo
+      if (b.hi > a.hi) a.hi = b.hi
+      compress(a)
+      a
+    }
+
+    def finish(b: TDBuf): TDRes = {
+      compress(b)
+      if (b.n == 0) return TDRes(0L, 0, qs.map(_ => Double.NaN).toArray)
+      val total = b.n.toDouble
+      val ests = qs.map { q =>
+        val t = q * total
+        if (b.size == 1 || t <= b.wts(0) / 2) {
+          // below the first centroid's midpoint: interpolate min → mean₀
+          val m0 = b.wts(0) / 2
+          if (m0 <= 0 || t <= 0) b.lo
+          else b.lo + (b.means(0) - b.lo) * math.min(1.0, t / m0)
+        } else {
+          var cum = 0.0
+          var i = 0
+          var res = Double.NaN
+          while (i < b.size && res.isNaN) {
+            val mid = cum + b.wts(i) / 2 // centroid i's midpoint rank
+            val nextMid =
+              if (i + 1 < b.size) cum + b.wts(i) + b.wts(i + 1) / 2
+              else total
+            if (t <= nextMid) {
+              val lo0 = b.means(i)
+              val hi0 = if (i + 1 < b.size) b.means(i + 1) else b.hi
+              val span = nextMid - mid
+              res = if (span <= 0) lo0
+                else lo0 + (hi0 - lo0) * math.min(1.0, math.max(0.0, (t - mid) / span))
+            }
+            cum += b.wts(i)
+            i += 1
+          }
+          if (res.isNaN) b.hi else res
+        }
+      }.toArray
+      TDRes(b.n, b.size, ests)
+    }
+
+    def bufferEncoder: Encoder[TDBuf] = Encoders.product[TDBuf]
+    def outputEncoder: Encoder[TDRes] = Encoders.product[TDRes]
+  }
+
+  /** The t-digest aggregate as a DataFrame UDAF — exposed so the batch
+    * op and the streaming twin accumulate the identical sketch. */
+  private[graft] def tdigestUdaf(delta: Int, qs: Seq[Double]) =
+    udaf(new TDigestAgg(delta, qs), Encoders.scalaDouble)
+
+  /** Per-group t-digest quantiles with an in-row certification against
+    * the exact rank — the SELF-CERTIFYING gate pattern (VERDICT r15 #5):
+    * the digest's estimates are order-dependent (no SQL oracle can
+    * reproduce them), so the emitted columns are the EXACT percentiles
+    * (PercentileOps' bounded-memory rank path — oracle-checkable, the
+    * q18 contract) plus one boolean per q asserting the digest estimate's
+    * realized RANK error stays within `rankTol` of q·n. Rank error — not
+    * value error — is the guarantee t-digests actually make (a flat
+    * value bound is meaningless across distributions); k₁ at δ = 100
+    * bounds it well under 1%, so a drifting implementation flips a
+    * boolean and fails the full rows+schema+hash gate.
+    *
+    * Scale shape: the digest is one all-partial typed aggregation with
+    * O(δ) state per group (the 100 TB quantile-monitoring path — per
+    * partition/day digests merge without rescanning); the certification
+    * rank probe re-collapses the corpus to tie-blocks once and
+    * broadcast-joins the (|groups|·|qs|)-row estimate table onto it;
+    * the exact companion is [[PercentileOps.sortedPercentiles]]. */
+  def tdigestQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                       qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                       delta: Int = 100,
+                       rankTol: Double = 0.01): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1),
+      s"tdigestQuantiles needs qs in (0, 1), got $qs")
+    require(delta >= 10, s"tdigestQuantiles needs delta >= 10, got $delta")
+    import PercentileOps.{PSpec, sortedPercentiles}
+    val td = tdigestUdaf(delta, qs)
+    val base = df.filter(col(valueCol).isNotNull)
+      .selectExpr(s"$groupCol as grp", s"cast($valueCol as double) as v")
+    val ests = base.groupBy("grp").agg(td(col("v")).as("td"))
+      .selectExpr("grp", "td.n_centroids as n_centroids",
+        s"""explode(transform(sequence(0, ${qs.size - 1}), i ->
+           |  struct(i as qi, element_at(td.ests, i + 1) as est))) as e""".stripMargin)
+      .selectExpr("grp", "n_centroids", "e.qi as qi", "e.est as est")
+    // realized rank of each estimate: Σ count(v ≤ est) over the
+    // tie-collapsed blocks — exact, one corpus collapse + broadcast join
+    val blocks = base.groupBy("grp", "v").agg(count(lit(1)).as("cnt"))
+    val qLits = qs.zipWithIndex.map { case (q, i) => s"when qi = $i then cast($q as double)" }
+      .mkString("case ", " ", " end")
+    val certs = blocks.join(broadcast(ests), Seq("grp"))
+      .groupBy("grp", "qi", "n_centroids")
+      .agg(sum(when(col("v") <= col("est"), col("cnt")).otherwise(0L)).as("rank_est"),
+        sum("cnt").as("n"))
+      .selectExpr("grp", "qi", "n_centroids",
+        s"abs(cast(rank_est as double) - ($qLits) * cast(n as double))" +
+          s" <= $rankTol * cast(n as double) + 1.0 as within")
+      .groupBy("grp")
+      .agg(max("n_centroids").as("n_centroids"),
+        min(when(col("qi") === 0, col("within"))).as("__w0") +:
+          qs.indices.drop(1).map(i =>
+            min(when(col("qi") === i, col("within"))).as(s"__w$i")): _*)
+    val exact = sortedPercentiles(df.withColumnRenamed(groupCol, "grp"), "grp",
+      qs.zipWithIndex.map { case (q, i) =>
+        PSpec(valueCol, q, s"p${(q * 1000).round}_exact") })
+    val outCols = Seq("grp") ++
+      qs.map(q => s"p${(q * 1000).round}_exact") ++ Seq("n_rows") ++
+      qs.indices.map(i => s"__w$i as td_q${i}_within")
+    exact.join(certs, Seq("grp"))
+      .selectExpr(outCols: _*)
+      .orderBy("grp")
+  }
 }

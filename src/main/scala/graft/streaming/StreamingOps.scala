@@ -600,6 +600,30 @@ object StreamingOps {
       .groupBy("grp", "bucket").agg(count(lit(1)).as("c"))
   }
 
+  /** Streaming t-digest quantiles — the online half of
+    * [[graft.ops.SketchOps.tdigestQuantiles]]: the digest buffer is the
+    * state itself (O(δ) per group in the state store), micro-batch
+    * partials MERGE through the aggregator's own merge (concatenate +
+    * compress), so quantile monitoring accumulates online without any
+    * per-row state. Estimates are order-dependent (a different batch cut
+    * merges in a different order), so the twin's contract is the same
+    * one the batch gate certifies: the realized RANK error of every
+    * estimate stays within the k₁ bound regardless of how the stream is
+    * cut — StreamingSpec asserts the bound against the exact percentiles
+    * of the union of all batches. Run with Complete/Update output. */
+  def tdigestStream(df: DataFrame, groupCol: String, valueExpr: String,
+                    qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                    delta: Int = 100): DataFrame = {
+    // the SAME aggregator the batch op runs — shared code, not a copy,
+    // so a scale-function tweak can never silently split the twins
+    val td = graft.ops.SketchOps.tdigestUdaf(delta, qs)
+    df.selectExpr(s"$groupCol as grp", s"cast($valueExpr as double) as v")
+      .filter(col("v").isNotNull)
+      .groupBy("grp").agg(td(col("v")).as("td"))
+      .selectExpr("grp", "td.n as n", "td.n_centroids as n_centroids",
+        "td.ests as ests")
+  }
+
   /** Streaming daily event-volume counter — the online half of
     * [[graft.ops.ProfileOps.rateAnomalies]]: the (type, day) count is a
     * plain LINEAR streaming aggregation (micro-batch partials add in the

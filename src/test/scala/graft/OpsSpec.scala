@@ -1713,6 +1713,53 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("t-digest: rank bound holds under any partitioning; exact columns equal the sort; state O(δ)") {
+    import graft.ops.SketchOps
+    val qs = Seq(0.5, 0.9, 0.99)
+    val events = Tables.load(spark, sfDir, "events").select("event_type", "value")
+    val out = SketchOps.tdigestQuantiles(events, "event_type", "value", qs, delta = 100)
+      .collect()
+    assert(out.nonEmpty)
+    // every certification boolean TRUE — the same flags the gate hashes
+    out.foreach(r => (5 to 7).foreach(i =>
+      assert(r.getBoolean(i), s"${r.getString(0)}: bound flag $i false")))
+    // exact columns are the CONT percentiles of a driver-side sort
+    val byGrp = events.filter("value is not null").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def cont(vs: Array[Double], q: Double): Double = {
+      val pos = q * (vs.length - 1)
+      val (lo, hi) = (vs(math.floor(pos).toInt), vs(math.ceil(pos).toInt))
+      if (math.floor(pos) == math.ceil(pos)) lo
+      else (math.ceil(pos) - pos) * lo + (pos - math.floor(pos)) * hi
+    }
+    out.foreach { r =>
+      val vs = byGrp(r.getString(0))
+      Seq(0.5, 0.9, 0.99).zipWithIndex.foreach { case (q, i) =>
+        assert(r.getDouble(1 + i) === cont(vs, q),
+          s"${r.getString(0)} q=$q exact column diverged") }
+    }
+    // approximate mergeability: a different partitioning merges digests in
+    // a different order — estimates may differ, the rank BOUND may not
+    val rep = SketchOps.tdigestQuantiles(events.repartition(13),
+      "event_type", "value", qs, delta = 100).collect()
+    rep.foreach(r => (5 to 7).foreach(i =>
+      assert(r.getBoolean(i), s"${r.getString(0)}: bound flag $i false after repartition")))
+    // bounded state: the digest summarizes every group in O(δ) centroids
+    // (k₁'s span is δ/2, adjacent kept centroids each advance it, so ≤ ~δ;
+    // assert the hard 2δ ceiling), and n equals the group's row count
+    val shapes = events.filter("value is not null")
+      .selectExpr("event_type as g", "cast(value as double) as v")
+      .groupBy("g").agg(SketchOps.tdigestUdaf(100, qs)(col("v")).as("td"))
+      .selectExpr("g", "td.n", "td.n_centroids").collect()
+    val nByGrp = byGrp.view.mapValues(_.length.toLong).toMap
+    shapes.foreach { r =>
+      assert(r.getLong(1) === nByGrp(r.getString(0)), s"${r.getString(0)}: n diverged")
+      assert(r.getInt(2) > 0 && r.getInt(2) <= 200,
+        s"${r.getString(0)}: ${r.getInt(2)} centroids breaks the O(δ) contract")
+    }
+  }
+
   test("kmv sketch: exact under capacity, bounded error above it, mergeable") {
     import graft.ops.SketchOps
     // under capacity: 5 distinct values, k=16 → est == exact == 5

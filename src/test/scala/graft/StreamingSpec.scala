@@ -559,6 +559,47 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === batch)
   }
 
+  test("streaming t-digest: rank bound holds across an adversarial two-batch cut; state stays O(δ)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val qs = Seq(0.5, 0.9, 0.99)
+    // ORDER BY value makes the cut adversarial: batch 1 holds the low half
+    // of every group, batch 2 the high half — a digest that restarted (or
+    // merged wrongly) would certify batch 2's distribution, not the union
+    val events = Tables.load(spark, sfDir, "events")
+      .filter("value is not null")
+      .select("event_type", "value").orderBy("value")
+    val rows = events.as[(String, Double)].collect()
+    val stream = MemoryStream[(String, Double)]
+    val q = StreamingOps.tdigestStream(
+        stream.toDF().toDF("event_type", "value"),
+        "event_type", "value", qs, delta = 100)
+      .writeStream.format("memory").queryName("td_stream")
+      .outputMode("complete").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      stream.addData(a.toSeq)
+      q.processAllAvailable()
+      stream.addData(b.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val byGrp = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val streamed = spark.table("td_stream").collect()
+    assert(streamed.map(_.getString(0)).toSet === byGrp.keySet)
+    streamed.foreach { r =>
+      val vs = byGrp(r.getString(0))
+      assert(r.getLong(1) === vs.length.toLong, s"${r.getString(0)}: n diverged")
+      assert(r.getInt(2) > 0 && r.getInt(2) <= 200,
+        s"${r.getString(0)}: ${r.getInt(2)} centroids breaks the O(δ) contract")
+      val ests = r.getSeq[Double](3)
+      qs.zipWithIndex.foreach { case (qq, i) =>
+        val rank = vs.count(_ <= ests(i)).toDouble
+        assert(math.abs(rank - qq * vs.length) <= 0.01 * vs.length + 1.0,
+          s"${r.getString(0)} q=$qq: rank $rank of est ${ests(i)} out of bound (n=${vs.length})")
+      }
+    }
+  }
+
   test("streaming daily volume equals batch; read-side z-extraction equals the batch anomaly op") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val events = Tables.load(spark, sfDir, "events")
