@@ -135,11 +135,22 @@ object ProfileOps {
         pairs.map { case (i, j) =>
           sum(dc(i) * dc(j)).as(s"p${i}_$j") }
     val sums = ranked.agg(aggs.head, aggs.tail: _*)
-    pairs.map { case (i, j) =>
-      sums.selectExpr(
-        s"'${cols(i)}' as col_a", s"'${cols(j)}' as col_b",
-        spearmanRho("n", s"s$i", s"s$j", s"p${i}_$j", s"q$i", s"q$j") + " as rho")
-    }.reduce(_.unionAll(_)).orderBy("col_a", "col_b")
+    // ONE pair-row projection over the single moment row — never a
+    // per-pair UNION of selections from the unexecuted `sums` subtree
+    // (each union branch is its own plan; without guaranteed exchange
+    // reuse the whole rank+join+moment pipeline recomputes once PER
+    // PAIR — k(k−1)/2 corpus passes for a k-column profile). The rho
+    // text is unchanged, so the IEEE tree (and the oracle) is identical.
+    val pairRows = pairs.map { case (i, j) =>
+      struct(
+        lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        expr(spearmanRho("n", s"s$i", s"s$j", s"p${i}_$j", s"q$i", s"q$j"))
+          .as("rho"))
+    }
+    sums.select(explode(array(pairRows: _*)).as("__r"))
+      .select(col("__r.col_a").as("col_a"), col("__r.col_b").as("col_b"),
+        col("__r.rho").as("rho"))
+      .orderBy("col_a", "col_b")
   }
 
   /** Robust per-group outlier profiling by median absolute deviation —

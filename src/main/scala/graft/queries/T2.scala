@@ -527,6 +527,11 @@ object T2 {
       "q18_percentiles",
       (s, d) => {
         val l = t(s, d, "lineitem")
+        // written in the natural one-aggregate-per-percentile form; the
+        // MergePercentileRule optimizer rule (GraftExtensions) collapses
+        // the two extendedprice percentiles into ONE shared array
+        // buffer — PlanSpec pins that exactly one Percentile aggregate
+        // survives per value column here
         l.groupBy(col("l_returnflag"))
           .agg(
             expr("median(l_quantity)").as("med_qty"),

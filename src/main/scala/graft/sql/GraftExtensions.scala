@@ -50,6 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plain-SQL range joins → bucketed equi joins, opt-in via
     // spark.graft.rangeJoin.bucketWidth (see graft.plans.RangeJoinRule)
     ext.injectOptimizerRule(graft.plans.RangeJoinRule.apply)
+    // k exact percentiles over one column → ONE shared buffer
+    // (see graft.plans.MergePercentileRule)
+    ext.injectOptimizerRule(_ => graft.plans.MergePercentileRule)
   }
 }
 

@@ -547,4 +547,35 @@ class PlanSpec extends SparkSpecBase {
     val p2 = plan("op_decontaminate_cut")
     assert(p2.contains("span_keep"), s"decontaminate cut lost the kernel:\n$p2")
   }
+
+  test("MergePercentileRule: multi-percentile profiling shares ONE buffer per column") {
+    // q18 (DataFrame form) and q25 (Redshift WITHIN GROUP text) each
+    // request two exact percentiles of l_extendedprice. Unmerged, the
+    // ObjectHashAggregate buffers + shuffles the column once PER
+    // percentile; the rule must collapse them to one array-percentage
+    // aggregate. Red if the rule stops firing (2 distinct buffers) or
+    // starts duplicating (distinct resultIds for the same merge key).
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Percentile}
+    for (name <- Seq("q18_percentiles", "q25_within_group")) {
+      val opt = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+      val onPrice = opt.collect { case a: Aggregate =>
+        a.aggregateExpressions.flatMap(_.collect {
+          case ae: AggregateExpression => ae.aggregateFunction match {
+            case p: Percentile if p.child.toString.contains("l_extendedprice") =>
+              Some(ae)
+            case _ => None
+          }
+        }.flatten)
+      }.flatten
+      assert(onPrice.nonEmpty, s"$name: expected a percentile over l_extendedprice")
+      val ids = onPrice.map(_.resultId).distinct
+      assert(ids.size == 1,
+        s"$name: expected ONE merged percentile buffer, got ${ids.size}:\n$opt")
+      val pct = onPrice.head.aggregateFunction.asInstanceOf[Percentile]
+        .percentageExpression
+      assert(pct.dataType.typeName == "array",
+        s"$name: merged percentage must be the array form, got $pct")
+    }
+  }
 }
