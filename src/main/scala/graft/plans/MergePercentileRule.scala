@@ -3,13 +3,13 @@ package graft.plans
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Percentile}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, ApproximatePercentile, Complete, Percentile}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
-/** Optimizer rule merging multiple exact-percentile aggregates over the
-  * same value column into ONE array-percentage buffer.
+/** Optimizer rule merging multiple percentile aggregates over the same
+  * value column into ONE shared buffer.
   *
   * `PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY x)` next to
   * `PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY x)` — the shape every
@@ -25,55 +25,76 @@ import org.apache.spark.sql.types.DoubleType
   * occurrence to `GetArrayItem` over one shared array-percentage
   * aggregate. Values are bit-identical: the merged aggregate runs the
   * SAME `getPercentile` interpolation over the SAME buffer the scalar
-  * form would have built.
+  * form would have built. [[ApproximatePercentile]] gets the identical
+  * treatment (same child + same accuracy → one Greenwald-Khanna sketch
+  * queried at every percentage instead of k duplicate sketches).
   *
   * Physical dedup rides the planner's own contract: every rewritten
   * occurrence references the SAME `AggregateExpression` object, and
   * `PhysicalAggregation` collects aggregate functions up to semantic
   * equality — one buffer in the physical plan (PlanSpec pins this).
   *
-  * Eligibility is narrow and idempotent: exact [[Percentile]] only
-  * (approx sketches merge nothing), scalar DOUBLE literal percentage
+  * Eligibility is narrow and idempotent: exact [[Percentile]] or
+  * [[ApproximatePercentile]] with a scalar DOUBLE literal percentage
   * (an array form is already merged — the rewrite output no-ops),
   * non-DISTINCT, unfiltered, and ≥2 distinct percentages sharing the
-  * same (child, frequency, reverse) up to canonicalization. At 100 TB
-  * the win is a k-fold cut of the dominant shuffle: a 5-point profile
-  * of a hot column ships one buffer set instead of five.
+  * same (child, frequency/accuracy, reverse) up to canonicalization.
+  * At 100 TB the win is a k-fold cut of the dominant shuffle: a
+  * 5-point profile of a hot column ships one buffer set instead of
+  * five.
   */
 object MergePercentileRule extends Rule[LogicalPlan] {
 
-  /** Merge key: the buffer identity — same child values, same
-    * frequencies, same tie-break direction. */
-  private case class Key(child: Expression, freq: Expression, reverse: Boolean)
+  /** Merge key: the buffer identity. `kind` separates the exact
+    * count-map buffer from the approx sketch; `aux` is the frequency
+    * (exact) or accuracy (approx) expression; `reverse` is the exact
+    * form's tie-break direction. */
+  private case class Key(kind: String, child: Expression, aux: Expression,
+                         reverse: Boolean)
 
-  private def keyOf(p: Percentile): Key =
-    Key(p.child.canonicalized, p.frequencyExpression.canonicalized, p.reverse)
+  private def scalarPct(e: Expression): Option[Double] = e match {
+    case Literal(d: Double, DoubleType) => Some(d)
+    case _ => None
+  }
 
-  /** The scalar percentage, when this aggregate is merge-eligible. */
-  private def scalarPct(p: Percentile): Option[Double] =
-    p.percentageExpression match {
-      case Literal(d: Double, DoubleType) => Some(d)
+  /** (merge key, percentage) when this aggregate is merge-eligible. */
+  private def eligible(ae: AggregateExpression): Option[(Key, Double)] =
+    if (ae.isDistinct || ae.filter.isDefined) None
+    else ae.aggregateFunction match {
+      case p: Percentile =>
+        scalarPct(p.percentageExpression).map(d =>
+          (Key("exact", p.child.canonicalized,
+            p.frequencyExpression.canonicalized, p.reverse), d))
+      case p: ApproximatePercentile =>
+        scalarPct(p.percentageExpression).map(d =>
+          (Key("approx", p.child.canonicalized,
+            p.accuracyExpression.canonicalized, reverse = false), d))
       case _ => None
     }
 
-  private def eligible(ae: AggregateExpression): Option[(Percentile, Double)] =
-    ae.aggregateFunction match {
-      case p: Percentile if !ae.isDistinct && ae.filter.isEmpty =>
-        scalarPct(p).map(p -> _)
-      case _ => None
+  /** The array-percentage twin of `proto`, evaluating `ps` in order. */
+  private def arrayForm(proto: AggregateFunction, ps: Seq[Double]): AggregateFunction = {
+    val arr = CreateArray(ps.map(Literal(_, DoubleType)))
+    proto match {
+      case p: Percentile =>
+        Percentile(p.child, arr, p.frequencyExpression, 0, 0, p.reverse)
+      case p: ApproximatePercentile =>
+        new ApproximatePercentile(p.child, arr, p.accuracyExpression)
+      case other =>
+        throw new IllegalStateException(s"not a percentile: $other")
     }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg: Aggregate =>
       // pass 1: group eligible scalar percentiles by buffer identity
       val pcts = mutable.LinkedHashMap[Key, mutable.LinkedHashSet[Double]]()
-      val first = mutable.LinkedHashMap[Key, Percentile]()
+      val first = mutable.LinkedHashMap[Key, AggregateFunction]()
       agg.aggregateExpressions.foreach(_.foreach {
         case ae: AggregateExpression =>
-          eligible(ae).foreach { case (p, d) =>
-            val k = keyOf(p)
+          eligible(ae).foreach { case (k, d) =>
             pcts.getOrElseUpdate(k, mutable.LinkedHashSet.empty) += d
-            first.getOrElseUpdate(k, p)
+            first.getOrElseUpdate(k, ae.aggregateFunction)
           }
         case _ =>
       })
@@ -86,19 +107,15 @@ object MergePercentileRule extends Rule[LogicalPlan] {
         val merged: Map[Key, (AggregateExpression, Seq[Double])] =
           mergeable.map { case (k, ps) =>
             val list = ps.toSeq
-            val proto = first(k)
-            val arr = CreateArray(list.map(Literal(_, DoubleType)))
-            val fn = Percentile(proto.child, arr, proto.frequencyExpression,
-              0, 0, proto.reverse)
-            k -> (AggregateExpression(fn, Complete,
+            k -> (AggregateExpression(arrayForm(first(k), list), Complete,
               isDistinct = false, filter = None,
               resultId = NamedExpression.newExprId), list)
           }.toMap
         val rewritten = agg.aggregateExpressions.map(_.transform {
           case ae: AggregateExpression if eligible(ae).exists(e =>
-              merged.contains(keyOf(e._1))) =>
-            val (p, d) = eligible(ae).get
-            val (m, list) = merged(keyOf(p))
+              merged.contains(e._1)) =>
+            val (k, d) = eligible(ae).get
+            val (m, list) = merged(k)
             GetArrayItem(m, Literal(list.indexOf(d)))
         }.asInstanceOf[NamedExpression])
         agg.copy(aggregateExpressions = rewritten)

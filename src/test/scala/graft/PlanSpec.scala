@@ -556,26 +556,40 @@ class PlanSpec extends SparkSpecBase {
     // aggregate. Red if the rule stops firing (2 distinct buffers) or
     // starts duplicating (distinct resultIds for the same merge key).
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
-    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Percentile}
-    for (name <- Seq("q18_percentiles", "q25_within_group")) {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Percentile}
+    // (query, expected merged percentage count, exact?)
+    val cases = Seq(
+      ("q18_percentiles", 2, true), // 0.25 + 0.75 of extendedprice
+      ("q25_within_group", 2, true), // CONT 0.25 + 0.75 (DISC 0.5 stays apart)
+      ("q25_within_group_approx", 3, false)) // one GK sketch, 3 fractions
+    for ((name, nPct, exact) <- cases) {
       val opt = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
       val onPrice = opt.collect { case a: Aggregate =>
         a.aggregateExpressions.flatMap(_.collect {
           case ae: AggregateExpression => ae.aggregateFunction match {
-            case p: Percentile if p.child.toString.contains("l_extendedprice") =>
-              Some(ae)
+            case p: Percentile if exact &&
+                p.child.toString.contains("l_extendedprice") => Some((ae, p.percentageExpression))
+            case p: ApproximatePercentile if !exact &&
+                p.child.toString.contains("l_extendedprice") => Some((ae, p.percentageExpression))
             case _ => None
           }
         }.flatten)
       }.flatten
       assert(onPrice.nonEmpty, s"$name: expected a percentile over l_extendedprice")
-      val ids = onPrice.map(_.resultId).distinct
+      val ids = onPrice.map(_._1.resultId).distinct
       assert(ids.size == 1,
         s"$name: expected ONE merged percentile buffer, got ${ids.size}:\n$opt")
-      val pct = onPrice.head.aggregateFunction.asInstanceOf[Percentile]
-        .percentageExpression
+      val pct = onPrice.head._2
       assert(pct.dataType.typeName == "array",
         s"$name: merged percentage must be the array form, got $pct")
+      // ConstantFolding turns the CreateArray of literals into one array
+      // Literal — count fractions in whichever form survived
+      val got = pct match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(a, _) =>
+          a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements()
+        case e => e.children.size
+      }
+      assert(got == nPct, s"$name: expected $nPct merged fractions, got $got")
     }
   }
 }
