@@ -2731,4 +2731,87 @@ class OpsSpec extends SparkSpecBase {
     assert(ex2.getMessage.contains("n_frame"))
     spark.catalog.clearCache()
   }
+
+  // ── MergePercentileRule behavior (PlanSpec pins the plan shape; these
+  //    pin the VALUES and the eligibility boundaries) ──────────────────
+
+  /** Groups with ties, negatives, nulls, a 1-row group and an all-null
+    * group — the shapes percentile interpolation must survive. */
+  private def pctDF = {
+    val rows = (for {
+      g <- Seq("a", "b", "c")
+      i <- 1 to 40
+    } yield {
+      val v: java.lang.Double =
+        if (g == "c") null // all-null group
+        else if (i % 7 == 0) 5.0 // ties
+        else (i * 13 % 29) - 7.0
+      (g, v)
+    }) :+ (("d", java.lang.Double.valueOf(42.0))) // 1-row group
+    rows.toDF("g", "v")
+  }
+
+  test("merged percentiles equal the explicit array form (exact + approx, dup fractions)") {
+    val df = pctDF
+    df.createOrReplaceTempView("pct_t")
+    // scalar forms — the rule merges these (0.25 twice exercises the
+    // duplicate-fraction index mapping)
+    val merged = spark.sql(
+      """SELECT g, percentile(v, 0.25) AS p25, percentile(v, 0.75) AS p75,
+        |       percentile(v, 0.25) AS p25_again, median(v) AS med,
+        |       approx_percentile(v, 0.25, 100) AS a25,
+        |       approx_percentile(v, 0.75, 100) AS a75
+        |FROM pct_t GROUP BY g ORDER BY g""".stripMargin).collect()
+    // explicit array forms — already merged, the rule no-ops on these
+    val reference = spark.sql(
+      """SELECT g, pp[0] AS p25, pp[1] AS p75, pp[0] AS p25_again, pp[2] AS med,
+        |       ap[0] AS a25, ap[1] AS a75 FROM (
+        |  SELECT g, percentile(v, array(0.25, 0.75, 0.5)) AS pp,
+        |         approx_percentile(v, array(0.25, 0.75), 100) AS ap
+        |  FROM pct_t GROUP BY g) ORDER BY g""".stripMargin).collect()
+    assert(merged.toSeq == reference.toSeq)
+  }
+
+  test("percentile merge eligibility: FILTER clauses and mixed accuracies stay apart") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Percentile}
+    val df = pctDF
+    df.createOrReplaceTempView("pct_t2")
+    def buffers(sql: String): Int = {
+      val opt = spark.sql(sql).queryExecution.optimizedPlan
+      opt.collect { case a: Aggregate =>
+        a.aggregateExpressions.flatMap(_.collect {
+          case ae: AggregateExpression
+              if ae.aggregateFunction.isInstanceOf[Percentile] ||
+                ae.aggregateFunction.isInstanceOf[ApproximatePercentile] =>
+            ae.resultId
+        })
+      }.flatten.distinct.size
+    }
+    // a FILTER'd aggregate sees different rows — must NOT merge with the
+    // unfiltered one (and the values must stay right)
+    val filtered =
+      """SELECT g, percentile(v, 0.25) FILTER (WHERE v > 0) AS p25_pos,
+        |       percentile(v, 0.75) AS p75 FROM pct_t2 GROUP BY g ORDER BY g""".stripMargin
+    assert(buffers(filtered) == 2, "FILTER'd percentile must keep its own buffer")
+    val viaFilter = spark.sql(filtered).collect()
+    val manual = spark.sql(
+      """SELECT t.g, p.p25_pos, t.p75 FROM
+        |  (SELECT g, percentile(v, 0.75) AS p75 FROM pct_t2 GROUP BY g) t
+        |  LEFT JOIN (SELECT g, percentile(v, 0.25) AS p25_pos
+        |             FROM pct_t2 WHERE v > 0 GROUP BY g) p ON t.g = p.g
+        |ORDER BY t.g""".stripMargin).collect()
+    assert(viaFilter.toSeq == manual.toSeq)
+    // different accuracies are different sketches — must not merge
+    assert(buffers(
+      """SELECT g, approx_percentile(v, 0.25, 100) AS x,
+        |       approx_percentile(v, 0.75, 5000) AS y
+        |FROM pct_t2 GROUP BY g""".stripMargin) == 2,
+      "mixed-accuracy approx percentiles must keep separate sketches")
+    // same accuracy merges (the positive control for the counter above)
+    assert(buffers(
+      """SELECT g, approx_percentile(v, 0.25, 100) AS x,
+        |       approx_percentile(v, 0.75, 100) AS y
+        |FROM pct_t2 GROUP BY g""".stripMargin) == 1)
+  }
 }
