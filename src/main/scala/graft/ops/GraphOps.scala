@@ -55,11 +55,15 @@ object GraphOps {
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty graph")
 
+    // the edge ⋈ out-weight join is loop-INVARIANT — materialize it once
+    // instead of re-joining outw inside every damped round (iters extra
+    // joins over the full edge list for identical output)
+    val eo = e.join(outw, "src")
+      .selectExpr("src", "dst", "w", "outw").persist()
     var ranks = nodes.selectExpr("node", s"($s div $n) as r")
     var prev: DataFrame = null
     for (_ <- 0 until iters) {
-      val contrib = ranks.join(e, ranks("node") === e("src"))
-        .join(outw, "src")
+      val contrib = ranks.join(eo, ranks("node") === eo("src"))
         .selectExpr("dst as node", "(r * w) div outw as c")
         .groupBy("node").agg(sum("c").as("sc"))
       // cut the plan each round: without the checkpoint the rank vector
@@ -76,7 +80,7 @@ object GraphOps {
     }
     val out = ranks.selectExpr("node", "r as rank_fp").localCheckpoint()
     if (prev != null) LineageUtil.freeLocalCheckpoint(prev)
-    e.unpersist(); outw.unpersist(); nodes.unpersist()
+    e.unpersist(); outw.unpersist(); nodes.unpersist(); eo.unpersist()
     out
   }
 
