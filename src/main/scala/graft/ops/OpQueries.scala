@@ -104,6 +104,40 @@ object OpQueries {
        |WHERE ${dkDot("a", "b")} >= $thr
        |ORDER BY ida, idb""".stripMargin
   }
+  /** DuckDB mirror of [[VectorOps.marginAlign]]: the same parity split,
+    * the same sequential-fold cosine, directional top-k averages folded
+    * in the SAME (cos DESC, id ASC) order (`list(... ORDER BY ...)` +
+    * `list_reduce` = [[VectorOps.TopKAgg]]'s finish order), one shared
+    * margin division tree, and ROW_NUMBER argmax with the identical
+    * (margin DESC, id ASC) tie-break. */
+  private def dkMarginOracle(k: Int, threshold: Double): String =
+    s"""WITH $dkNormed,
+       |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${dkDot("a", "b")} AS cosine
+       |      FROM n a JOIN n b ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+       |fr AS (SELECT a_id, b_id, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn FROM p),
+       |fa AS (SELECT a_id, list(cosine ORDER BY cosine DESC, b_id) AS l
+       |       FROM fr WHERE rn <= $k GROUP BY a_id),
+       |fav AS (SELECT a_id, list_reduce(list_prepend(CAST(0 AS DOUBLE), l),
+       |          (x, y) -> x + y) / len(l) AS avg_a FROM fa),
+       |br AS (SELECT a_id, b_id, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY cosine DESC, a_id) AS rn FROM p),
+       |ba AS (SELECT b_id, list(cosine ORDER BY cosine DESC, a_id) AS l
+       |       FROM br WHERE rn <= $k GROUP BY b_id),
+       |bav AS (SELECT b_id, list_reduce(list_prepend(CAST(0 AS DOUBLE), l),
+       |          (x, y) -> x + y) / len(l) AS avg_b FROM ba),
+       |s AS (SELECT p.a_id, p.b_id, p.cosine,
+       |        p.cosine / ((avg_a + avg_b) / CAST(2 AS DOUBLE)) AS margin
+       |      FROM p JOIN fav USING (a_id) JOIN bav USING (b_id)),
+       |ra AS (SELECT a_id, b_id, cosine, margin,
+       |         ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS rn FROM s),
+       |rb AS (SELECT a_id, b_id,
+       |         ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY margin DESC, a_id) AS rn FROM s)
+       |SELECT ra.a_id, ra.b_id, ra.cosine, ra.margin,
+       |       CAST(CASE WHEN rb.a_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS mutual
+       |FROM ra LEFT JOIN rb ON ra.a_id = rb.a_id AND ra.b_id = rb.b_id AND rb.rn = 1
+       |WHERE ra.rn = 1 AND ra.margin >= $threshold
+       |ORDER BY ra.a_id""".stripMargin
   private val dkTopkOracle =
     s"""WITH $dkNormed,
        |p AS (SELECT q.vec_id AS qid, c.vec_id AS nid, ${dkDot("q", "c")} AS cosine
@@ -835,6 +869,14 @@ object OpQueries {
       (s, d) => VectorOps.cosineTopK(emb(s, d), 5, 20)
         .withColumnRenamed("rank", "rnk"),
       Some(dkTopkOracle)),
+
+    // Margin-based corpus alignment (bitext mining): parity-split sides,
+    // cosine over the shared sequential fold, directional top-4 averages
+    // folded in (cos DESC, id ASC) order, one margin division tree,
+    // argmax + mutual-best flag — every column hash-gates.
+    QueryDef("op_margin_align",
+      (s, d) => VectorOps.marginAlign(emb(s, d), k = 4, threshold = 1.0),
+      Some(dkMarginOracle(k = 4, threshold = 1.0))),
 
     // Same oracle as op_sim_topk: the bounded-state Aggregator must return
     // the identical exact result while shuffling only k rows per query.

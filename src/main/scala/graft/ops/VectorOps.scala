@@ -78,8 +78,16 @@ object VectorOps {
       extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
     private val ord = Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))
     def zero: Seq[(Double, Long)] = Seq.empty
+    // INVARIANT: the buffer is always ord-sorted with ≤ k entries, so the
+    // common case once it fills — a candidate no better than the current
+    // worst — is ONE comparison and zero allocation. Only the ~k·ln(n)
+    // expected improvements per group pay the sort. (The naive
+    // sort-every-row form measured 32 s on a 10⁸-pair margin-alignment
+    // decade; the selection itself is arrival-order-independent — top-k
+    // under a TOTAL order — so results are bit-identical.)
     def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
-      (b :+ a).sorted(ord).take(k)
+      if (b.length >= k && ord.lteq(b.last, a)) b
+      else (b :+ a).sorted(ord).take(k)
     def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
       (b1 ++ b2).sorted(ord).take(k)
     def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r.sorted(ord)
@@ -130,6 +138,106 @@ object VectorOps {
       .selectExpr("qid", "predicted", "votes", "k_used", "true_label",
         "cast(predicted = true_label as int) as is_correct")
       .orderBy("qid")
+  }
+
+  /** Margin-based corpus alignment — the bitext-mining primitive
+    * (Artetxe & Schwenk, ACL 2019 "Margin-based Parallel Corpus Mining";
+    * the CCMatrix/LASER pipeline shape — public): two corpora of
+    * embeddings, and every source vector is matched to the target vector
+    * with the best MARGIN score
+    *
+    *   margin(x, y) = cos(x, y) / ((avgₖ(x→B) + avgₖ(y→A)) / 2)
+    *
+    * — cosine normalized by the mean of the two directional top-k
+    * neighborhood averages, which suppresses hubs (vectors close to
+    * everything) that raw cosine ranks first. Output: one row per source
+    * vector above `threshold` — (a_id, b_id, cosine, margin, mutual),
+    * `mutual` = 1 when the pair is ALSO the target side's best (the
+    * highest-precision tier real mining pipelines ship).
+    *
+    * Sides are a deterministic parity split of `emb` (even vec_id =
+    * source A, odd = target B) — the fixture's stand-in for two
+    * languages/snapshots.
+    *
+    * Determinism (the hash-gate contract): cosine is the [[ArrayDot]]
+    * sequential fold; each directional average folds the top-k cosines
+    * in (cos DESC, id ASC) order — the order [[TopKAgg]]'s finish
+    * emits and the oracle's `list(... ORDER BY ...)` reproduces — and
+    * the margin is one fixed division tree. Best-pair selection is a
+    * lexicographic struct max (margin, then smallest id) — the
+    * argmax-tie recipe, comparisons only.
+    *
+    * Scale shape: this is the EXACT O(|A|·|B|) scoring tier (guarded at
+    * `maxSide` per side, the op_dedup_embedding pattern) — with BOUNDED
+    * state: the pair stream is a codegen cross join (query side
+    * broadcast, the other streams — the cosineTopK shape), both
+    * directional top-k passes run through [[TopKAgg]] (map-side partial
+    * top-k, shuffle O(ids·k), never a window over the pair set), the
+    * scored pass joins two id-cardinality-bounded average tables (AQE
+    * broadcasts them), and the best-pair picks are plain hash
+    * aggregations (lexicographic struct max). The pair stream is
+    * recomputed per pass — three codegen'd streams beat materializing
+    * |A|·|B| rows. (An in-row broadcast-array fold variant — the
+    * assignCells shape — was measured 2× SLOWER at the 10k×10k decade:
+    * interpreted per-element lambdas over 10⁴-element arrays lose to
+    * codegen cross joins; that shape wins only for few-element arrays
+    * like centroid tables.) At production scale, mine candidates with
+    * the IVF/LSH ANN path first and run THIS scoring only on candidate
+    * neighborhoods.
+    */
+  def marginAlign(emb: DataFrame, k: Int = 4, threshold: Double = 1.0,
+                  maxSide: Long = 1L << 15): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val a = withNorm(emb.filter(col("vec_id") % 2 === 0), "a_id", "av")
+    val b = withNorm(emb.filter(col("vec_id") % 2 === 1), "b_id", "bv")
+    val (na, nb) = (a.count(), b.count())
+    require(na > 0 && nb > 0, "marginAlign needs both sides non-empty")
+    require(na <= maxSide && nb <= maxSide,
+      s"marginAlign is the exact O(|A|·|B|) scoring tier (sides $na × $nb, " +
+        s"cap $maxSide): mine candidate neighborhoods with the IVF/LSH ANN " +
+        "path first and score those")
+    // recomputed per consumer ON PURPOSE: caching the |A|·|B| pair rows
+    // was measured SLOWER (29 vs 23 s at the 10k×10k decade) than
+    // re-running the codegen'd cross-join dot products
+    def pairs = a.crossJoin(broadcast(b)).selectExpr("a_id", "b_id",
+      s"${cosExpr("av", "bv", "norm_av", "norm_bv")} as cosine")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val topk = new TopKAgg(k)
+    // directional top-k averages, folded in TopKAgg's (cos DESC, id ASC)
+    // finish order — the exact order the oracle's `list(... ORDER BY
+    // ...)` + `list_reduce` reproduces
+    def sideAvg(idCol: String, otherId: String) = pairs
+      .groupBy(idCol)
+      .agg(udaf(topk).apply(col("cosine"), col(otherId)).as("top"))
+      .selectExpr(idCol,
+        s"""aggregate(transform(top, t -> t._1), cast(0 as double),
+           |  (x, y) -> x + y) / size(top) as avg_$idCol""".stripMargin)
+    val scored = pairs
+      .join(sideAvg("a_id", "b_id"), "a_id")
+      .join(sideAvg("b_id", "a_id"), "b_id")
+      .selectExpr("a_id", "b_id", "cosine",
+        "cosine / ((avg_a_id + avg_b_id) / cast(2 as double)) as margin")
+      // two argmax consumers below — persist the SCORED pairs once
+      // (MEMORY_AND_DISK: spills, never OOMs; Bench/Verify clear the
+      // cache between queries)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (margin DESC, id ASC) argmax via lexicographic struct max — the
+    // argmax-tie recipe; cosine rides along with the winning pair
+    val bestA = scored.groupBy("a_id")
+      .agg(expr("max(named_struct('m', margin, 'nb', -b_id, 'c', cosine))").as("s"))
+      .selectExpr("a_id", "-s.nb as b_id", "s.c as cosine", "s.m as margin")
+    val bestB = scored.groupBy("b_id")
+      .agg(expr("max(named_struct('m', margin, 'na', -a_id))").as("s"))
+      .selectExpr("b_id as mb_id", "-s.na as ma_id")
+    bestA
+      .join(bestB,
+        bestA("b_id") === bestB("mb_id") && bestA("a_id") === bestB("ma_id"),
+        "left")
+      .selectExpr("a_id", "b_id", "cosine", "margin",
+        "cast(ma_id is not null as int) as mutual")
+      .filter(col("margin") >= threshold)
+      .orderBy("a_id")
   }
 
   /** The centroid table collapsed to ONE row holding an array of

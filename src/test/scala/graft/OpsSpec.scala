@@ -2732,6 +2732,42 @@ class OpsSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("margin alignment: planted parallel pair wins with mutual flag; hubs don't") {
+    // Side A = even ids, side B = odd ids. Plant one aligned pair
+    // (0 ↔ 1: near-identical vectors) and one HUB (5: close to
+    // everything on side A) — raw cosine would rank the hub high for
+    // every A vector, margin normalization must not
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (0L, v(1, 0, 0, 0)), // A: the planted source
+      (1L, v(0.99, 0.1, 0, 0)), // B: its translation
+      (2L, v(0, 1, 0, 0)), // A
+      (3L, v(0, 0.97, 0.2, 0)), // B: pairs with 2
+      (4L, v(0, 0, 1, 0)), // A
+      (5L, v(0.5, 0.5, 0.55, 0.2)), // B: the hub — close to 0, 2 AND 4
+      (6L, v(0, 0, 0.98, 0.15)) // A: pairs with nothing special
+    ).toDF("vec_id", "embedding")
+    val out = VectorOps.marginAlign(emb, k = 2, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toList
+    // 0 must align to 1 (not the hub 5), mutually
+    assert(out.contains((0L, 1L, 1)), s"planted pair lost: $out")
+    // 2 must align to 3, mutually
+    assert(out.contains((2L, 3L, 1)), s"planted pair lost: $out")
+    // every A vector emits exactly one row at threshold 0
+    assert(out.map(_._1).sorted == List(0L, 2L, 4L, 6L), out.toString)
+    // the hub can be SOME vector's best, but at most one A vector can
+    // hold it mutually
+    assert(out.count { case (_, b, m) => b == 5L && m == 1 } <= 1, out.toString)
+  }
+
+  test("margin alignment guard: oversized sides raise toward the ANN path") {
+    val emb = (0L until 6L).map(i => (i, Array(1.0f, i.toFloat))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      VectorOps.marginAlign(emb, k = 1, threshold = 0.0, maxSide = 2L)
+    }
+    assert(ex.getMessage.contains("ANN"), ex.getMessage)
+  }
+
   // ── MergePercentileRule behavior (PlanSpec pins the plan shape; these
   //    pin the VALUES and the eligibility boundaries) ──────────────────
 

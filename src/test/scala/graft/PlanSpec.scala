@@ -69,6 +69,7 @@ class PlanSpec extends SparkSpecBase {
     // op_dedup_semantic inherits kmeans' packed-centroid broadcast — its
     // pair join itself is the cluster-keyed SMJ)
     val bnljAllowed = Set("op_sim_topk", "op_sim_topk_agg", "op_sim_topk_ivf",
+      "op_margin_align", // guarded exact tier: side-B broadcast, side A streams
       "op_dedup_embedding", "op_embed_kmeans", "op_embed_kmeans_pruned",
       "op_embed_pq", "op_sim_topk_pq", "op_sim_topk_ivfpq",
       "op_sim_topk_ivfpq_res",
