@@ -176,14 +176,20 @@ object VectorOps {
     * scored pass joins two id-cardinality-bounded average tables (AQE
     * broadcasts them), and the best-pair picks are plain hash
     * aggregations (lexicographic struct max). The pair stream is
-    * recomputed per pass — three codegen'd streams beat materializing
-    * |A|·|B| rows. (An in-row broadcast-array fold variant — the
-    * assignCells shape — was measured 2× SLOWER at the 10k×10k decade:
+    * recomputed per pass — four codegen'd streams, nothing pair-sized
+    * ever held at ANY tier, the property that matters at 100 TB.
+    * Measured floors (r17, local[32]): 2.5 s at 1k×1k, 11.6 s at
+    * 10k×10k, 103 s at 30k×30k — the 3×-data growth equals the 9×
+    * pair volume, the declared asymptote. Rejected alternatives, all
+    * measured at the 10k×10k decade: caching the raw or scored pair
+    * rows (slower, and OOM-prone at 30k on a default-heap driver), an
+    * in-row broadcast-array fold (the assignCells shape — 2× slower:
     * interpreted per-element lambdas over 10⁴-element arrays lose to
     * codegen cross joins; that shape wins only for few-element arrays
-    * like centroid tables.) At production scale, mine candidates with
-    * the IVF/LSH ANN path first and run THIS scoring only on candidate
-    * neighborhoods.
+    * like centroid tables), and a GROUPING SETS dual argmax (the
+    * Expand doubles the stream). At production scale, mine candidates
+    * with the IVF/LSH ANN path first and run THIS scoring only on
+    * candidate neighborhoods.
     */
   def marginAlign(emb: DataFrame, k: Int = 4, threshold: Double = 1.0,
                   maxSide: Long = 1L << 15): DataFrame = {
@@ -196,32 +202,44 @@ object VectorOps {
       s"marginAlign is the exact O(|A|·|B|) scoring tier (sides $na × $nb, " +
         s"cap $maxSide): mine candidate neighborhoods with the IVF/LSH ANN " +
         "path first and score those")
-    // recomputed per consumer ON PURPOSE: caching the |A|·|B| pair rows
-    // was measured SLOWER (29 vs 23 s at the 10k×10k decade) than
-    // re-running the codegen'd cross-join dot products
-    def pairs = a.crossJoin(broadcast(b)).selectExpr("a_id", "b_id",
-      s"${cosExpr("av", "bv", "norm_av", "norm_bv")} as cosine")
     val spark = emb.sparkSession
+    // the streaming side arrives in a handful of parquet splits — at
+    // 10k×10k that caps every O(|A|·|B|) pass at file-count parallelism
+    // on a 32-thread box and makes each scored cache partition too fat
+    // to unroll (the 30k×30k OOM). Repartitioning the |A|-row side to
+    // the shuffle-partition count costs one tiny exchange and sizes
+    // both correctly.
+    val aPart = a.repartition(spark.sessionState.conf.numShufflePartitions)
+    // recomputed per consumer ON PURPOSE: caching the |A|·|B| RAW pair
+    // rows was measured SLOWER (29 vs 23 s at the 10k×10k decade) than
+    // re-running the codegen'd cross-join dot products
+    def pairs = aPart.crossJoin(broadcast(b)).selectExpr("a_id", "b_id",
+      s"${cosExpr("av", "bv", "norm_av", "norm_bv")} as cosine")
     import spark.implicits._
     val topk = new TopKAgg(k)
     // directional top-k averages, folded in TopKAgg's (cos DESC, id ASC)
     // finish order — the exact order the oracle's `list(... ORDER BY
     // ...)` + `list_reduce` reproduces
+    // the per-id average tables persist (ONE row per id, no vectors —
+    // a few hundred KB): each is read by both scored recomputes below
     def sideAvg(idCol: String, otherId: String) = pairs
       .groupBy(idCol)
       .agg(udaf(topk).apply(col("cosine"), col(otherId)).as("top"))
       .selectExpr(idCol,
         s"""aggregate(transform(top, t -> t._1), cast(0 as double),
            |  (x, y) -> x + y) / size(top) as avg_$idCol""".stripMargin)
-    val scored = pairs
-      .join(sideAvg("a_id", "b_id"), "a_id")
-      .join(sideAvg("b_id", "a_id"), "b_id")
+      .persist()
+    // the SCORED pair stream is deliberately never materialized: the
+    // two argmax consumers each re-stream the codegen cross join with
+    // the tiny cached averages broadcast on. Caching |A|·|B| rows was
+    // measured slower at the 10k×10k decade and OOM-prone at 30k×30k
+    // on a default-heap driver — nothing pair-sized is ever held, at
+    // ANY scale, which is the property that matters at 100 TB.
+    val avgA = sideAvg("a_id", "b_id")
+    val avgB = sideAvg("b_id", "a_id")
+    def scored = pairs.join(avgA, "a_id").join(avgB, "b_id")
       .selectExpr("a_id", "b_id", "cosine",
         "cosine / ((avg_a_id + avg_b_id) / cast(2 as double)) as margin")
-      // two argmax consumers below — persist the SCORED pairs once
-      // (MEMORY_AND_DISK: spills, never OOMs; Bench/Verify clear the
-      // cache between queries)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (margin DESC, id ASC) argmax via lexicographic struct max — the
     // argmax-tie recipe; cosine rides along with the winning pair
     val bestA = scored.groupBy("a_id")
