@@ -342,7 +342,10 @@ object Bench {
       val roundPath = java.nio.file.Paths.get(s"bench/bench_r$round.json")
       Option(roundPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(roundPath, (line + "\n").getBytes("UTF-8"))
-      System.err.println(s"[bench] per-round copy: $roundPath")
+      // deliberately NOT logged to stderr: the driver log greps for
+      // "[error]" and sbt prefixes every stderr line with it, so a benign
+      // notice would masquerade as a failure (VERDICT r17). The committed
+      // file itself is the record.
     }
 
     val baselineNames: Seq[String] = try {

@@ -75,10 +75,11 @@ object OpQueries {
     * fixed scheme. `maxPlanes` statically bounds the plane CTE (the
     * filter `p < b·r` prunes it to the derived count); 4096 covers
     * n beyond 10¹⁹ — far past any fixture. */
-  private def dkLshOracle(thr: Double, dim: Int,
-                          maxPlanes: Int = 4096): String = {
-    s"""WITH $dkNormed,
-       |par AS (SELECT r,
+  /** The adaptive-banding + deterministic-hyperplane + signature + band-key
+    * CTE chain (par, pl, sg, bk) shared by [[dkLshOracle]] and
+    * [[dkMarginAnnOracle]] — expects the `$dkNormed` CTEs (e, n) in scope. */
+  private def dkRhpBands(dim: Int, maxPlanes: Int = 4096): String =
+    s"""par AS (SELECT r,
        |          CAST(CEIL(LN(0.005) /
        |            LN(1.0 - POW(1.0 - ACOS(0.9) / PI(), r))) AS INT) AS b
        |        FROM (SELECT MIN(rr) AS r FROM range(8, 58) t(rr)
@@ -95,7 +96,12 @@ object OpQueries {
        |       FROM n, pl),
        |bk AS (SELECT vec_id, p // par.r AS b,
        |         string_agg(CASE WHEN s THEN '1' ELSE '0' END, '' ORDER BY p) AS bits
-       |       FROM sg, par GROUP BY 1, 2),
+       |       FROM sg, par GROUP BY 1, 2)""".stripMargin
+
+  private def dkLshOracle(thr: Double, dim: Int,
+                          maxPlanes: Int = 4096): String = {
+    s"""WITH $dkNormed,
+       |${dkRhpBands(dim, maxPlanes)},
        |cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
        |         FROM bk a JOIN bk b ON a.b = b.b AND a.bits = b.bits
        |                            AND a.vec_id < b.vec_id)
@@ -110,11 +116,11 @@ object OpQueries {
     * `list_reduce` = [[VectorOps.TopKAgg]]'s finish order), one shared
     * margin division tree, and ROW_NUMBER argmax with the identical
     * (margin DESC, id ASC) tie-break. */
-  private def dkMarginOracle(k: Int, threshold: Double): String =
-    s"""WITH $dkNormed,
-       |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${dkDot("a", "b")} AS cosine
-       |      FROM n a JOIN n b ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
-       |fr AS (SELECT a_id, b_id, cosine,
+  /** Scoring tail shared by [[dkMarginOracle]] and [[dkMarginAnnOracle]]:
+    * expects a CTE `p(a_id, b_id, cosine)` — the pair stream, exact or
+    * candidate-mined — already in scope. */
+  private def dkMarginTail(k: Int, threshold: Double): String =
+    s"""fr AS (SELECT a_id, b_id, cosine,
        |         ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn FROM p),
        |fa AS (SELECT a_id, list(cosine ORDER BY cosine DESC, b_id) AS l
        |       FROM fr WHERE rn <= $k GROUP BY a_id),
@@ -138,6 +144,29 @@ object OpQueries {
        |FROM ra LEFT JOIN rb ON ra.a_id = rb.a_id AND ra.b_id = rb.b_id AND rb.rn = 1
        |WHERE ra.rn = 1 AND ra.margin >= $threshold
        |ORDER BY ra.a_id""".stripMargin
+
+  private def dkMarginOracle(k: Int, threshold: Double): String =
+    s"""WITH $dkNormed,
+       |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${dkDot("a", "b")} AS cosine
+       |      FROM n a JOIN n b ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+       |${dkMarginTail(k, threshold)}""".stripMargin
+
+  /** DuckDB mirror of [[VectorOps.marginAlignAnn]]: re-derives the
+    * N-adaptive banding from COUNT(*) and the deterministic md5
+    * hyperplanes ([[dkRhpBands]], the dkLshOracle precedent), re-builds
+    * every band key, mines the SAME even×odd candidate set, computes
+    * exact cosines on candidates only, and runs the identical margin
+    * scoring tail — so WHICH pairs were mined is part of the gate, not
+    * just their scores. */
+  private def dkMarginAnnOracle(k: Int, threshold: Double, dim: Int): String =
+    s"""WITH $dkNormed,
+       |${dkRhpBands(dim)},
+       |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |         FROM bk a JOIN bk b ON a.b = b.b AND a.bits = b.bits
+       |         WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+       |p AS (SELECT c.a_id, c.b_id, ${dkDot("a", "b")} AS cosine
+       |      FROM cand c JOIN n a ON a.vec_id = c.a_id JOIN n b ON b.vec_id = c.b_id),
+       |${dkMarginTail(k, threshold)}""".stripMargin
   private val dkTopkOracle =
     s"""WITH $dkNormed,
        |p AS (SELECT q.vec_id AS qid, c.vec_id AS nid, ${dkDot("q", "c")} AS cosine
@@ -877,6 +906,17 @@ object OpQueries {
     QueryDef("op_margin_align",
       (s, d) => VectorOps.marginAlign(emb(s, d), k = 4, threshold = 1.0),
       Some(dkMarginOracle(k = 4, threshold = 1.0))),
+
+    // ANN-candidate margin alignment (VERDICT r17 #1 — the production
+    // tier the exact guard points at): sign-LSH band collisions replace
+    // the cross join, margins score candidate neighborhoods. The oracle
+    // re-derives the adaptive banding from COUNT(*), the md5 hyperplanes,
+    // every band key and the even×odd candidate SET independently, then
+    // runs the identical scoring tail — candidates, cosines, margins,
+    // argmax and mutual flags all hash-gate.
+    QueryDef("op_margin_align_ann",
+      (s, d) => VectorOps.marginAlignAnn(emb(s, d), k = 4, threshold = 1.0),
+      Some(dkMarginAnnOracle(k = 4, threshold = 1.0, dim = 64))),
 
     // Same oracle as op_sim_topk: the bounded-state Aggregator must return
     // the identical exact result while shuffling only k rows per query.

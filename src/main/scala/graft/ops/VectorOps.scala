@@ -187,9 +187,17 @@ object VectorOps {
     * interpreted per-element lambdas over 10⁴-element arrays lose to
     * codegen cross joins; that shape wins only for few-element arrays
     * like centroid tables), and a GROUPING SETS dual argmax (the
-    * Expand doubles the stream). At production scale, mine candidates
-    * with the IVF/LSH ANN path first and run THIS scoring only on
-    * candidate neighborhoods.
+    * Expand doubles the stream). At production scale, use
+    * [[marginAlignAnn]]: sign-LSH candidate mining + the same scoring
+    * over candidate neighborhoods.
+    *
+    * Contract note (ADVICE r17): zero-norm embeddings are OUT OF CONTRACT
+    * — a vector of all zeros makes cosine 0/0 and can drive both
+    * directional averages to exactly 0, where Spark's non-ANSI division
+    * yields NULL (row silently dropped by the threshold filter) while an
+    * IEEE engine yields inf/NaN (row kept). The fixture generator never
+    * emits zero vectors; callers feeding real corpora should pre-filter
+    * `array_dot(v, v) > 0`.
     */
   def marginAlign(emb: DataFrame, k: Int = 4, threshold: Double = 1.0,
                   maxSide: Long = 1L << 15): DataFrame = {
@@ -200,8 +208,9 @@ object VectorOps {
     require(na > 0 && nb > 0, "marginAlign needs both sides non-empty")
     require(na <= maxSide && nb <= maxSide,
       s"marginAlign is the exact O(|A|·|B|) scoring tier (sides $na × $nb, " +
-        s"cap $maxSide): mine candidate neighborhoods with the IVF/LSH ANN " +
-        "path first and score those")
+        s"cap $maxSide): use marginAlignAnn (sign-LSH candidate mining + " +
+        "the same margin scoring over candidate neighborhoods — the " +
+        "CCMatrix/LASER production shape) at this scale")
     val spark = emb.sparkSession
     // the streaming side arrives in a handful of parquet splits — at
     // 10k×10k that caps every O(|A|·|B|) pass at file-count parallelism
@@ -215,29 +224,48 @@ object VectorOps {
     // re-running the codegen'd cross-join dot products
     def pairs = aPart.crossJoin(broadcast(b)).selectExpr("a_id", "b_id",
       s"${cosExpr("av", "bv", "norm_av", "norm_bv")} as cosine")
+    marginScore(spark, () => pairs, k, threshold)
+  }
+
+  /** Shared margin-scoring tail of [[marginAlign]] (exact tier) and
+    * [[marginAlignAnn]] (ANN-candidate tier): directional top-k averages
+    * over the pair stream, the margin division tree, (margin DESC, id ASC)
+    * argmax per side, and the mutual-best flag. `pairStream` is a THUNK
+    * re-invoked per consumer: the exact tier passes its recomputed codegen
+    * cross join (nothing pair-sized is ever held), the ANN tier passes an
+    * already-checkpointed linear-sized candidate table (the thunk returns
+    * the same reference).
+    */
+  private def marginScore(spark: org.apache.spark.sql.SparkSession,
+                          pairStream: () => DataFrame,
+                          k: Int, threshold: Double): DataFrame = {
     import spark.implicits._
     val topk = new TopKAgg(k)
     // directional top-k averages, folded in TopKAgg's (cos DESC, id ASC)
     // finish order — the exact order the oracle's `list(... ORDER BY
     // ...)` + `list_reduce` reproduces
-    // the per-id average tables persist (ONE row per id, no vectors —
-    // a few hundred KB): each is read by both scored recomputes below
-    def sideAvg(idCol: String, otherId: String) = pairs
+    // the per-id average tables are localCheckpoint()ed (ONE row per id,
+    // no vectors — a few hundred KB): each is read by both scored
+    // recomputes below, and unlike persist() the checkpoint blocks are
+    // released by the ContextCleaner when the returned plan is dropped —
+    // no reliance on a harness-side clearCache() between queries
+    // (ADVICE r17; the pageRank / ClusterOps idiom)
+    def sideAvg(idCol: String, otherId: String) = pairStream()
       .groupBy(idCol)
       .agg(udaf(topk).apply(col("cosine"), col(otherId)).as("top"))
       .selectExpr(idCol,
         s"""aggregate(transform(top, t -> t._1), cast(0 as double),
            |  (x, y) -> x + y) / size(top) as avg_$idCol""".stripMargin)
-      .persist()
+      .localCheckpoint()
     // the SCORED pair stream is deliberately never materialized: the
-    // two argmax consumers each re-stream the codegen cross join with
-    // the tiny cached averages broadcast on. Caching |A|·|B| rows was
-    // measured slower at the 10k×10k decade and OOM-prone at 30k×30k
-    // on a default-heap driver — nothing pair-sized is ever held, at
-    // ANY scale, which is the property that matters at 100 TB.
+    // two argmax consumers each re-stream the pair source with the tiny
+    // cached averages broadcast on. Caching |A|·|B| rows was measured
+    // slower at the 10k×10k decade and OOM-prone at 30k×30k on a
+    // default-heap driver — nothing pair-sized is ever held, at ANY
+    // scale, which is the property that matters at 100 TB.
     val avgA = sideAvg("a_id", "b_id")
     val avgB = sideAvg("b_id", "a_id")
-    def scored = pairs.join(avgA, "a_id").join(avgB, "b_id")
+    def scored = pairStream().join(avgA, "a_id").join(avgB, "b_id")
       .selectExpr("a_id", "b_id", "cosine",
         "cosine / ((avg_a_id + avg_b_id) / cast(2 as double)) as margin")
     // (margin DESC, id ASC) argmax via lexicographic struct max — the
@@ -256,6 +284,70 @@ object VectorOps {
         "cast(ma_id is not null as int) as mutual")
       .filter(col("margin") >= threshold)
       .orderBy("a_id")
+  }
+
+  /** ANN-candidate margin alignment — the production tier the exact
+    * [[marginAlign]] guard points at (VERDICT r17 #1; the CCMatrix/LASER
+    * mine-then-score shape): sign-LSH band collisions replace the
+    * O(|A|·|B|) cross join, and [[marginScore]]'s directional averages are
+    * taken over each vector's CANDIDATE top-k neighborhood — exactly how
+    * production bitext miners compute the margin denominator once the
+    * corpus is too big to score exhaustively.
+    *
+    *   1. ONE signature pass over the whole corpus (`rhp_signature`
+    *      codegen kernel, deterministic md5 hyperplanes), exploded to
+    *      (id, band_key) — the [[rhpCandidates]] projection;
+    *   2. candidates = even ids (source A) equi-joined to odd ids
+    *      (target B) on band_key, DISTINCT — linear in N by the
+    *      [[adaptiveBanding]] background bound, never a cross join;
+    *   3. exact cosine on candidates only (the shared [[ArrayDot]]
+    *      sequential fold), checkpointed ONCE — the candidate table is
+    *      linear-sized, so materializing it is safe at every scale
+    *      (unlike the exact tier's quadratic stream, which must never
+    *      be held);
+    *   4. [[marginScore]]: top-k averages, margin, dual argmax, mutual.
+    *
+    * Semantics note: margins are computed over candidate neighborhoods,
+    * so they NUMERICALLY differ from the exact tier's full-corpus
+    * neighborhoods (higher denominators — LSH collisions bias toward
+    * high-cosine neighbors); pair RECOVERY on planted near-duplicates
+    * agrees with the exact tier (OpsSpec). A source vector with zero
+    * band collisions emits nothing — the declared ANN contract.
+    *
+    * Determinism (the hash-gate contract): candidate membership is exact
+    * band-bit equality over deterministic signatures, so the DuckDB
+    * oracle re-derives the SAME candidate set from COUNT(*)
+    * ([[adaptiveBanding]] re-derivation, the dkLshOracle precedent), and
+    * every downstream double runs the shared fixed-order folds.
+    */
+  def marginAlignAnn(emb: DataFrame, k: Int = 4, threshold: Double = 1.0,
+                     bands: Int = 0, rowsPerBand: Int = 0,
+                     dim: Int = 64): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(bands >= 0 && rowsPerBand >= 0 &&
+        ((bands == 0) == (rowsPerBand == 0)),
+      s"pass bands and rowsPerBand together as positive values (or neither, " +
+        s"for N-adaptive banding); got bands=$bands, rowsPerBand=$rowsPerBand")
+    val (b, r) =
+      if (bands > 0) (bands, rowsPerBand) else adaptiveBanding(emb.count())
+    val spark = emb.sparkSession
+    // one signature pass for BOTH sides, checkpointed: the band-key
+    // projection feeds the two sides of the candidate join
+    val keys = bandKeyed(emb, b, r, dim).localCheckpoint()
+    val cand = keys.filter(col("id") % 2 === 0).as("a")
+      .join(keys.filter(col("id") % 2 === 1).as("b"), expr("a.band_key = b.band_key"))
+      .selectExpr("a.id as a_id", "b.id as b_id")
+      .distinct()
+    val aSide = withNorm(emb.filter(col("vec_id") % 2 === 0), "a_id", "av")
+    val bSide = withNorm(emb.filter(col("vec_id") % 2 === 1), "b_id", "bv")
+    // exact cosines on candidates only — linear-sized, so ONE
+    // materialization feeds all four marginScore consumers
+    val cpairs = cand
+      .join(aSide, Seq("a_id")).join(bSide, Seq("b_id"))
+      .selectExpr("a_id", "b_id",
+        s"${cosExpr("av", "bv", "norm_av", "norm_bv")} as cosine")
+      .localCheckpoint()
+    marginScore(spark, () => cpairs, k, threshold)
   }
 
   /** The centroid table collapsed to ONE row holding an array of
@@ -520,17 +612,21 @@ object VectorOps {
     * projection is persisted so the `bands·rowsPerBand` dot products per
     * vector run once, not once per self-join side.
     */
-  private[graft] def rhpCandidates(emb: DataFrame, bands: Int, rowsPerBand: Int,
-                                 dim: Int): DataFrame = {
-    // The signature is one codegen'd kernel call (`rhp_signature`): the
-    // plane table lives as a memoized JVM reference inside the kernel, NOT
-    // as inline `array(array(…))` literals — the former literal form put
-    // bands·rowsPerBand·dim doubles into one expression string, which at
-    // adaptive depth for N≈10⁹ rows is (254, 25)·64 ≈ 406 k literals, past
-    // any codegen budget (ADVICE r16). The kernel folds each dot in the
-    // identical order, so signatures — and the DuckDB oracle hash — are
-    // bit-unchanged (pinned in KernelSpec against [[hyperplanes]]).
-    val keys = withNorm(emb, "id", "v")
+  /** The (id, band_key) sign-LSH projection shared by [[rhpCandidates]]
+    * (self-join near-dup candidates) and [[marginAlignAnn]] (cross-side
+    * candidates). The signature is one codegen'd kernel call
+    * (`rhp_signature`): the plane table lives as a memoized JVM reference
+    * inside the kernel, NOT as inline `array(array(…))` literals — the
+    * former literal form put bands·rowsPerBand·dim doubles into one
+    * expression string, which at adaptive depth for N≈10⁹ rows is
+    * (254, 25)·64 ≈ 406 k literals, past any codegen budget (ADVICE r16).
+    * The kernel folds each dot in the identical order, so signatures —
+    * and the DuckDB oracle hash — are bit-unchanged (pinned in KernelSpec
+    * against [[hyperplanes]]).
+    */
+  private def bandKeyed(emb: DataFrame, bands: Int, rowsPerBand: Int,
+                        dim: Int): DataFrame =
+    withNorm(emb, "id", "v")
       .selectExpr("id", s"rhp_signature(v, ${bands * rowsPerBand}, $dim) as sig")
       .selectExpr("id",
         s"""explode(transform(sequence(0, ${bands - 1}), b ->
@@ -538,7 +634,10 @@ object VectorOps {
            |    concat_ws('', transform(slice(sig, b * $rowsPerBand + 1, $rowsPerBand),
            |                            x -> cast(cast(x as int) as string))))))
            |  as band_key""".stripMargin)
-      .persist()
+
+  private[graft] def rhpCandidates(emb: DataFrame, bands: Int, rowsPerBand: Int,
+                                 dim: Int): DataFrame = {
+    val keys = bandKeyed(emb, bands, rowsPerBand, dim).persist()
     keys.as("a")
       .join(keys.as("b"), expr("a.band_key = b.band_key and a.id < b.id"))
       .selectExpr("a.id as ida", "b.id as idb")

@@ -12,9 +12,12 @@ import org.apache.spark.sql.types.DoubleType
   * value column into ONE shared buffer.
   *
   * `PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY x)` next to
-  * `PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY x)` — the shape every
-  * profiling query in the reference's pass-through surface takes
-  * (`execute_sql.py:64,77`) — analyzes to two independent
+  * `PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY x)` — the standard
+  * column-profiling shape, which reaches this engine verbatim through
+  * the reference's generic SQL pass-through surface
+  * (`execute_sql.py:64,77` executes arbitrary user SQL; the percentile
+  * shape is the usage pattern, not text in that file) — analyzes to two
+  * independent
   * [[Percentile]] aggregates, and Spark's ObjectHashAggregate then
   * builds the (value → count) OpenHashMap buffer once PER AGGREGATE:
   * the whole column is buffered, shuffled, and merged k times for k
@@ -111,12 +114,16 @@ object MergePercentileRule extends Rule[LogicalPlan] {
               isDistinct = false, filter = None,
               resultId = NamedExpression.newExprId), list)
           }.toMap
+        // eligible() runs ONCE per occurrence: the match binds its result
+        // and returns the node unchanged when the key wasn't merged
+        // (ADVICE r17 — the guard+get form evaluated it twice)
         val rewritten = agg.aggregateExpressions.map(_.transform {
-          case ae: AggregateExpression if eligible(ae).exists(e =>
-              merged.contains(e._1)) =>
-            val (k, d) = eligible(ae).get
-            val (m, list) = merged(k)
-            GetArrayItem(m, Literal(list.indexOf(d)))
+          case ae: AggregateExpression =>
+            eligible(ae).flatMap { case (k, d) =>
+              merged.get(k).map { case (m, list) =>
+                GetArrayItem(m, Literal(list.indexOf(d))): Expression
+              }
+            }.getOrElse(ae)
         }.asInstanceOf[NamedExpression])
         agg.copy(aggregateExpressions = rewritten)
       }

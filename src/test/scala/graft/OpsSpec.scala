@@ -408,6 +408,43 @@ class OpsSpec extends SparkSpecBase {
     assert(nCand < allPairs / 2, s"no pruning: $nCand candidates of $allPairs pairs")
   }
 
+  test("margin-align ANN tier recovers the exact tier's picks on planted pairs") {
+    // Parity-split corpus (even = source A, odd = target B): 80 random
+    // vectors per side from the LCG, with the first 10 B vectors planted
+    // as near-copies of their A partner (cosine ≈ 0.999) — the bitext
+    // ground truth. Dense explicit banding (16, 8): per-band collision
+    // p^8 ≈ 0.69 at the planted similarity → miss ≈ 0.31^16 ≈ 7e-9,
+    // while background (~90°) pairs collide on a band with prob 1/256 —
+    // real pruning AND deterministic full recall on the planted set.
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
+    def vec(seed: Long, dim: Int): Array[Float] =
+      lcg(seed).take(dim).map(x => ((x >>> 11).toDouble / (1L << 53).toDouble - 0.5).toFloat).toArray
+    val dim = 64
+    val rows = (0L until 160L).map { id =>
+      if (id % 2 == 1 && id < 20) {
+        val partner = vec((id - 1) * 7919 + 1, dim)
+        val noise = vec(id * 104729 + 3, dim)
+        (id, partner.zip(noise).map { case (x, n) => x + 0.02f * n }.toSeq)
+      } else (id, vec(id * 7919 + 1, dim).toSeq)
+    }
+    val e = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    def picks(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Int)] =
+      df.select("a_id", "b_id", "mutual").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val exact = picks(VectorOps.marginAlign(e, k = 4, threshold = 0.0))
+    val ann = picks(VectorOps.marginAlignAnn(e, k = 4, threshold = 0.0,
+      bands = 16, rowsPerBand = 8, dim = dim))
+    (0L until 20L by 2).foreach { a =>
+      assert(exact(a) === ((a + 1, 1)), s"exact tier must pick the planted pair for $a")
+      assert(ann(a) === ((a + 1, 1)), s"ANN tier must pick the planted pair for $a")
+    }
+    // the candidate join really prunes: ANN emits only vectors with band
+    // collisions, a strict subset of the exact tier's every-source output
+    assert(ann.size < exact.size,
+      s"ANN output ${ann.size} should cover fewer sources than exact ${exact.size}")
+  }
+
   test("embedding LSH near-dup output is a subset of the exact pair set on the fixture") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val exact = VectorOps.cosineNearDup(e, 0.4)
@@ -2765,7 +2802,7 @@ class OpsSpec extends SparkSpecBase {
     val ex = intercept[IllegalArgumentException] {
       VectorOps.marginAlign(emb, k = 1, threshold = 0.0, maxSide = 2L)
     }
-    assert(ex.getMessage.contains("ANN"), ex.getMessage)
+    assert(ex.getMessage.contains("marginAlignAnn"), ex.getMessage)
   }
 
   // ── MergePercentileRule behavior (PlanSpec pins the plan shape; these
