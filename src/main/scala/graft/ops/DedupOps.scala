@@ -309,24 +309,29 @@ object DedupOps {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame =
     hammingPairs(TextOps.simhash(docs).persist(), maxHamming, bits = 60)
 
-  /** Production-radius SimHash config (VERDICT r3 #4): 64-bit signature
-    * over engine-native xxhash64 token hashes, radius 3 → FOUR 16-bit
-    * pigeonhole blocks → per-block bucket pruning ~2^16× (vs ~24× for the
-    * oracle-exhaustive radius-12/60-bit gate). Still exhaustive at the
-    * radius — the pigeonhole argument is radius-independent. No cross-
-    * engine oracle (xxhash64 is Spark-native); OpsSpec proves equality
-    * with an in-test brute-force ground truth on planted dups AND the
+  /** Production-radius SimHash config (VERDICT r3 #4): full-range 64-bit
+    * signature, radius 3 → FOUR 16-bit pigeonhole blocks → per-block
+    * bucket pruning ~2^16× (vs ~24× for the radius-12/60-bit gate).
+    * Still exhaustive at the radius — the pigeonhole argument is
+    * radius-independent. Token hashes are the PORTABLE md5-derived
+    * [[TextOps.h64]] (VERDICT r17 #2 — formerly engine-native xxhash64,
+    * which left this the one gated entry without a cross-engine oracle):
+    * the DuckDB oracle now re-derives signatures bit-for-bit and the
+    * full pair set hash-gates; OpsSpec additionally proves equality with
+    * an in-test brute-force ground truth on planted dups AND the
     * candidate-count pruning bound.
     */
   def simhashPairs64(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     hammingPairs(simhash64Sig(docs).persist(), maxHamming, bits = 64)
 
-  /** 64-bit SimHash signatures from xxhash64 word hashes (the
-    * [[graft.sql.expressions.SimHashBits]] kernel). */
+  /** 64-bit SimHash signatures from portable md5-derived word hashes
+    * (the [[graft.sql.expressions.SimHashBits]] kernel — `>>>` bit
+    * extraction and wrap-packing, so negative full-range hashes carry
+    * the identical bit pattern as the oracle's UBIGINT). */
   private[graft] def simhash64Sig(docs: DataFrame): DataFrame =
     docs
       .selectExpr("doc_id", s"${TextOps.wordsExpr("text")} as w")
-      .selectExpr("doc_id", "transform(w, x -> xxhash64(x)) as hs")
+      .selectExpr("doc_id", s"transform(w, x -> ${TextOps.h64("x")}) as hs")
       .selectExpr("doc_id", "simhash_bits(hs, 64) as simhash")
 
   /** All pairs of `sig` (doc_id, simhash) within Hamming ≤ `maxHamming`,

