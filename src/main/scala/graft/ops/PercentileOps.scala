@@ -153,8 +153,51 @@ object PercentileOps {
   /** Per-`key` exact percentiles for `specs`, plus a trailing `n_rows`
     * count of ALL group rows (null values included — matching
     * `COUNT(*)` next to a percentile aggregate). Output columns:
-    * key, specs.map(_.out) in order, n_rows. */
-  def sortedPercentiles(df: DataFrame, key: String, specs: Seq[PSpec]): DataFrame = {
+    * key, specs.map(_.out) in order, n_rows.
+    *
+    * `bracketAccuracy` (default 0 = off) enables GK-BRACKETED EXACT
+    * SELECTION — the scan-bound tier (VERDICT r17 #5). The default path
+    * ranks EVERY tie-collapsed (key, value) block through [[rangePrefix]],
+    * which for a near-unique value column shuffles the whole corpus three
+    * times just to read ~3 ranks per group. With bracketing, a first pass
+    * computes per-group counts and a Greenwald-Khanna sketch
+    * (`approx_percentile`, relative rank error ε = 1/bracketAccuracy),
+    * whose DETERMINISTIC error bound brackets every requested rank inside
+    * a narrow value window; a second pass tags each value as below-mass
+    * (−∞), in-window (itself), between-windows (the window-gap midpoint)
+    * or above-mass (+∞) and tie-collapses THAT — so the block table
+    * entering [[rangePrefix]] holds only ~4·ε·n ranks of real values per
+    * window plus three sentinel blocks, and no full-corpus shuffle exists
+    * anywhere. Results are BIT-IDENTICAL to the unbracketed path by
+    * construction, not by sketch accuracy: the sentinel masses restore
+    * every in-window block's exact global rank interval wherever the
+    * sketch bounds happen to fall, so the selected values (and the shared
+    * interpolation arithmetic) cannot depend on the sketch. Rank coverage
+    * is guaranteed: window quantile bounds sit 2ε outside each requested
+    * p, GK caps rank error at ε·n, and target ranks sit within 1 of p·n
+    * — so the window covers them whenever ε·n ≥ 4; groups smaller than
+    * 4·bracketAccuracy rows skip bracketing entirely (the tag degenerates
+    * to the identity, reproducing the unbracketed blocks). Degenerate
+    * sketch geometry is equally safe: overlapping windows make the gap
+    * branch unreachable, and a gap midpoint that rounds onto a window
+    * edge merges gap mass into an edge block whose extended rank interval
+    * contains no target rank (gaps sit strictly between per-spec
+    * coverage regions). ±Infinity and NaN data values are OUT OF CONTRACT
+    * on the bracketed path (they collide with the sentinels; the
+    * unbracketed path remains available for such data). Cost model at
+    * 100 TB: two O(n) scans + sketch memory O(bracketAccuracy) per task
+    * vs window volume ~ε·n per group — pick bracketAccuracy ~ √n to
+    * balance. MEASURED (r18, sf3 = 18M rows, local[32], warm, full q31
+    * shape): 13.4 s bracketed vs 12.4 s unbracketed — local parity, NOT
+    * a win, because an in-process shuffle of a 300 MB column costs ~as
+    * little as the GK sketch build; the tier exists for the
+    * network-bound regime (a real cluster shuffling the corpus three
+    * times vs re-scanning it twice), so no fixture-gated query routes
+    * through it by default. OpsSpec pins bracketed ≡ unbracketed
+    * bit-for-bit on both the fixture and a tie/small-group stress
+    * frame. */
+  def sortedPercentiles(df: DataFrame, key: String, specs: Seq[PSpec],
+                        bracketAccuracy: Int = 0): DataFrame = {
     require(specs.nonEmpty, "sortedPercentiles needs at least one spec")
     require(specs.map(_.out).distinct.length == specs.length,
       "duplicate output column names")
@@ -164,10 +207,47 @@ object PercentileOps {
     // its own order); keep spec order for the final projection
     val perCol: Seq[DataFrame] = specs.groupBy(_.valueCol).toSeq.map {
       case (vc, colSpecs) =>
-        val blocks = df
+        val vals = df
           .filter(col(vc).isNotNull)
           .select(col(key), col(vc).cast(DoubleType).as("__v"))
-          .groupBy(col(key), col("__v")).agg(count(lit(1)).as("__cnt"))
+        val blocks =
+          if (bracketAccuracy <= 0)
+            vals.groupBy(col(key), col("__v")).agg(count(lit(1)).as("__cnt"))
+          else {
+            val eps = 1.0 / bracketAccuracy
+            // per-spec quantile windows [p−2ε, p+2ε], sorted and merged
+            // when overlapping (GK monotonicity then keeps the bracket
+            // value array non-decreasing window to window)
+            val wins = colSpecs.map(s =>
+                (math.max(0.0, s.p - 2 * eps), math.min(1.0, s.p + 2 * eps)))
+              .sortBy(_._1)
+              .foldLeft(List.empty[(Double, Double)]) {
+                case ((la, lb) :: t, (a, b)) if a <= lb =>
+                  (la, math.max(lb, b)) :: t
+                case (acc, w) => w :: acc
+              }.reverse
+            val qArr = wins.flatMap(w => Seq(w._1, w._2))
+            val stats = vals.groupBy(col(key)).agg(
+              count(lit(1)).as("__gn"),
+              expr(s"approx_percentile(__v, array(${qArr.mkString(", ")}), " +
+                s"$bracketAccuracy)").as("__br"))
+            val tag = {
+              val sb = new StringBuilder(s"case when __gn < ${4L * bracketAccuracy} then __v")
+              wins.indices.foreach { i =>
+                val lo = s"element_at(__br, ${2 * i + 1})"
+                val hi = s"element_at(__br, ${2 * i + 2})"
+                val sentinel =
+                  if (i == 0) "double('-Infinity')"
+                  else s"(element_at(__br, ${2 * i}) + $lo) / 2"
+                sb ++= s" when __v < $lo then $sentinel when __v <= $hi then __v"
+              }
+              sb ++= " else double('Infinity') end"
+              sb.toString
+            }
+            vals.join(broadcast(stats), Seq(key))
+              .selectExpr(key, s"$tag as __v")
+              .groupBy(col(key), col("__v")).agg(count(lit(1)).as("__cnt"))
+          }
         val cum = rangePrefix(blocks, key, "__v", "__cnt")
 
         // a tie block covers ranks (__cum − __cnt, __cum]; a wanted rank

@@ -1031,7 +1031,13 @@ object T2 {
     //     every group per partition. The percentile side runs through the
     //     bounded-memory rank path (PercentileOps — bit-identical to the
     //     buffering aggregate), so NOTHING in this plan holds a group in
-    //     memory: rank windows spill, the join side is O(groups).
+    //     memory: rank windows spill, the join side is O(groups). The
+    //     GK-bracketed selection tier (sortedPercentiles bracketAccuracy,
+    //     r18) was measured here at sf3 and NOT adopted: 13.4 vs 12.4 s
+    //     warm — in-process shuffle is free at this scale, so the sketch
+    //     CPU cancels the eliminated exchanges; the remaining floor is
+    //     the gated 18M-row output sort itself (output volume, sublinear
+    //     4.2x growth on 30x data — adjudicated sound).
     QueryDef(
       "q31_percentile_window",
       (s, d) => {

@@ -722,6 +722,43 @@ class OpsSpec extends SparkSpecBase {
     assert(out.map(_.getLong(3)).toSeq === Seq(4L, 1L, 2L)) // COUNT(*) incl nulls
   }
 
+  test("GK-bracketed percentiles are bit-identical to the unbracketed rank path") {
+    import graft.ops.PercentileOps.{sortedPercentiles, PSpec}
+    // fixture lineitem: accuracy 50 puts the small-group fallback at 200
+    // rows, so every returnflag group (sf0.01: ~20k rows) actually
+    // exercises the bracket/sentinel machinery, not the fallback
+    val l = Tables.load(spark, sfDir, "lineitem")
+    val specs = Seq(
+      PSpec("l_extendedprice", 0.25, "p25"),
+      PSpec("l_extendedprice", 0.75, "p75"),
+      PSpec("l_quantity", 0.5, "medq", disc = true))
+    val plain = sortedPercentiles(l, "l_returnflag", specs)
+      .orderBy("l_returnflag").collect()
+    val br = sortedPercentiles(l, "l_returnflag", specs, bracketAccuracy = 50)
+      .orderBy("l_returnflag").collect()
+    assert(plain.toSeq === br.toSeq) // exact doubles — selection is sketch-independent
+    // stress frame: heavy ties AT the bracket region, a small group that
+    // takes the fallback (n < 4·accuracy), negatives, an all-null group
+    val rows = (for {
+      g <- Seq("big", "tied")
+      i <- 1 to 900
+    } yield {
+      val v: java.lang.Double =
+        if (g == "tied") (if (i < 500) 7.0 else (i % 31).toDouble)
+        else (i * 131 % 977) - 400.0
+      (g, v)
+    }) ++ Seq(("small", java.lang.Double.valueOf(3.0)),
+      ("small", java.lang.Double.valueOf(9.0)),
+      ("nul", null: java.lang.Double))
+    val df = rows.toDF("k", "v")
+    val sspecs = Seq(PSpec("v", 0.1, "p10"), PSpec("v", 0.5, "p50"),
+      PSpec("v", 0.5, "p50d", disc = true), PSpec("v", 0.9, "p90"))
+    val p2 = sortedPercentiles(df, "k", sspecs).orderBy("k").collect()
+    val b2 = sortedPercentiles(df, "k", sspecs, bracketAccuracy = 100)
+      .orderBy("k").collect()
+    assert(p2.toSeq === b2.toSeq)
+  }
+
   test("span dedup finds planted cross-document paragraphs with exact boundaries") {
     val para = (1 to 12).map(i => s"para$i").mkString(" ")  // 12 shared tokens
     val seven = (1 to 7).map(i => s"sev$i").mkString(" ")   // 7 < n=8 → invisible
