@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.variant.ParseJson
 import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DateType,
   DoubleType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
 
-import graft.sql.expressions.{ArrayDot, CdcBounds, Checksum, FeatureHash, FnvHash, HilbertValue, MinHashSig, QuantizeI8, RhpSignature, SimHash60, SimHashBits, SpanKeep, ZValue, ZValue3}
+import graft.sql.expressions.{ArrayDot, CdcBounds, Checksum, FeatureHash, FnvHash, HilbertValue, Md5H64, MinHashSig, QuantizeI8, RhpSignature, SimHash60, SimHashBits, SpanKeep, ZValue, ZValue3}
 
 /** Session extensions registering the Redshift function-name surface that
   * Spark's parser accepts but its registry lacks (SURVEY.md §2.2 🔧/🔴):
@@ -88,6 +88,9 @@ object GraftExtensions {
     (FunctionIdentifier("simhash60"),
       info("simhash60", "simhash60(hs) - 60-bit SimHash over array<bigint> token hashes."),
       (args: Seq[Expression]) => SimHash60(Cast(args.head, ArrayType(LongType)))),
+    (FunctionIdentifier("md5_h64"),
+      info("md5_h64", "md5_h64(str) - portable full-range 64-bit md5 hash (first 16 hex chars as a two's-complement bit pattern), one digest per row."),
+      (args: Seq[Expression]) => Md5H64(Cast(args.head, StringType))),
     (FunctionIdentifier("quantize_i8"),
       info("quantize_i8", "quantize_i8(v) - struct(qmin, qstep, qv): one-pass int8-range quantization of array<double>."),
       (args: Seq[Expression]) => QuantizeI8(Cast(args.head, ArrayType(DoubleType)))),

@@ -42,6 +42,27 @@ object HashExpressions {
 
   def fnv1aUtf8(s: UTF8String): Long = fnv1a(s.getBytes)
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The portable 64-bit hash ([[graft.ops.TextOps.h64]]) in ONE digest:
+    * the first 16 md5 hex chars of the UTF-8 bytes as a two's-complement
+    * bit pattern = the big-endian pack of digest bytes 0..7. The composed
+    * SQL form (`shiftleft(h60, 4) + nibble₁₆`) evaluates md5 twice per
+    * token; this kernel is bit-identical (KernelSpec pins it against the
+    * composed form) at half the digest work. */
+  def md5h64(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
   /** 32-bit checksum: FNV-1a folded to int (xor-fold — deterministic,
     * engine-specific like Redshift's own undocumented CHECKSUM). */
   def checksum(h: Long): Int = ((h >>> 32) ^ (h & 0xffffffffL)).toInt
@@ -88,6 +109,22 @@ case class FnvHash(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): FnvHash =
+    copy(child = newChild)
+}
+
+/** `md5_h64(str)` → BIGINT: portable full-range 64-bit md5 hash (first 16
+  * hex chars as a two's-complement bit pattern) in one digest per row. */
+case class Md5H64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_h64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpressions.md5h64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.expressions.HashExpressions.md5h64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5H64 =
     copy(child = newChild)
 }
 

