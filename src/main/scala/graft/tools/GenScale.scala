@@ -27,18 +27,18 @@ import graft.{GraftSession, Tables}
   *    not real work, so a genuine signature-skew bug in that band was
   *    unfalsifiable. Now token i of doc D in copy c is drawn
   *    md5-deterministically from a 4096-word per-copy vocabulary
-  *    (`t<3 hex>` — realistic corpus entropy, still bounded so the
-  *    vocab-bounded aggregation ops stay bounded), docs are pairwise
-  *    near-orthogonal, and near-dups are PLANTED at a fixed linear
-  *    rate: each doc with base id ≡ 1 (mod 50) re-emits its
-  *    predecessor's stream with every 29th token rewritten (~3.4%
+  *    (`t<copy>x<3 hex>` — the copy prefix makes per-copy vocabularies
+  *    DISJOINT, so total vocabulary grows ~linearly with corpus size,
+  *    the Heaps-law shape vocab-sensitive ops should see at scale),
+  *    docs are pairwise near-orthogonal, and near-dups are PLANTED at
+  *    a fixed linear rate: each doc with base id ≡ 1 (mod 50) re-emits
+  *    its predecessor's stream with every 29th token rewritten (~3.4%
   *    edits → shingle-Jaccard ≈ 0.9, SimHash Hamming well inside every
   *    production radius). Pair counts therefore grow linearly in
   *    copies BY CONSTRUCTION, and bucket occupancy stays uniform —
-  *    growth at sf1/sf3 is explained by output volume. Cross-copy
-  *    similarity stays ≈ 0 (vocabularies are hash-disjoint). The base
-  *    copy (c = 0) replicates verbatim, so sf0.01/sf0.1 oracle gates
-  *    are untouched.
+  *    growth at sf1/sf3 is explained by output volume. The base copy
+  *    (c = 0) replicates verbatim, so sf0.01/sf0.1 oracle gates are
+  *    untouched.
   *  - `embeddings.embedding`: a small deterministic per-copy, per-dim
   *    offset (±3e-3·c) breaks exact vector ties so ANN top-k neighbor
   *    sets stay non-degenerate; cell/bucket occupancy distributions are
@@ -107,8 +107,8 @@ object GenScale {
         .withColumn("text", expr(
           s"""concat_ws(' ', transform(sequence(0, n_tok - 1), i ->
              |  case when doc_id % 5000 % 50 = 1 and i % 29 = 0
-             |    then concat('t', substring(md5(concat('$c:', doc_id, ':', i, ':edit')), 1, 3))
-             |    else concat('t', substring(md5(concat('$c:', src, ':', i)), 1, 3))
+             |    then concat('t$c', 'x', substring(md5(concat('$c:', doc_id, ':', i, ':edit')), 1, 3))
+             |    else concat('t$c', 'x', substring(md5(concat('$c:', src, ':', i)), 1, 3))
              |  end))""".stripMargin))
         .withColumn("n_chars", length(col("text")))
         .drop("src", "n_tok")
