@@ -27,9 +27,11 @@ import graft.{GraftSession, Tables}
   *    not real work, so a genuine signature-skew bug in that band was
   *    unfalsifiable. Now token i of doc D in copy c is drawn
   *    md5-deterministically from a 4096-word per-copy vocabulary
-  *    (`t<copy>x<3 hex>` — the copy prefix makes per-copy vocabularies
-  *    DISJOINT, so total vocabulary grows ~linearly with corpus size,
-  *    the Heaps-law shape vocab-sensitive ops should see at scale),
+  *    (word identity = a 3-hex index; word surface = `w<8 md5 hex>` of
+  *    (copy, index) — per-copy vocabularies are DISJOINT, so total
+  *    vocabulary grows ~linearly with corpus size, the Heaps-law shape
+  *    vocab-sensitive ops should see at scale, and surfaces are
+  *    edit-distance-sparse like a real vocabulary's),
   *    docs are pairwise near-orthogonal, and near-dups are PLANTED at
   *    a fixed linear rate: each doc with base id ≡ 1 (mod 50) re-emits
   *    its predecessor's stream with every 29th token rewritten (~3.4%
@@ -104,12 +106,22 @@ object GenScale {
           "doc_id - cast(doc_id % 5000 % 50 = 1 as int)"))
         .withColumn("n_tok", expr(
           s"10 + cast(conv(substring(md5(concat('L$c:', src)), 1, 4), 16, 10) as int) % 91"))
+        // token surface = 'w' + 8 md5 hex chars of (copy, 4096-index):
+        // word IDENTITY is the 3-hex index (4096-word per-copy vocab),
+        // word SURFACE is a second md5 — so per-copy vocabularies are
+        // disjoint AND edit-distance-sparse (random 8-hex strings have
+        // ~no Levenshtein-1 neighbors), like a real vocabulary. A
+        // structural surface ('t<copy>x<3 hex>') was measured to
+        // manufacture ~45 edit-distance-1 neighbors PER WORD plus
+        // copy-digit substitution pairs — op_fuzzy_words then benched
+        // the artifact, not the operator.
         .withColumn("text", expr(
           s"""concat_ws(' ', transform(sequence(0, n_tok - 1), i ->
-             |  case when doc_id % 5000 % 50 = 1 and i % 29 = 0
-             |    then concat('t$c', 'x', substring(md5(concat('$c:', doc_id, ':', i, ':edit')), 1, 3))
-             |    else concat('t$c', 'x', substring(md5(concat('$c:', src, ':', i)), 1, 3))
-             |  end))""".stripMargin))
+             |  concat('w', substring(md5(concat('$c:v:',
+             |    case when doc_id % 5000 % 50 = 1 and i % 29 = 0
+             |      then substring(md5(concat('$c:', doc_id, ':', i, ':edit')), 1, 3)
+             |      else substring(md5(concat('$c:', src, ':', i)), 1, 3)
+             |    end)), 1, 8))))""".stripMargin))
         .withColumn("n_chars", length(col("text")))
         .drop("src", "n_tok")
     }
