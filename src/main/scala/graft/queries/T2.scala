@@ -1037,7 +1037,7 @@ object T2 {
     //     warm — in-process shuffle is free at this scale, so the sketch
     //     CPU cancels the eliminated exchanges; the remaining floor is
     //     the gated 18M-row output sort itself (output volume, sublinear
-    //     4.2x growth on 30x data — adjudicated sound).
+    //     ~3.5x growth on 30x data in the r18 sweep — adjudicated sound).
     QueryDef(
       "q31_percentile_window",
       (s, d) => {
