@@ -187,7 +187,12 @@ object PercentileOps {
     * unbracketed path remains available for such data). Cost model at
     * 100 TB: two O(n) scans + sketch memory O(bracketAccuracy) per task
     * vs window volume ~ε·n per group — pick bracketAccuracy ~ √n to
-    * balance. MEASURED (r18, sf3 = 18M rows, local[32], warm, full q31
+    * balance — PLUS the per-group stats table (O(#groups × window
+    * bounds)) that folds back onto the values: it carries no broadcast
+    * hint precisely so Spark shuffle-joins it when #groups is large and
+    * lets AQE promote it to a broadcast only when it measures small
+    * (ADVICE r18 — a forced broadcast here would exceed the driver
+    * budget at high key cardinality, where this tier matters most). MEASURED (r18, sf3 = 18M rows, local[32], warm, full q31
     * shape): 13.4 s bracketed vs 12.4 s unbracketed — local parity, NOT
     * a win, because an in-process shuffle of a 300 MB column costs ~as
     * little as the GK sketch build; the tier exists for the
@@ -244,7 +249,18 @@ object PercentileOps {
               sb ++= " else double('Infinity') end"
               sb.toString
             }
-            vals.join(broadcast(stats), Seq(key))
+            // NULL-SAFE fold-in (ADVICE r18): a SQL window ranks the
+            // null-key group (all nulls are peers) and the unbracketed
+            // path keeps it, so the bracketed path must too — a plain
+            // equi-join would silently drop it and break the documented
+            // bit-identity between the two tiers. No broadcast hint
+            // (ADVICE r18): stats is one row per GROUP, so at high key
+            // cardinality a forced broadcast is corpus-sized and blows
+            // the driver exactly where this tier is meant to shine; AQE
+            // converts the shuffle join to a broadcast at runtime
+            // whenever the aggregate is actually small.
+            vals.join(stats.withColumnRenamed(key, "__bkey"),
+                col(key) <=> col("__bkey"))
               .selectExpr(key, s"$tag as __v")
               .groupBy(col(key), col("__v")).agg(count(lit(1)).as("__cnt"))
           }

@@ -249,7 +249,13 @@ object VectorOps {
     // recomputes below, and unlike persist() the checkpoint blocks are
     // released by the ContextCleaner when the returned plan is dropped —
     // no reliance on a harness-side clearCache() between queries
-    // (ADVICE r17; the pageRank / ClusterOps idiom)
+    // (ADVICE r17; the pageRank / ClusterOps idiom). The trade (ADVICE
+    // r18): localCheckpoint TRUNCATES lineage, so checkpoint blocks lost
+    // with an executor are NOT recomputable — the query fails and
+    // reliability is delegated to job-level retry. Acceptable here
+    // because the tables are tiny (replicated block loss is rare and a
+    // retry recomputes seconds of work); a multi-hour pipeline stage
+    // should prefer reliable checkpoint() to survive executor loss.
     def sideAvg(idCol: String, otherId: String) = pairStream()
       .groupBy(idCol)
       .agg(udaf(topk).apply(col("cosine"), col(otherId)).as("top"))
@@ -332,7 +338,12 @@ object VectorOps {
       if (bands > 0) (bands, rowsPerBand) else adaptiveBanding(emb.count())
     val spark = emb.sparkSession
     // one signature pass for BOTH sides, checkpointed: the band-key
-    // projection feeds the two sides of the candidate join
+    // projection feeds the two sides of the candidate join. Both
+    // localCheckpoints here carry the marginScore durability trade
+    // (ADVICE r18, documented there): lineage is truncated, so an
+    // executor loss fails the query for job-level retry instead of
+    // recomputing — chosen because both tables are candidate-sized
+    // (linear), never pair-sized.
     val keys = bandKeyed(emb, b, r, dim).localCheckpoint()
     val cand = keys.filter(col("id") % 2 === 0).as("a")
       .join(keys.filter(col("id") % 2 === 1).as("b"), expr("a.band_key = b.band_key"))

@@ -91,9 +91,15 @@ class KernelSpec extends SparkSpecBase {
     // null propagates; full-range: fixture-independent sign coverage via
     // probe strings whose top md5 nibble is ≥ 8 (negative) and < 8
     val r = spark.sql(
-      "SELECT md5_h64(cast(null as string)) AS n, md5_h64('') AS e").collect()(0)
+      "SELECT md5_h64(cast(null as string)) AS n, md5_h64('') AS e, " +
+        "md5_h64('a') AS a").collect()(0)
     assert(r.isNullAt(0))
+    // '' → md5 d41d… (top nibble d ≥ 8: negative); 'a' → md5 0cc1…
+    // (top nibble 0 < 8: positive) — BOTH signs pinned by literal probes
+    // independent of fixture content (ADVICE r18)
     assert(r.getLong(1) === java.lang.Long.parseUnsignedLong("d41d8cd98f00b204", 16))
+    assert(r.getLong(2) === java.lang.Long.parseUnsignedLong("0cc175b9c0f1b6a8", 16))
+    assert(r.getLong(2) > 0L && r.getLong(1) < 0L)
   }
 
   test("simhash60 of an empty token list is 0; null is null") {

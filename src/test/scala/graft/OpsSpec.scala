@@ -738,13 +738,17 @@ class OpsSpec extends SparkSpecBase {
       .orderBy("l_returnflag").collect()
     assert(plain.toSeq === br.toSeq) // exact doubles — selection is sketch-independent
     // stress frame: heavy ties AT the bracket region, a small group that
-    // takes the fallback (n < 4·accuracy), negatives, an all-null group
+    // takes the fallback (n < 4·accuracy), negatives, an all-null group,
+    // and a NULL-KEY group large enough to run the bracket machinery —
+    // the bracketed path's stats fold-in join must be null-safe or this
+    // whole group silently vanishes (ADVICE r18)
     val rows = (for {
-      g <- Seq("big", "tied")
+      g <- Seq("big", "tied", null: String)
       i <- 1 to 900
     } yield {
       val v: java.lang.Double =
         if (g == "tied") (if (i < 500) 7.0 else (i % 31).toDouble)
+        else if (g == null) (i * 37 % 541).toDouble
         else (i * 131 % 977) - 400.0
       (g, v)
     }) ++ Seq(("small", java.lang.Double.valueOf(3.0)),
@@ -757,6 +761,8 @@ class OpsSpec extends SparkSpecBase {
     val b2 = sortedPercentiles(df, "k", sspecs, bracketAccuracy = 100)
       .orderBy("k").collect()
     assert(p2.toSeq === b2.toSeq)
+    assert(b2.count(_.isNullAt(0)) === 1) // the null-key group survives
+    assert(b2.length === 5)               // big, tied, small, nul, NULL
   }
 
   test("span dedup finds planted cross-document paragraphs with exact boundaries") {
