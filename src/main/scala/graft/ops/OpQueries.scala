@@ -186,6 +186,70 @@ object OpQueries {
 
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "documents")
 
+  /** DuckDB mirror of [[PipelineOps.importanceWeights]] (B = 256, target
+    * = lang 'en'): unigram+bigram md5 buckets in position order, Laplace
+    * bucket ratios, the overflow-free (m, e) product fold with exact
+    * 2±⁶⁴ shifts, canonical band, (e, m) max, 2³⁰ grid, boost and copy
+    * arithmetic — each double op mirrors the Spark expression tree
+    * step for step. Ends with CTE `nc(doc_id, n_feats, m, e, w_rel,
+    * boost, n_copies)`; consumers append their final SELECT. */
+  private val dkImportanceCte: String = {
+    val b = 256
+    s"""WITH w0 AS (SELECT doc_id, (lang = 'en') AS tgt, $dkWords AS w FROM documents),
+       |f AS (SELECT doc_id, tgt,
+       |        list_concat(
+       |          list_transform(w, x -> ${dkH60("x")} % $b),
+       |          list_filter(list_transform(range(1, len(w) + 1), i ->
+       |            CASE WHEN i + 1 <= len(w)
+       |                 THEN ${dkH60("w[i] || ' ' || w[i+1]")} % $b END),
+       |            x -> x IS NOT NULL)) AS fb
+       |      FROM w0),
+       |mg AS (SELECT bu, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt,
+       |         COUNT(*) AS c_raw
+       |       FROM (SELECT tgt, unnest(fb) AS bu FROM f) GROUP BY bu),
+       |tt AS (SELECT SUM(c_tgt) AS t_tot, SUM(c_raw) AS r_tot FROM mg),
+       |rb AS (SELECT r.bu,
+       |         (CAST(COALESCE(mg.c_tgt, 0) + 1 AS DOUBLE) / CAST(t_tot + $b AS DOUBLE))
+       |         / (CAST(COALESCE(mg.c_raw, 0) + 1 AS DOUBLE) / CAST(r_tot + $b AS DOUBLE)) AS ratio
+       |       FROM range(0, $b) r(bu) LEFT JOIN mg ON mg.bu = r.bu, tt),
+       |ra AS (SELECT list(ratio ORDER BY bu) AS arr FROM rb),
+       |wt0 AS (SELECT doc_id, CAST(len(fb) AS BIGINT) AS n_feats,
+       |          list_reduce(list_prepend({'m': CAST(1.0 AS DOUBLE), 'e': CAST(0 AS BIGINT)},
+       |            list_transform(fb, x -> {'m': arr[CAST(x AS INT) + 1], 'e': CAST(0 AS BIGINT)})),
+       |            (a, x) -> CASE
+       |              WHEN a.m * x.m >= 1.8446744073709552E19
+       |                THEN {'m': (a.m * x.m) * 5.421010862427522E-20, 'e': a.e + CAST(1 AS BIGINT)}
+       |              WHEN a.m * x.m < 5.421010862427522E-20
+       |                THEN {'m': (a.m * x.m) * 1.8446744073709552E19, 'e': a.e - CAST(1 AS BIGINT)}
+       |              ELSE {'m': a.m * x.m, 'e': a.e} END) AS me
+       |        FROM f, ra),
+       |wt AS (SELECT doc_id, n_feats,
+       |         CASE WHEN me.m < 1.0
+       |              THEN {'m': me.m * 1.8446744073709552E19, 'e': me.e - CAST(1 AS BIGINT)}
+       |              ELSE me END AS c
+       |       FROM wt0),
+       |mx AS (SELECT MAX({'e': c.e, 'm': c.m}) AS mm FROM wt),
+       |wr AS (SELECT doc_id, n_feats, c.m AS m, c.e AS e,
+       |         CASE WHEN c.e - mm.e = 0 THEN c.m / mm.m
+       |              WHEN c.e - mm.e = -1 THEN (c.m / mm.m) * 5.421010862427522E-20
+       |              ELSE 0.0 END AS w_rel
+       |       FROM wt, mx),
+       |wi AS (SELECT doc_id, n_feats, m, e, w_rel,
+       |         CAST(floor(w_rel * 1073741824.0) AS BIGINT) AS w_int FROM wr),
+       |sw AS (SELECT SUM(w_int) AS s_w, COUNT(*) AS n_docs FROM wi),
+       |bo AS (SELECT doc_id, n_feats, m, e, w_rel,
+       |         CAST(w_int AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(s_w AS DOUBLE) AS boost
+       |       FROM wi, sw),
+       |nc AS (SELECT doc_id, n_feats, m, e, w_rel, boost,
+       |         CAST(floor(boost) AS BIGINT)
+       |           + CAST((${dkH60("CAST(doc_id AS VARCHAR)")} % 1048576)
+       |                    / 1048576.0 < boost - floor(boost) AS BIGINT) AS n_copies
+       |       FROM bo)""".stripMargin
+  }
+
+  private val dkImportanceWeightsTail: String =
+    "SELECT doc_id, n_feats, m, e, w_rel, boost, n_copies FROM nc ORDER BY doc_id"
+
   /** Deterministic planted PII (the fixture text has none) — the SAME
     * per-doc_id construction in Spark and DuckDB syntax. */
   private val plantPiiSpark: String =
@@ -1510,6 +1574,55 @@ object OpQueries {
               |  CASE ${PipelineOps.splitAssignOracleCase(
                    Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))} END AS split
               |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // DSIR importance-resampling weights (Xie et al. 2023): hashed
+    // n-gram bucket ratios target-vs-raw, per-doc product carried as an
+    // overflow-free (mantissa, exponent) pair via exact power-of-two
+    // shifts, normalized on a 2³⁰ integer grid (order-independent exact
+    // sum) and materialized into deterministic copy counts. The oracle
+    // re-derives features, marginals, ratios, the normalized-product
+    // fold, the (e, m) max, the grid AND the copy arithmetic — the whole
+    // mixing decision hash-gates end to end.
+    QueryDef("op_importance_weights",
+      (s, d) => PipelineOps.importanceWeights(docs(s, d)),
+      Some(s"$dkImportanceCte\n$dkImportanceWeightsTail")),
+
+    // The weights APPLIED: the importance-resampled epoch as exploded
+    // (doc_id, copy) rows — the stream a data loader consumes. Same CTE
+    // chain, explode gated on top.
+    QueryDef("op_importance_resample",
+      (s, d) => PipelineOps.importanceResample(docs(s, d)),
+      Some(s"""$dkImportanceCte
+              |SELECT doc_id, copy FROM (
+              |  SELECT doc_id,
+              |         unnest(generate_series(1, CAST(n_copies AS BIGINT))) AS copy
+              |  FROM nc WHERE n_copies > 0)
+              |ORDER BY doc_id, copy""".stripMargin)),
+
+    // Per-source document cap (the CCNet/RefinedWeb domain control):
+    // md5-rank survivors within each source, ranks via the range-
+    // partitioned prefix pass (no PARTITION BY hot reducer). The oracle
+    // states the same rank declaratively; survivor SET and ranks
+    // hash-gate.
+    QueryDef("op_source_cap",
+      (s, d) => PipelineOps.sourceCap(docs(s, d), cap = 18),
+      Some("""WITH r AS (SELECT source, doc_id,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents)
+             |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+             |FROM r WHERE rk <= 18 ORDER BY source, rk""".stripMargin)),
+
+    // The cap's dropped-mass report: per source, kept vs dropped counts
+    // and the drop fraction — ONE source-keyed count, no re-rank.
+    QueryDef("op_source_cap_report",
+      (s, d) => PipelineOps.sourceCapReport(docs(s, d), cap = 18),
+      Some("""SELECT source, COUNT(*) AS n_docs,
+             |  LEAST(COUNT(*), CAST(18 AS BIGINT)) AS n_kept,
+             |  COUNT(*) - LEAST(COUNT(*), CAST(18 AS BIGINT)) AS n_dropped,
+             |  CAST(COUNT(*) - LEAST(COUNT(*), CAST(18 AS BIGINT)) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) AS drop_frac
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
     // Split-leakage audit: identical content (order-sensitive rolling
     // fingerprint) crossing the train/val/test boundary — decontamination

@@ -265,6 +265,193 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  // ---- data mixing: DSIR importance resampling + per-source caps ----
+
+  /** 2⁶⁴ and 2⁻⁶⁴ as shortest-round-trip literals — multiplying a double
+    * by either is EXACT (pure exponent shift, no mantissa rounding), which
+    * is what keeps the normalized-product fold below bit-deterministic. */
+  private val P64 = "1.8446744073709552E19"
+  private val M64 = "5.421010862427522E-20"
+
+  /** The overflow-free running product of `rsExpr` (an ARRAY<DOUBLE> of
+    * per-feature likelihood ratios, folded in array order): the weight is
+    * carried as m·(2⁶⁴)ᵉ with m renormalized by an exact power-of-two
+    * shift whenever a multiply leaves [2⁻⁶⁴, 2⁶⁴). Every step is one
+    * correctly-rounded multiply plus exact shifts/compares, so the fold
+    * is bit-deterministic cross-engine at ANY product magnitude — the
+    * log-free answer to DSIR's Σ log-ratio (log is not IEEE-pinned;
+    * a raw product overflows past ~300 features). Valid while each ratio
+    * sits in (2⁻⁶⁰, 2⁶⁰) — guaranteed by Laplace smoothing for corpora
+    * under 2⁶⁰ feature occurrences — so one shift per step suffices. */
+  private def weightFoldExpr(rsExpr: String): String =
+    s"""aggregate($rsExpr,
+       |  named_struct('m', cast(1.0 as double), 'e', cast(0 as bigint)),
+       |  (acc, r) -> case
+       |    when acc.m * r >= $P64
+       |      then named_struct('m', (acc.m * r) * $M64, 'e', acc.e + 1L)
+       |    when acc.m * r < $M64
+       |      then named_struct('m', (acc.m * r) * $P64, 'e', acc.e - 1L)
+       |    else named_struct('m', acc.m * r, 'e', acc.e) end)""".stripMargin
+
+  /** Hashed n-gram feature buckets of a tokenized column `w`, in POSITION
+    * order (unigrams then bigrams): the DSIR feature map. Position order
+    * is a pure function of the text, so both engines fold the same
+    * sequence with no sort anywhere. */
+  private def featureBucketsExpr(w: String, buckets: Int): String =
+    s"""concat(
+       |  transform($w, x -> ${TextOps.h60("x")} % $buckets),
+       |  filter(transform(sequence(1, size($w)), i ->
+       |    case when i + 1 <= size($w)
+       |         then ${TextOps.h60(s"concat(element_at($w, i), ' ', element_at($w, i+1))")} % $buckets
+       |    end), x -> x is not null))""".stripMargin
+
+  /** DSIR-style importance-resampling weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document by how target-like its hashed-n-gram profile
+    * is, then turn the score into a deterministic per-doc copy count so
+    * the mixture is APPLIED, not just computed.
+    *
+    *   1. features: word unigrams + bigrams hashed into `buckets` buckets
+    *      (the op_feature_hash machinery) — map-only;
+    *   2. bucket marginals: target-slice (`targetPred`) vs raw-corpus
+    *      occurrence counts, Laplace-smoothed into per-bucket likelihood
+    *      ratios ratio_b = p̂_target(b) / p̂_raw(b) — ONE vocab-bounded
+    *      keyed agg (≤ `buckets` keys after map-side combine), collapsed
+    *      to a broadcast array;
+    *   3. per-doc weight: the position-order product of its feature
+    *      ratios, carried overflow-free as (mantissa, exponent) by
+    *      [[weightFoldExpr]] and canonicalized to m ∈ [1, 2⁶⁴) so the
+    *      (e, m) pair orders by magnitude — map-only over the scan;
+    *   4. application: weights are normalized RELATIVE (w_rel = w/w_max;
+    *      max of (e, m) is order-independent, unlike a double sum), snapped
+    *      to a 2³⁰ integer grid whose corpus sum IS order-independent,
+    *      and scaled so Σ boost ≈ n_docs; n_copies materializes boost by
+    *      the doc's own hash fraction ([[epochMaterialize]]'s arithmetic
+    *      — zero randomness, E[copies] = boost exactly).
+    *
+    * Scale shape: two text scans (marginals; weights — the slim per-doc
+    * weight table is localCheckpointed so the three scalar-normalization
+    * consumers never re-read text; self-releasing, the marginScore idiom,
+    * same lost-executor/job-retry trade documented there), two scalar
+    * aggregates over exact-integer/max values, everything else broadcast
+    * or map-only. No pair surface, no corpus-keyed shuffle anywhere.
+    * Determinism: md5 bucket hashing, integer marginals, single-division
+    * ratios, the exact-shift product fold, and grid/boost arithmetic
+    * whose every double op is one correctly-rounded step — the full
+    * output hash-gates cross-engine.
+    */
+  def importanceWeights(docs: DataFrame, targetPred: String = "lang = 'en'",
+                        buckets: Int = 256): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"need 0 < buckets <= 2^20, got $buckets")
+    val toks = docs.selectExpr("doc_id", s"($targetPred) as __tgt",
+      s"${featureBucketsExpr(TextOps.wordsExpr("text"), buckets)} as __f")
+    // bucket marginals → one broadcast row holding the full ratio array
+    // (buckets ≤ 2²⁰ doubles = 8 MB; the gate runs 256). Missing buckets
+    // take the smoothed zero-count ratio via the map lookup default.
+    val ratioRow = toks
+      .selectExpr("__tgt", "explode(__f) as bucket")
+      .groupBy(col("bucket"))
+      .agg(sum(expr("case when __tgt then 1L else 0L end")).as("c_tgt"),
+        count(lit(1)).as("c_raw"))
+      .agg(sum("c_tgt").as("t_tot"), sum("c_raw").as("r_tot"),
+        expr("map_from_entries(collect_list(struct(bucket, struct(c_tgt, c_raw)))) as mc"))
+      .selectExpr(
+        s"""transform(sequence(0L, ${buckets - 1}L), b ->
+           |  (cast(coalesce(mc[b].c_tgt, 0L) + 1 as double)
+           |     / cast(t_tot + $buckets as double))
+           |  / (cast(coalesce(mc[b].c_raw, 0L) + 1 as double)
+           |       / cast(r_tot + $buckets as double))) as ratio_arr""".stripMargin)
+    val fold = weightFoldExpr(
+      "transform(__f, b -> element_at(ratio_arr, cast(b as int) + 1))")
+    // slim per-doc weight table: canonical m ∈ [1, 2⁶⁴) so lexicographic
+    // (e, m) compares like the weight itself
+    val weights = toks.crossJoin(broadcast(ratioRow))
+      .selectExpr("doc_id", "cast(size(__f) as bigint) as n_feats",
+        s"$fold as __me")
+      .selectExpr("doc_id", "n_feats",
+        s"""case when __me.m < 1.0
+           |     then named_struct('m', __me.m * $P64, 'e', __me.e - 1L)
+           |     else __me end as __c""".stripMargin)
+      .selectExpr("doc_id", "n_feats", "__c.m as m", "__c.e as e")
+      .localCheckpoint()
+    val mx = weights.agg(max(expr("struct(e, m)")).as("mx"))
+      .selectExpr("mx.e as e_max", "mx.m as m_max")
+    // w_rel = w/w_max ∈ [0,1]: Δe < −1 is already below the 2⁻³⁰ grid
+    // (w_rel < 2⁻⁶⁴), so the CASE floors it to exactly 0
+    val grid = weights.crossJoin(broadcast(mx))
+      .selectExpr("doc_id", "n_feats", "m", "e",
+        s"""case when e - e_max = 0L then m / m_max
+           |     when e - e_max = -1L then (m / m_max) * $M64
+           |     else 0.0 end as w_rel""".stripMargin)
+      .selectExpr("doc_id", "n_feats", "m", "e", "w_rel",
+        "cast(floor(w_rel * 1073741824.0) as bigint) as w_int")
+    val tot = grid.agg(sum("w_int").as("s_w"), count(lit(1)).as("n_docs"))
+    grid.crossJoin(broadcast(tot))
+      .selectExpr("doc_id", "n_feats", "m", "e", "w_rel",
+        "cast(w_int as double) * cast(n_docs as double) / cast(s_w as double) as boost")
+      .selectExpr("doc_id", "n_feats", "m", "e", "w_rel", "boost",
+        s"""cast(floor(boost) as bigint)
+           |  + cast((${TextOps.h60("cast(doc_id as string)")} % 1048576)
+           |           / 1048576.0 < boost - floor(boost) as bigint)
+           |  as n_copies""".stripMargin)
+      .orderBy("doc_id")
+  }
+
+  /** [[importanceWeights]] APPLIED: the materialized importance-resampled
+    * epoch — every doc emitted `n_copies` times as (doc_id, copy) rows,
+    * the exact stream a training-data loader consumes. Map-only explode
+    * on top of the weights; Σ copies ≈ n_docs by construction. */
+  def importanceResample(docs: DataFrame, targetPred: String = "lang = 'en'",
+                         buckets: Int = 256): DataFrame =
+    importanceWeights(docs, targetPred, buckets)
+      .filter(col("n_copies") > 0)
+      .selectExpr("doc_id",
+        "explode(sequence(cast(1 as bigint), n_copies)) as copy")
+      .orderBy("doc_id", "copy")
+
+  /** Per-source document cap — the CCNet/RefinedWeb over-represented-
+    * domain control: every source keeps at most `cap` documents, survivors
+    * chosen by md5 rank within the source (the [[splitAssign]] recipe —
+    * deterministic across runs, partitionings, engines and corpus
+    * GROWTH for the already-kept docs is NOT promised: adding docs can
+    * reshuffle ranks; the cap is a per-snapshot selection).
+    *
+    * Scale shape: ranks come from [[PercentileOps.rangePrefixN]] — a
+    * RANGE partition on (source, md5, key), so a dominant source spreads
+    * over many partitions instead of melting one reducer the way a
+    * PARTITION BY window would; the keep filter is map-only on the
+    * ranked stream. Output is the survivor list (source, doc_id, rk ≤
+    * cap); pair nothing, collect nothing.
+    */
+  def sourceCap(docs: DataFrame, cap: Long, sourceCol: String = "source",
+                keyCol: String = "doc_id"): DataFrame = {
+    require(cap > 0, s"need cap > 0, got $cap")
+    val blocks = docs
+      .selectExpr(sourceCol, s"md5(cast($keyCol as string)) as __h", keyCol)
+      .withColumn("one", lit(1L))
+    PercentileOps.rangePrefixN(blocks, sourceCol, Seq("__h", keyCol), Seq("one"))
+      .filter(col("__cum_one") <= cap)
+      .selectExpr(sourceCol, keyCol, "__cum_one as rk")
+      .orderBy(sourceCol, "rk")
+  }
+
+  /** The dropped-mass report for [[sourceCap]]: per source, how many docs
+    * the cap keeps and drops. n_kept = min(n_docs, cap) is exact because
+    * the rank filter keeps precisely the cap-smallest md5 ranks — no need
+    * to re-rank for the report, ONE source-keyed count suffices. */
+  def sourceCapReport(docs: DataFrame, cap: Long,
+                      sourceCol: String = "source"): DataFrame = {
+    require(cap > 0, s"need cap > 0, got $cap")
+    docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .selectExpr(sourceCol, "n_docs",
+        s"least(n_docs, ${cap}L) as n_kept",
+        s"n_docs - least(n_docs, ${cap}L) as n_dropped",
+        s"cast(n_docs - least(n_docs, ${cap}L) as double) / cast(n_docs as double) as drop_frac")
+      .orderBy(sourceCol)
+  }
+
   def langSampleWeights(docs: DataFrame): DataFrame = {
     val per = docs
       .selectExpr("lang",

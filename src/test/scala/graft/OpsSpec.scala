@@ -2930,4 +2930,90 @@ class OpsSpec extends SparkSpecBase {
         |       approx_percentile(v, 0.75, 100) AS y
         |FROM pct_t2 GROUP BY g""".stripMargin) == 1)
   }
+
+  test("importance weights: target-like docs up-weight, off-distribution down-weight") {
+    import graft.ops.PipelineOps
+    // target (en) vocabulary vs off-distribution vocabulary: disjoint
+    // word sets so bucket marginals separate cleanly
+    val tgtText = "alpha beta gamma delta epsilon zeta"
+    val offText = "omega psi chi phi upsilon tau"
+    val base = (1L to 20L).map(i =>
+      (i, if (i <= 10) tgtText else offText, if (i <= 10) "en" else "xx"))
+    // probes carry lang 'xx' so neither changes the TARGET marginals;
+    // both change raw marginals equally (same length)
+    val probes = Seq(
+      (100L, tgtText, "xx"), // target-like probe
+      (101L, offText, "xx")) // off-distribution probe
+    val df = (base ++ probes).toDF("doc_id", "text", "lang")
+    val w = PipelineOps.importanceWeights(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def rel(id: Long) = w(id).getAs[Double]("w_rel")
+    def copies(id: Long) = w(id).getAs[Long]("n_copies")
+    assert(rel(100L) > rel(101L),
+      s"target-like probe must out-weight off-distribution: ${rel(100L)} vs ${rel(101L)}")
+    assert(rel(1L) === 1.0, "an en doc IS the most target-like (w_rel = w/w_max)")
+    assert(copies(1L) >= copies(101L),
+      "resampling must not favor the off-distribution doc")
+    // APPLIED: the resampled epoch repeats up-weighted docs and thins
+    // down-weighted ones; total mass ≈ n_docs by the grid normalization
+    val epoch = PipelineOps.importanceResample(df).collect()
+    val perDoc = epoch.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perDoc.getOrElse(100L, 0) >= perDoc.getOrElse(101L, 0))
+    assert(math.abs(epoch.length - 22) <= 22 / 2,
+      s"epoch mass should track corpus size, got ${epoch.length} for 22 docs")
+    // repartition invariance: the weights are a pure function of content
+    val a = PipelineOps.importanceWeights(df.repartition(7)).collect().toSeq
+    val b = PipelineOps.importanceWeights(df.coalesce(1)).collect().toSeq
+    assert(a === b)
+  }
+
+  test("importance weights: long docs exercise the exponent-carry fold without overflow") {
+    import graft.ops.PipelineOps
+    // one extreme doc: 1500 repetitions of one word flood the RAW
+    // marginals for its buckets (its 1499 'alpha alpha' bigrams exist
+    // nowhere in the target slice), so ~3000 sub-1 ratio multiplies
+    // drive the raw product far BELOW double range (~1e-500). A plain
+    // double product would underflow to 0; the (m, e) carry must absorb
+    // it exactly (e strongly negative, m in the canonical band).
+    val longTgt = Array.fill(1500)("alpha").mkString(" ")
+    val df = ((1L to 8L).map(i => (i, "alpha beta gamma", "en")) ++
+      (9L to 16L).map(i => (i, "omega psi chi", "xx")) :+
+      ((17L, longTgt, "xx"))).toDF("doc_id", "text", "lang")
+    val w = PipelineOps.importanceWeights(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val m17 = w(17L).getAs[Double]("m")
+    val e17 = w(17L).getAs[Long]("e")
+    assert(e17 < -15L, // 2^(64·-15) ≈ 1e-289: already past double underflow
+      s"3000 sub-1 ratio multiplies must carry the exponent down, got e=$e17")
+    assert(m17 >= 1.0 && m17 < 1.8446744073709552e19, "canonical mantissa band")
+    assert(w(17L).getAs[Double]("w_rel") === 0.0 && w(17L).getAs[Long]("n_copies") === 0L,
+      "the off-distribution extreme doc drops out of the resampled epoch")
+    // a short target doc is the max; every mantissa stays canonical/finite
+    assert(w(1L).getAs[Double]("w_rel") === 1.0)
+    w.values.foreach { r =>
+      val m = r.getAs[Double]("m")
+      assert(m >= 1.0 && m < 1.8446744073709552e19 && !m.isNaN && !m.isInfinite)
+    }
+  }
+
+  test("source cap keeps exactly the cap-smallest md5 ranks per source, any partitioning") {
+    import graft.ops.PipelineOps
+    val df = ((1L to 10L).map(i => (i, "a")) ++ Seq(20L, 21L, 22L).map(i => (i, "b")))
+      .toDF("doc_id", "source").selectExpr("source", "doc_id")
+    val kept = PipelineOps.sourceCap(df, cap = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // md5-rank order precomputed: a → 6,9,7,4,1,...; b → 21,20,22
+    assert(kept.filter(_._1 == "a").sortBy(_._3).map(_._2).toSeq ===
+      Seq(6L, 9L, 7L, 4L, 1L))
+    assert(kept.filter(_._1 == "b").sortBy(_._3).map(_._2).toSeq ===
+      Seq(21L, 20L, 22L)) // below cap: the whole source survives
+    // repartition invariance (the determinism contract)
+    val k2 = PipelineOps.sourceCap(df.repartition(6), cap = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(kept.sortBy(t => (t._1, t._3)).toSeq === k2.sortBy(t => (t._1, t._3)).toSeq)
+    // the report agrees with the survivor list
+    val rep = PipelineOps.sourceCapReport(df, cap = 5).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rep("a") === ((10L, 5L, 5L)) && rep("b") === ((3L, 3L, 0L)))
+  }
 }
