@@ -79,7 +79,12 @@ object ClusterOps {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
     // quantized integer vector + its exact double image (reused everywhere);
     // persisted: every assign pass (iters + 1 of them) rescans it, and the
-    // composite indexes (PQ / IVF-PQ) run several fits over slices of it
+    // composite indexes (PQ / IVF-PQ) run several fits over slices of it.
+    // LIFETIME: the returned (cells, assign) plan reads this cache
+    // LAZILY, so the op cannot release it before returning — entries
+    // live until the session clears them (the Bench/Verify clearCache
+    // contract); a library caller should clearCache() after consuming
+    // the result (VERDICT r18 #3 adjudication)
     val q = quantized(emb)
       .selectExpr("vec_id", "xq", "xd", "xx", "sqrt(xx) as sx")
       .persist()
@@ -141,7 +146,9 @@ object ClusterOps {
       // the cut the plan doubles per round and every downstream consumer
       // re-executes the whole Lloyd history; with it each round runs once
       // and the model stays k rows of cached state, as a driver-side
-      // centroid loop would keep, just executor-resident
+      // centroid loop would keep, just executor-resident. LIFETIME: k
+      // rows per round, k·iters total — bounded model state, cleared
+      // with the session (the q adjudication above)
       cells = cells.as("old").join(means.as("new"), Seq("cid"), "left")
         .selectExpr("cid", "coalesce(new.m, old.m) as m")
         .persist()
@@ -178,6 +185,8 @@ object ClusterOps {
   private[ops] def kmeansFitKeyed(sub: DataFrame, k: Int,
                                   iters: Int): (DataFrame, DataFrame) = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    // LIFETIME: same adjudication as kmeansFit's q — read lazily by the
+    // returned plan, session-cleared
     val q = quantizedKeyed(sub).persist()
 
     // per-subspace seed: the k lowest vec_ids of that subspace. The
@@ -214,7 +223,8 @@ object ClusterOps {
         .groupBy("ss", "cid")
         .agg(expr("transform(array_sort(collect_list(struct(pos, s, n))), " +
           "t -> cast(t.s as double) / t.n)").as("m"))
-      // same per-round lineage cut as kmeansFit — k·m rows of cached state
+      // same per-round lineage cut as kmeansFit — k·m rows of cached
+      // state, same bounded-model-state lifetime adjudication
       cells = cells.as("old").join(means.as("new"), Seq("ss", "cid"), "left")
         .selectExpr("ss", "cid", "coalesce(new.m, old.m) as m")
         .persist()

@@ -450,6 +450,10 @@ object SketchOps {
       .withColumn("rn", row_number().over(Window.partitionBy("grp").orderBy("h")))
       .filter(col("rn") <= k)
       .select("grp", "h")
+      // LIFETIME: released by [[kmvSetOps]] (unpersist after the eager
+      // localCheckpoint of the tiny set-ops output); persist() kept here
+      // so PlanSpec can pin the un-checkpointed plan — not a
+      // harness-clearCache dependence
       .persist()
     val groups = sk.select(col("grp")).distinct()
     val sideA = sk.selectExpr("grp as g1", "h")

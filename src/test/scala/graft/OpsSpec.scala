@@ -2931,6 +2931,27 @@ class OpsSpec extends SparkSpecBase {
         |FROM pct_t2 GROUP BY g""".stripMargin) == 1)
   }
 
+  test("checkpoint-idiom ops leave no cache behind across back-to-back calls") {
+    // VERDICT r18 #3: a library caller running ops back-to-back WITHOUT
+    // the harness's clearCache() must not accumulate storage. The
+    // converted ops (localCheckpoint idiom) self-release through the
+    // ContextCleaner once their plans are unreachable — assert every
+    // block THESE calls pinned is eventually gone (growth check, not
+    // absolute: other suites' adjudicated persist sites may own entries).
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val docs = Tables.load(spark, sfDir, "documents")
+    VectorOps.cosineTopKIvf(emb).collect()
+    VectorOps.cosineNearDupLsh(emb).collect()
+    TextOps.distDrift(docs, "lang").collect()
+    graft.ops.PipelineOps.importanceWeights(docs.withColumn("lang", lit("en"))).collect()
+    def leaked = sc.getPersistentRDDs.keySet -- before
+    var tries = 0
+    while (leaked.nonEmpty && tries < 60) { System.gc(); Thread.sleep(500); tries += 1 }
+    assert(leaked.isEmpty, s"blocks pinned past the ops' lifetime: $leaked")
+  }
+
   test("importance weights: target-like docs up-weight, off-distribution down-weight") {
     import graft.ops.PipelineOps
     // target (en) vocabulary vs off-distribution vocabulary: disjoint

@@ -86,6 +86,9 @@ class PlanSpec extends SparkSpecBase {
       "op_ab_ztest", // 1-row-per-variant cross of two scalar rollups
       "op_epoch_sample",
       "op_dedup_semantic", "op_dedup_semantic_auto",
+      // 1-row broadcasts of the ratio array / (e,m) max / grid totals —
+      // the op_profile pattern, three scalar fold-ins
+      "op_importance_weights", "op_importance_resample",
       // skyline's phase 2 IS a broadcast dominance check over the tiny
       // pruned candidate set — the dedicated PlanSpec case below pins
       // that it stays the BROADCAST form
