@@ -349,6 +349,19 @@ object VectorOps {
       .join(keys.filter(col("id") % 2 === 1).as("b"), expr("a.band_key = b.band_key"))
       .selectExpr("a.id as a_id", "b.id as b_id")
       .distinct()
+    scoreAnnCandidates(cand, emb, k, threshold)
+  }
+
+  /** The scoring tail shared by [[marginAlignAnn]] (batch-mined
+    * candidates) and the streaming miner
+    * ([[graft.streaming.StreamingOps.marginAlignCandidatesStream]], whose
+    * mined pair table is scored READ-SIDE through exactly this path):
+    * exact cosines on the candidate (a_id, b_id) set joined against the
+    * corpus halves, then [[marginScore]]. Identical candidates in →
+    * identical alignment out, whichever engine mined them. */
+  private[graft] def scoreAnnCandidates(cand: DataFrame, emb: DataFrame,
+                                        k: Int, threshold: Double): DataFrame = {
+    val spark = emb.sparkSession
     val aSide = withNorm(emb.filter(col("vec_id") % 2 === 0), "a_id", "av")
     val bSide = withNorm(emb.filter(col("vec_id") % 2 === 1), "b_id", "bv")
     // exact cosines on candidates only — linear-sized, so ONE

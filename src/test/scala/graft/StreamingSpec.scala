@@ -873,4 +873,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(statuses === Set("added", "removed", "changed", "unchanged"),
       s"fixture must exercise all four statuses, got $statuses")
   }
+
+  test("streaming ANN margin-alignment mining + read-side scoring equals batch marginAlignAnn") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // gate geometry: the same N-adaptive banding the batch tier derives
+    val (bands, rpb) = graft.ops.VectorOps.adaptiveBanding(emb.count())
+    val rows = emb.selectExpr("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    assert(rows.nonEmpty)
+    // split mid-corpus so cross-batch pairs exercise the bucket state
+    val (first, second) = rows.toSeq.sortBy(_._1).splitAt(rows.length / 2)
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.marginAlignCandidatesStream(
+        stream.toDF().toDF("vec_id", "embedding"), bands, rpb)
+      .writeStream.format("memory").queryName("ann_mine")
+      .outputMode("append").start()
+    try {
+      stream.addData(first); q.processAllAvailable()
+      stream.addData(second); q.processAllAvailable()
+      stream.addData(second.take(1)) // re-delivery must not duplicate pairs
+      q.processAllAvailable()
+    } finally q.stop()
+    val mined = spark.table("ann_mine")
+    val minedPairs = mined.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(minedPairs.nonEmpty, "fixture must yield band collisions")
+    assert(minedPairs.size === minedPairs.toSet.size, "a candidate was emitted twice")
+    minedPairs.foreach { case (a, b) =>
+      assert(a % 2 == 0 && b % 2 == 1, s"sides must be even×odd, got ($a, $b)")
+    }
+    // the full composition: the shared read-side scorer over the mined
+    // table equals the batch tier row-for-row
+    val streamed = graft.ops.VectorOps
+      .scoreAnnCandidates(mined.select("a_id", "b_id"), emb, 4, 1.0)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.VectorOps.marginAlignAnn(emb, 4, 1.0, bands, rpb)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty, "fixture must align pairs at the gate threshold")
+    assert(streamed === batch)
+  }
 }
