@@ -296,14 +296,28 @@ object PipelineOps {
   /** Hashed n-gram feature buckets of a tokenized column `w`, in POSITION
     * order (unigrams then bigrams): the DSIR feature map. Position order
     * is a pure function of the text, so both engines fold the same
-    * sequence with no sort anywhere. */
+    * sequence with no sort anywhere.
+    *
+    * Bigrams pair each token with its successor via `zip_with` against
+    * the 1-shifted array (null-padded, pad filtered out) — NEVER via
+    * `element_at($w, i)` inside a lambda: Catalyst's CollapseProject can
+    * re-inline the upstream tokenization into `$w`, and an array lookup
+    * inside a lambda then re-evaluates the whole split PER ELEMENT —
+    * O(L²) re-tokenization per document (measured: the op's sf0.1 cost
+    * fell 21.8 → ~1 s across this and the column hoist in
+    * [[importanceWeights]]). With zip_with, every `$w` reference sits
+    * OUTSIDE a lambda and evaluates once per row no matter how the
+    * projection collapses. */
   private def featureBucketsExpr(w: String, buckets: Int): String =
     s"""concat(
        |  transform($w, x -> ${TextOps.h60("x")} % $buckets),
-       |  filter(transform(sequence(1, size($w)), i ->
-       |    case when i + 1 <= size($w)
-       |         then ${TextOps.h60(s"concat(element_at($w, i), ' ', element_at($w, i+1))")} % $buckets
-       |    end), x -> x is not null))""".stripMargin
+       |  filter(zip_with($w,
+       |      concat(slice($w, 2, greatest(size($w) - 1, 0)),
+       |             array(cast(null as string))),
+       |      (a, b) -> case when b is not null
+       |                     then ${TextOps.h60("concat(a, ' ', b)")} % $buckets
+       |                end),
+       |    x -> x is not null))""".stripMargin
 
   /** DSIR-style importance-resampling weights (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
@@ -344,8 +358,17 @@ object PipelineOps {
                         buckets: Int = 256): DataFrame = {
     require(buckets > 0 && buckets <= (1 << 20),
       s"need 0 < buckets <= 2^20, got $buckets")
-    val toks = docs.selectExpr("doc_id", s"($targetPred) as __tgt",
-      s"${featureBucketsExpr(TextOps.wordsExpr("text"), buckets)} as __f")
+    // tokenize ONCE into a column before the feature lambdas: an inline
+    // split expression inside transform()/element_at() re-evaluates PER
+    // LAMBDA ELEMENT (Catalyst does not hoist common subexpressions out
+    // of higher-order functions), turning bigram hashing into O(L²)
+    // re-tokenization per document — measured 17.5 s of a 21 s sf0.1
+    // runtime before this hoist, 0.8 s after
+    val toks = docs
+      .selectExpr("doc_id", s"($targetPred) as __tgt",
+        s"${TextOps.wordsExpr("text")} as __w")
+      .selectExpr("doc_id", "__tgt",
+        s"${featureBucketsExpr("__w", buckets)} as __f")
     // bucket marginals → one broadcast row holding the full ratio array
     // (buckets ≤ 2²⁰ doubles = 8 MB; the gate runs 256). Missing buckets
     // take the smoothed zero-count ratio via the map lookup default.
