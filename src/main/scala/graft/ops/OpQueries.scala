@@ -192,10 +192,14 @@ object OpQueries {
     * 2±⁶⁴ shifts, canonical band, (e, m) max, 2³⁰ grid, boost and copy
     * arithmetic — each double op mirrors the Spark expression tree
     * step for step. Ends with CTE `nc(doc_id, n_feats, m, e, w_rel,
-    * boost, n_copies)`; consumers append their final SELECT. */
-  private val dkImportanceCte: String = {
+    * boost, n_copies)`; consumers append their final SELECT.
+    * `rel` is the corpus relation (op_pipeline_mix runs the SAME chain
+    * over a `capped` CTE prepended via `extraCtes`). */
+  private val dkImportanceCte: String = dkImportanceCteOver("documents")
+
+  private def dkImportanceCteOver(rel: String, extraCtes: String = ""): String = {
     val b = 256
-    s"""WITH w0 AS (SELECT doc_id, (lang = 'en') AS tgt, $dkWords AS w FROM documents),
+    s"""WITH ${extraCtes}w0 AS (SELECT doc_id, (lang = 'en') AS tgt, $dkWords AS w FROM $rel),
        |f AS (SELECT doc_id, tgt,
        |        list_concat(
        |          list_transform(w, x -> ${dkH60("x")} % $b),
@@ -1598,6 +1602,25 @@ object OpQueries {
               |         unnest(generate_series(1, CAST(n_copies AS BIGINT))) AS copy
               |  FROM nc WHERE n_copies > 0)
               |ORDER BY doc_id, copy""".stripMargin)),
+
+    // The composed MIXING path: per-source cap, then DSIR importance
+    // resampling whose marginals are computed over the CAPPED corpus
+    // (the CCNet-then-DSIR order — an over-represented source must not
+    // dominate the raw distribution it is resampled against). One
+    // oracle re-derives the cap ranks, the survivor set AND the whole
+    // importance chain over it — the stage boundary is inside the gate.
+    QueryDef("op_pipeline_mix",
+      (s, d) => PipelineOps.pipelineMix(docs(s, d)),
+      Some(dkImportanceCteOver("capped",
+        """capped AS (
+          |  SELECT d.doc_id, d.text, d.lang FROM documents d
+          |  JOIN (SELECT doc_id,
+          |          ROW_NUMBER() OVER (PARTITION BY source
+          |            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          |        FROM documents) r ON r.doc_id = d.doc_id
+          |  WHERE r.rk <= 18),
+          |""".stripMargin) +
+        "\nSELECT doc_id, w_rel, boost, n_copies FROM nc ORDER BY doc_id")),
 
     // Per-source document cap (the CCNet/RefinedWeb domain control):
     // md5-rank survivors within each source, ranks via the range-

@@ -459,6 +459,31 @@ object PipelineOps {
       .orderBy(sourceCol, "rk")
   }
 
+  /** The composed data-MIXING path — per-source cap, then importance
+    * resampling over the capped corpus, gated as ONE operator (the
+    * [[curate]] precedent: each stage is individually gated elsewhere;
+    * this gates their COMPOSITION, where stage-boundary bugs live).
+    * Order matters and is part of the declared semantics: the DSIR
+    * marginals are computed over the CAPPED corpus — an over-represented
+    * source must not dominate the raw-distribution estimate it is being
+    * resampled against (the CCNet-then-DSIR recipe).
+    *
+    * Scale shape: the cap survivor list flows through a LEFT SEMI join
+    * (never a row multiplication), and everything downstream is
+    * [[importanceWeights]]' two-scan shape over the capped corpus.
+    * Output per surviving doc: relative weight, boost, and the applied
+    * copy count.
+    */
+  def pipelineMix(docs: DataFrame, cap: Long = 18,
+                  targetPred: String = "lang = 'en'",
+                  buckets: Int = 256): DataFrame = {
+    val keep = sourceCap(docs, cap).select("doc_id")
+    val capped = docs.join(keep, Seq("doc_id"), "left_semi")
+    importanceWeights(capped, targetPred, buckets)
+      .selectExpr("doc_id", "w_rel", "boost", "n_copies")
+      .orderBy("doc_id")
+  }
+
   /** The dropped-mass report for [[sourceCap]]: per source, how many docs
     * the cap keeps and drops. n_kept = min(n_docs, cap) is exact because
     * the rank filter keeps precisely the cap-smallest md5 ranks — no need

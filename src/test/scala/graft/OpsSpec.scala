@@ -3017,6 +3017,26 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("pipeline mix = importance weights over exactly the capped corpus") {
+    import graft.ops.PipelineOps
+    val docs = Tables.load(spark, sfDir, "documents")
+    val cap = 7L
+    val mix = PipelineOps.pipelineMix(docs, cap).collect()
+    // composition identity: cap first, then weights over the survivors
+    val keep = PipelineOps.sourceCap(docs, cap).select("doc_id")
+    val manual = PipelineOps
+      .importanceWeights(docs.join(keep, Seq("doc_id"), "left_semi"))
+      .selectExpr("doc_id", "w_rel", "boost", "n_copies")
+      .orderBy("doc_id").collect()
+    assert(mix.toSeq === manual.toSeq)
+    // the order is semantic: marginals over the CAPPED corpus differ
+    // from marginals over the full corpus for at least one survivor
+    val uncapped = PipelineOps.importanceWeights(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("boost")).toMap
+    assert(mix.exists(r => uncapped(r.getLong(0)) != r.getAs[Double]("boost")),
+      "capping must change the raw-distribution estimate the weights divide by")
+  }
+
   test("source cap keeps exactly the cap-smallest md5 ranks per source, any partitioning") {
     import graft.ops.PipelineOps
     val df = ((1L to 10L).map(i => (i, "a")) ++ Seq(20L, 21L, 22L).map(i => (i, "b")))

@@ -87,8 +87,9 @@ class PlanSpec extends SparkSpecBase {
       "op_epoch_sample",
       "op_dedup_semantic", "op_dedup_semantic_auto",
       // 1-row broadcasts of the ratio array / (e,m) max / grid totals —
-      // the op_profile pattern, three scalar fold-ins
-      "op_importance_weights", "op_importance_resample",
+      // the op_profile pattern, three scalar fold-ins (the mix
+      // composition inherits them)
+      "op_importance_weights", "op_importance_resample", "op_pipeline_mix",
       // skyline's phase 2 IS a broadcast dominance check over the tiny
       // pruned candidate set — the dedicated PlanSpec case below pins
       // that it stays the BROADCAST form
