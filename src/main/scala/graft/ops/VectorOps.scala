@@ -336,7 +336,6 @@ object VectorOps {
         s"for N-adaptive banding); got bands=$bands, rowsPerBand=$rowsPerBand")
     val (b, r) =
       if (bands > 0) (bands, rowsPerBand) else adaptiveBanding(emb.count())
-    val spark = emb.sparkSession
     // one signature pass for BOTH sides, checkpointed: the band-key
     // projection feeds the two sides of the candidate join. Both
     // localCheckpoints here carry the marginScore durability trade
