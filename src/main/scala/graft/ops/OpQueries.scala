@@ -198,8 +198,10 @@ object OpQueries {
   private val dkImportanceCte: String = dkImportanceCteOver("documents")
 
   private def dkImportanceCteOver(rel: String, extraCtes: String = ""): String = {
-    val b = 256
-    s"""WITH ${extraCtes}w0 AS (SELECT doc_id, (lang = 'en') AS tgt, $dkWords AS w FROM $rel),
+    // ADVICE r19: both sides of the gate read PipelineOps' constants —
+    // the oracle cannot drift from the Spark defaults.
+    val b = PipelineOps.DefaultBuckets
+    s"""WITH ${extraCtes}w0 AS (SELECT doc_id, (${PipelineOps.DefaultTargetPred}) AS tgt, $dkWords AS w FROM $rel),
        |f AS (SELECT doc_id, tgt,
        |        list_concat(
        |          list_transform(w, x -> ${dkH60("x")} % $b),
@@ -1612,13 +1614,13 @@ object OpQueries {
     QueryDef("op_pipeline_mix",
       (s, d) => PipelineOps.pipelineMix(docs(s, d)),
       Some(dkImportanceCteOver("capped",
-        """capped AS (
+        s"""capped AS (
           |  SELECT d.doc_id, d.text, d.lang FROM documents d
           |  JOIN (SELECT doc_id,
           |          ROW_NUMBER() OVER (PARTITION BY source
           |            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
           |        FROM documents) r ON r.doc_id = d.doc_id
-          |  WHERE r.rk <= 18),
+          |  WHERE r.rk <= ${PipelineOps.DefaultSourceCap}),
           |""".stripMargin) +
         "\nSELECT doc_id, w_rel, boost, n_copies FROM nc ORDER BY doc_id")),
 
@@ -1628,22 +1630,22 @@ object OpQueries {
     // states the same rank declaratively; survivor SET and ranks
     // hash-gate.
     QueryDef("op_source_cap",
-      (s, d) => PipelineOps.sourceCap(docs(s, d), cap = 18),
-      Some("""WITH r AS (SELECT source, doc_id,
+      (s, d) => PipelineOps.sourceCap(docs(s, d), cap = PipelineOps.DefaultSourceCap),
+      Some(s"""WITH r AS (SELECT source, doc_id,
              |    ROW_NUMBER() OVER (PARTITION BY source
              |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
              |  FROM documents)
              |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
-             |FROM r WHERE rk <= 18 ORDER BY source, rk""".stripMargin)),
+             |FROM r WHERE rk <= ${PipelineOps.DefaultSourceCap} ORDER BY source, rk""".stripMargin)),
 
     // The cap's dropped-mass report: per source, kept vs dropped counts
     // and the drop fraction — ONE source-keyed count, no re-rank.
     QueryDef("op_source_cap_report",
-      (s, d) => PipelineOps.sourceCapReport(docs(s, d), cap = 18),
-      Some("""SELECT source, COUNT(*) AS n_docs,
-             |  LEAST(COUNT(*), CAST(18 AS BIGINT)) AS n_kept,
-             |  COUNT(*) - LEAST(COUNT(*), CAST(18 AS BIGINT)) AS n_dropped,
-             |  CAST(COUNT(*) - LEAST(COUNT(*), CAST(18 AS BIGINT)) AS DOUBLE)
+      (s, d) => PipelineOps.sourceCapReport(docs(s, d), cap = PipelineOps.DefaultSourceCap),
+      Some(s"""SELECT source, COUNT(*) AS n_docs,
+             |  LEAST(COUNT(*), CAST(${PipelineOps.DefaultSourceCap} AS BIGINT)) AS n_kept,
+             |  COUNT(*) - LEAST(COUNT(*), CAST(${PipelineOps.DefaultSourceCap} AS BIGINT)) AS n_dropped,
+             |  CAST(COUNT(*) - LEAST(COUNT(*), CAST(${PipelineOps.DefaultSourceCap} AS BIGINT)) AS DOUBLE)
              |    / CAST(COUNT(*) AS DOUBLE) AS drop_frac
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 

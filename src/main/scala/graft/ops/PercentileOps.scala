@@ -192,7 +192,14 @@ object PercentileOps {
     * hint precisely so Spark shuffle-joins it when #groups is large and
     * lets AQE promote it to a broadcast only when it measures small
     * (ADVICE r18 — a forced broadcast here would exceed the driver
-    * budget at high key cardinality, where this tier matters most). MEASURED (r18, sf3 = 18M rows, local[32], warm, full q31
+    * budget at high key cardinality, where this tier matters most).
+    * AQE DEPENDENCY (ADVICE r19): with spark.sql.adaptive.enabled=false
+    * that promotion never happens and the fold-in is a full shuffle of
+    * the corpus-sized `vals` relation against the stats rows — the
+    * null-safe <=> join condition also rules out bucketed-join reuse —
+    * so every measured number below assumes AQE on (GraftSession's and
+    * stock Spark's default); non-AQE sessions should use the
+    * unbracketed path. MEASURED (r18, sf3 = 18M rows, local[32], warm, full q31
     * shape): 13.4 s bracketed vs 12.4 s unbracketed — local parity, NOT
     * a win, because an in-process shuffle of a 300 MB column costs ~as
     * little as the GK sketch build; the tier exists for the
@@ -259,6 +266,17 @@ object PercentileOps {
             // the driver exactly where this tier is meant to shine; AQE
             // converts the shuffle join to a broadcast at runtime
             // whenever the aggregate is actually small.
+            // COST-MODEL CAVEAT (ADVICE r19): that runtime conversion is
+            // the ONLY thing keeping this fold-in off a corpus-sized
+            // shuffle of `vals` at low group counts — the null-safe <=>
+            // condition also disqualifies bucketed-join reuse, so with
+            // spark.sql.adaptive.enabled=false the plan degrades to a
+            // full SortMergeJoin of the corpus against the stats rows.
+            // The bracketed tier's published parity numbers (13.4 s at
+            // sf3) assume AQE on, which GraftSession (and any stock
+            // Spark 3.2+ session) enables by default; a session that
+            // turns AQE off should expect this tier to lose its edge
+            // and prefer the unbracketed rank-window path instead.
             vals.join(stats.withColumnRenamed(key, "__bkey"),
                 col(key) <=> col("__bkey"))
               .selectExpr(key, s"$tag as __v")

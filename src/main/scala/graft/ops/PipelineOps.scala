@@ -11,6 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object PipelineOps {
 
+  /** Defaults for the data-mixing family, shared with the DuckDB oracle
+    * mirrors in [[OpQueries]] (ADVICE r19): the oracle SQL interpolates
+    * THESE constants instead of re-stating literals, so a default change
+    * on either side cannot silently desynchronize the pairing — there is
+    * exactly one place the bucket count / target predicate / cap live.
+    * `DefaultTargetPred` is deliberately a predicate valid in BOTH
+    * dialects (plain column comparison). */
+  val DefaultBuckets: Int = 256
+  val DefaultTargetPred: String = "lang = 'en'"
+  val DefaultSourceCap: Long = 18L
+
   /** Quality-filter → exact-dedup keep → deterministic hash sample of `n`
     * docs.
     *
@@ -354,8 +365,9 @@ object PipelineOps {
     * whose every double op is one correctly-rounded step — the full
     * output hash-gates cross-engine.
     */
-  def importanceWeights(docs: DataFrame, targetPred: String = "lang = 'en'",
-                        buckets: Int = 256): DataFrame = {
+  def importanceWeights(docs: DataFrame,
+                        targetPred: String = DefaultTargetPred,
+                        buckets: Int = DefaultBuckets): DataFrame = {
     require(buckets > 0 && buckets <= (1 << 20),
       s"need 0 < buckets <= 2^20, got $buckets")
     // tokenize ONCE into a column before the feature lambdas: an inline
@@ -425,8 +437,9 @@ object PipelineOps {
     * epoch — every doc emitted `n_copies` times as (doc_id, copy) rows,
     * the exact stream a training-data loader consumes. Map-only explode
     * on top of the weights; Σ copies ≈ n_docs by construction. */
-  def importanceResample(docs: DataFrame, targetPred: String = "lang = 'en'",
-                         buckets: Int = 256): DataFrame =
+  def importanceResample(docs: DataFrame,
+                         targetPred: String = DefaultTargetPred,
+                         buckets: Int = DefaultBuckets): DataFrame =
     importanceWeights(docs, targetPred, buckets)
       .filter(col("n_copies") > 0)
       .selectExpr("doc_id",
@@ -474,9 +487,9 @@ object PipelineOps {
     * Output per surviving doc: relative weight, boost, and the applied
     * copy count.
     */
-  def pipelineMix(docs: DataFrame, cap: Long = 18,
-                  targetPred: String = "lang = 'en'",
-                  buckets: Int = 256): DataFrame = {
+  def pipelineMix(docs: DataFrame, cap: Long = DefaultSourceCap,
+                  targetPred: String = DefaultTargetPred,
+                  buckets: Int = DefaultBuckets): DataFrame = {
     val keep = sourceCap(docs, cap).select("doc_id")
     val capped = docs.join(keep, Seq("doc_id"), "left_semi")
     importanceWeights(capped, targetPred, buckets)

@@ -211,11 +211,14 @@ object StreamingOps {
     * Banding must be passed EXPLICITLY: the batch default derives
     * (bands, rows) from a corpus count, which an unbounded stream does
     * not have (pass [[graft.ops.VectorOps.adaptiveBanding]] of the
-    * expected corpus size). State: one (id, bands·rowsPerBand-char
-    * bit-string) per member per band — linear in the corpus like every
-    * dedup state, TTL-composable as in [[dedupExactStreamTtl]]; a
-    * production deployment would intern the bit-string per id in a side
-    * store to cut the bands× duplication. */
+    * expected corpus size). State: an id-keyed map of bands·rowsPerBand-
+    * char bit-strings per bucket (ADVICE r19: keyed so the re-delivery
+    * check is O(1), not a list scan) — linear in the corpus like every
+    * dedup state. NoTimeout keeps the candidate set EXACTLY the batch
+    * op's, which is what StreamingSpec proves; an unbounded production
+    * stream should compose the [[dedupExactStreamTtl]] TTL discipline
+    * (trading far-apart-batch recall for bounded state) and intern the
+    * bit-string per id in a side store to cut the bands× duplication. */
   def marginAlignCandidatesStream(emb: DataFrame, bands: Int,
                                   rowsPerBand: Int, dim: Int = 64): DataFrame = {
     require(bands > 0 && rowsPerBand > 0,
@@ -242,21 +245,26 @@ object StreamingOps {
       .groupByKey(r => (r._3, r._4))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: (Int, String), rows: Iterator[(Long, String, Int, String)],
-         state: GroupState[List[(Long, String)]]) => {
+         state: GroupState[Map[Long, String]]) => {
           val band = key._1
           // batch members in id order: within one delivery the smaller id
           // is "earlier", the engine's determinism rule
           val batch = rows.map(r => (r._1, r._2)).toVector.sortBy(_._1)
-          var seen = state.getOption.getOrElse(Nil)
+          // state keyed BY ID (ADVICE r19): re-delivery check is O(1)
+          // instead of a linear scan that turned a hot bucket's arrival
+          // stream into O(n²) membership work on top of the O(n) pairing
+          // pass (which is inherent — every opposite-parity member must
+          // be compared)
+          var seen = state.getOption.getOrElse(Map.empty[Long, String])
           val out = Vector.newBuilder[(Long, Long)]
           batch.foreach { case (id, bits) =>
-            if (!seen.exists(_._1 == id)) { // re-delivery is not a pair
+            if (!seen.contains(id)) { // re-delivery is not a pair
               seen.foreach { case (pid, pbits) =>
                 if (pid % 2 != id % 2 && firstBand(bits, pbits) == band) {
                   out += (if (id % 2 == 0) (id, pid) else (pid, id))
                 }
               }
-              seen = (id, bits) :: seen
+              seen = seen.updated(id, bits)
             }
           }
           state.update(seen)

@@ -2940,15 +2940,24 @@ class OpsSpec extends SparkSpecBase {
     // absolute: other suites' adjudicated persist sites may own entries).
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val emb = Tables.load(spark, sfDir, "embeddings")
-    val docs = Tables.load(spark, sfDir, "documents")
-    VectorOps.cosineTopKIvf(emb).collect()
-    VectorOps.cosineNearDupLsh(emb).collect()
-    TextOps.distDrift(docs, "lang").collect()
-    graft.ops.PipelineOps.importanceWeights(docs.withColumn("lang", lit("en"))).collect()
+    // ADVICE r19: build and drop every plan inside a nested frame so no
+    // local on THIS frame can pin a localCheckpointed RDD through the
+    // poll — reclamation then needs only one GC cycle plus the
+    // ContextCleaner's queue drain, so the grace bound can be short
+    // (≤6 s worst case, exits on first success) instead of 30 s of
+    // hopeful polling against interpreter-frame temporaries.
+    def runOps(): Unit = {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val docs = Tables.load(spark, sfDir, "documents")
+      VectorOps.cosineTopKIvf(emb).collect()
+      VectorOps.cosineNearDupLsh(emb).collect()
+      TextOps.distDrift(docs, "lang").collect()
+      graft.ops.PipelineOps.importanceWeights(docs.withColumn("lang", lit("en"))).collect()
+    }
+    runOps()
     def leaked = sc.getPersistentRDDs.keySet -- before
     var tries = 0
-    while (leaked.nonEmpty && tries < 60) { System.gc(); Thread.sleep(500); tries += 1 }
+    while (leaked.nonEmpty && tries < 24) { System.gc(); Thread.sleep(250); tries += 1 }
     assert(leaked.isEmpty, s"blocks pinned past the ops' lifetime: $leaked")
   }
 
