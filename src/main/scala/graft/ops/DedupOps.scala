@@ -251,7 +251,7 @@ object DedupOps {
     * `array_min(transform(…))` passes — same affine family, same
     * empty-set → nulls semantics, so oracle hashes are unchanged.
     */
-  private def signatures(docs: DataFrame): DataFrame =
+  private[graft] def signatures(docs: DataFrame): DataFrame =
     shingled(docs)
       .selectExpr("doc_id", "sh", "n_sh", s"transform(sh, h -> h % ${P}L) as hs")
       .selectExpr("doc_id", "sh", "n_sh", s"minhash_sig(hs, $K) as sig")
@@ -290,6 +290,110 @@ object DedupOps {
         "cast(inter as double) / (na + nb - inter) as jaccard")
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Write (mode `overwrite`) the persisted MinHash signature INDEX for
+    * `docs` at `path`: one (doc_id, sig) parquet row per doc with ≥ 1
+    * shingle — K = 16 longs ≈ 128 B/doc, the compact shape an ingest
+    * pipeline keeps BETWEEN batches. The index never stores document
+    * content (probe verification runs on signature agreement, the
+    * [[minhashEstPairs]] estimator), so a 100 TB corpus's index is a few
+    * hundred GB of parquet — re-readable, band-prunable, and appendable
+    * without touching the corpus. Docs with no shingles (< 3 words)
+    * carry no signature and are not indexed: they can never match.
+    * Lifecycle: build once here, [[dedupIncremental]] probes each new
+    * batch, [[appendSignatureIndex]] then adds that batch's signatures. */
+  def writeSignatureIndex(docs: DataFrame, path: String): Unit =
+    signatures(docs).filter(col("n_sh") >= 1)
+      .select(col("doc_id"), col("sig"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Append a processed batch's signatures to the index at `path` — the
+    * ingest step after [[dedupIncremental]] has adjudicated the batch.
+    * ALL probed docs are appended, kept and dropped alike: the shadow
+    * rule dedups against the INGEST LOG (any earlier-seen content), so a
+    * later doc similar only to a dropped one is still a duplicate of
+    * seen content and must drop. Run this AFTER materializing the probe
+    * result — the probe plan reads the index lazily, and appending first
+    * would let a batch see itself. */
+  def appendSignatureIndex(docs: DataFrame, path: String): Unit =
+    signatures(docs).filter(col("n_sh") >= 1)
+      .select(col("doc_id"), col("sig"))
+      .write.mode("append").parquet(path)
+
+  /** Incremental-ingest near-dup dedup: adjudicate a NEW batch against
+    * the persisted signature index at `indexPath` WITHOUT re-reading any
+    * earlier batch's text (probe-only — the index is the only memory of
+    * the past). One row per probe doc: `status` kept/dropped, `n_dups`
+    * (earlier docs it duplicates), `shadowed_by` (smallest such doc_id,
+    * NULL when kept).
+    *
+    * Shadow rule (the declared semantics): a probe doc drops iff some
+    * EARLIER-INGESTED doc — any index doc, or a same-batch doc with
+    * smaller doc_id — collides with it in ≥ 1 of the B signature bands
+    * AND agrees on ≥ threshold·K signature positions (the Broder '97
+    * estimate [[minhashEstPairs]] gates against exact Jaccard). "Earlier"
+    * is INGEST order first, doc_id second: batch precedence never
+    * depends on id ranges, so id spaces may interleave freely. Dedup is
+    * against the ingest log, not the kept set — the rule that makes
+    * probe-only evaluation EXACT: a batch's verdicts depend only on
+    * (index ∪ earlier-in-batch) signatures, all on hand, so processing
+    * batches incrementally provably equals one full run over the union
+    * in the same order (OpsSpec proves the 3-batch chain row-for-row,
+    * plus that the probe never mutates the index).
+    *
+    * Scale shape: signatures for the BATCH only (map-only over the new
+    * text); the index side is a (doc_id, sig) parquet scan — no text,
+    * no shingle sets. Candidates come from the band-key equi-join
+    * (batch bands × index bands — a hash shuffle keyed by band, never a
+    * cross product), verification is per-candidate zip over two K-arrays.
+    * At 100 TB the index dwarfs every batch, so the natural layout is
+    * the index parquet bucketed/partitioned by a band-key prefix: the
+    * probe's shuffle then prunes to matching buckets instead of
+    * rescanning the whole index. Docs ids are assumed unique across
+    * batches (re-ingesting an id is out of contract; a self-pair guard
+    * keeps it from self-shadowing). */
+  def dedupIncremental(newDocs: DataFrame, indexPath: String,
+                       threshold: Double = 0.8): DataFrame = {
+    val spark = newDocs.sparkSession
+    val r = K / B
+    val index = spark.read.parquet(indexPath)
+    // persisted: the batch signature projection feeds the band explode,
+    // the earlier-side union, and the probe-side verification join —
+    // three re-runs of tokenize+md5+minhash without it (linear in the
+    // batch, never pair-sized). LIFETIME: localCheckpoint self-releases
+    // through the ContextCleaner once the returned plan is unreachable.
+    val probeSig = signatures(newDocs).filter(col("n_sh") >= 1)
+      .select(col("doc_id"), col("sig")).localCheckpoint()
+    def bandsOf(df: DataFrame): DataFrame = df.selectExpr("doc_id",
+      s"""explode(transform(sequence(0, ${B - 1}), b ->
+         |  concat_ws(':', b, element_at(sig, b * $r + 1), element_at(sig, b * $r + 2))))
+         |  as band_key""".stripMargin)
+    val pB = bandsOf(probeSig)
+    val iB = bandsOf(index)
+    val candIdx = pB.as("p")
+      .join(iB.as("e"), expr("p.band_key = e.band_key and p.doc_id <> e.doc_id"))
+      .select(col("p.doc_id").as("pid"), col("e.doc_id").as("eid"))
+    val candNew = pB.as("p")
+      .join(pB.as("e"), expr("p.band_key = e.band_key and e.doc_id < p.doc_id"))
+      .select(col("p.doc_id").as("pid"), col("e.doc_id").as("eid"))
+    val cand = candIdx.union(candNew).distinct()
+    val earlierSig = index.select(col("doc_id"), col("sig"))
+      .unionByName(probeSig)
+    val shadow = cand
+      .join(probeSig.selectExpr("doc_id as pid", "sig as psig"), Seq("pid"))
+      .join(earlierSig.selectExpr("doc_id as eid", "sig as esig"), Seq("eid"))
+      .selectExpr("pid", "eid",
+        "size(filter(zip_with(psig, esig, (a, b) -> a = b), x -> x)) as matches")
+      .filter(expr(s"cast(matches as double) / $K >= $threshold"))
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("n_dups"), min(col("eid")).as("shadowed_by"))
+    newDocs.select(col("doc_id"))
+      .join(shadow, col("doc_id") === col("pid"), "left")
+      .selectExpr("doc_id",
+        "case when n_dups is null then 'kept' else 'dropped' end as status",
+        "coalesce(n_dups, 0L) as n_dups", "shadowed_by")
+      .orderBy("doc_id")
   }
 
   /** SimHash near-dup pairs — EXHAUSTIVE for the given radius: returns

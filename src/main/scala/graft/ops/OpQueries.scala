@@ -901,6 +901,49 @@ object OpQueries {
       (s, d) => DedupOps.minhashPairs(docs(s, d), 0.8),
       Some(dkJaccard(0.8))),
 
+    // Incremental-ingest dedup against a PERSISTED signature index
+    // (VERDICT r19): the 80%-by-id "old" corpus is indexed to parquet
+    // (build is part of the op — the closure writes, the probe plan
+    // reads it back), then the doc_id % 5 = 0 batch is adjudicated
+    // probe-only. The oracle re-derives the whole decision surface in
+    // SQL — signatures (shared dkMinhashSig formula), band keys, the
+    // ingest-order shadow rule, the K-position agreement estimate — over
+    // the un-split table; OpsSpec separately proves the multi-batch
+    // chain equals one full run and that probing never mutates the index.
+    QueryDef("op_dedup_incremental",
+      (s, d) => {
+        val idx = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_sigindex_${Integer.toHexString(d.hashCode)}").toString
+        val all = docs(s, d)
+        DedupOps.writeSignatureIndex(all.filter("doc_id % 5 != 0"), idx)
+        DedupOps.dedupIncremental(all.filter("doc_id % 5 = 0"), idx, 0.8)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, (doc_id % 5 = 0) AS is_new, $dkWords AS w FROM documents),
+              |s0 AS (SELECT doc_id, is_new, ${dkShingles("w")} AS sh_txt FROM d),
+              |sl AS (SELECT doc_id, is_new, list_transform(sh_txt, x -> ${dkH60("x")}) AS sh FROM s0),
+              |sg AS MATERIALIZED (SELECT doc_id, is_new,
+              |        ${dkMinhashSig("sh")} AS sig
+              |      FROM sl WHERE len(sh) >= 1),
+              |bk AS (SELECT doc_id, is_new, unnest(${dkBandKeys("sig")}) AS band_key FROM sg),
+              |c AS (SELECT DISTINCT p.doc_id AS pid, e.doc_id AS eid
+              |      FROM bk p JOIN bk e ON p.band_key = e.band_key
+              |      WHERE p.is_new AND p.doc_id <> e.doc_id
+              |        AND (NOT e.is_new OR e.doc_id < p.doc_id)),
+              |j AS (SELECT pid, eid,
+              |        list_reduce(list_prepend(0, list_transform(range(1, ${DedupOps.K + 1}), i ->
+              |          CASE WHEN sp.sig[i] = se.sig[i] THEN 1 ELSE 0 END)), (s, m) -> s + m) AS matches
+              |      FROM c JOIN sg sp ON sp.doc_id = pid JOIN sg se ON se.doc_id = eid),
+              |dup AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_dups, MIN(eid) AS shadowed_by
+              |        FROM j WHERE CAST(matches AS DOUBLE) / ${DedupOps.K} >= 0.8 GROUP BY pid)
+              |SELECT n.doc_id,
+              |  CASE WHEN dup.pid IS NULL THEN 'kept' ELSE 'dropped' END AS status,
+              |  COALESCE(dup.n_dups, CAST(0 AS BIGINT)) AS n_dups,
+              |  dup.shadowed_by
+              |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) n
+              |LEFT JOIN dup ON dup.pid = n.doc_id
+              |ORDER BY n.doc_id""".stripMargin)),
+
     // Oracle = the SEMANTIC ground truth (all-pairs Hamming ≤ 12), not an
     // echo of the Spark bucketing: the multi-block pigeonhole join must
     // reproduce the exact pair set or the hash fails.
@@ -2544,16 +2587,29 @@ object OpQueries {
     * affine minhash signatures ((1000003·(2i+1)·h + 7919·i + 12345) mod
     * 2³¹−1 — the MinHashSig kernel's exact arithmetic), the B=8 band
     * keys, the candidate join, and both estimate/exact trees. */
+  /** The MinHashSig kernel's exact affine arithmetic as DuckDB SQL —
+    * ONE definition shared by every minhash-consuming oracle
+    * (op_minhash_est, op_dedup_incremental) so the formula cannot
+    * drift between mirrors: sig_i = min over shingle hashes h of
+    * ((1000003·(2i+1)·(h mod P) + 7919·i + 12345) mod P), P = 2³¹−1. */
+  private def dkMinhashSig(sh: String): String =
+    s"""list_transform(range(0, ${DedupOps.K}), i -> list_min(list_transform($sh, h ->
+       |          (1000003 * (2 * i + 1) * (h % 2147483647) + 7919 * i + 12345) % 2147483647)))""".stripMargin
+
+  /** The B-band LSH key list over a K-position signature — the same
+    * `b:sig[2b]:sig[2b+1]` keys [[DedupOps.minhashPairs]] banding emits. */
+  private def dkBandKeys(sig: String): String =
+    s"""list_transform(range(0, ${DedupOps.B}), b ->
+       |         b || ':' || $sig[b * 2 + 1] || ':' || $sig[b * 2 + 2])""".stripMargin
+
   private def dkMinhashEstOracle: String =
     s"""WITH d AS (SELECT doc_id, $dkWords AS w FROM documents),
        |s0 AS (SELECT doc_id, ${dkShingles("w")} AS sh_txt FROM d),
        |sl AS (SELECT doc_id, list_transform(sh_txt, x -> ${dkH60("x")}) AS sh FROM s0),
        |sg AS MATERIALIZED (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n_sh,
-       |        list_transform(range(0, 16), i -> list_min(list_transform(sh, h ->
-       |          (1000003 * (2 * i + 1) * (h % 2147483647) + 7919 * i + 12345) % 2147483647))) AS sig
+       |        ${dkMinhashSig("sh")} AS sig
        |      FROM sl WHERE len(sh) >= 1),
-       |bk AS (SELECT doc_id, unnest(list_transform(range(0, 8), b ->
-       |         b || ':' || sig[b * 2 + 1] || ':' || sig[b * 2 + 2])) AS band_key FROM sg),
+       |bk AS (SELECT doc_id, unnest(${dkBandKeys("sig")}) AS band_key FROM sg),
        |c AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |      FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
        |j AS (SELECT doc_a, doc_b,

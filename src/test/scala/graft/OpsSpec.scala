@@ -64,6 +64,67 @@ class OpsSpec extends SparkSpecBase {
     assert(lsh === exact) // no false positives (verified) + full recall here
   }
 
+  test("incremental dedup: multi-batch probe of a persisted index equals one full run") {
+    import java.nio.file.Files
+    val idx = Files.createTempDirectory("graft_inc_idx_").resolve("sig").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten"
+    // ids interleave across batches ON PURPOSE: shadow precedence must be
+    // ingest order first (B's doc 2 is LATER than A's doc 10), id second
+    val batchA = docsDF(
+      10L -> base, 40L -> other,
+      100L -> "unrelated words entirely distinct tokens written here")
+    val batchB = docsDF(
+      2L -> base,        // dup of A's 10: ingest order beats the smaller id
+      55L -> other,      // dup of A's 40
+      7L -> "tiny doc")  // < 3 words: no shingles — can never match, kept
+    val batchC = docsDF(
+      3L -> base,        // dup of BOTH A's 10 and B's 2
+      90L -> "completely fresh content with many novel distinctive words")
+    DedupOps.writeSignatureIndex(batchA, idx)
+    val r1 = DedupOps.dedupIncremental(batchB, idx, 0.8).collect()
+    // probe-only: adjudicating B must not have touched the index
+    assert(spark.read.parquet(idx).count() === 3L)
+    DedupOps.appendSignatureIndex(batchB, idx)
+    assert(spark.read.parquet(idx).count() === 5L) // doc 7 has no signature
+    val r2 = DedupOps.dedupIncremental(batchC, idx, 0.8).collect()
+
+    def asMap(rs: Array[Row]) = rs.map(r => r.getLong(0) ->
+      ((r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    val m1 = asMap(r1); val m2 = asMap(r2)
+    assert(m1(2L) === (("dropped", 1L, Some(10L))))
+    assert(m1(55L) === (("dropped", 1L, Some(40L))))
+    assert(m1(7L) === (("kept", 0L, None)))
+    assert(m2(3L) === (("dropped", 2L, Some(2L)))) // min shadower id, either batch
+    assert(m2(90L) === (("kept", 0L, None)))
+
+    // FULL-RUN equivalence: brute-force the declared rule over the union
+    // of all three batches (band overlap + >= 0.8 signature agreement
+    // against every earlier-ingested doc) and require the incremental
+    // verdicts to match it row for row
+    val batchOf = Map(10L -> 0, 40L -> 0, 100L -> 0,
+      2L -> 1, 55L -> 1, 7L -> 1, 3L -> 2, 90L -> 2)
+    val sigs = DedupOps.signatures(batchA.union(batchB).union(batchC))
+      .filter("n_sh >= 1").selectExpr("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def bandKeys(s: Seq[Long]) =
+      (0 until DedupOps.B).map(b => (b, s(2 * b), s(2 * b + 1))).toSet
+    def shadows(e: Long, p: Long): Boolean =
+      sigs.contains(e) && sigs.contains(p) &&
+        (bandKeys(sigs(e)) intersect bandKeys(sigs(p))).nonEmpty &&
+        sigs(e).zip(sigs(p)).count { case (a, b) => a == b }.toDouble / DedupOps.K >= 0.8
+    for ((pid, got) <- m1 ++ m2) {
+      val earlier = batchOf.keys.filter(e => batchOf(e) < batchOf(pid) ||
+        (batchOf(e) == batchOf(pid) && e < pid))
+      val hits = earlier.filter(e => shadows(e, pid)).toSeq
+      val want =
+        if (hits.isEmpty) ("kept", 0L, None)
+        else ("dropped", hits.size.toLong, Some(hits.min))
+      assert(got === want, s"doc $pid: incremental $got vs full-run $want")
+    }
+  }
+
   test("dedup groups: both CC paths merge components transitively and agree") {
     val docs = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // chain 5-6-7-8 needs THREE propagation rounds to reach label 5 at 8
