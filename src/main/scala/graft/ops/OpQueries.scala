@@ -197,12 +197,20 @@ object OpQueries {
     * over a `capped` CTE prepended via `extraCtes`). */
   private val dkImportanceCte: String = dkImportanceCteOver("documents")
 
-  private def dkImportanceCteOver(rel: String, extraCtes: String = ""): String = {
+  /** `w0Sql` override (op_importance_target): rows carry (doc_id, tgt,
+    * raw, w) where `tgt`/`raw` say which marginal the row's features
+    * feed; only `raw` rows are scored. The default (in-corpus target
+    * slice) marks every row raw and tgt by the shared predicate —
+    * SUM(raw) then equals the old COUNT(*) exactly. */
+  private def dkImportanceCteOver(rel: String, extraCtes: String = "",
+                                  w0Sql: Option[String] = None): String = {
     // ADVICE r19: both sides of the gate read PipelineOps' constants —
     // the oracle cannot drift from the Spark defaults.
     val b = PipelineOps.DefaultBuckets
-    s"""WITH ${extraCtes}w0 AS (SELECT doc_id, (${PipelineOps.DefaultTargetPred}) AS tgt, $dkWords AS w FROM $rel),
-       |f AS (SELECT doc_id, tgt,
+    val w0 = w0Sql.getOrElse(
+      s"SELECT doc_id, (${PipelineOps.DefaultTargetPred}) AS tgt, TRUE AS raw, $dkWords AS w FROM $rel")
+    s"""WITH ${extraCtes}w0 AS ($w0),
+       |f AS (SELECT doc_id, tgt, raw,
        |        list_concat(
        |          list_transform(w, x -> ${dkH60("x")} % $b),
        |          list_filter(list_transform(range(1, len(w) + 1), i ->
@@ -211,8 +219,8 @@ object OpQueries {
        |            x -> x IS NOT NULL)) AS fb
        |      FROM w0),
        |mg AS (SELECT bu, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt,
-       |         COUNT(*) AS c_raw
-       |       FROM (SELECT tgt, unnest(fb) AS bu FROM f) GROUP BY bu),
+       |         SUM(CASE WHEN raw THEN 1 ELSE 0 END) AS c_raw
+       |       FROM (SELECT tgt, raw, unnest(fb) AS bu FROM f) GROUP BY bu),
        |tt AS (SELECT SUM(c_tgt) AS t_tot, SUM(c_raw) AS r_tot FROM mg),
        |rb AS (SELECT r.bu,
        |         (CAST(COALESCE(mg.c_tgt, 0) + 1 AS DOUBLE) / CAST(t_tot + $b AS DOUBLE))
@@ -220,6 +228,8 @@ object OpQueries {
        |       FROM range(0, $b) r(bu) LEFT JOIN mg ON mg.bu = r.bu, tt),
        |ra AS (SELECT list(ratio ORDER BY bu) AS arr FROM rb),
        |wt0 AS (SELECT doc_id, CAST(len(fb) AS BIGINT) AS n_feats,
+       |          -- only raw (corpus) rows are scored; target-seed rows
+       |          -- exist solely for the marginals
        |          list_reduce(list_prepend({'m': CAST(1.0 AS DOUBLE), 'e': CAST(0 AS BIGINT)},
        |            list_transform(fb, x -> {'m': arr[CAST(x AS INT) + 1], 'e': CAST(0 AS BIGINT)})),
        |            (a, x) -> CASE
@@ -228,7 +238,7 @@ object OpQueries {
        |              WHEN a.m * x.m < 5.421010862427522E-20
        |                THEN {'m': (a.m * x.m) * 1.8446744073709552E19, 'e': a.e - CAST(1 AS BIGINT)}
        |              ELSE {'m': a.m * x.m, 'e': a.e} END) AS me
-       |        FROM f, ra),
+       |        FROM f, ra WHERE raw),
        |wt AS (SELECT doc_id, n_feats,
        |         CASE WHEN me.m < 1.0
        |              THEN {'m': me.m * 1.8446744073709552E19, 'e': me.e - CAST(1 AS BIGINT)}
@@ -1635,6 +1645,25 @@ object OpQueries {
     QueryDef("op_importance_weights",
       (s, d) => PipelineOps.importanceWeights(docs(s, d)),
       Some(s"$dkImportanceCte\n$dkImportanceWeightsTail")),
+
+    // DSIR against a SEPARATE target relation (VERDICT r19): the corpus
+    // (doc_id % 3 <> 0) is scored against a held-out en seed
+    // (doc_id % 3 = 0 AND en) that is NOT part of the scored pool — the
+    // original DSIR shape (raw pool vs quality seed). The oracle re-uses
+    // the full importance chain with a two-branch w0: seed rows feed only
+    // the target marginals, corpus rows only the raw marginals and the
+    // scoring tail.
+    QueryDef("op_importance_target",
+      (s, d) => PipelineOps.importanceWeightsAgainst(
+        docs(s, d).filter("doc_id % 3 != 0"),
+        docs(s, d).filter(s"doc_id % 3 = 0 AND ${PipelineOps.DefaultTargetPred}")),
+      Some(dkImportanceCteOver("unused", w0Sql = Some(
+        s"""SELECT doc_id, FALSE AS tgt, TRUE AS raw, $dkWords AS w
+           |  FROM documents WHERE doc_id % 3 <> 0
+           |  UNION ALL
+           |  SELECT doc_id, TRUE AS tgt, FALSE AS raw, $dkWords AS w
+           |  FROM documents WHERE doc_id % 3 = 0 AND (${PipelineOps.DefaultTargetPred})""".stripMargin)) +
+        s"\n$dkImportanceWeightsTail")),
 
     // The weights APPLIED: the importance-resampled epoch as exploded
     // (doc_id, copy) rows — the stream a data loader consumes. Same CTE

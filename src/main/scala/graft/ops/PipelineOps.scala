@@ -381,14 +381,63 @@ object PipelineOps {
         s"${TextOps.wordsExpr("text")} as __w")
       .selectExpr("doc_id", "__tgt",
         s"${featureBucketsExpr("__w", buckets)} as __f")
-    // bucket marginals → one broadcast row holding the full ratio array
-    // (buckets ≤ 2²⁰ doubles = 8 MB; the gate runs 256). Missing buckets
-    // take the smoothed zero-count ratio via the map lookup default.
-    val ratioRow = toks
+    // one pass computes both marginals: every feature counts toward raw,
+    // target-slice features also toward tgt
+    val counts = toks
       .selectExpr("__tgt", "explode(__f) as bucket")
       .groupBy(col("bucket"))
       .agg(sum(expr("case when __tgt then 1L else 0L end")).as("c_tgt"),
         count(lit(1)).as("c_raw"))
+    importanceFromCounts(toks.select(col("doc_id"), col("__f")), counts, buckets)
+  }
+
+  /** [[importanceWeights]] with the target distribution estimated from a
+    * SEPARATE relation (VERDICT r19): `target` is a seed corpus — rows
+    * with a `text` column, typically NOT part of `docs` at all (the
+    * original DSIR shape: raw pool scored against a held-out quality
+    * seed like Wikipedia). Target features feed ONLY the target
+    * marginals; corpus features feed ONLY the raw marginals and are the
+    * docs that get scored. When `target` happens to be exactly
+    * `docs.filter(pred)`, this reduces to [[importanceWeights]](docs,
+    * pred) row-for-row — OpsSpec pins that special-case identity — since
+    * there the in-corpus target slice contributes to both marginals
+    * either way.
+    *
+    * Scale shape: identical to [[importanceWeights]] (the seed adds one
+    * map-only feature pass + the same vocab-bounded agg); a seed is
+    * normally corpus-dwarfed, so its pass is noise. */
+  def importanceWeightsAgainst(docs: DataFrame, target: DataFrame,
+                               buckets: Int = DefaultBuckets): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"need 0 < buckets <= 2^20, got $buckets")
+    val corpus = docs
+      .selectExpr("doc_id", s"${TextOps.wordsExpr("text")} as __w")
+      .selectExpr("doc_id", s"${featureBucketsExpr("__w", buckets)} as __f")
+    val tgtFeats = target
+      .selectExpr(s"${TextOps.wordsExpr("text")} as __w")
+      .selectExpr(s"${featureBucketsExpr("__w", buckets)} as __f")
+    val counts = corpus.selectExpr("explode(__f) as bucket", "false as __tgt")
+      .unionByName(tgtFeats.selectExpr("explode(__f) as bucket", "true as __tgt"))
+      .groupBy(col("bucket"))
+      .agg(sum(expr("case when __tgt then 1L else 0L end")).as("c_tgt"),
+        sum(expr("case when __tgt then 0L else 1L end")).as("c_raw"))
+    importanceFromCounts(corpus, counts, buckets)
+  }
+
+  /** Shared tail of the DSIR family: per-bucket (c_tgt, c_raw) marginals
+    * → Laplace ratio array (one broadcast row) → per-doc overflow-free
+    * (m, e) ratio product → relative weight, grid boost, copy count.
+    * `feats` carries the docs to SCORE as (doc_id, __f); `counts` the
+    * marginal contributions as (bucket, c_tgt, c_raw) — [[importanceWeights]]
+    * derives both from one relation, [[importanceWeightsAgainst]] from
+    * corpus + seed. */
+  private def importanceFromCounts(feats: DataFrame, counts: DataFrame,
+                                   buckets: Int): DataFrame = {
+    val toks = feats
+    // bucket marginals → one broadcast row holding the full ratio array
+    // (buckets ≤ 2²⁰ doubles = 8 MB; the gate runs 256). Missing buckets
+    // take the smoothed zero-count ratio via the map lookup default.
+    val ratioRow = counts
       .agg(sum("c_tgt").as("t_tot"), sum("c_raw").as("r_tot"),
         expr("map_from_entries(collect_list(struct(bucket, struct(c_tgt, c_raw)))) as mc"))
       .selectExpr(

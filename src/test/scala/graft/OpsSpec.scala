@@ -3058,6 +3058,34 @@ class OpsSpec extends SparkSpecBase {
     assert(a === b)
   }
 
+  test("importance weights against a separate target: in-corpus seed reduces to the predicate form") {
+    import graft.ops.PipelineOps
+    val docs = Tables.load(spark, sfDir, "documents").limit(200)
+    // THEOREM (scaladoc): when the seed relation is exactly the corpus's
+    // target slice, both marginals coincide with the in-corpus op's —
+    // every corpus row still feeds raw, the same slice feeds tgt — so
+    // the outputs must be row-identical, doubles included.
+    val pred = "lang = 'en'"
+    val a = PipelineOps.importanceWeights(docs, pred).collect().toSeq
+    val b = PipelineOps.importanceWeightsAgainst(docs, docs.filter(pred))
+      .collect().toSeq
+    assert(a === b)
+    // the genuinely-new capability: a DISJOINT seed. Target-vocabulary
+    // corpus docs must out-weight off-distribution ones.
+    val seed = (1L to 10L).map(i => (i, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon"),  // seed-like
+      (101L, "omega psi chi phi upsilon"),       // off-distribution
+      (102L, "alpha beta omega psi chi")         // mixed
+    ).toDF("doc_id", "text")
+    val w = PipelineOps.importanceWeightsAgainst(corpus, seed).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("w_rel")).toMap
+    assert(w(100L) > w(102L) && w(102L) > w(101L),
+      s"seed-likeness must order the weights, got $w")
+    assert(w(100L) === 1.0, "the most seed-like doc defines w_max")
+  }
+
   test("importance weights: long docs exercise the exponent-carry fold without overflow") {
     import graft.ops.PipelineOps
     // one extreme doc: 1500 repetitions of one word flood the RAW
