@@ -286,6 +286,50 @@ object OpQueries {
       "CASE WHEN doc_id % 3 <> 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END || " +
       "CASE WHEN doc_id % 2 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END || " +
       "CASE WHEN doc_id % 5 = 0 THEN ' call +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+  /** DuckDB mirror of [[PipelineOps.curate]] as COMPOSABLE CTEs (names
+    * cu_-prefixed so they never clash with the importance chain's), ending
+    * in `curated(doc_id, clean_text, n_cut, n_kept)` — op_pipeline_curate
+    * appends a bare SELECT, op_pipeline_full feeds `curated` into the cap
+    * + DSIR chain. `srcT` is the pre-scrub text expression over a
+    * documents row (plain `text`, or the PII plant). */
+  private def dkCurateCtes(srcT: String): String = {
+    val stop = "('the','a','of','and','to','in','is','it')"
+    def sh(src: String) =
+      s"""SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |       ${dkH60("array_to_string(w[i:i+7], ' ')")} AS fp
+         |FROM $src, unnest(range(1, len(w) - 8 + 2)) AS t(i)
+         |WHERE len(w) >= 8""".stripMargin
+    s"""cu_p AS (SELECT doc_id, $srcT AS t FROM documents),
+       |cu_scr AS (SELECT doc_id, ${dkScrub("t")} AS text FROM cu_p),
+       |cu_w0 AS (SELECT doc_id, text, $dkWords AS w FROM cu_scr),
+       |cu_keepq AS (SELECT doc_id FROM cu_w0 WHERE
+       |  (1.0 - CAST(len(list_filter(w, x -> x IN $stop)) AS DOUBLE) / len(w))
+       |  * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text))
+       |  * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) >= 0.25),
+       |cu_cand0 AS (SELECT cu_w0.doc_id, cu_w0.w FROM cu_w0 JOIN cu_keepq USING (doc_id)
+       |          WHERE doc_id % 7 <> 0),
+       |cu_bench0 AS (SELECT doc_id, w FROM cu_w0 WHERE doc_id % 7 = 0),
+       |cu_shc AS (${sh("cu_cand0")}),
+       |cu_ref AS (SELECT DISTINCT fp FROM (${sh("cu_bench0")})),
+       |cu_cut AS (SELECT DISTINCT cu_shc.doc_id, u.t
+       |        FROM cu_shc, unnest(range(cu_shc.pos, cu_shc.pos + 8)) AS u(t)
+       |        WHERE cu_shc.fp IN (SELECT fp FROM cu_ref)),
+       |cu_tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS t, w[i] AS tokn
+       |        FROM cu_cand0, unnest(range(1, len(w) + 1)) AS v(i)),
+       |cu_reb AS (SELECT cu_tok.doc_id,
+       |          string_agg(cu_tok.tokn, ' ' ORDER BY cu_tok.t) AS clean_text,
+       |          COUNT(*) AS n_kept
+       |        FROM cu_tok ANTI JOIN cu_cut ON cu_cut.doc_id = cu_tok.doc_id AND cu_cut.t = cu_tok.t
+       |        GROUP BY cu_tok.doc_id),
+       |cu_fin AS (SELECT c.doc_id, COALESCE(cu_reb.clean_text, '') AS clean_text,
+       |          CAST(len(c.w) - COALESCE(cu_reb.n_kept, 0) AS BIGINT) AS n_cut,
+       |          CAST(COALESCE(cu_reb.n_kept, 0) AS BIGINT) AS n_kept
+       |        FROM cu_cand0 c LEFT JOIN cu_reb ON cu_reb.doc_id = c.doc_id),
+       |cu_ded AS (SELECT cu_fin.*, MIN(doc_id) OVER (PARTITION BY clean_text) AS keeper FROM cu_fin),
+       |curated AS (SELECT doc_id, clean_text, n_cut, n_kept
+       |            FROM cu_ded WHERE doc_id = keeper)""".stripMargin
+  }
+
   /** Deterministic line structure planted identically in both engines for
     * op_gopher_repetition (the single-line fixture would leave the line
     * metrics degenerate): every ' part ' becomes a newline, and every
@@ -1478,43 +1522,36 @@ object OpQueries {
       (s, d) => PipelineOps.curate(
         docs(s, d).selectExpr("doc_id", plantPiiSpark),
         minQuality = 0.25, benchMod = 7, n = 8),
-      Some {
-        val stop = "('the','a','of','and','to','in','is','it')"
-        def sh(src: String) =
-          s"""SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-             |       ${dkH60("array_to_string(w[i:i+7], ' ')")} AS fp
-             |FROM $src, unnest(range(1, len(w) - 8 + 2)) AS t(i)
-             |WHERE len(w) >= 8""".stripMargin
-        s"""WITH p AS (SELECT doc_id, $plantPiiDuck AS t FROM documents),
-           |scr AS (SELECT doc_id, ${dkScrub("t")} AS text FROM p),
-           |w0 AS (SELECT doc_id, text, $dkWords AS w FROM scr),
-           |keepq AS (SELECT doc_id FROM w0 WHERE
-           |  (1.0 - CAST(len(list_filter(w, x -> x IN $stop)) AS DOUBLE) / len(w))
-           |  * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text))
-           |  * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) >= 0.25),
-           |cand0 AS (SELECT w0.doc_id, w0.w FROM w0 JOIN keepq USING (doc_id)
-           |          WHERE doc_id % 7 <> 0),
-           |bench0 AS (SELECT doc_id, w FROM w0 WHERE doc_id % 7 = 0),
-           |shc AS (${sh("cand0")}),
-           |ref AS (SELECT DISTINCT fp FROM (${sh("bench0")})),
-           |cut AS (SELECT DISTINCT shc.doc_id, u.t
-           |        FROM shc, unnest(range(shc.pos, shc.pos + 8)) AS u(t)
-           |        WHERE shc.fp IN (SELECT fp FROM ref)),
-           |tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS t, w[i] AS tokn
-           |        FROM cand0, unnest(range(1, len(w) + 1)) AS v(i)),
-           |reb AS (SELECT tok.doc_id,
-           |          string_agg(tok.tokn, ' ' ORDER BY tok.t) AS clean_text,
-           |          COUNT(*) AS n_kept
-           |        FROM tok ANTI JOIN cut ON cut.doc_id = tok.doc_id AND cut.t = tok.t
-           |        GROUP BY tok.doc_id),
-           |fin AS (SELECT c.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
-           |          CAST(len(c.w) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_cut,
-           |          CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept
-           |        FROM cand0 c LEFT JOIN reb ON reb.doc_id = c.doc_id),
-           |ded AS (SELECT fin.*, MIN(doc_id) OVER (PARTITION BY clean_text) AS keeper FROM fin)
-           |SELECT doc_id, clean_text, n_cut, n_kept
-           |FROM ded WHERE doc_id = keeper ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"""WITH ${dkCurateCtes(plantPiiDuck)}
+              |SELECT doc_id, clean_text, n_cut, n_kept
+              |FROM curated ORDER BY doc_id""".stripMargin)),
+
+    // The END-TO-END pipeline (VERDICT r19): curate → per-source cap →
+    // DSIR resampling, emitted as the applied (doc_id, copy) epoch. ONE
+    // oracle re-derives all three stages AND their boundaries — the cap
+    // ranks and DSIR marginals run over the CURATED text (scrub + cut
+    // + dedup survivors), and the epoch only over cap survivors. No PII
+    // plant here (op_pipeline_curate already gates the scrub surface);
+    // the fixture text flows as-is.
+    QueryDef("op_pipeline_full",
+      (s, d) => PipelineOps.pipelineFull(docs(s, d)),
+      Some(dkImportanceCteOver("capped", extraCtes =
+        s"""${dkCurateCtes("text")},
+           |cu_src AS (SELECT c.doc_id, c.clean_text AS text, d.lang, d.source
+           |           FROM curated c JOIN documents d ON d.doc_id = c.doc_id),
+           |cu_rk AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY source
+           |            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           |          FROM cu_src),
+           |capped AS (SELECT s.doc_id, s.text, s.lang FROM cu_src s
+           |           JOIN cu_rk r ON r.doc_id = s.doc_id
+           |           WHERE r.rk <= ${PipelineOps.DefaultSourceCap}),
+           |""".stripMargin) +
+        """
+          |SELECT doc_id, copy FROM (
+          |  SELECT doc_id,
+          |         unnest(generate_series(1, CAST(n_copies AS BIGINT))) AS copy
+          |  FROM nc WHERE n_copies > 0)
+          |ORDER BY doc_id, copy""".stripMargin)),
 
     // Sliding-window chunking (size 32, stride 24): every chunk's exact
     // text, index and token count hash-gated; redundant fully-covered

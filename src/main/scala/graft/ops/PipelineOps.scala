@@ -546,6 +546,39 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** The END-TO-END curation-to-mixture pipeline gated as ONE operator
+    * (VERDICT r19): [[curate]] (PII scrub → quality floor → benchmark
+    * decontamination cut → exact dedup) → [[sourceCap]] over the
+    * curated survivors → DSIR importance RESAMPLING over the capped
+    * corpus, emitted as the applied (doc_id, copy) epoch a training
+    * loader consumes. Each stage is individually gated elsewhere
+    * (op_pipeline_curate / op_source_cap / op_importance_resample);
+    * this gates the three stage BOUNDARIES at once — where the curated
+    * text (not the raw text!) must feed the cap ranks and the DSIR
+    * marginals, and the cap survivor set must bound everything
+    * downstream.
+    *
+    * Scale shape: curate's shapes, then a LEFT SEMI survivor join, then
+    * [[importanceWeights]]' two scans over the capped corpus — the cap
+    * bounds the DSIR cost exactly as in [[pipelineMix]]. */
+  def pipelineFull(docs: DataFrame, minQuality: Double = 0.25,
+                   benchMod: Long = 7, n: Int = 8,
+                   cap: Long = DefaultSourceCap,
+                   targetPred: String = DefaultTargetPred,
+                   buckets: Int = DefaultBuckets): DataFrame = {
+    val curated = curate(docs, minQuality, benchMod, n)
+    val enriched = curated
+      .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+      .selectExpr("doc_id", "clean_text as text", "lang", "source")
+    val keep = sourceCap(enriched, cap).select("doc_id")
+    val capped = enriched.join(keep, Seq("doc_id"), "left_semi")
+    importanceWeights(capped, targetPred, buckets)
+      .filter(col("n_copies") > 0)
+      .selectExpr("doc_id",
+        "explode(sequence(cast(1 as bigint), n_copies)) as copy")
+      .orderBy("doc_id", "copy")
+  }
+
   /** The dropped-mass report for [[sourceCap]]: per source, how many docs
     * the cap keeps and drops. n_kept = min(n_docs, cap) is exact because
     * the rank filter keeps precisely the cap-smallest md5 ranks — no need

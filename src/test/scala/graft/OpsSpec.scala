@@ -3086,6 +3086,28 @@ class OpsSpec extends SparkSpecBase {
     assert(w(100L) === 1.0, "the most seed-like doc defines w_max")
   }
 
+  test("pipeline full: epoch stays inside the cap/curate survivor sets and tracks their mass") {
+    import graft.ops.PipelineOps
+    val docs = Tables.load(spark, sfDir, "documents").limit(300)
+    val epochIds = PipelineOps.pipelineFull(docs).select("doc_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    val curatedIds = PipelineOps.curate(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val enriched = PipelineOps.curate(docs)
+      .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .selectExpr("doc_id", "clean_text as text", "lang", "source")
+    val capIds = PipelineOps.sourceCap(enriched, PipelineOps.DefaultSourceCap)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // stage containment: resampled docs ⊆ cap survivors ⊆ curated docs
+    assert(capIds.subsetOf(curatedIds))
+    assert(epochIds.subsetOf(capIds),
+      s"epoch leaked past the cap: ${epochIds -- capIds}")
+    // the grid normalization promises Σ copies ≈ |capped| (within half)
+    val nCopies = PipelineOps.pipelineFull(docs).count()
+    assert(math.abs(nCopies - capIds.size) <= capIds.size / 2,
+      s"epoch mass $nCopies vs capped ${capIds.size}")
+  }
+
   test("importance weights: long docs exercise the exponent-carry fold without overflow") {
     import graft.ops.PipelineOps
     // one extreme doc: 1500 repetitions of one word flood the RAW

@@ -90,6 +90,7 @@ class PlanSpec extends SparkSpecBase {
       // the op_profile pattern, three scalar fold-ins (the mix
       // composition inherits them)
       "op_importance_weights", "op_importance_resample", "op_pipeline_mix",
+      "op_importance_target", "op_pipeline_full", // same three scalar fold-ins
       // skyline's phase 2 IS a broadcast dominance check over the tiny
       // pruned candidate set — the dedicated PlanSpec case below pins
       // that it stays the BROADCAST form
