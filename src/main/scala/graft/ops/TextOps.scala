@@ -47,13 +47,32 @@ object TextOps {
   /** Lower-cased whitespace tokenization. */
   def wordsExpr(e: String): String = s"split(lower(trim($e)), '\\\\s+')"
 
-  /** Distinct word-k-gram shingles of a tokenized column `w`. */
+  /** Distinct word-3-gram shingles of a tokenized column `w`, built by
+    * zipping `w` against its 1- and 2-shifted copies (null-padded, pads
+    * filtered) — NEVER via `element_at($w, i)` inside a lambda. The
+    * lambda form is the O(L²) CollapseProject trap
+    * ([[graft.ops.PipelineOps.featureBucketsExpr]] carries the full
+    * rule): a downstream FILTER + narrow projection makes every lower
+    * output single-reference, Catalyst collapses the projections and
+    * re-inlines the tokenization into `$w`, and an array lookup inside a
+    * lambda then re-runs the whole split per shingle — measured 8.5 s
+    * for a 4k-doc signature-index write at r20 (vs ~1 s after this
+    * rewrite; the wide-projection consumers like minhashPairs dodged the
+    * collapse only by the accident of multi-reference outputs). With
+    * zip_with, every `$w` reference sits OUTSIDE a lambda and evaluates
+    * a constant number of times per row no matter how projections
+    * collapse. Same values in the same position order as the indexed
+    * form (pads produce NULL entries exactly where `i + 2 > size` did). */
   def shinglesExpr(w: String): String =
     s"""array_distinct(filter(
-       |  transform(sequence(1, size($w)), i ->
-       |    case when i + 2 <= size($w)
-       |         then concat_ws(' ', element_at($w, i), element_at($w, i+1), element_at($w, i+2))
-       |    end),
+       |  zip_with(
+       |    zip_with($w,
+       |      concat(slice($w, 2, greatest(size($w) - 1, 0)), array(cast(null as string))),
+       |      (a, b) -> case when b is not null then concat_ws(' ', a, b) end),
+       |    concat(slice($w, 3, greatest(size($w) - 2, 0)),
+       |           array(cast(null as string), cast(null as string))),
+       |    (ab, c) -> case when ab is not null and c is not null
+       |                    then concat_ws(' ', ab, c) end),
        |  x -> x is not null))""".stripMargin
 
   /** The English stop set used by the quality battery (and langId's en
