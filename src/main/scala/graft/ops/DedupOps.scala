@@ -68,6 +68,47 @@ object DedupOps {
       .selectExpr("doc_id", s"transform(sh_txt, x -> ${TextOps.h60("x")}) as sh")
       .selectExpr("doc_id", "sh", "cast(size(sh) as bigint) as n_sh")
 
+  /** AllPairs prefix rows (doc_id, s): each document's
+    * `n_sh − cmin(t, n_sh) + 1` RAREST-document-frequency shingles under
+    * the global (df, s) order — the candidate-generation keys of
+    * [[jaccardPairs]] and [[containmentPairs]].
+    *
+    * cmin = the smallest intersection count the VERIFY predicate can
+    * accept, decided with the same double comparison verification uses —
+    * never a bare ceil: ceil(t·n) on doubles can land one above the true
+    * rational bound (0.55·20 → 11.000…009 → ceil 12), silently shortening
+    * the prefix below the filter guarantee and dropping an exact-boundary
+    * pair the oracle keeps (ADVICE r11). One element of prefix slack is
+    * sound (more candidates, same verified output); one element short is
+    * a correctness hole.
+    *
+    * SHAPE (r20 optimization round, guide §2.3/§2.4): df comes from a
+    * count window over `s` and the per-doc prefix from a row_number
+    * window over (df, s) — two exchanges of the exploded table total.
+    * The r19 form (freq aggregate + equi-join on s + groupBy(doc_id)
+    * collect_list/sort_array/slice/re-explode) moved the same rows
+    * through three exchanges plus a sort-merge join and built a per-doc
+    * array only to take its head: measured 3.16 vs 1.73 s at sf0.1
+    * (same-JVM A/B, min of 3). The prefix SET is identical: per doc the
+    * shingles are distinct (so (df, s) is a total order) and
+    * `rn ≤ n_sh − cmin + 1` keeps exactly the slice the sorted-array
+    * head kept — candidates, verified pairs and the oracle hash are
+    * unchanged. */
+  private def prefixByRarest(sets: DataFrame, threshold: Double): DataFrame = {
+    val ex = sets.selectExpr("doc_id", "n_sh", "explode(sh) as s")
+    val cmin =
+      s"""greatest(1L, case
+         |  when cast(c0 - 1 as double) / n_sh >= cast($threshold as double) then c0 - 1
+         |  when cast(c0 as double) / n_sh >= cast($threshold as double) then c0
+         |  else c0 + 1 end)""".stripMargin
+    ex.withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      .withColumn("c0", expr(s"cast(ceil($threshold * n_sh) as bigint)"))
+      .filter(col("rn") <= expr(s"n_sh - ($cmin) + 1"))
+      .select("doc_id", "s")
+  }
+
   /** Exact all-pairs word-3-gram Jaccard ≥ `threshold`, with AllPairs-style
     * prefix filtering (Bayardo et al., WWW'07 — public algorithm): under
     * any fixed global order of shingles, two sets with J ≥ t must share an
@@ -87,29 +128,7 @@ object DedupOps {
     // release is impossible; session-cleared (the Bench/Verify
     // clearCache contract; VERDICT r18 #3 adjudication)
     val sets = shingled(docs).persist()
-    val ex = sets.selectExpr("doc_id", "n_sh", "explode(sh) as s")
-    val freq = ex.groupBy("s").agg(count(lit(1)).as("df"))
-    // cmin = the smallest intersection count the VERIFY predicate can
-    // accept, decided with the same double comparison verification uses —
-    // never a bare ceil: ceil(t·n) on doubles can land one above the true
-    // rational bound (0.55·20 → 11.000…009 → ceil 12), silently shortening
-    // the prefix below the filter guarantee and dropping an exact-boundary
-    // pair the oracle keeps (ADVICE r11). One element of prefix slack is
-    // sound (more candidates, same verified output); one element short is
-    // a correctness hole.
-    val cmin =
-      s"""greatest(1L, case
-         |  when cast(c0 - 1 as double) / n_sh >= cast($threshold as double) then c0 - 1
-         |  when cast(c0 as double) / n_sh >= cast($threshold as double) then c0
-         |  else c0 + 1 end)""".stripMargin
-    val prefix = ex.join(freq, "s")
-      .groupBy(col("doc_id"), col("n_sh"))
-      .agg(expr("sort_array(collect_list(struct(df, s)))").as("os"))
-      .withColumn("c0", expr(s"cast(ceil($threshold * n_sh) as bigint)"))
-      .selectExpr("doc_id", "os", "n_sh", s"$cmin as cmin")
-      .selectExpr("doc_id",
-        "transform(slice(os, 1, cast(n_sh - cmin + 1 as int)), x -> x.s) as ps")
-      .selectExpr("doc_id", "explode(ps) as s")
+    val prefix = prefixByRarest(sets, threshold)
     val cand = prefix.as("a")
       .join(prefix.as("b"), expr("a.s = b.s and a.doc_id < b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -203,28 +222,9 @@ object DedupOps {
   def containmentPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
     val sets = shingled(docs).persist()
     val ex = sets.selectExpr("doc_id", "n_sh", "explode(sh) as s")
-    val freq = ex.groupBy("s").agg(count(lit(1)).as("df"))
-    // cmin = the smallest intersection count the VERIFY predicate can
-    // accept, decided with the same double comparison verification uses —
-    // never a bare ceil: ceil(t·n) on doubles can land one above the true
-    // rational bound (0.55·20 → 11.000…009 → ceil 12), silently shortening
-    // the prefix below the filter guarantee and dropping an exact-boundary
-    // pair the oracle keeps (ADVICE r11). One element of prefix slack is
-    // sound (more candidates, same verified output); one element short is
-    // a correctness hole.
-    val cmin =
-      s"""greatest(1L, case
-         |  when cast(c0 - 1 as double) / n_sh >= cast($threshold as double) then c0 - 1
-         |  when cast(c0 as double) / n_sh >= cast($threshold as double) then c0
-         |  else c0 + 1 end)""".stripMargin
-    val prefix = ex.join(freq, "s")
-      .groupBy(col("doc_id"), col("n_sh"))
-      .agg(expr("sort_array(collect_list(struct(df, s)))").as("os"))
-      .withColumn("c0", expr(s"cast(ceil($threshold * n_sh) as bigint)"))
-      .selectExpr("doc_id", "os", "n_sh", s"$cmin as cmin")
-      .selectExpr("doc_id",
-        "transform(slice(os, 1, cast(n_sh - cmin + 1 as int)), x -> x.s) as ps")
-      .selectExpr("doc_id", "explode(ps) as s")
+    // prefix build shared with jaccardPairs — see [[prefixByRarest]] for
+    // the cmin boundary rule and the r20 window-shape adjudication
+    val prefix = prefixByRarest(sets, threshold)
     val cand = prefix.as("a")
       .join(ex.select("doc_id", "s").as("b"),
         expr("a.s = b.s and a.doc_id <> b.doc_id"))

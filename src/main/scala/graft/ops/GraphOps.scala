@@ -45,7 +45,8 @@ object GraphOps {
     * scale `s`; callers wanting a double divide by s (a power of two —
     * exact). */
   def pageRank(edges: DataFrame, iters: Int = 10,
-               s: Long = 1L << 40): DataFrame = {
+               s: Long = 1L << 40,
+               broadcastMaxNodes: Long = 1L << 20): DataFrame = {
     require(iters >= 0, s"need iters >= 0; got $iters")
     require(s > 0, s"need a positive fixed-point scale; got $s")
     val e = edges.selectExpr("src", "dst", "cast(w as bigint) as w").persist()
@@ -60,10 +61,30 @@ object GraphOps {
     // joins over the full edge list for identical output)
     val eo = e.join(outw, "src")
       .selectExpr("src", "dst", "w", "outw").persist()
+    // Join strategy per round, picked deliberately (r20 optimization
+    // round, guide §3.1): the rank vector and the contribution aggregate
+    // are both NODE-count-sized, and the node count is already on the
+    // driver (it sizes the uniform prior), so when n fits a broadcast
+    // (≤ broadcastMaxNodes rows — (string, long) rows, tens of MB at the
+    // default 2²⁰) both per-round joins run as broadcast-hash joins: the
+    // EDGE list (the big side, persisted) is never re-shuffled, and the
+    // only exchange per round is the partial-aggregated contribution sum.
+    // Past the gate the original shuffle join takes over — a web-scale
+    // node set must not ship to every task. Results are identical either
+    // way: the joins are exact and the contribution sum is integer
+    // arithmetic (addition-order-free). MEASURED at sf0.1 (same-JVM A/B,
+    // min of 3): broadcast 4.81 s vs shuffle 4.73 s — LOCAL PARITY, an
+    // in-process shuffle of a ~1M-edge list costs nothing; the per-round
+    // broadcast collect cancels the saved exchange. The gate is kept for
+    // the network-bound regime (10 rounds × 2 shuffles of the edge list
+    // vs 10 node-vector broadcasts), where edge bytes dominate node
+    // bytes by construction; local parity means the bench is unaffected.
+    val bcast = n <= broadcastMaxNodes
+    def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     var ranks = nodes.selectExpr("node", s"($s div $n) as r")
     var prev: DataFrame = null
     for (_ <- 0 until iters) {
-      val contrib = ranks.join(eo, ranks("node") === eo("src"))
+      val contrib = eo.join(side(ranks), col("node") === col("src"))
         .selectExpr("dst as node", "(r * w) div outw as c")
         .groupBy("node").agg(sum("c").as("sc"))
       // cut the plan each round: without the checkpoint the rank vector
@@ -71,7 +92,7 @@ object GraphOps {
       // analysis/codegen cost grows superlinearly with the round count
       // (the BPE round-lineage blowup, r10) — the data is one
       // node-vector either way
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      ranks = nodes.join(side(contrib), Seq("node"), "left")
         .selectExpr("node",
           s"(15 * ($s div $n)) div 100 + (85 * coalesce(sc, 0)) div 100 as r")
         .localCheckpoint()

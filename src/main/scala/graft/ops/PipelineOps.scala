@@ -376,11 +376,19 @@ object PipelineOps {
     // of higher-order functions), turning bigram hashing into O(L²)
     // re-tokenization per document — measured 17.5 s of a 21 s sf0.1
     // runtime before this hoist, 0.8 s after
+    // materialize the feature table ONCE (r20 optimization round, guide
+    // §1.2/§2.4): it feeds BOTH the marginal aggregation and the scoring
+    // fold — un-cut, the tokenize+feature-hash scan (the dominant cost of
+    // this op) executes twice, once per consumer. The checkpoint is
+    // linear-sized (doc_id, flag, feature array ≈ the text itself) and
+    // self-releases through the ContextCleaner. Measured at sf0.1:
+    // op_importance_weights 2.96 → 1.95 s (stage profile, min of 3).
     val toks = docs
       .selectExpr("doc_id", s"($targetPred) as __tgt",
         s"${TextOps.wordsExpr("text")} as __w")
       .selectExpr("doc_id", "__tgt",
         s"${featureBucketsExpr("__w", buckets)} as __f")
+      .localCheckpoint()
     // one pass computes both marginals: every feature counts toward raw,
     // target-slice features also toward tgt
     val counts = toks
@@ -410,9 +418,12 @@ object PipelineOps {
                                buckets: Int = DefaultBuckets): DataFrame = {
     require(buckets > 0 && buckets <= (1 << 20),
       s"need 0 < buckets <= 2^20, got $buckets")
+    // same single-tokenize cut as importanceWeights (r20): corpus features
+    // feed the raw marginals AND the scoring fold
     val corpus = docs
       .selectExpr("doc_id", s"${TextOps.wordsExpr("text")} as __w")
       .selectExpr("doc_id", s"${featureBucketsExpr("__w", buckets)} as __f")
+      .localCheckpoint()
     val tgtFeats = target
       .selectExpr(s"${TextOps.wordsExpr("text")} as __w")
       .selectExpr(s"${featureBucketsExpr("__w", buckets)} as __f")

@@ -1,0 +1,173 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Stage-level decomposition of the expensive bench families (guide §1:
+  * measure first, isolate with the noop sink, label jobs). Each stage is
+  * timed like Bench times a query — noop write, clearCache between — so
+  * the numbers are directly comparable to bench floors.
+  *
+  * Usage: runMain graft.tools.ProfileStages <family>[,family...]
+  * Families: jaccard, importance, textrank, ivfpq, bpe, containment
+  * Reads SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+  */
+object ProfileStages {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val fams = args.headOption.map(_.split(",").toSet)
+      .getOrElse(Set("jaccard", "importance", "textrank", "ivfpq"))
+    val spark = graft.GraftSession.get("graft-profile")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_PROFILE_RUNS", "3").toInt
+
+    def time(label: String)(mk: => DataFrame): Unit = {
+      val ts = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        spark.sparkContext.setJobDescription(label)
+        mk.write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROFILE $label%-40s min=${ts.min}%7.3f med=${ts.sorted.apply(ts.size / 2)}%7.3f")
+    }
+
+    import org.apache.spark.sql.functions._
+    def docs = graft.Tables.load(spark, sfDir, "documents")
+    def emb = graft.Tables.load(spark, sfDir, "embeddings")
+
+    if (fams("jaccard")) {
+      import graft.ops.{DedupOps, TextOps}
+      def shingled(d: DataFrame) = d
+        .selectExpr("doc_id", s"${TextOps.wordsExpr("text")} as w")
+        .selectExpr("doc_id", s"${TextOps.shinglesExpr("w")} as sh_txt")
+        .selectExpr("doc_id", s"transform(sh_txt, x -> ${TextOps.h60("x")}) as sh")
+        .selectExpr("doc_id", "sh", "cast(size(sh) as bigint) as n_sh")
+      time("jac/1_shingled")(shingled(docs))
+      time("jac/2_freq")(
+        shingled(docs).selectExpr("doc_id", "n_sh", "explode(sh) as s")
+          .groupBy("s").agg(count(lit(1)).as("df")))
+      time("jac/3_prefix") {
+        val sets = shingled(docs)
+        val ex = sets.selectExpr("doc_id", "n_sh", "explode(sh) as s")
+        val freq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+        ex.join(freq, "s")
+          .groupBy(col("doc_id"), col("n_sh"))
+          .agg(expr("sort_array(collect_list(struct(df, s)))").as("os"))
+      }
+      time("jac/4_full")(DedupOps.jaccardPairs(docs, 0.5))
+      time("jac/5_groups")(DedupOps.dedupGroups(docs, DedupOps.jaccardPairs(docs, 0.5)))
+      // window-based prefix variant (A/B against jac/3): df by a window
+      // count over s, per-doc prefix by row_number over (df, s)
+      val threshold = 0.5
+      def prefixWin(sets: DataFrame) = {
+        val ex = sets.selectExpr("doc_id", "n_sh", "explode(sh) as s")
+        val cmin =
+          s"""greatest(1L, case
+             |  when cast(c0 - 1 as double) / n_sh >= cast($threshold as double) then c0 - 1
+             |  when cast(c0 as double) / n_sh >= cast($threshold as double) then c0
+             |  else c0 + 1 end)""".stripMargin
+        ex.withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("s")))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+              .orderBy(col("df"), col("s"))))
+          .withColumn("c0", expr(s"cast(ceil($threshold * n_sh) as bigint)"))
+          .filter(col("rn") <= expr(s"n_sh - ($cmin) + 1"))
+          .select("doc_id", "s")
+      }
+      def shingledP(d: DataFrame) = shingled(d)
+      time("jac/6_prefix_win")(prefixWin(shingledP(docs)))
+      time("jac/7_prefix_agg") {
+        val sets = shingledP(docs)
+        val ex = sets.selectExpr("doc_id", "n_sh", "explode(sh) as s")
+        val freq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+        val cmin =
+          s"""greatest(1L, case
+             |  when cast(c0 - 1 as double) / n_sh >= cast($threshold as double) then c0 - 1
+             |  when cast(c0 as double) / n_sh >= cast($threshold as double) then c0
+             |  else c0 + 1 end)""".stripMargin
+        ex.join(freq, "s")
+          .groupBy(col("doc_id"), col("n_sh"))
+          .agg(expr("sort_array(collect_list(struct(df, s)))").as("os"))
+          .withColumn("c0", expr(s"cast(ceil($threshold * n_sh) as bigint)"))
+          .selectExpr("doc_id", "os", "n_sh", s"$cmin as cmin")
+          .selectExpr("doc_id",
+            "transform(slice(os, 1, cast(n_sh - cmin + 1 as int)), x -> x.s) as ps")
+          .selectExpr("doc_id", "explode(ps) as s")
+      }
+      time("jac/8_prefix_win2")(prefixWin(shingledP(docs)))
+    }
+
+    if (fams("importance")) {
+      import graft.ops.PipelineOps
+      time("imp/1_weights")(PipelineOps.importanceWeights(docs))
+      time("imp/2_resample")(PipelineOps.importanceResample(docs))
+      time("imp/3_full")(PipelineOps.pipelineFull(docs))
+      time("imp/4_curate")(PipelineOps.curate(docs))
+    }
+
+    if (fams("textrank")) {
+      import graft.ops.{GraphOps, TextOps}
+      time("tr/1_edges") {
+        val words = docs.selectExpr(s"${TextOps.wordsExpr("text")} as w")
+        val adj = words
+          .selectExpr(
+            """explode(case when size(w) >= 2
+              |  then transform(sequence(0, size(w) - 2),
+              |                 i -> struct(w[i] as a, w[i + 1] as b))
+              |  else array() end) as p""".stripMargin)
+          .selectExpr("p.a as a", "p.b as b")
+          .filter("a <> '' and b <> '' and a <> b")
+        adj.selectExpr("a as src", "b as dst")
+          .union(adj.selectExpr("b as src", "a as dst"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      }
+      time("tr/2_full")(GraphOps.textRank(docs))
+      def edges = {
+        val words = docs.selectExpr(s"${TextOps.wordsExpr("text")} as w")
+        val adj = words
+          .selectExpr(
+            """explode(case when size(w) >= 2
+              |  then transform(sequence(0, size(w) - 2),
+              |                 i -> struct(w[i] as a, w[i + 1] as b))
+              |  else array() end) as p""".stripMargin)
+          .selectExpr("p.a as a", "p.b as b")
+          .filter("a <> '' and b <> '' and a <> b")
+        adj.selectExpr("a as src", "b as dst")
+          .union(adj.selectExpr("b as src", "a as dst"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      }
+      time("tr/3_pr_shuffle")(GraphOps.pageRank(edges, 10, broadcastMaxNodes = 0L))
+      time("tr/4_pr_bcast")(GraphOps.pageRank(edges, 10))
+      time("tr/5_pr_shuffle2")(GraphOps.pageRank(edges, 10, broadcastMaxNodes = 0L))
+      time("tr/6_pr_bcast2")(GraphOps.pageRank(edges, 10))
+    }
+
+    if (fams("ivfpq")) {
+      import graft.ops.ClusterOps
+      time("pq/1_kmeansAssign")(ClusterOps.kmeansAssign(emb, k = 8, iters = 2))
+      time("pq/2_pqcodes")(ClusterOps.pqCodes(emb, dim = 64, m = 4, ksub = 8, iters = 2))
+      time("pq/3_pqTopK")(ClusterOps.pqTopK(emb, 64, 4, 8, 2, 5, 20))
+      time("pq/4_pqTopKIvf")(ClusterOps.pqTopKIvf(emb, 64, 4, 8, 8, 2, 2, 5, 20))
+      time("pq/5_pqTopKIvfRes")(ClusterOps.pqTopKIvfRes(emb, 64, 4, 8, 8, 2, 2, 5, 20))
+      time("pq/6_semantic")(ClusterOps.semanticPairs(emb, k = 8, iters = 2,
+        threshold = 0.95, maxClusterSize = 4096))
+    }
+
+    if (fams("bpe")) {
+      import graft.ops.TextOps
+      time("bpe/1_train")(TextOps.bpeTrain(docs))
+      time("bpe/2_token_count")(TextOps.bpeTokenCount(docs))
+      time("bpe/3_word_counts")(
+        docs.selectExpr(s"explode(${TextOps.wordsExpr("text")}) as word")
+          .where("word <> ''")
+          .groupBy("word").agg(count(lit(1)).as("c")))
+    }
+
+    if (fams("containment")) {
+      import graft.ops.DedupOps
+      time("cont/1_full")(DedupOps.containmentPairs(docs, 0.7))
+    }
+
+    spark.stop()
+  }
+}
