@@ -128,7 +128,17 @@ object DedupOps {
     // release is impossible; session-cleared (the Bench/Verify
     // clearCache contract; VERDICT r18 #3 adjudication)
     val sets = shingled(docs).persist()
-    val prefix = prefixByRarest(sets, threshold)
+    // persisted: the candidate SELF-join reads the prefix twice (once per
+    // side), and exchange reuse does not cover the window tail above the
+    // reused exchanges — unpersisted, the (doc_id, df, s) sort + window
+    // ran once per side (measured: the un-persisted window form was ~1 s
+    // SLOWER end-to-end than the r19 aggregate form it replaced, because
+    // the agg form's duplicated post-exchange tail was cheap while a
+    // duplicated sort is not). The prefix table is a (doc_id, s) subset
+    // of the exploded shingles — smaller than `sets`. LIFETIME: read
+    // lazily by the returned plan — session-cleared (the sets
+    // adjudication above).
+    val prefix = prefixByRarest(sets, threshold).persist()
     val cand = prefix.as("a")
       .join(prefix.as("b"), expr("a.s = b.s and a.doc_id < b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

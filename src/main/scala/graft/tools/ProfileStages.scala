@@ -95,6 +95,44 @@ object ProfileStages {
           .selectExpr("doc_id", "explode(ps) as s")
       }
       time("jac/8_prefix_win2")(prefixWin(shingledP(docs)))
+      // FULL-op A/B: old aggregate-prefix jaccardPairs rebuilt inline vs
+      // the current DedupOps (window prefix) — alternating, same JVM
+      def fullAgg() = {
+        val sets = shingledP(docs).persist()
+        val ex = sets.selectExpr("doc_id", "n_sh", "explode(sh) as s")
+        val freq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+        val cmin =
+          s"""greatest(1L, case
+             |  when cast(c0 - 1 as double) / n_sh >= cast($threshold as double) then c0 - 1
+             |  when cast(c0 as double) / n_sh >= cast($threshold as double) then c0
+             |  else c0 + 1 end)""".stripMargin
+        val prefix = ex.join(freq, "s")
+          .groupBy(col("doc_id"), col("n_sh"))
+          .agg(expr("sort_array(collect_list(struct(df, s)))").as("os"))
+          .withColumn("c0", expr(s"cast(ceil($threshold * n_sh) as bigint)"))
+          .selectExpr("doc_id", "os", "n_sh", s"$cmin as cmin")
+          .selectExpr("doc_id",
+            "transform(slice(os, 1, cast(n_sh - cmin + 1 as int)), x -> x.s) as ps")
+          .selectExpr("doc_id", "explode(ps) as s")
+        val cand = prefix.as("a")
+          .join(prefix.as("b"), expr("a.s = b.s and a.doc_id < b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(sets.selectExpr("doc_id as doc_a", "sh as sha", "n_sh as na"), Seq("doc_a"))
+          .join(sets.selectExpr("doc_id as doc_b", "sh as shb", "n_sh as nb"), Seq("doc_b"))
+          .selectExpr("doc_a", "doc_b",
+            "cast(size(array_intersect(sha, shb)) as bigint) as inter", "na", "nb")
+          .selectExpr("doc_a", "doc_b",
+            "cast(inter as double) / (na + nb - inter) as jaccard")
+          .filter(col("jaccard") >= threshold)
+          .orderBy("doc_a", "doc_b")
+      }
+      time("jac/9_full_agg")(fullAgg())
+      time("jac/10_full_win")(DedupOps.jaccardPairs(docs, 0.5))
+      time("jac/11_full_agg2")(fullAgg())
+      time("jac/12_full_win2")(DedupOps.jaccardPairs(docs, 0.5))
+      time("jac/13_groups_win")(DedupOps.dedupGroups(docs, DedupOps.jaccardPairs(docs, 0.5)))
     }
 
     if (fams("importance")) {

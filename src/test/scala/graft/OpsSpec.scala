@@ -1529,6 +1529,24 @@ class OpsSpec extends SparkSpecBase {
     assert(mass <= s && mass > 0.9 * s, s"rank mass ${mass / s} of scale")
   }
 
+  test("pageRank: size-gated broadcast path equals the shuffle path exactly") {
+    // the r20 join-strategy gate (broadcastMaxNodes) must be invisible in
+    // the output: both paths run the same integer fixed-point arithmetic,
+    // only the join physical strategy differs. Star + chain + cycle mix so
+    // ranks are non-uniform and multi-round.
+    val edges = spark.range(40).selectExpr(
+        "concat('n', cast(id % 9 as string)) as src",
+        "concat('n', cast((id * 7 + 3) % 11 as string)) as dst",
+        "(id % 3) + 1 as w")
+      .filter("src <> dst")
+    val bcast = graft.ops.GraphOps.pageRank(edges, iters = 6).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val shuf = graft.ops.GraphOps.pageRank(edges, iters = 6,
+        broadcastMaxNodes = 0L).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(bcast === shuf, "broadcast-gated pageRank diverged from shuffle path")
+  }
+
   test("lm score: predictable text outscores gibberish; short docs carry NULL") {
     // 20 docs share one phrasing (their bigrams dominate the model), one
     // doc is unique gibberish, one has a single token (no bigrams)
