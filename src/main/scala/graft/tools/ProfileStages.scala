@@ -206,6 +206,54 @@ object ProfileStages {
       time("cont/1_full")(DedupOps.containmentPairs(docs, 0.7))
     }
 
+    if (fams("misc")) {
+      import graft.ops.{TextOps, ProfileOps}
+      def events = graft.Tables.load(spark, sfDir, "events")
+      time("misc/1_cdc_dedup")(TextOps.cdcDedup(docs))
+      time("misc/2_session_stats")(ProfileOps.sessionStats(events))
+      time("misc/3_pmi")(TextOps.pmiCollocations(docs))
+      time("misc/4_cdc_chunks")(TextOps.cdcChunks(docs))
+      def lineitem = graft.Tables.load(spark, sfDir, "lineitem")
+      def basketEdges = {
+        val l = lineitem.select("l_orderkey", "l_partkey").distinct()
+        l.toDF("o", "pa").join(l.toDF("o", "pb"), Seq("o"))
+          .filter(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("sup"))
+          .filter(col("sup") >= 2)
+          .selectExpr("pa as a", "pb as b")
+      }
+      time("misc/5_triangles")(graft.ops.GraphOps.triangles(basketEdges))
+      time("misc/6_triangles_epersist") {
+        val e = basketEdges
+          .selectExpr("cast(a as bigint) as a", "cast(b as bigint) as b")
+          .persist()
+        val deg = e.selectExpr("a as v").union(e.selectExpr("b as v"))
+          .groupBy("v").agg(count(lit(1)).as("d"))
+        val oriented = e
+          .join(deg.selectExpr("v as a", "d as da"), "a")
+          .join(deg.selectExpr("v as b", "d as db"), "b")
+          .selectExpr(
+            "case when da < db or (da = db and a < b) then a else b end as src",
+            "case when da < db or (da = db and a < b) then b else a end as dst",
+            "case when da < db or (da = db and a < b) then da else db end as dsrc",
+            "case when da < db or (da = db and a < b) then db else da end as ddst")
+          .persist()
+        val tri = oriented.as("e1")
+          .join(oriented.as("e2"),
+            expr("""e1.src = e2.src and
+                    |(e1.ddst < e2.ddst or (e1.ddst = e2.ddst and e1.dst < e2.dst))""".stripMargin))
+          .selectExpr("e1.src as u", "e1.dst as x", "e2.dst as y")
+          .join(oriented.as("e3"), expr("x = e3.src and y = e3.dst"), "leftsemi")
+          .selectExpr("array_sort(array(u, x, y)) as t")
+          .selectExpr("t[0] as v1", "t[1] as v2", "t[2] as v3")
+          .orderBy("v1", "v2", "v3")
+          .localCheckpoint()
+        oriented.unpersist(); e.unpersist()
+        tri
+      }
+      time("misc/7_triangles2")(graft.ops.GraphOps.triangles(basketEdges))
+    }
+
     spark.stop()
   }
 }
