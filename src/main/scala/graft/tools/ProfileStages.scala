@@ -141,6 +141,27 @@ object ProfileStages {
       time("imp/2_resample")(PipelineOps.importanceResample(docs))
       time("imp/3_full")(PipelineOps.pipelineFull(docs))
       time("imp/4_curate")(PipelineOps.curate(docs))
+      // A/B: curate with the scrubbed relation materialized once (the
+      // pii regex chain is consumed by textStats, the semi-join and the
+      // bench filter)
+      def curateCk(minQuality: Double = 0.25, benchMod: Long = 7, n: Int = 8) = {
+        val scrubbed = graft.ops.TextOps.piiScrub(docs)
+          .selectExpr("doc_id", "clean_text as text").localCheckpoint()
+        val q = graft.ops.TextOps.textStats(scrubbed)
+          .filter(col("quality_score") >= minQuality).select("doc_id")
+        val cands = scrubbed.join(q, Seq("doc_id"), "left_semi")
+          .filter(col("doc_id") % benchMod =!= 0)
+        val bench = scrubbed.filter(col("doc_id") % benchMod === 0)
+        val cut = graft.ops.DedupOps.contaminationCut(cands, bench, n)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("clean_text"))
+        cut.withColumn("keeper", min(col("doc_id")).over(w))
+          .filter(col("doc_id") === col("keeper"))
+          .select("doc_id", "clean_text", "n_cut", "n_kept")
+          .orderBy("doc_id")
+      }
+      time("imp/5_curate_ck")(curateCk())
+      time("imp/6_curate2")(PipelineOps.curate(docs))
+      time("imp/7_curate_ck2")(curateCk())
     }
 
     if (fams("textrank")) {
